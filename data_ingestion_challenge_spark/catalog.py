@@ -1,0 +1,63 @@
+"""Table catalog: maps a scale-factor directory of parquet files to
+DataFrames / temp views.
+
+The reference ingests into pluggable storage backends; our storage is
+columnar parquet read through Spark's vectorized reader, which gives
+predicate pushdown + column pruning for free (verify with
+``df.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables that should always be broadcast in joins: at 100 TB
+# the fact side (lineitem/orders/events) shuffles, these never should.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) → surfaced as long via the
+    nanosAsLong conf; truncate ns→µs exactly like DuckDB does.  Must use
+    integral `div` — doubles can't hold 1e18 ns exactly."""
+    from pyspark.sql import functions as F
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Catalog:
+    """Lazy view of one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; have {TABLES}")
+        if name not in self._cache:
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            self._cache[name] = normalize_ts(df)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, suffix: str = "") -> None:
+        """Register every table as a temp view (for spark.sql plans)."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name + suffix)

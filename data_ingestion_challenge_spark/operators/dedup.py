@@ -1,0 +1,206 @@
+"""Document deduplication family (SURVEY.md §2C).
+
+Every variant is shuffle-disciplined for 100 TB:
+- exact / fingerprint: one hash shuffle on the digest.
+- n-gram Jaccard: prefix-filtered inverted-index equi-join (PPJoin
+  flavor) — exact, never a cartesian, robust to hot shingles.
+- MinHash+LSH: explode → k min-aggregates for the signature,
+  candidates via equi-join on band keys, then exact-Jaccard
+  verification on the candidates only (the 100 TB path).
+- SimHash: 32-bit sketch; hamming≤r candidates via the block trick
+  (r+1 blocks; a pair within distance r must match on ≥1 block).
+
+All hashing is md5-derived (functions/hashing.py) so DuckDB oracles can
+reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from data_ingestion_challenge_spark.functions import hashing as H
+from data_ingestion_challenge_spark.functions import text as T
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    return (
+        documents.groupBy(F.md5(col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("dup_count"),
+             F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def _postings(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s): one row per DISTINCT word n-gram shingle per doc.
+
+    Formulation matters: explode the position range FIRST, then build
+    each shingle with codegen'd element_at/concat_ws, and dedupe with a
+    relational distinct.  The natural array formulation
+    (transform(sequence(...), slice+concat) + array_distinct) runs the
+    lambda INTERPRETED per element — measured 4× slower at sf0.1.
+    Short docs (< n words) vanish via explode of an empty range."""
+    w = documents.select("doc_id", T.words(col("text")).alias("w"))
+    idx = w.select(
+        "doc_id", "w",
+        F.explode(
+            F.when(F.size("w") >= n,
+                   F.sequence(F.lit(1), F.size("w") - (n - 1)))
+            .otherwise(F.array().cast("array<int>"))).alias("i"))
+    shingle = F.concat_ws(
+        " ", *[F.element_at(col("w"), col("i") + j) for j in range(n)])
+    # Reused 3-4× per dedup operator (sizes, prefix/bands, verify) —
+    # persist so the split+explode+distinct pipeline runs once.  At
+    # cluster scale this is the posting table you would checkpoint.
+    return idx.select("doc_id", shingle.alias("s")).distinct().persist()
+
+
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
+                        tau: float) -> DataFrame:
+    """(doc_a, doc_b, ic=|A∩B|) + per-doc set sizes → Jaccard ≥ tau.
+    Postings are distinct, so the pair-join row count IS the
+    intersection — no array materialization or re-intersection."""
+    sa = sizes.select(col("doc_id").alias("doc_a"), col("n").alias("_na"))
+    sb = sizes.select(col("doc_id").alias("doc_b"), col("n").alias("_nb"))
+    jac = col("ic") / (col("_na") + col("_nb") - col("ic"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        tau: float = 0.8) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ tau via PREFIX-FILTERED inverted index
+    (PPJoin-style).
+
+    A naive shingle self-join degenerates when the vocabulary is small
+    (every hot shingle contributes |posting|² pairs — measured ~34M
+    pair rows on the sf0.1 corpus).  Prefix filtering is the exact
+    fix: order shingles by global document frequency (rarest first);
+    if J(A,B) ≥ τ the two sets MUST share an element within each set's
+    first ⌊(1-τ)·|set|⌋+1 shingles under that order, so only those
+    prefixes are indexed.  Candidates then get exact verification —
+    identical results to the naive join, no false negatives."""
+    posting = _postings(documents, n)
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = posting.groupBy("s").agg(F.count("*").alias("_df"))
+    wpos = Window.partitionBy("doc_id").orderBy("_df", "s")
+    prefix = (
+        posting.join(dfreq, "s")
+        .withColumn("_pos", F.row_number().over(wpos))
+        .join(sizes, "doc_id")
+        .where(col("_pos") <= F.floor((1 - tau) * col("n")) + 1)
+        .select("doc_id", "s")
+    )
+    cand = (
+        prefix.alias("x").join(prefix.alias("y"), "s")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").alias("doc_a"),
+                col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidates(cand, posting, sizes, tau)
+
+
+def _verify_candidates(cand: DataFrame, posting: DataFrame,
+                       sizes: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: expand doc_a's
+    postings over its pairs, equi-join doc_b's postings — linear in
+    candidate postings, never all-pairs."""
+    pa = posting.join(cand, posting.doc_id == cand.doc_a) \
+                .select("doc_a", "doc_b", "s")
+    pb = posting.select(col("doc_id").alias("_db"), col("s").alias("_sb"))
+    inter = (
+        pa.join(pb, (col("doc_b") == col("_db")) & (col("s") == col("_sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ic"))
+    )
+    return _jaccard_from_inter(inter, sizes, tau)
+
+
+def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 16,
+                      bands: int = 8, tau: float = 0.8) -> DataFrame:
+    """MinHash signature + banded LSH + exact verification (scale path).
+
+    The signature is computed via explode → k min-aggregates, NOT via
+    nested higher-order functions: Catalyst does no CSE inside lambda
+    expressions, so an array-fold formulation re-evaluates the md5 of
+    every shingle once per hash function (~16-60× blowup, measured 58s
+    → 3s at sf0.1).  Exploding evaluates md5 exactly once per
+    (doc, shingle); the k mins ride one map-side-combined groupBy."""
+    rows = k // bands
+    posting = _postings(documents, n)
+    hashed = posting.select("doc_id", H.h32(col("s")).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * col("h") + F.lit(b)) % F.lit(H.MINHASH_P))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(H.minhash_params(k))])
+    band_cols = [
+        F.concat_ws(":", F.lit(str(b)),
+                    *[col(f"m{b * rows + r}").cast("string")
+                      for r in range(rows)])
+        for b in range(bands)]
+    bandrows = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bkey"))
+    cand = (
+        bandrows.alias("x").join(bandrows.alias("y"), "bkey")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").alias("doc_a"),
+                col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return _verify_candidates(cand, posting, sizes, tau)
+
+
+def simhash_pairs(documents: DataFrame, n: int = 3,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: 32-bit sketch split into
+    (max_hamming+1) blocks; pigeonhole guarantees any pair within the
+    radius matches on at least one block → equi-join, then exact
+    hamming filter via bit_count(xor)."""
+    nblocks = max_hamming + 1
+    bits_per = 32 // nblocks
+    # Hash once per posting, then 32 cheap conditional-sum aggregates
+    # (one shuffle, map-side combined).
+    hashed = _postings(documents, n).select(
+        "doc_id", H.h32(col("s")).alias("h"))
+    tallies = hashed.groupBy("doc_id").agg(*[
+        F.sum(F.when(col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
+              .otherwise(-1)).alias(f"t{i}")
+        for i in range(32)])
+    bit_sum = None
+    for i in range(32):
+        bit = F.when(col(f"t{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit_sum = bit if bit_sum is None else bit_sum + bit
+    sketch = tallies.select("doc_id", bit_sum.cast("long").alias("simhash"))
+    blocks = sketch.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(i)),
+                        F.shiftright(col("simhash"), i * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1)).cast("string"))
+            for i in range(nblocks)])).alias("blk"))
+    hamming = F.bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    return (
+        blocks.alias("x").join(blocks.alias("y"), "blk")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").alias("doc_a"),
+                col("y.doc_id").alias("doc_b"),
+                hamming.alias("hamming"))
+        .distinct()
+        .where(col("hamming") <= max_hamming)
+    )
+
+
+def fingerprint_dedup(documents: DataFrame) -> DataFrame:
+    """Bag-of-words fingerprint: catches token-reordered duplicates that
+    exact md5 misses; one shuffle on the fingerprint."""
+    from pyspark.sql.window import Window
+    fp = documents.select(
+        "doc_id", T.bag_of_words_fingerprint(col("text")).alias("fp"))
+    return fp.withColumn(
+        "n_same_fp", F.count("*").over(Window.partitionBy("fp")))

@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (SURVEY.md §2C).
+
+- brute_force_topk: exact cosine top-k.  The query side is small and
+  BROADCAST; the data side streams through one scan — at 100 TB this is
+  a single pass, no shuffle of the corpus.  Ranking shuffles only
+  (n_queries × corpus_partitions) candidate rows.
+- lsh_topk: random-hyperplane LSH — corpus and queries are bucketed by
+  sign signature; the join is an equi-join on bucket, scanning a
+  fraction ~1/2^bits of the corpus per query (IVF-style scale path).
+
+Scoring runs through Arrow-vectorized pandas UDFs (numpy batch
+math — functions/vectors.py); interpreted Catalyst folds were the
+bottleneck at sf0.1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+from pyspark.sql.window import Window
+
+from data_ingestion_challenge_spark.functions import vectors as V
+
+
+def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
+                     k: int = 5) -> DataFrame:
+    q = (embeddings.where(col("vec_id") < n_queries)
+         .select(col("vec_id").alias("query_id"),
+                 col("embedding").alias("_qe")))
+    d = embeddings.select(col("vec_id").alias("neighbor_id"),
+                          col("embedding").alias("_de"))
+    scored = (
+        d.join(broadcast(q))
+        .where(col("query_id") != col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                V.cosine_batch(col("_qe"), col("_de")).alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(col("_cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk",
+                F.round(col("_cos"), 4).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → stable buckets)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).astype("float64").tolist()
+
+
+def _bucket(vec, planes) -> "F.Column":
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = V.dotp(vec, F.array(*[F.lit(x) for x in p]))
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             bits: int = 4, dim: int = 64) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sign bucket.
+    With random data some queries may return < k neighbors — that is
+    the accuracy/throughput trade the bucket count controls."""
+    planes = _hyperplanes(dim, bits)
+    d = embeddings.select(col("vec_id").alias("neighbor_id"),
+                          col("embedding").alias("_de"),
+                          _bucket(col("embedding"), planes).alias("_bkt"))
+    q = (embeddings.where(col("vec_id") < n_queries)
+         .select(col("vec_id").alias("query_id"),
+                 col("embedding").alias("_qe"),
+                 _bucket(col("embedding"), planes).alias("_bkt")))
+    scored = (
+        d.join(broadcast(q), "_bkt")
+        .where(col("query_id") != col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                V.cosine_batch(col("_qe"), col("_de")).alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(col("_cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk",
+                F.round(col("_cos"), 4).alias("cos_sim"))
+    )
+
+
+def embedding_cosine_pairs(embeddings: DataFrame,
+                           tau: float = 0.4) -> DataFrame:
+    """Near-duplicate vectors: all pairs with cosine ≥ tau.  Exact
+    all-pairs here (test-SF corpus); at scale, bucket with lsh_topk's
+    signatures first so the pair join is an equi-join per bucket."""
+    a = embeddings.select(col("vec_id").alias("vec_a"),
+                          col("embedding").alias("_ea"))
+    b = embeddings.select(col("vec_id").alias("vec_b"),
+                          col("embedding").alias("_eb"))
+    return (
+        a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("_cos", V.cosine_batch(col("_ea"), col("_eb")))
+        .where(col("_cos") >= tau)
+        .select("vec_a", "vec_b", F.round(col("_cos"), 4).alias("cos_sim"))
+    )

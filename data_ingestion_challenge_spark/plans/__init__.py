@@ -1,0 +1,13 @@
+"""Query plan registry.  Importing this package registers every query."""
+
+from data_ingestion_challenge_spark.plans.registry import (
+    QUERIES, Query, query, queries, oracle_sql,
+)
+
+# Import for side effect: each module registers its queries.
+from data_ingestion_challenge_spark.plans import tpch      # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import events    # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import llm       # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import streaming_q  # noqa: F401,E402
+
+__all__ = ["QUERIES", "Query", "query", "queries", "oracle_sql"]

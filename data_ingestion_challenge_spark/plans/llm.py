@@ -1,0 +1,279 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2C): dedup family,
+similarity search, text analysis, multimodal plumbing.
+
+Oracle strategy: all hashing is md5-derived integer arithmetic
+(functions/hashing.py), so even the MinHash+LSH pipeline has an exact
+DuckDB oracle — the SQL below reproduces signatures, band keys and
+candidate generation bit-for-bit.  Approx ops (simhash candidates with
+engine-specific bit tricks verified exactly anyway, LSH-ANN, the
+mapInPandas language classifier) are declared rows-only where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from data_ingestion_challenge_spark.catalog import Catalog
+from data_ingestion_challenge_spark.functions import text as T
+from data_ingestion_challenge_spark.functions.hashing import MINHASH_P, minhash_params
+from data_ingestion_challenge_spark.operators import dedup as D
+from data_ingestion_challenge_spark.operators import multimodal as M
+from data_ingestion_challenge_spark.operators import similarity as S
+from data_ingestion_challenge_spark.operators import textstats as TS
+from data_ingestion_challenge_spark.plans.registry import query
+
+# ---------------------------------------------------------------- dedup
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, count(*) AS dup_count,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(cat: Catalog) -> DataFrame:
+    return D.exact_dedup(cat.documents)
+
+
+# Shared DuckDB CTE: distinct word-3-gram shingles per doc.
+_SH_CTE = """
+    d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      range(1, greatest(len(w) - 1, 1)),
+                      i -> array_to_string(w[i:i+2], ' ')))) AS s
+           FROM d),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = """
+    inter AS (SELECT doc_a, doc_b, count(*) AS ic
+              FROM cand
+              JOIN sh a ON a.doc_id = doc_a
+              JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+              GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           round(ic / (sa.n + sb.n - ic), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ic / (sa.n + sb.n - ic) >= {tau}
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_CTE},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+    {_JACCARD_TAIL.format(tau=0.8)}
+    """,
+    bench=True,
+)
+def dedup_ngram_jaccard(cat: Catalog) -> DataFrame:
+    return D.ngram_jaccard_pairs(cat.documents, n=3, tau=0.8)
+
+
+_MH_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(16)))
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH_CTE},
+    hs AS (SELECT doc_id, s,
+                  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+           FROM sh),
+    params(i, a, b) AS (VALUES {_MH_VALUES}),
+    sig AS (SELECT doc_id, p.i,
+                   min((p.a * h + p.b) % {MINHASH_P}) AS m
+            FROM hs CROSS JOIN params p GROUP BY doc_id, p.i),
+    band AS (SELECT doc_id, i // 2 AS bi,
+                    string_agg(m, ':' ORDER BY i) AS bkey
+             FROM sig GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM band x JOIN band y
+               ON x.bi = y.bi AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+    {_JACCARD_TAIL.format(tau=0.8)}
+    """,
+    bench=True,
+)
+def dedup_minhash_lsh(cat: Catalog) -> DataFrame:
+    return D.minhash_lsh_pairs(cat.documents, n=3, k=16, bands=8, tau=0.8)
+
+
+@query("dedup_simhash", oracle=None)  # bit-trick candidates → rows-only
+def dedup_simhash(cat: Catalog) -> DataFrame:
+    return D.simhash_pairs(cat.documents, n=3, max_hamming=3)
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
+    FROM (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                     string_split(text, ' '))), ' ')) AS fp
+          FROM documents)
+    """,
+)
+def doc_fingerprint(cat: Catalog) -> DataFrame:
+    return D.fingerprint_dedup(cat.documents)
+
+
+# ----------------------------------------------------- similarity search
+
+# Explicit cosine so DuckDB matches the Spark fold formula
+# dot / (sqrt(na)*sqrt(nb)) exactly (not list_cosine_similarity, whose
+# internal formula may differ in final-ulp rounding).
+_DK_COS = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+           " / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))"
+           " * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DK_COS}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DK_COS} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(cat: Catalog) -> DataFrame:
+    return S.embedding_cosine_pairs(cat.embeddings, tau=0.4)
+
+
+_QD_COS = _DK_COS.replace("a.embedding", "q.embedding") \
+                 .replace("b.embedding", "d.embedding")
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)
+    SELECT query_id, neighbor_id, rk, cos_sim FROM (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_QD_COS} DESC, d.vec_id) AS rk,
+               round({_QD_COS}, 4) AS cos_sim
+        FROM q JOIN embeddings d ON q.vec_id <> d.vec_id
+    ) WHERE rk <= 5
+    """,
+    bench=True,
+)
+def ann_bruteforce_topk(cat: Catalog) -> DataFrame:
+    return S.brute_force_topk(cat.embeddings, n_queries=10, k=5)
+
+
+@query("ann_lsh_topk", oracle=None)  # approximate → rows-only
+def ann_lsh_topk(cat: Catalog) -> DataFrame:
+    return S.lsh_topk(cat.embeddings, n_queries=10, k=5, bits=4)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(
+               embedding::DOUBLE[], x -> x*x))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(cat: Catalog) -> DataFrame:
+    from data_ingestion_challenge_spark.functions import vectors as V
+    return cat.embeddings.select(
+        "vec_id",
+        F.round(V.norm2_batch(col("embedding")), 4).alias("l2_norm"))
+
+
+# ----------------------------------------------------------- text stats
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens
+    FROM documents
+    """,
+    bench=True,
+)
+def token_counts(cat: Catalog) -> DataFrame:
+    return cat.documents.select(
+        "doc_id",
+        F.size(T.words(col("text"))).alias("n_ws_tokens"),
+        F.size(T.alpha_tokens(col("text"))).alias("n_alpha_tokens"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+               FROM documents)
+    SELECT doc_id, len(w) AS n_tokens,
+           round(len(list_filter(w,
+               x -> x IN ('the','a','of','and','in','to'))) / len(w), 4)
+               AS stop_ratio,
+           round((n_chars - len(w) + 1) / len(w), 4) AS avg_word_len,
+           CASE WHEN n_chars BETWEEN 100 AND 20000 AND len(w) >= 10
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM t
+    """,
+)
+def doc_quality(cat: Catalog) -> DataFrame:
+    w = T.words(col("text"))
+    n_tokens = F.size(w)
+    return cat.documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(T.stopword_count(w) / n_tokens, 4).alias("stop_ratio"),
+        F.round((col("n_chars") - n_tokens + 1) / n_tokens, 4)
+        .alias("avg_word_len"),
+        F.when(col("n_chars").between(100, 20000) & (n_tokens >= 10), 1)
+        .otherwise(0).alias("keep_flag"),
+    )
+
+
+@query(
+    "lang_distribution",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_distribution(cat: Catalog) -> DataFrame:
+    return (cat.documents.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+@query("lang_id", oracle=None)  # custom classifier → rows-only
+def lang_id(cat: Catalog) -> DataFrame:
+    return TS.lang_id(cat.documents)
+
+
+# ----------------------------------------------------------- multimodal
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 7 + 1 AS n_frames,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def multimodal_features(cat: Catalog) -> DataFrame:
+    """Arrow-batched mapInPandas over binary payloads (decode stubbed —
+    SURVEY.md §2C); the Spark plumbing (binary col, struct metadata,
+    batch UDF, fixed schema) is the real deliverable."""
+    return M.extract_features(M.to_binary_table(cat.documents))

@@ -1,0 +1,55 @@
+"""Batch file sources/sinks.
+
+The reference's ingest accepts records over pluggable transports; the
+batch equivalents here are schema-explicit file readers (schema
+inference is a full extra pass at 100 TB — never rely on it in
+production paths) and a partitioned parquet sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: str | StructType = EVENTS_SCHEMA,
+             header: bool = True) -> DataFrame:
+    return (spark.read
+            .schema(schema)
+            .option("header", str(header).lower())
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .csv(path))
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: str | StructType = EVENTS_SCHEMA) -> DataFrame:
+    # json source reads JSON-lines natively; explicit schema keeps the
+    # scan single-pass and null-safe on corrupt records.
+    return (spark.read
+            .schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path))
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_by: list[str] | None = None,
+                              sort_within: list[str] | None = None) -> None:
+    """Partitioned + sorted parquet sink: partition pruning for readers,
+    clustered row groups for range predicates."""
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,102 @@
+"""Unit tests for operators without SQL oracles (rows-only in the
+driver gate) plus targeted semantics checks on tiny hand-built frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_ingestion_challenge_spark.plans import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"user_id", "hour_ts", "n_events", "total_value"}
+    assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_distinct_close_to_exact(spark):
+    approx = {r["hour_ts"]: r["n_users_approx"]
+              for r in QUERIES["distinct_users_approx"](spark, SF_DIR).collect()}
+    exact = {r["hour_ts"]: r["n_users"]
+             for r in QUERIES["hourly_distinct_users"](spark, SF_DIR).collect()}
+    assert set(approx) == set(exact)
+    for h, n in exact.items():
+        assert abs(approx[h] - n) <= max(2, 0.1 * n)
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    pairs = QUERIES["dedup_simhash"](spark, SF_DIR)
+    rows = pairs.collect()
+    assert all(r["hamming"] <= 3 for r in rows)
+    # The corpus has planted near-duplicates; exact-jaccard dedup finds
+    # them — simhash should agree on at least some of those pairs.
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()}
+    sim = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert jac, "expected planted near-dups in corpus"
+    assert jac & sim, "simhash missed every jaccard-confirmed near-dup"
+
+
+def test_minhash_recall_vs_exact(spark):
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()}
+    # LSH output is verified with the same exact-jaccard filter, so it
+    # can only be a subset; with 8 bands × 2 rows recall at J≥0.8 is
+    # essentially 1 — require near-total recall.
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_ann_lsh_subset_of_bruteforce_semantics(spark):
+    lsh = QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()
+    assert all(1 <= r["rk"] <= 5 for r in lsh)
+    assert all(r["query_id"] != r["neighbor_id"] for r in lsh)
+
+
+def test_lang_id_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["lang_id"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, QUERIES["lang_id"](spark, SF_DIR).collect()))
+    assert a == b
+    assert all(r[1] in {"en", "de", "fr", "es", "zh"} for r in a)
+
+
+def test_sessionize_semantics_tiny(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=base, event_id=0),
+        Row(user_id=1, ts=base + dt.timedelta(minutes=10), event_id=1),
+        Row(user_id=1, ts=base + dt.timedelta(minutes=50), event_id=2),  # gap 40m → new session
+        Row(user_id=2, ts=base, event_id=3),
+    ]
+    df = spark.createDataFrame(rows)
+    df.createOrReplaceTempView("_tiny_events")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+           > 30 * 60 * 1000000), 1).otherwise(0)
+    out = (df.withColumn("_n", new_sess)
+           .withColumn("sid", F.sum("_n").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .groupBy("user_id", "sid").count().collect())
+    got = {(r["user_id"], r["sid"]): r["count"] for r in out}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_multimodal_stub_contract():
+    import pytest as _pytest
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_real, decode_stub)
+    with _pytest.raises(NotImplementedError):
+        decode_real(b"xx")
+    assert decode_stub(b"abcd") == (4, 5)
