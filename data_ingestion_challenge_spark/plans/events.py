@@ -18,14 +18,14 @@ from pyspark.sql.functions import broadcast, col, lit
 from pyspark.sql.window import Window
 
 from data_ingestion_challenge_spark.catalog import Catalog
-from data_ingestion_challenge_spark.plans.registry import query
+from data_ingestion_challenge_spark.plans.registry import msum, query
 
 
 @query(
     "hourly_user_events",
     oracle="""
     SELECT user_id, date_trunc('hour', ts) AS hour_ts,
-           count(*) AS n_events, round(sum(value), 2) AS total_value
+           count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
     bench=True,
@@ -35,7 +35,7 @@ def hourly_user_events(cat: Catalog) -> DataFrame:
         cat.events
         .groupBy("user_id", F.date_trunc("hour", col("ts")).alias("hour_ts"))
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             msum(col("value")).alias("total_value"))
     )
 
 
@@ -107,7 +107,7 @@ def top_users_by_type(cat: Catalog) -> DataFrame:
     "event_type_breakdown",
     oracle="""
     SELECT event_type, count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value,
            round(avg(value), 4) AS avg_value
     FROM events GROUP BY event_type
     """,
@@ -116,7 +116,7 @@ def event_type_breakdown(cat: Catalog) -> DataFrame:
     return (
         cat.events.groupBy("event_type")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"),
+             msum(col("value")).alias("total_value"),
              F.round(F.avg("value"), 4).alias("avg_value"))
     )
 
@@ -125,7 +125,7 @@ def event_type_breakdown(cat: Catalog) -> DataFrame:
     "daily_revenue",
     oracle="""
     SELECT date_trunc('day', ts)::TIMESTAMP AS day_ts,
-           round(sum(value), 2) AS revenue, count(*) AS n_purchases
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue, count(*) AS n_purchases
     FROM events WHERE event_type = 'purchase'
     GROUP BY date_trunc('day', ts)::TIMESTAMP
     """,
@@ -134,7 +134,7 @@ def daily_revenue(cat: Catalog) -> DataFrame:
     return (
         cat.events.where(col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", col("ts")).alias("day_ts"))
-        .agg(F.round(F.sum("value"), 2).alias("revenue"),
+        .agg(msum(col("value")).alias("revenue"),
              F.count("*").alias("n_purchases"))
     )
 
@@ -289,7 +289,7 @@ def funnel_signup_purchase(cat: Catalog) -> DataFrame:
 @query(
     "event_dedup_idempotent",
     oracle="""
-    SELECT count(*) AS n_rows, round(sum(value), 2) AS total_value
+    SELECT count(*) AS n_rows, CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
     FROM (SELECT DISTINCT * FROM
           (SELECT * FROM events UNION ALL SELECT * FROM events))
     """,
@@ -301,4 +301,4 @@ def event_dedup_idempotent(cat: Catalog) -> DataFrame:
     replayed = cat.events.unionByName(cat.events)
     return (replayed.distinct()
             .agg(F.count("*").alias("n_rows"),
-                 F.round(F.sum("value"), 2).alias("total_value")))
+                 msum(col("value")).alias("total_value")))

@@ -1,0 +1,161 @@
+"""Ingestion analytics, batch 2 (SURVEY.md §2A): pivots, per-user
+lifetime stats, error-rate monitoring, cohort retention, histograms —
+the serving-side aggregates an ingestion pipeline exposes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from data_ingestion_challenge_spark.catalog import Catalog
+from data_ingestion_challenge_spark.plans.registry import query
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_daily_event_counts",
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day_ts,
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY date_trunc('day', ts)::TIMESTAMP
+    """,
+)
+def pivot_daily_event_counts(cat: Catalog) -> DataFrame:
+    """Wide pivot with an EXPLICIT pivot-value list — without it Spark
+    runs an extra distinct-collection job over the full table."""
+    return (
+        cat.events
+        .groupBy(F.date_trunc("day", col("ts")).alias("day_ts"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "user_lifetime_stats",
+    oracle="""
+    SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+           count(*) AS n_events,
+           count(DISTINCT date_trunc('day', ts)::TIMESTAMP) AS active_days
+    FROM events GROUP BY user_id
+    """,
+)
+def user_lifetime_stats(cat: Catalog) -> DataFrame:
+    return (
+        cat.events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"),
+             F.max("ts").alias("last_seen"),
+             F.count("*").alias("n_events"),
+             F.countDistinct(F.date_trunc("day", col("ts")))
+             .alias("active_days"))
+    )
+
+
+@query(
+    "hourly_error_rate",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 / count(*), 4) AS error_rate
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def hourly_error_rate(cat: Catalog) -> DataFrame:
+    return (
+        cat.events
+        .groupBy(F.date_trunc("hour", col("ts")).alias("hour_ts"))
+        .agg(F.round(
+            F.sum(F.when(col("event_type") == "error", 1).otherwise(0))
+            / F.count("*"), 4).alias("error_rate"))
+    )
+
+
+@query(
+    "signup_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, min(date_trunc('day', ts)::TIMESTAMP) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT cohort_day, count(DISTINCT c.user_id) AS cohort_size,
+           count(DISTINCT CASE WHEN e.user_id IS NOT NULL
+                               THEN c.user_id END) AS retained_next_day
+    FROM cohort c
+    LEFT JOIN events e
+      ON e.user_id = c.user_id
+     AND e.ts >= cohort_day + INTERVAL 1 DAY
+     AND e.ts <  cohort_day + INTERVAL 2 DAY
+    GROUP BY cohort_day
+    """,
+)
+def signup_cohort_retention(cat: Catalog) -> DataFrame:
+    """Classic D1 retention: cohort by first signup day, retained =
+    any event in the following day.  LEFT range-join keeps empty
+    cohorts; count(DISTINCT CASE…) counts matched users once."""
+    cohort = (cat.events.where(col("event_type") == "signup")
+              .groupBy("user_id")
+              .agg(F.min(F.date_trunc("day", col("ts"))).alias("cohort_day")))
+    e = cat.events.select(col("user_id").alias("_eu"), "ts")
+    joined = cohort.join(
+        e, (col("_eu") == col("user_id"))
+        & (col("ts") >= col("cohort_day") + F.expr("INTERVAL 1 DAY"))
+        & (col("ts") < col("cohort_day") + F.expr("INTERVAL 2 DAYS")),
+        "left")
+    return (
+        joined.groupBy("cohort_day")
+        .agg(F.countDistinct("user_id").alias("cohort_size"),
+             F.countDistinct(F.when(col("_eu").isNotNull(), col("user_id")))
+             .alias("retained_next_day"))
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 20.0) AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY CAST(floor(value / 20.0) AS BIGINT)
+    """,
+)
+def value_histogram(cat: Catalog) -> DataFrame:
+    bucket = F.floor(col("value") / 20.0).cast("long")
+    return (
+        cat.events.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.min("value"), 2).alias("min_value"),
+             F.round(F.max("value"), 2).alias("max_value"))
+    )
+
+
+@query(
+    "first_touch_attribution",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_type AS first_event_type, count(*) AS n_users
+    FROM ranked WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def first_touch_attribution(cat: Catalog) -> DataFrame:
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        cat.events
+        .withColumn("_rn", F.row_number().over(w))
+        .where(col("_rn") == 1)
+        .groupBy(col("event_type").alias("first_event_type"))
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -18,6 +18,21 @@ from data_ingestion_challenge_spark.catalog import Catalog
 PlanFn = Callable[[Catalog], DataFrame]
 
 
+def msum(c):
+    """Money-exact sum: accumulate as DECIMAL(30,6) (exact, associative
+    → identical under ANY partitioning/order in ANY engine), then round
+    to 2dp and cast double.  Plain double sums differ between engines
+    in the last ulps, which flips the rounded cent on ~1 in 1e4 groups
+    (observed on q9).  Quantize-then-sum is deterministic everywhere."""
+    from pyspark.sql import functions as F
+    return F.round(F.sum(c.cast("decimal(30,6)")), 2).cast("double")
+
+
+def msum_sql(x: str) -> str:
+    """DuckDB twin of msum()."""
+    return f"CAST(round(sum(CAST(({x}) AS DECIMAL(30,6))), 2) AS DOUBLE)"
+
+
 @dataclass(frozen=True)
 class Query:
     name: str

@@ -15,7 +15,7 @@ from data_ingestion_challenge_spark.streaming import pipeline
     "streaming_hourly_rollup",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY date_trunc('hour', ts)
     """,
 )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from data_ingestion_challenge_spark.catalog import Catalog
-from data_ingestion_challenge_spark.plans.registry import query
+from data_ingestion_challenge_spark.plans.registry import msum, msum_sql, query
 
 def _rev():
     return col("l_extendedprice") * (1 - col("l_discount"))
@@ -28,9 +28,9 @@ def _rev():
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 4)                                    AS avg_qty,
            round(avg(l_extendedprice), 4)                               AS avg_price,
            round(avg(l_discount), 4)                                    AS avg_disc,
@@ -48,9 +48,9 @@ def q1_pricing_summary(cat: Catalog) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_rev() * (1 + col("l_tax"))), 2).alias("sum_charge"),
+            msum(col("l_extendedprice")).alias("sum_base_price"),
+            msum(_rev()).alias("sum_disc_price"),
+            msum(_rev() * (1 + col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -63,7 +63,7 @@ def q1_pricing_summary(cat: Catalog) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -88,7 +88,7 @@ def q3_shipping_priority(cat: Catalog) -> DataFrame:
                         .select("c_custkey")),
               col("o_custkey") == col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(msum(_rev()).alias("revenue"))
         .orderBy(col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -98,7 +98,7 @@ def q3_shipping_priority(cat: Catalog) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -129,14 +129,14 @@ def q5_local_supplier_volume(cat: Catalog) -> DataFrame:
               & (col("c_nationkey") == col("s_nationkey")))
         .join(broadcast(dim), col("s_nationkey") == col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(msum(_rev()).alias("revenue"))
     )
 
 
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST((l_extendedprice * l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -152,8 +152,7 @@ def q6_forecast_revenue(cat: Catalog) -> DataFrame:
                & (col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
                & col("l_discount").between(0.03, 0.07)
                & (col("l_quantity") < 24))
-        .agg(F.round(F.sum(col("l_extendedprice") * col("l_discount")), 2)
-             .alias("revenue"))
+        .agg(msum(col("l_extendedprice") * col("l_discount")).alias("revenue"))
     )
 
 
@@ -161,7 +160,7 @@ def q6_forecast_revenue(cat: Catalog) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -185,7 +184,7 @@ def q10_returned_items(cat: Catalog) -> DataFrame:
         .join(broadcast(cat.customer), col("o_custkey") == col("c_custkey"))
         .join(broadcast(cat.nation), col("c_nationkey") == col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(msum(_rev()).alias("revenue"))
         .orderBy(col("revenue").desc(), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "revenue",
@@ -198,7 +197,7 @@ def q10_returned_items(cat: Catalog) -> DataFrame:
     oracle="""
     SELECT p_brand, p_partkey, revenue, rk FROM (
         SELECT p_brand, p_partkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
                row_number() OVER (
                    PARTITION BY p_brand
                    ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, p_partkey
@@ -215,7 +214,7 @@ def top_parts_per_brand(cat: Catalog) -> DataFrame:
         .join(broadcast(cat.part.select("p_partkey", "p_brand")),
               col("l_partkey") == col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
-        .agg(F.sum(_rev()).alias("_rev"))
+        .agg(F.sum(_rev().cast("decimal(30,6)")).alias("_rev"))
     )
     w = Window.partitionBy("p_brand").orderBy(col("_rev").desc(), col("p_partkey"))
     return (
@@ -223,7 +222,7 @@ def top_parts_per_brand(cat: Catalog) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(col("rk") <= 3)
         .select("p_brand", "p_partkey",
-                F.round(col("_rev"), 2).alias("revenue"), "rk")
+                F.round(col("_rev"), 2).cast("double").alias("revenue"), "rk")
     )
 
 
@@ -232,7 +231,7 @@ def top_parts_per_brand(cat: Catalog) -> DataFrame:
     oracle="""
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
-           round(sum(o_totalprice), 2) AS total_price,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price,
            count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -251,7 +250,7 @@ def nation_revenue_rollup(cat: Catalog) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        .agg(msum(col("o_totalprice")).alias("total_price"),
              F.count("*").alias("n_orders"))
         .select(F.coalesce(col("r_name"), lit("ALL")).alias("region_name"),
                 F.coalesce(col("n_name"), lit("ALL")).alias("nation_name"),
@@ -288,7 +287,7 @@ def order_priority_count(cat: Catalog) -> DataFrame:
     "avg_acctbal_positive",
     oracle="""
     SELECT count(*) AS n_rich_inactive,
-           coalesce(round(sum(c_acctbal), 2), 0.0) AS total_bal
+           coalesce(CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE), 0.0) AS total_bal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -306,8 +305,7 @@ def avg_acctbal_positive(cat: Catalog) -> DataFrame:
         .join(cat.orders.select("o_custkey"),
               col("c_custkey") == col("o_custkey"), "left_anti")
         .agg(F.count("*").alias("n_rich_inactive"),
-             F.coalesce(F.round(F.sum("c_acctbal"), 2), lit(0.0))
-             .alias("total_bal"))
+             F.coalesce(msum(col("c_acctbal")), lit(0.0)).alias("total_bal"))
     )
 
 

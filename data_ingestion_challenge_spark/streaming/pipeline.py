@@ -52,7 +52,7 @@ def hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .withWatermark("ts", watermark)
         .groupBy(F.window(col("ts"), "1 hour").alias("win"))
         .agg(F.count("*").alias("n_events"),
-             F.sum("value").alias("_total_value"))
+             F.sum(col("value").cast("decimal(30,6)")).alias("_total_value"))
     )
 
 
@@ -74,7 +74,7 @@ def run_bounded(spark: SparkSession, events_path: str) -> DataFrame:
         spark.table(name)
         .select(col("win.start").alias("hour_ts"),
                 "n_events",
-                F.round(col("_total_value"), 2).alias("total_value"))
+                F.round(col("_total_value"), 2).cast("double").alias("total_value"))
     )
 
 

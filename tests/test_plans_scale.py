@@ -1,0 +1,95 @@
+"""Physical-plan audits: the scale discipline SURVEY.md §4 promises,
+checked against what Catalyst actually produces.
+
+These assert on `explain` output so a regression that silently turns a
+broadcast join into a shuffle join, or drops a parquet filter pushdown,
+fails CI — not a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_ingestion_challenge_spark.plans import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    # Default metadata truncation (100 chars) cuts off ReadSchema in
+    # wide scans — raise it so audits see the full scan description.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), \
+        "shipdate predicate must reach the parquet scan"
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols, \
+        f"q1 reads unused columns: {read_cols}"
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, \
+        "dim joins (supplier/customer/nation⋈region) must broadcast"
+
+
+def test_q3_broadcasts_customer_filter(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_counts_prunes_text_table(spark):
+    plan = _plan(spark, "token_counts")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "lang" not in read_cols and "source" not in read_cols, \
+        f"token_counts reads unused columns: {read_cols}"
+
+
+# Queries whose semantics genuinely need a non-equi join (range joins,
+# pair generation, scalar-subquery cross joins on 1-row sides).
+NON_EQUI_OK = {
+    "rolling_7d_dau", "signup_cohort_retention",     # range joins
+    "dedup_embedding_cosine",                        # all-pairs by design
+    "ann_bruteforce_topk",                           # broadcast q × corpus
+    "funnel_signup_purchase", "avg_acctbal_positive", # 1-row cross joins
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_product(name, spark):
+    """CartesianProduct (shuffled n×m) must never appear; broadcast
+    nested-loop is acceptable only for the whitelisted non-equi ops."""
+    if name == "streaming_hourly_rollup":
+        pytest.skip("streaming plan not inspectable pre-execution")
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} shuffles a cartesian"
+    if name not in NON_EQUI_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, \
+            f"{name} fell back to nested-loop join"
+
+
+def test_hourly_rollup_partial_aggregation(spark):
+    """Map-side combine: hash aggregate must appear twice (partial +
+    final) around the shuffle."""
+    plan = _plan(spark, "hourly_user_events")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_users_uses_take_ordered(spark):
+    plan = _plan(spark, "top_users")
+    assert "TakeOrderedAndProject" in plan, \
+        "top-k must not materialize a global sort"

@@ -1,0 +1,61 @@
+"""Batch source/sink tests: schema-explicit csv/jsonl readers round-trip
+the events schema; partitioned parquet sink prunes on read."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_ingestion_challenge_spark.sources import files as SRC
+
+from tests.conftest import SF_DIR
+
+
+def _sample_events(spark):
+    from data_ingestion_challenge_spark.catalog import Catalog
+    return Catalog(spark, SF_DIR).events.limit(50)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = _sample_events(spark).withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    path = str(tmp_path / "events_csv")
+    src.write.option("header", "true").csv(path)
+    back = SRC.read_csv(spark, path)
+    assert back.count() == 50
+    assert back.schema.simpleString() == (
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double,props:string>")
+    assert back.where(F.col("ts").isNull()).count() == 0
+
+
+def test_jsonl_reader_with_corrupt_record(spark, tmp_path):
+    p = tmp_path / "events.jsonl"
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:01", "user_id": 7,
+         "event_type": "click", "value": 1.5, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 00:30:00", "user_id": 8,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{not valid json\n")
+    df = SRC.read_jsonl(spark, str(p))
+    good = df.where(F.col("event_id").isNotNull())
+    assert good.count() == 2  # corrupt row isolated, not fatal
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    src = _sample_events(spark).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    out = str(tmp_path / "part_out")
+    SRC.write_partitioned_parquet(src, out, partition_by=["day"],
+                                  sort_within=["user_id"])
+    back = spark.read.parquet(out)
+    one_day = back.where(F.col("day") == "2024-01-01")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert one_day.count() > 0
+    assert "PartitionFilters: [" in plan and "day" in plan.split(
+        "PartitionFilters")[1][:200], "partition pruning must kick in"
