@@ -9,6 +9,9 @@ from pyspark.sql import DataFrame
 from data_ingestion_challenge_spark.catalog import Catalog
 from data_ingestion_challenge_spark.plans.registry import query
 from data_ingestion_challenge_spark.streaming import pipeline
+from data_ingestion_challenge_spark.streaming.sessionize import (
+    run_sessionize_bounded,
+)
 
 
 @query(
@@ -21,3 +24,36 @@ from data_ingestion_challenge_spark.streaming import pipeline
 )
 def streaming_hourly_rollup(cat: Catalog) -> DataFrame:
     return pipeline.run_bounded(cat.spark, f"{cat.sf_dir}/events.parquet")
+
+
+@query(
+    "streaming_sessionize",
+    # The stateful operator emits a session only once a LATER event
+    # proves the 30-min gap; each user's final session is still open in
+    # the state store, so the oracle drops every user's last session.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+    """,
+)
+def streaming_sessionize(cat: Catalog) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) run
+    end-to-end on the real streaming engine, gated against a batch
+    window-function oracle."""
+    return run_sessionize_bounded(cat.spark, f"{cat.sf_dir}/events.parquet")

@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from data_ingestion_challenge_spark.sources.streams import jsonl_stream
 from data_ingestion_challenge_spark.streaming.pipeline import run_bounded
+from data_ingestion_challenge_spark.streaming.sessionize import (
+    run_sessionize_bounded,
+)
 
 from tests.conftest import SF_DIR
 
@@ -69,3 +72,56 @@ def test_jsonl_stream_ingests_drops(spark, tmp_path):
     q2.awaitTermination()
     assert spark.read.parquet(str(out)).count() == 3
     assert os.path.isdir(str(ckpt))
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """Per-user session state must survive micro-batch boundaries: the
+    first drop opens a session, the second (a later trigger from the
+    same checkpoint) closes it, so the completed session only appears
+    after batch 2."""
+    from data_ingestion_challenge_spark.streaming.sessionize import (
+        OUTPUT_SCHEMA, sessionize_stream)
+
+    src = tmp_path / "events"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "stage" / name))
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def drain():
+        from data_ingestion_challenge_spark.streaming.pipeline import build_source
+        q = (sessionize_stream(build_source(spark, str(src)))
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.read.schema(OUTPUT_SCHEMA).parquet(str(out))
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    drop("b1", [(1, t0, 7, "click", 1.0, "{}"),
+                (2, t0 + dt.timedelta(minutes=5), 7, "view", 1.0, "{}")])
+    assert drain().count() == 0  # session still open → nothing emitted
+
+    # 40 min later: proves the 30-min gap, closing session 1 — state
+    # survived the micro-batch boundary via the checkpoint state store.
+    drop("b2", [(3, t0 + dt.timedelta(minutes=45), 7, "click", 1.0, "{}")])
+    rows = drain().collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 7
+    assert rows[0]["session_start"] == t0
+    assert rows[0]["session_end"] == t0 + dt.timedelta(minutes=5)
+    assert rows[0]["n_events"] == 2
