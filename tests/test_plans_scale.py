@@ -66,14 +66,18 @@ NON_EQUI_OK = {
     "dedup_embedding_cosine",                        # all-pairs by design
     "ann_bruteforce_topk",                           # broadcast q × corpus
     "funnel_signup_purchase", "avg_acctbal_positive", # 1-row cross joins
+    "q11_significant_parts", "q22_idle_rich_customers", # 1-row thresholds
+    "range_join_value_bands",                        # 4-row band dim
 }
+
+STREAMING = {"streaming_hourly_rollup", "streaming_sessionize"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_product(name, spark):
     """CartesianProduct (shuffled n×m) must never appear; broadcast
     nested-loop is acceptable only for the whitelisted non-equi ops."""
-    if name == "streaming_hourly_rollup":
+    if name in STREAMING:
         pytest.skip("streaming plan not inspectable pre-execution")
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name} shuffles a cartesian"
@@ -93,3 +97,30 @@ def test_top_users_uses_take_ordered(spark):
     plan = _plan(spark, "top_users")
     assert "TakeOrderedAndProject" in plan, \
         "top-k must not materialize a global sort"
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must shuffle exactly once (on
+    user_id) — a second exchange means the window ordering or the
+    union re-partitioned."""
+    plan = _plan(spark, "asof_last_touch")
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"as-of join shuffles {n_exchanges}×"
+    assert "user_id" in plan[plan.index("Exchange"):].split("\n")[0]
+
+
+def test_band_join_broadcasts(spark):
+    """The range join must broadcast the 4-row band dim, never shuffle
+    the event side pre-join."""
+    plan = _plan(spark, "range_join_value_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_rollup_single_scan(spark):
+    """ROLLUP grains expand from ONE parquet scan (Expand node), with
+    partial aggregation before the shuffle."""
+    plan = _plan(spark, "time_rollup_multi_grain")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
