@@ -1,0 +1,70 @@
+"""Graph clustering for dedup: connected components over a candidate
+dup-pair edge list → one canonical cluster id per document/vector.
+
+A training-data pipeline doesn't just FIND near-dup pairs — it has to
+pick one survivor per transitive cluster (A~B, B~C ⇒ {A,B,C} even if
+A≁C).  Components are computed by iterative min-label propagation —
+the standard Spark formulation (GraphX/Pregel shape) expressed in pure
+DataFrame ops:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint.  Each round is ONE shuffled equi-join + groupBy
+on vertex id (same key → AQE reuses the partitioning); rounds needed =
+graph diameter, which for near-dup clusters is tiny (pairs are dense
+within a cluster).  `localCheckpoint` truncates the growing lineage so
+round N doesn't re-execute rounds 1..N-1.
+
+At 100 TB: edge lists from LSH banding are bounded per bucket, the
+loop is O(diameter) shuffles of the (small) vertex-label table, not of
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+
+def connected_components(pairs: DataFrame, a: str, b: str,
+                         max_iter: int = 25) -> DataFrame:
+    """pairs(a, b) undirected edges → (id, cluster_id) with cluster_id
+    = min member id of the component.  Only ids appearing in an edge
+    are returned (singletons have no dup decision to make)."""
+    e = pairs.select(col(a).alias("src"), col(b).alias("dst"))
+    edges = (e.unionByName(e.select(col("dst").alias("src"),
+                                    col("src").alias("dst")))
+             .distinct()
+             .localCheckpoint())
+
+    labels = (edges.select(col("src").alias("id")).distinct()
+              .withColumn("label", col("id"))
+              .localCheckpoint())
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst_id"),
+                       col("dst") == col("dst_id"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, col("id") == col("src"), "left")
+            .select("id",
+                    F.least(col("label"), F.coalesce(col("nbr_min"),
+                                                     col("label")))
+                    .alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(col("new_label") != col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("id", col("label").alias("cluster_id"))

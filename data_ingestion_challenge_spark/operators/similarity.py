@@ -16,6 +16,7 @@ bottleneck at sf0.1.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
@@ -75,6 +76,63 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
                  _bucket(col("embedding"), planes).alias("_bkt")))
     scored = (
         d.join(broadcast(q), "_bkt")
+        .where(col("query_id") != col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                V.cosine_batch(col("_qe"), col("_de")).alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(col("_cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk",
+                F.round(col("_cos"), 4).alias("cos_sim"))
+    )
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             nlist: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is partitioned into nlist
+    Voronoi cells around centroids; a query scans only its nprobe
+    nearest cells — the classic FAISS-style scale path, here as pure
+    DataFrame ops: cell assignment is an Arrow-batched numpy argmax,
+    candidate generation an equi-join on cell id.
+
+    Centroids are the nlist lowest-id vectors, L2-normalized — a
+    deterministic seeding (k-means|| training would refine them at
+    scale; the plumbing is identical).  The centroid model is a few KB
+    on the driver, shipped in the UDF closure like any trained model.
+    Scanned fraction ≈ nprobe/nlist of the corpus per query."""
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = (embeddings.where(col("vec_id") < nlist)
+             .select("vec_id", "embedding").collect())
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sorted(seeds, key=lambda r: r["vec_id"])])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def _sims(se: "pd.Series") -> np.ndarray:
+        A = np.stack(se.to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        return A @ Cn.T
+
+    @pandas_udf("int")
+    def _assign(se: pd.Series) -> pd.Series:
+        return pd.Series(np.argmax(_sims(se), axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def _probe(se: pd.Series) -> pd.Series:
+        order = np.argsort(-_sims(se), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    d = embeddings.select(col("vec_id").alias("neighbor_id"),
+                          col("embedding").alias("_de"),
+                          _assign(col("embedding")).alias("_cell"))
+    q = (embeddings.where(col("vec_id") < n_queries)
+         .select(col("vec_id").alias("query_id"),
+                 col("embedding").alias("_qe"),
+                 F.explode(_probe(col("embedding"))).alias("_cell")))
+    scored = (
+        d.join(broadcast(q), "_cell")
         .where(col("query_id") != col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 V.cosine_batch(col("_qe"), col("_de")).alias("_cos"))

@@ -176,6 +176,45 @@ def ann_lsh_topk(cat: Catalog) -> DataFrame:
     return S.lsh_topk(cat.embeddings, n_queries=10, k=5, bits=4)
 
 
+@query("ann_ivf_topk", oracle=None)  # approximate → rows-only
+def ann_ivf_topk(cat: Catalog) -> DataFrame:
+    return S.ivf_topk(cat.embeddings, n_queries=10, k=5, nlist=16, nprobe=4)
+
+
+@query(
+    "dedup_clusters",
+    # Transitive closure of the cosine≥0.4 near-dup pairs; the DuckDB
+    # twin is a recursive CTE (terminates: UNION dedups), the Spark
+    # side iterative min-label propagation (operators/graph.py).
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_DK_COS} >= 0.4
+    ), edges AS (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION
+        SELECT vb, va FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(cat: Catalog) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): connected components over
+    the embedding-cosine pair graph; cluster_id = min member id, the
+    survivor a dedup pass would keep."""
+    from data_ingestion_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    pairs = S.embedding_cosine_pairs(cat.embeddings, tau=0.4)
+    return connected_components(pairs, "vec_a", "vec_b")
+
+
 @query(
     "embedding_norms",
     oracle="""

@@ -100,3 +100,41 @@ def test_multimodal_stub_contract():
     with _pytest.raises(NotImplementedError):
         decode_real(b"xx")
     assert decode_stub(b"abcd") == (4, 5)
+
+
+def test_connected_components_small_graph(spark):
+    from data_ingestion_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    # two components {1,2,3,4} (via chain) and {10,11}; 99 isolated
+    # (absent from edges → absent from output)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a bigint, b bigint")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components(pairs, "a", "b").collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all(spark, cat):
+    """With nprobe == nlist IVF degenerates to exact search — results
+    must equal brute force (same tie-breaks)."""
+    from data_ingestion_challenge_spark.operators import similarity as S
+    ivf = {tuple(r) for r in
+           S.ivf_topk(cat.embeddings, n_queries=5, k=3,
+                      nlist=8, nprobe=8).collect()}
+    bf = {tuple(r) for r in
+          S.brute_force_topk(cat.embeddings, n_queries=5, k=3).collect()}
+    assert ivf == bf
+
+
+def test_ivf_topk_partial_probe_bounded(spark, cat):
+    from data_ingestion_challenge_spark.operators import similarity as S
+    rows = S.ivf_topk(cat.embeddings, n_queries=5, k=3,
+                      nlist=16, nprobe=2).collect()
+    assert rows, "IVF with partial probing returned nothing"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rk"])
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3

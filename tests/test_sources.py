@@ -59,3 +59,31 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert one_day.count() > 0
     assert "PartitionFilters: [" in plan and "day" in plan.split(
         "PartitionFilters")[1][:200], "partition pruning must kick in"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, cat):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with ZERO Exchange nodes — the co-location contract
+    write_bucketed exists for."""
+    try:
+        SRC.write_bucketed(cat.orders.select("o_orderkey", "o_totalprice"),
+                           "b_orders", str(tmp_path / "b_orders"),
+                           "o_orderkey", n_buckets=4)
+        SRC.write_bucketed(cat.lineitem.select("l_orderkey", "l_quantity"),
+                           "b_lineitem", str(tmp_path / "b_lineitem"),
+                           "l_orderkey", n_buckets=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (spark.table("b_orders")
+                      .join(spark.table("b_lineitem"),
+                            F.col("o_orderkey") == F.col("l_orderkey")))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, \
+                "bucketed co-located join must not shuffle"
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
