@@ -86,23 +86,38 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     prefixes are indexed.  Candidates then get exact verification —
     identical results to the naive join, no false negatives."""
     posting = _postings(documents, n)
-    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
-    dfreq = posting.groupBy("s").agg(F.count("*").alias("_df"))
-    wpos = Window.partitionBy("doc_id").orderBy("_df", "s")
-    prefix = (
-        posting.join(dfreq, "s")
-        .withColumn("_pos", F.row_number().over(wpos))
-        .join(sizes, "doc_id")
-        .where(col("_pos") <= F.floor((1 - tau) * col("n")) + 1)
-        .select("doc_id", "s")
+    # df / set size / frequency-rank in two window passes (shuffle on
+    # s, then on doc_id) instead of three groupBy+join round-trips.
+    pp = (
+        posting
+        .withColumn("_df", F.count("*").over(Window.partitionBy("s")))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn("_pos", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "s")))
     )
+    prefix = (
+        pp.where(col("_pos") <= F.floor((1 - tau) * col("n")) + 1)
+        .select("doc_id", "s", "n", "_pos")
+    )
+    # PPJoin candidate filters — both EXACT (no false negatives):
+    #  length: J ≥ τ forces τ·|B| ≤ |A| (sizes within a τ band);
+    #  positional: overlap can't exceed 1 + min(remaining suffix
+    #  lengths), which must reach ⌈τ/(1+τ)·(|A|+|B|)⌉, the minimum
+    #  intersection J ≥ τ implies.
+    x, y = prefix.alias("x"), prefix.alias("y")
+    nx, ny = col("x.n"), col("y.n")
+    min_inter = F.ceil((tau / (1 + tau)) * (nx + ny))
+    ubound = 1 + F.least(nx - col("x._pos"), ny - col("y._pos"))
     cand = (
-        prefix.alias("x").join(prefix.alias("y"), "s")
-        .where(col("x.doc_id") < col("y.doc_id"))
+        x.join(y, "s")
+        .where((col("x.doc_id") < col("y.doc_id"))
+               & (ny >= tau * nx) & (nx >= tau * ny)
+               & (ubound >= min_inter))
         .select(col("x.doc_id").alias("doc_a"),
                 col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
     return _verify_candidates(cand, posting, sizes, tau)
 
 
