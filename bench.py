@@ -28,9 +28,17 @@ def main() -> None:
     bench_queries = {n: q for n, q in plans.QUERIES.items() if q.bench}
     timings: dict[str, float] = {}
 
-    # Warm the JVM + parquet footers once with the cheapest query so the
-    # first measured query isn't charged for session spin-up.
-    next(iter(bench_queries.values()))(spark, sf_dir).count()
+    # Warm-up pass: run every bench query once at the smallest SF so
+    # whole-stage codegen compilation, Arrow/pandas worker spin-up, and
+    # parquet reader init are paid before the measured runs — the
+    # timings below are steady-state throughput, not JVM JIT latency.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for q in bench_queries.values():
+            try:
+                q(spark, warm_dir).count()
+            except Exception:
+                pass  # a warm-up failure must never kill the bench
 
     for name, q in bench_queries.items():
         t0 = time.perf_counter()
