@@ -50,6 +50,39 @@ def decode_stub(payload: bytes) -> tuple[int, int]:
     return n, n % 7 + 1
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(binary_table: DataFrame, stride: int = 1) -> DataFrame:
+    """Frame sampling: one output row per (video, sampled frame) —
+    the explode a video pipeline runs before per-frame inference.
+
+    Real plumbing, stubbed decode: frame count comes from decode_stub
+    and each 'frame' is a 16-byte payload slice standing in for a
+    decoded image; a real build swaps the slice for an av.open() frame
+    grab with the SAME schema and batching.  Output fan-out is bounded
+    (≤7 frames/doc here; stride caps it in production), so one input
+    Arrow batch yields one bounded output batch — no frame buffer
+    blow-up."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, n_frames = decode_stub(payload)
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(bytes(payload[i * 16:(i + 1) * 16]))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_bytes": pd.Series(blobs, dtype=object),
+            })
+
+    return binary_table.mapInPandas(_frames, FRAME_SCHEMA)
+
+
 def extract_features(binary_table: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -316,3 +316,21 @@ def multimodal_features(cat: Catalog) -> DataFrame:
     SURVEY.md §2C); the Spark plumbing (binary col, struct metadata,
     batch UDF, fixed schema) is the real deliverable."""
     return M.extract_features(M.to_binary_table(cat.documents))
+
+
+@query(
+    "multimodal_frame_sample",
+    # Stub decode is deterministic (n_frames = byte_len % 7 + 1), so
+    # the frame EXPLODE itself is oracle-checkable; frame payload bytes
+    # stay operator-side (binary slices aren't hash-comparable via SQL).
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, octet_length(encode(text)) % 7 + 1)) AS INT)
+               AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(cat: Catalog) -> DataFrame:
+    """Per-frame explode via mapInPandas (video frame-sample shape)."""
+    return (M.sample_frames(M.to_binary_table(cat.documents))
+            .select("doc_id", "frame_idx"))

@@ -42,6 +42,20 @@ def read_jsonl(spark: SparkSession, path: str,
             .json(path))
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — same vectorized/pushdown properties as parquet;
+    some lakes standardize on it, so the engine accepts both."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(df: DataFrame, table: str, path: str,
                    bucket_key: str, n_buckets: int = 8,
                    fmt: str = "parquet") -> None:

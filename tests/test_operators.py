@@ -4,6 +4,7 @@ driver gate) plus targeted semantics checks on tiny hand-built frames."""
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from data_ingestion_challenge_spark.plans import QUERIES
 
@@ -138,3 +139,41 @@ def test_ivf_topk_partial_probe_bounded(spark, cat):
     for q, rks in per_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 3
+
+
+def test_salted_join_matches_plain_join(spark, cat):
+    from data_ingestion_challenge_spark.operators.skew import salted_join
+    dim = (cat.events.groupBy("event_type")
+           .agg(F.count("*").alias("type_total")))
+    fact = cat.events.select("event_id", "event_type", "value")
+    plain = {tuple(r) for r in
+             fact.join(dim, "event_type").collect()}
+    salted = {tuple(r) for r in
+              salted_join(fact, dim, "event_type", salt=8).collect()}
+    assert salted == plain
+
+    left = {tuple(r) for r in
+            fact.join(dim, "event_type", "left").collect()}
+    salted_left = {tuple(r) for r in
+                   salted_join(fact, dim, "event_type", salt=8,
+                               how="left").collect()}
+    assert salted_left == left
+
+
+def test_sample_frames_bytes_and_stride(spark, cat):
+    from data_ingestion_challenge_spark.operators import multimodal as M
+    bt = M.to_binary_table(cat.documents.limit(20))
+    frames = M.sample_frames(bt).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src = {r["doc_id"]: bytes(r["payload"]) for r in bt.collect()}
+    for doc_id, rows in by_doc.items():
+        n = len(src[doc_id])
+        assert len(rows) == n % 7 + 1
+        for r in rows:
+            i = r["frame_idx"]
+            assert bytes(r["frame_bytes"]) == src[doc_id][i * 16:(i + 1) * 16]
+    # stride subsamples
+    strided = M.sample_frames(bt, stride=2).collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in strided)

@@ -87,3 +87,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path, cat):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_orc_roundtrip(spark, tmp_path, cat):
+    out = str(tmp_path / "events_orc")
+    SRC.write_orc(cat.events, out)
+    back = SRC.read_orc(spark, out)
+    assert back.count() == cat.events.count()
+    assert set(back.columns) == set(cat.events.columns)
+    # pushdown works on ORC scans too
+    plan = (back.where(F.col("user_id") == 1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan
