@@ -159,3 +159,91 @@ def first_touch_attribution(cat: Catalog) -> DataFrame:
         .groupBy(col("event_type").alias("first_event_type"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+from data_ingestion_challenge_spark.operators.sketch import (  # noqa: E402
+    cms_oracle_sql, cms_user_topk)
+
+
+@query("cms_heavy_hitters", oracle=cms_oracle_sql(10))
+def cms_heavy_hitters(cat: Catalog) -> DataFrame:
+    """Top-10 users by count-min-sketch ESTIMATE (operators/sketch.py):
+    mergeable O(d·w) state instead of a per-user shuffle; the md5-based
+    sketch is reproduced bucket-for-bucket by the oracle."""
+    return cms_user_topk(cat.events, k=10)
+
+
+@query(
+    "unpivot_event_type_counts",
+    # The melt of the wide pivot keeps explicit zeros (a day with no
+    # errors still has an 'error' row) — hence the days × types frame.
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS day_ts
+        FROM events
+    ), types AS (
+        SELECT unnest(['click','error','purchase','signup','view'])
+               AS event_type
+    ), counts AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day_ts, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.day_ts, t.event_type, COALESCE(c.n, 0) AS n
+    FROM days d CROSS JOIN types t
+    LEFT JOIN counts c USING (day_ts, event_type)
+    """,
+)
+def unpivot_event_type_counts(cat: Catalog) -> DataFrame:
+    """UNPIVOT (melt): wide per-type columns back to long rows — the
+    inverse of pivot_daily_event_counts, zeros preserved."""
+    wide = (
+        cat.events
+        .groupBy(F.date_trunc("day", col("ts")).alias("day_ts"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ids=["day_ts"], values=list(EVENT_TYPES),
+        variableColumnName="event_type", valueColumnName="n")
+
+
+@query(
+    "sessionize_builtin",
+    # Spark's session_window closes a session when the NEXT event is
+    # ≥ gap after the last (end-exclusive window), so the oracle's gap
+    # test is >= — unlike manual `sessionize`, whose rule is strictly >.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end_excl,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_builtin(cat: Catalog) -> DataFrame:
+    """Sessionization via the BUILT-IN session_window aggregate (state
+    merged by the engine, also usable under readStream unchanged) —
+    cross-checked against the window-function formulation's SQL."""
+    return (
+        cat.events
+        .groupBy("user_id", F.session_window(col("ts"), "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                col("session_window.start").alias("session_start"),
+                col("session_window.end").alias("session_end_excl"),
+                "n_events")
+    )

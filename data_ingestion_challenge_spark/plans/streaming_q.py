@@ -27,6 +27,19 @@ def streaming_hourly_rollup(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique_events
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup(cat: Catalog) -> DataFrame:
+    """Idempotent re-ingestion on the REAL streaming engine (keyed
+    dedup state), gated against the batch distinct-count oracle."""
+    return pipeline.run_dedup_bounded(cat.spark, f"{cat.sf_dir}/events.parquet")
+
+
+@query(
     "streaming_sessionize",
     # The stateful operator emits a session only once a LATER event
     # proves the 30-min gap; each user's final session is still open in

@@ -78,6 +78,30 @@ def run_bounded(spark: SparkSession, events_path: str) -> DataFrame:
     )
 
 
+def run_dedup_bounded(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming idempotent ingestion: dropDuplicates on event_id keeps
+    exactly the first arrival of every event (re-delivered records are
+    filtered by keyed state), then a per-type rollup.  Production note:
+    with a watermark this becomes dropDuplicatesWithinWatermark so the
+    dedup state ages out; bounded-drain tests omit it so the whole key
+    space stays checkable."""
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        build_source(spark, events_path)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_events"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def rate_demo(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Unbounded rate-source demo stream (synthetic ingest load) — used
     by tests to prove the pipeline accepts genuinely unbounded input."""

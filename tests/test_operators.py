@@ -177,3 +177,18 @@ def test_sample_frames_bytes_and_stride(spark, cat):
     # stride subsamples
     strided = M.sample_frames(bt, stride=2).collect()
     assert all(r["frame_idx"] % 2 == 0 for r in strided)
+
+
+def test_cms_estimates_upper_bound_exact_counts(spark, cat):
+    """Count-min estimates are ≥ exact counts, and the sketch's top
+    heavy hitter agrees with the exact top_users leader on this data."""
+    from data_ingestion_challenge_spark.operators.sketch import cms_user_topk
+    est = {r["user_id"]: r["est_count"]
+           for r in cms_user_topk(cat.events, k=10).collect()}
+    exact = {r["user_id"]: r["n_events"]
+             for r in (cat.events.groupBy("user_id")
+                       .agg(F.count("*").alias("n_events"))).collect()}
+    for u, e in est.items():
+        assert e >= exact[u]
+    top_exact = max(exact.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert top_exact in est

@@ -70,7 +70,7 @@ NON_EQUI_OK = {
     "range_join_value_bands",                        # 4-row band dim
 }
 
-STREAMING = {"streaming_hourly_rollup", "streaming_sessionize"}
+STREAMING = {"streaming_hourly_rollup", "streaming_sessionize", "streaming_dedup"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
