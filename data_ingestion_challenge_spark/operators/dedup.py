@@ -219,3 +219,42 @@ def fingerprint_dedup(documents: DataFrame) -> DataFrame:
         "doc_id", T.bag_of_words_fingerprint(col("text")).alias("fp"))
     return fp.withColumn(
         "n_same_fp", F.count("*").over(Window.partitionBy("fp")))
+
+
+def winnow_fingerprints(documents: DataFrame, n: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every word n-gram, slide a w-gram window,
+    keep each window's minimal hash (rightmost on ties), dedupe.
+    Guarantees: any shared run of w+n-1 words between two docs yields a
+    shared fingerprint, with ~2/(w+1) selection density.
+
+    Spark-first: ONE shuffle on doc_id; the window minimum rides a
+    rowsBetween(0, w-1) frame, and rightmost-tie selection is a struct
+    min over (h, -pos) — no w× row expansion (the oracle's range join
+    exists only for SQL clarity)."""
+    wds = documents.select("doc_id", T.words(col("text")).alias("w"))
+    idx = wds.select(
+        "doc_id", "w",
+        F.explode(
+            F.when(F.size("w") >= n,
+                   F.sequence(F.lit(1), F.size("w") - (n - 1)))
+            .otherwise(F.array().cast("array<int>"))).alias("pos"))
+    shingle = F.concat_ws(
+        " ", *[F.element_at(col("w"), col("pos") + j) for j in range(n)])
+    grams = idx.select("doc_id", "pos", H.h32(shingle).alias("h"))
+
+    dwin = Window.partitionBy("doc_id")
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(0, w - 1))
+    sel = (
+        grams
+        .withColumn("_n", F.count("*").over(dwin))
+        .withColumn("_m", F.min(F.struct(col("h"),
+                                         (-col("pos")).alias("np")))
+                    .over(frame))
+        .where(col("pos") <= F.greatest(col("_n") - w + 1, F.lit(1)))
+    )
+    return (sel.select("doc_id", col("_m.h").alias("fp_hash"),
+                       (-col("_m.np")).alias("fp_pos"))
+            .distinct())

@@ -334,3 +334,45 @@ def multimodal_frame_sample(cat: Catalog) -> DataFrame:
     """Per-frame explode via mapInPandas (video frame-sample shape)."""
     return (M.sample_frames(M.to_binary_table(cat.documents))
             .select("doc_id", "frame_idx"))
+
+
+@query(
+    "doc_winnow_fingerprints",
+    # Relational restatement of winnowing for DuckDB: expand each
+    # window start p over its w grams (range join), take the min hash
+    # and the rightmost position attaining it, dedupe.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, greatest(len(t) - 1, 1))) AS INT) AS pos,
+               t
+        FROM toks WHERE len(t) >= 3
+    ), hashed AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(array_to_string(t[pos:pos+2], ' ')), 1, 8))::BIGINT AS h
+        FROM grams
+    ), counts AS (
+        SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+    ), expanded AS (
+        SELECT g.doc_id, p.pos AS p, g.pos, g.h
+        FROM hashed g
+        JOIN hashed p ON g.doc_id = p.doc_id
+                     AND g.pos BETWEEN p.pos AND p.pos + 3
+        JOIN counts c ON c.doc_id = g.doc_id
+        WHERE p.pos <= greatest(c.n - 3, 1)
+    ), wmin AS (
+        SELECT doc_id, p, min(h) AS mh FROM expanded GROUP BY doc_id, p
+    ), sel AS (
+        SELECT e.doc_id, e.p, w.mh, max(e.pos) AS mpos
+        FROM expanded e
+        JOIN wmin w ON e.doc_id = w.doc_id AND e.p = w.p AND e.h = w.mh
+        GROUP BY e.doc_id, e.p, w.mh
+    )
+    SELECT DISTINCT doc_id, mh AS fp_hash, mpos AS fp_pos FROM sel
+    """,
+)
+def doc_winnow_fingerprints(cat: Catalog) -> DataFrame:
+    """MOSS-style winnowing fingerprint table (operators/dedup.py)."""
+    return D.winnow_fingerprints(cat.documents, n=3, w=4)

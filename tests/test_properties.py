@@ -1,0 +1,144 @@
+"""Property-based checks: the optimized formulations must equal brute
+force on arbitrary small inputs.  These guard exactly the clever parts
+— prefix filters, label propagation, union+window as-of — where a
+subtle bound error would silently drop results at scale.
+
+Hypothesis drives input generation; each property re-runs the Spark
+plan per example, so example counts are kept small (Spark round-trips
+are ~100ms each).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+_doc = st.lists(st.sampled_from(WORDS), min_size=3, max_size=10)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+def _naive_jaccard_pairs(docs: list[list[str]], n: int, tau: float):
+    shingles = [
+        {" ".join(d[i:i + n]) for i in range(len(d) - n + 1)}
+        for d in docs
+    ]
+    out = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles[i], shingles[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.8:
+                out.add((i, j))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus)
+def test_ppjoin_equals_naive_all_pairs(spark, docs):
+    from data_ingestion_challenge_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id bigint, text string")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in ngram_jaccard_pairs(df, n=3, tau=0.8).collect()}
+    assert got == _naive_jaccard_pairs(docs, 3, 0.8)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=15)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_edges)
+def test_connected_components_equals_union_find(spark, edges):
+    from data_ingestion_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a bigint, b bigint")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components(df, "a", "b").collect()}
+    assert got == set(_union_find_components(edges).items())
+
+
+_events = st.lists(
+    st.tuples(st.integers(0, 2),          # user
+              st.integers(0, 120),        # minutes offset
+              st.booleans()),             # is_purchase
+    min_size=1, max_size=20)
+
+
+def _naive_asof(rows):
+    # rows: (event_id, user, ts_min, is_purchase)
+    out = {}
+    for eid, u, t, p in rows:
+        if not p:
+            continue
+        best = None
+        for eid2, u2, t2, p2 in rows:
+            if p2 or u2 != u or t2 > t:
+                continue
+            key = (t2, eid2)
+            if best is None or key > best[:2]:
+                best = (t2, eid2)
+        out[eid] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_events)
+def test_asof_join_equals_per_row_scan(spark, evs):
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from data_ingestion_challenge_spark.catalog import Catalog
+    from data_ingestion_challenge_spark.plans.temporal import asof_last_touch
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, u, m, p) for i, (u, m, p) in enumerate(evs)]
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=m), u,
+          "purchase" if p else "view", 1.0, "{}")
+         for i, u, m, p in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+
+    class _FakeCat(Catalog):
+        def __init__(self, spark):
+            self.spark = spark
+            self._cache = {"events": df}
+            self.sf_dir = ""
+
+    got = {r["event_id"]: r["touch_event_id"]
+           for r in asof_last_touch(_FakeCat(spark)).collect()}
+    assert got == _naive_asof(rows)
