@@ -376,3 +376,53 @@ def multimodal_frame_sample(cat: Catalog) -> DataFrame:
 def doc_winnow_fingerprints(cat: Catalog) -> DataFrame:
     """MOSS-style winnowing fingerprint table (operators/dedup.py)."""
     return D.winnow_fingerprints(cat.documents, n=3, w=4)
+
+
+@query(
+    "doc_bigram_familiarity",
+    # Quality score: how typical the doc's word bigrams are of the
+    # corpus (garbage/outlier docs score low).  Counts are integers →
+    # the only float op is one final division, deterministic in both
+    # engines.
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id,
+               array_to_string(w[i:i+1], ' ') AS b
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+        WHERE len(w) >= 2
+    ), freq AS (
+        SELECT b, count(*) AS c FROM bg GROUP BY b
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           sum(freq.c) AS familiarity_sum,
+           round(sum(freq.c) / count(*), 4) AS familiarity
+    FROM bg JOIN freq USING (b)
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_bigram_familiarity(cat: Catalog) -> DataFrame:
+    """Corpus-typicality quality score: mean corpus frequency of the
+    doc's word bigrams.  Two shuffles (bigram count, per-doc sum); the
+    bigram↔freq join is a shuffled equi-join reusing the bigram key."""
+    wds = cat.documents.select("doc_id", T.words(col("text")).alias("w"))
+    bg = (
+        wds.select(
+            "doc_id", "w",
+            F.explode(
+                F.when(F.size("w") >= 2,
+                       F.sequence(F.lit(1), F.size("w") - 1))
+                .otherwise(F.array().cast("array<int>"))).alias("i"))
+        .select("doc_id",
+                F.concat_ws(" ", F.element_at(col("w"), col("i")),
+                            F.element_at(col("w"), col("i") + 1)).alias("b"))
+    )
+    freq = bg.groupBy("b").agg(F.count("*").alias("c"))
+    return (
+        bg.join(freq, "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum("c").alias("familiarity_sum"),
+             F.round(F.sum("c") / F.count("*"), 4).alias("familiarity"))
+    )

@@ -288,3 +288,46 @@ def q22_idle_rich_customers(cat: Catalog) -> DataFrame:
         .agg(F.count("*").alias("numcust"),
              msum(col("c_acctbal")).alias("totacctbal"))
     )
+
+
+@query(
+    "q20_heavy_promo_suppliers",
+    # No partsupp/availqty: "excess stock" becomes shipped-quantity of
+    # PROMO-type parts in 1996 over an integer threshold (quantities
+    # are integral → exact comparisons).
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, sum(CAST(round(l_quantity) AS BIGINT)) AS promo_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, promo_qty
+    FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+    WHERE promo_qty > 50
+    """,
+)
+def q20_heavy_promo_suppliers(cat: Catalog) -> DataFrame:
+    """TPC-H Q20 shape: suppliers moving heavy volume of a part class.
+    The part-class filter broadcasts into the lineitem scan; the
+    shipdate predicate pushes down to parquet."""
+    shipped = (
+        cat.lineitem
+        .filter((col("l_shipdate") >= lit("1996-01-01")) &
+                (col("l_shipdate") < lit("1997-01-01")))
+        .join(broadcast(cat.part.filter(col("p_type") == "PROMO")
+                        .select("p_partkey")),
+              col("p_partkey") == col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(col("l_quantity")).cast("bigint"))
+             .alias("promo_qty"))
+        .filter(col("promo_qty") > 50)
+    )
+    return (
+        shipped.join(broadcast(cat.supplier.select("s_suppkey", "s_name")),
+                     col("l_suppkey") == col("s_suppkey"))
+        .select("s_suppkey", "s_name", "promo_qty")
+    )

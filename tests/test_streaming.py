@@ -125,3 +125,45 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     assert rows[0]["session_start"] == t0
     assert rows[0]["session_end"] == t0 + dt.timedelta(minutes=5)
     assert rows[0]["n_events"] == 2
+
+
+def test_incremental_rollup_equals_recompute(spark, tmp_path, cat):
+    """The foreachBatch-maintained rollup must equal a from-scratch
+    batch aggregation after every incremental drain."""
+    import shutil
+
+    from data_ingestion_challenge_spark.streaming.incremental import (
+        _day_agg, read_rollup, run_incremental_rollup)
+
+    src = tmp_path / "events"
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    full = cat.events.orderBy("event_id").limit(400).localCheckpoint()
+    half1 = full.where(F.col("event_id") % 2 == 0)
+    half2 = full.where(F.col("event_id") % 2 == 1)
+
+    def drop(df, name):
+        stage = tmp_path / "stage" / name
+        df.coalesce(1).write.parquet(str(stage))
+        import glob
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def rollup_now():
+        return {(r["day_ts"], r["n_events"], r["value_sum_micros"])
+                for r in read_rollup(spark, out).collect()}
+
+    def batch_ref(df):
+        return {(r["day_ts"], r["n_events"], r["value_sum_micros"])
+                for r in _day_agg(df).collect()}
+
+    drop(half1, "b1")
+    run_incremental_rollup(spark, str(src), out, ckpt)
+    assert rollup_now() == batch_ref(half1)
+
+    # second drain merges only the touched day partitions
+    drop(half2, "b2")
+    run_incremental_rollup(spark, str(src), out, ckpt)
+    assert rollup_now() == batch_ref(full)
