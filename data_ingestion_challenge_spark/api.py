@@ -1,0 +1,89 @@
+"""User-facing facade — the one-import surface a user of the reference
+engine would switch to.
+
+The reference exposes ingest endpoints + canned analytics queries over
+pluggable storage; the Spark-native equivalent is a thin object tying
+together session, catalog, and the query registry:
+
+    from data_ingestion_challenge_spark.api import Engine
+
+    eng = Engine("/root/testdata/sf0.01")
+    eng.names()                      # every registered query
+    df = eng.run("hourly_user_events")
+    eng.ingest_jsonl("drops/", "events_lake/", "ckpt/")   # streaming
+    eng.table("events")              # raw table access
+
+Everything returns plain DataFrames — composable with arbitrary user
+transformations before collection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_challenge_spark.catalog import Catalog, DEFAULT_SF_DIR
+from data_ingestion_challenge_spark.plans import QUERIES
+from data_ingestion_challenge_spark.session import get_spark
+
+
+class Engine:
+    """One engine = one SparkSession + one data directory."""
+
+    def __init__(self, sf_dir: str = DEFAULT_SF_DIR,
+                 spark: SparkSession | None = None):
+        self.spark = spark or get_spark("engine")
+        self.catalog = Catalog(self.spark, sf_dir)
+
+    # -------------------------------------------------------- queries
+    def names(self) -> list[str]:
+        return sorted(QUERIES)
+
+    def run(self, name: str) -> DataFrame:
+        if name not in QUERIES:
+            raise KeyError(f"unknown query {name!r}; see names()")
+        return QUERIES[name].plan(self.catalog)
+
+    def oracle(self, name: str) -> str | None:
+        """The ANSI-SQL twin (None for approx/iterative ops)."""
+        return QUERIES[name].oracle
+
+    def sql(self, statement: str) -> DataFrame:
+        """Ad-hoc SQL over the registered tables."""
+        self.catalog.register_views()
+        return self.spark.sql(statement)
+
+    # --------------------------------------------------------- tables
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    def register(self, name: str,
+                 fn: Callable[[Catalog], DataFrame]) -> None:
+        """User-defined query, runnable via run() like built-ins."""
+        from data_ingestion_challenge_spark.plans.registry import query
+        query(name)(fn)
+
+    # ------------------------------------------------------ ingestion
+    def ingest_jsonl(self, watch_dir: str, out_dir: str,
+                     checkpoint: str) -> None:
+        """Drain new jsonl drops from watch_dir into the parquet lake
+        (exactly-once via the checkpoint; re-call to pick up new
+        files)."""
+        from data_ingestion_challenge_spark.sources.streams import jsonl_stream
+        q = (jsonl_stream(self.spark, watch_dir)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    def maintain_rollup(self, events_path: str, out_dir: str,
+                        checkpoint: str) -> None:
+        """Incrementally maintain the per-day rollup (see
+        streaming/incremental.py)."""
+        from data_ingestion_challenge_spark.streaming.incremental import (
+            run_incremental_rollup,
+        )
+        run_incremental_rollup(self.spark, events_path, out_dir, checkpoint)

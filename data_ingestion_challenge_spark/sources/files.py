@@ -17,8 +17,31 @@ EVENTS_SCHEMA = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(spark: SparkSession, path: str,
+                 merge_schema: bool = False) -> DataFrame:
+    """merge_schema=True unions the schemas of all files (schema
+    evolution: late files may carry added columns; older rows surface
+    NULL there).  Off by default — merging reads every footer."""
+    return (spark.read
+            .option("mergeSchema", str(merge_schema).lower())
+            .parquet(path))
+
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    n_files: int = 1,
+                    sort_by: list[str] | None = None) -> None:
+    """Small-file compaction: rewrite a (streaming-sink) directory of
+    many small part files into n_files sorted files.  Streaming sinks
+    produce one file per micro-batch per partition; scan efficiency at
+    100 TB needs row groups in the 100MB-1GB range, so compaction runs
+    as periodic maintenance.  repartition (not coalesce): coalesce
+    would skip the shuffle but produce unbalanced files and break the
+    sort clustering."""
+    df = spark.read.parquet(path)
+    df = df.repartition(n_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    df.write.mode("overwrite").parquet(out_path)
 
 
 def read_csv(spark: SparkSession, path: str,

@@ -99,3 +99,44 @@ def test_orc_roundtrip(spark, tmp_path, cat):
     plan = (back.where(F.col("user_id") == 1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters" in plan
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    out = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id bigint, x string") \
+        .write.parquet(out + "/p1")
+    spark.createDataFrame([(2, "b", 9.5)], "id bigint, x string, score double") \
+        .write.parquet(out + "/p2")
+    merged = SRC.read_parquet(spark, out + "/*", merge_schema=True)
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_compact_parquet(spark, tmp_path, cat):
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    cat.events.repartition(16).write.parquet(frag)
+    import glob
+    assert len(glob.glob(frag + "/part-*.parquet")) == 16
+    SRC.compact_parquet(spark, frag, out, n_files=2, sort_by=["ts"])
+    assert len(glob.glob(out + "/part-*.parquet")) == 2
+    assert spark.read.parquet(out).count() == cat.events.count()
+
+
+def test_engine_facade(spark, tmp_path):
+    from data_ingestion_challenge_spark.api import Engine
+    from tests.conftest import SF_DIR
+    eng = Engine(SF_DIR, spark=spark)
+    assert "hourly_user_events" in eng.names()
+    assert eng.run("top_users").count() == 10
+    assert "GROUP BY" in (eng.oracle("hourly_user_events") or "")
+    assert eng.sql("SELECT count(*) AS n FROM events").collect()[0]["n"] > 0
+    # user-registered query is runnable like a built-in
+    eng.register("my_event_count",
+                 lambda cat: cat.events.groupBy("event_type").count())
+    try:
+        assert eng.run("my_event_count").count() > 0
+    finally:
+        from data_ingestion_challenge_spark.plans import QUERIES
+        QUERIES.pop("my_event_count", None)
