@@ -247,3 +247,14 @@ def sessionize_builtin(cat: Catalog) -> DataFrame:
                 col("session_window.end").alias("session_end_excl"),
                 "n_events")
     )
+
+
+from data_ingestion_challenge_spark.operators.stats import (  # noqa: E402
+    GINI_ORACLE, user_activity_gini)
+
+
+@query("user_activity_gini", oracle=GINI_ORACLE)
+def user_activity_gini_q(cat: Catalog) -> DataFrame:
+    """Custom aggregate (applyInPandas UDAF shape): per-type Gini of
+    user activity — operators/stats.py."""
+    return user_activity_gini(cat.events)
