@@ -142,3 +142,66 @@ def test_asof_join_equals_per_row_scan(spark, evs):
     got = {r["event_id"]: r["touch_event_id"]
            for r in asof_last_touch(_FakeCat(spark)).collect()}
     assert got == _naive_asof(rows)
+
+
+_run = st.lists(st.sampled_from(WORDS), min_size=6, max_size=6)
+_pad = st.lists(st.sampled_from(["pad1", "pad2", "pad3"]),
+                min_size=0, max_size=5)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_run, _pad, _pad)
+def test_winnowing_guarantee_shared_run_shared_fingerprint(
+        spark, run, pad_a, pad_b):
+    """Winnowing's coverage guarantee: two docs sharing a run of
+    w + n - 1 = 6 words must share ≥1 fingerprint hash."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    doc_a = " ".join(pad_a + run)
+    doc_b = " ".join(run + pad_b)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, n=3, w=4).collect()
+    a = {r["fp_hash"] for r in fps if r["doc_id"] == 0}
+    b = {r["fp_hash"] for r in fps if r["doc_id"] == 1}
+    assert a & b, "shared 6-word run must yield a shared fingerprint"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus)
+def test_simhash_block_trick_equals_bruteforce(spark, docs):
+    """The pigeonhole block join must find EXACTLY the pairs within
+    hamming radius — compare against all-pairs hamming on the
+    signatures themselves."""
+    from data_ingestion_challenge_spark.operators.dedup import simhash_pairs
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id bigint, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_pairs(df, n=3, max_hamming=3).collect()}
+
+    # brute force: recompute signatures per doc in Python
+    import hashlib
+    sigs = {}
+    for i, d in enumerate(docs):
+        if len(d) < 3:
+            continue
+        shingles = {" ".join(d[j:j + 3]) for j in range(len(d) - 2)}
+        tallies = [0] * 32
+        for s in shingles:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                tallies[b] += 1 if h & (1 << b) else -1
+        sigs[i] = sum((1 << b) for b in range(32) if tallies[b] > 0)
+    want = {}
+    ids = sorted(sigs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            hd = bin(sigs[a] ^ sigs[b]).count("1")
+            if hd <= 3:
+                want[(a, b)] = hd
+    assert got == want
