@@ -258,3 +258,27 @@ def user_activity_gini_q(cat: Catalog) -> DataFrame:
     """Custom aggregate (applyInPandas UDAF shape): per-type Gini of
     user activity — operators/stats.py."""
     return user_activity_gini(cat.events)
+
+
+@query(
+    "sliding_window_counts",
+    # Spark's window(ts, 5m, 1m) assigns each event to the 5
+    # epoch-aligned minute windows covering it — reproduced by
+    # exploding k ∈ [0,5) window offsets per event.
+    oracle="""
+    SELECT date_trunc('minute', ts) - k * INTERVAL 1 MINUTE AS window_start,
+           count(*) AS n_events
+    FROM (SELECT ts, unnest(range(0, 5)) AS k FROM events)
+    GROUP BY 1
+    """,
+)
+def sliding_window_counts(cat: Catalog) -> DataFrame:
+    """Sliding-window rate: 5-minute windows advancing every minute
+    (each event expands into 5 windows via Expand — one scan, map-side
+    combined; identical code runs under readStream with a watermark)."""
+    return (
+        cat.events
+        .groupBy(F.window(col("ts"), "5 minutes", "1 minute").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(col("win.start").alias("window_start"), "n_events")
+    )

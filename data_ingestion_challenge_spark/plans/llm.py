@@ -426,3 +426,13 @@ def doc_bigram_familiarity(cat: Catalog) -> DataFrame:
              F.sum("c").alias("familiarity_sum"),
              F.round(F.sum("c") / F.count("*"), 4).alias("familiarity"))
     )
+
+
+@query("kmeans_cluster_sizes", oracle=None)  # iterative ML → rows-only
+def kmeans_cluster_sizes_q(cat: Catalog) -> DataFrame:
+    """Trained k-means|| cell histogram over embeddings (operators/
+    ml.py) — the trained-centroid counterpart of ann_ivf_topk."""
+    from data_ingestion_challenge_spark.operators.ml import (
+        kmeans_cluster_sizes,
+    )
+    return kmeans_cluster_sizes(cat.embeddings, k=8, seed=7)

@@ -192,3 +192,15 @@ def test_cms_estimates_upper_bound_exact_counts(spark, cat):
         assert e >= exact[u]
     top_exact = max(exact.items(), key=lambda kv: (kv[1], -kv[0]))[0]
     assert top_exact in est
+
+
+def test_kmeans_cluster_sizes(spark, cat):
+    from data_ingestion_challenge_spark.operators.ml import (
+        kmeans_cluster_sizes,
+    )
+    rows = kmeans_cluster_sizes(cat.embeddings, k=4, seed=7).collect()
+    assert len(rows) == 4
+    assert sum(r["n_vectors"] for r in rows) == cat.embeddings.count()
+    # seeded fit is reproducible
+    again = kmeans_cluster_sizes(cat.embeddings, k=4, seed=7).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
