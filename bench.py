@@ -40,11 +40,18 @@ def main() -> None:
             except Exception:
                 pass  # a warm-up failure must never kill the bench
 
+    # min of 2 measured runs per query: the box carries variable
+    # external load (observed 2-8× swings); the minimum is the
+    # best available steady-state throughput estimate.
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        df = q(spark, sf_dir)
-        df.count()  # full execution; count avoids collect-to-driver cost
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q(spark, sf_dir)
+            df.count()  # full execution; avoids collect-to-driver cost
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
