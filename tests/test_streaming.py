@@ -167,3 +167,61 @@ def test_incremental_rollup_equals_recompute(spark, tmp_path, cat):
     drop(half2, "b2")
     run_incremental_rollup(spark, str(src), out, ckpt)
     assert rollup_now() == batch_ref(full)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics end-to-end: an event arriving after the
+    watermark passed its window is DROPPED — the finalized window's
+    count never changes and no duplicate row appears."""
+    from pyspark.sql import functions as F2
+
+    from data_ingestion_challenge_spark.streaming.pipeline import build_source
+
+    src = tmp_path / "events"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string"
+        ).coalesce(1).write.parquet(str(tmp_path / "stage" / name))
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def drain():
+        q = (build_source(spark, str(src))
+             .withWatermark("ts", "1 hour")
+             .groupBy(F2.window("ts", "1 hour").alias("win"))
+             .agg(F2.count("*").alias("n"))
+             .select(F2.col("win.start").alias("ws"), "n")
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return {(r["ws"], r["n"]) for r in
+                spark.read.schema("ws timestamp, n bigint")
+                .parquet(out).collect()}
+
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1)
+
+    # batch 1: event in the 00:00 window + one at 05:00 → watermark
+    # advances to 04:00, finalizing (emitting) the 00:00 window.
+    drop("b1", [(1, t + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+                (2, t + dt.timedelta(hours=5), 2, "view", 1.0, "{}")])
+    assert drain() == {(t, 1)}
+
+    # batch 2: a LATE event for the finalized 00:00 window (dropped)
+    # + one at 07:00 (advances watermark → 05:00 window emitted).
+    drop("b2", [(3, t + dt.timedelta(minutes=20), 3, "click", 1.0, "{}"),
+                (4, t + dt.timedelta(hours=7), 4, "view", 1.0, "{}")])
+    got = drain()
+    assert got == {(t, 1), (t + dt.timedelta(hours=5), 1)}, \
+        f"late event must be dropped, 00:00 stays at 1: {got}"
