@@ -73,7 +73,8 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
-                        tau: float = 0.8) -> DataFrame:
+                        tau: float = 0.8,
+                        posting: DataFrame | None = None) -> DataFrame:
     """Exact all-pairs Jaccard ≥ tau via PREFIX-FILTERED inverted index
     (PPJoin-style).
 
@@ -85,7 +86,8 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     first ⌊(1-τ)·|set|⌋+1 shingles under that order, so only those
     prefixes are indexed.  Candidates then get exact verification —
     identical results to the naive join, no false negatives."""
-    posting = _postings(documents, n)
+    if posting is None:
+        posting = _postings(documents, n)
     # df / set size / frequency-rank in two window passes (shuffle on
     # s, then on doc_id) instead of three groupBy+join round-trips.
     pp = (
@@ -138,7 +140,8 @@ def _verify_candidates(cand: DataFrame, posting: DataFrame,
 
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 16,
-                      bands: int = 8, tau: float = 0.8) -> DataFrame:
+                      bands: int = 8, tau: float = 0.8,
+                      posting: DataFrame | None = None) -> DataFrame:
     """MinHash signature + banded LSH + exact verification (scale path).
 
     The signature is computed via explode → k min-aggregates, NOT via
@@ -148,7 +151,8 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 16,
     → 3s at sf0.1).  Exploding evaluates md5 exactly once per
     (doc, shingle); the k mins ride one map-side-combined groupBy."""
     rows = k // bands
-    posting = _postings(documents, n)
+    if posting is None:
+        posting = _postings(documents, n)
     hashed = posting.select("doc_id", H.h32(col("s")).alias("h"))
     sig = hashed.groupBy("doc_id").agg(*[
         F.min((F.lit(a) * col("h") + F.lit(b)) % F.lit(H.MINHASH_P))
@@ -172,16 +176,19 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 16,
 
 
 def simhash_pairs(documents: DataFrame, n: int = 3,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  posting: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup candidates: 32-bit sketch split into
     (max_hamming+1) blocks; pigeonhole guarantees any pair within the
     radius matches on at least one block → equi-join, then exact
     hamming filter via bit_count(xor)."""
     nblocks = max_hamming + 1
     bits_per = 32 // nblocks
+    if posting is None:
+        posting = _postings(documents, n)
     # Hash once per posting, then 32 cheap conditional-sum aggregates
     # (one shuffle, map-side combined).
-    hashed = _postings(documents, n).select(
+    hashed = posting.select(
         "doc_id", H.h32(col("s")).alias("h"))
     tallies = hashed.groupBy("doc_id").agg(*[
         F.sum(F.when(col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)

@@ -116,25 +116,46 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, k: int = 16,
+                     seed: int = 7) -> np.ndarray:
+    """TRAINED centroids for the IVF index: k-means|| + Lloyd via
+    MLlib (operators/ml.py documents the pipeline).  Returns a (k, dim)
+    float64 array ready for ivf_topk(centroids=...)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(col("embedding").cast("array<double>"))
+        .alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(feats)
+    return np.stack([np.asarray(c, dtype=np.float64)
+                     for c in model.clusterCenters()])
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-             nlist: int = 16, nprobe: int = 4) -> DataFrame:
+             nlist: int = 16, nprobe: int = 4,
+             centroids: np.ndarray | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: the corpus is partitioned into nlist
     Voronoi cells around centroids; a query scans only its nprobe
     nearest cells — the classic FAISS-style scale path, here as pure
     DataFrame ops: cell assignment is an Arrow-batched numpy argmax,
     candidate generation an equi-join on cell id.
 
-    Centroids are the nlist lowest-id vectors, L2-normalized — a
-    deterministic seeding (k-means|| training would refine them at
-    scale; the plumbing is identical).  The centroid model is a few KB
-    on the driver, shipped in the UDF closure like any trained model.
-    Scanned fraction ≈ nprobe/nlist of the corpus per query."""
+    Default centroids are the nlist lowest-id vectors, L2-normalized —
+    deterministic training-free seeding; pass
+    `centroids=kmeans_centroids(...)` for the trained index (balanced
+    cells → balanced probe costs).  Either way the centroid model is a
+    few KB on the driver, shipped in the UDF closure like any trained
+    model.  Scanned fraction ≈ nprobe/nlist of the corpus per query."""
     from pyspark.sql.functions import pandas_udf
 
-    seeds = (embeddings.where(col("vec_id") < nlist)
-             .select("vec_id", "embedding").collect())
-    C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in sorted(seeds, key=lambda r: r["vec_id"])])
+    if centroids is None:
+        seeds = (embeddings.where(col("vec_id") < nlist)
+                 .select("vec_id", "embedding").collect())
+        centroids = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                              for r in sorted(seeds, key=lambda r: r["vec_id"])])
+    C = np.asarray(centroids, dtype=np.float64)
+    nlist = len(C)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     def _sims(se: "pd.Series") -> np.ndarray:

@@ -39,6 +39,21 @@ def dedup_exact(cat: Catalog) -> DataFrame:
     return D.exact_dedup(cat.documents)
 
 
+# The persisted shingle posting table is the shared input of the
+# Jaccard / MinHash / SimHash pipelines — at cluster scale you
+# materialize it ONCE (checkpoint/table) and fan the dedup variants out
+# from it.  Cache per (session, sf_dir): one split+explode+distinct
+# instead of three when several dedup queries run in one session.
+_POSTING_CACHE: dict = {}
+
+
+def _shared_postings(cat: Catalog, n: int = 3):
+    key = (id(cat.spark), cat.sf_dir, n)
+    if key not in _POSTING_CACHE:
+        _POSTING_CACHE[key] = D._postings(cat.documents, n)
+    return _POSTING_CACHE[key]
+
+
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc.
 _SH_CTE = """
     d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -76,7 +91,8 @@ _JACCARD_TAIL = """
     bench=True,
 )
 def dedup_ngram_jaccard(cat: Catalog) -> DataFrame:
-    return D.ngram_jaccard_pairs(cat.documents, n=3, tau=0.8)
+    return D.ngram_jaccard_pairs(cat.documents, n=3, tau=0.8,
+                                 posting=_shared_postings(cat))
 
 
 _MH_VALUES = ", ".join(
@@ -105,12 +121,14 @@ _MH_VALUES = ", ".join(
     bench=True,
 )
 def dedup_minhash_lsh(cat: Catalog) -> DataFrame:
-    return D.minhash_lsh_pairs(cat.documents, n=3, k=16, bands=8, tau=0.8)
+    return D.minhash_lsh_pairs(cat.documents, n=3, k=16, bands=8, tau=0.8,
+                               posting=_shared_postings(cat))
 
 
 @query("dedup_simhash", oracle=None)  # bit-trick candidates → rows-only
 def dedup_simhash(cat: Catalog) -> DataFrame:
-    return D.simhash_pairs(cat.documents, n=3, max_hamming=3)
+    return D.simhash_pairs(cat.documents, n=3, max_hamming=3,
+                           posting=_shared_postings(cat))
 
 
 @query(
@@ -179,6 +197,15 @@ def ann_lsh_topk(cat: Catalog) -> DataFrame:
 @query("ann_ivf_topk", oracle=None)  # approximate → rows-only
 def ann_ivf_topk(cat: Catalog) -> DataFrame:
     return S.ivf_topk(cat.embeddings, n_queries=10, k=5, nlist=16, nprobe=4)
+
+
+@query("ann_ivf_trained_topk", oracle=None)  # approximate → rows-only
+def ann_ivf_trained_topk(cat: Catalog) -> DataFrame:
+    """IVF with TRAINED (k-means||) centroids — balanced cells, same
+    probe machinery as ann_ivf_topk."""
+    cents = S.kmeans_centroids(cat.embeddings, k=16, seed=7)
+    return S.ivf_topk(cat.embeddings, n_queries=10, k=5, nprobe=4,
+                      centroids=cents)
 
 
 @query(

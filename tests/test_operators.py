@@ -204,3 +204,16 @@ def test_kmeans_cluster_sizes(spark, cat):
     # seeded fit is reproducible
     again = kmeans_cluster_sizes(cat.embeddings, k=4, seed=7).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_ivf_trained_centroids_full_probe_exact(spark, cat):
+    """Trained centroids change WHICH cells exist, not correctness:
+    probing all cells must still equal brute force."""
+    from data_ingestion_challenge_spark.operators import similarity as S
+    cents = S.kmeans_centroids(cat.embeddings, k=6, seed=7)
+    ivf = {tuple(r) for r in
+           S.ivf_topk(cat.embeddings, n_queries=5, k=3,
+                      nprobe=6, centroids=cents).collect()}
+    bf = {tuple(r) for r in
+          S.brute_force_topk(cat.embeddings, n_queries=5, k=3).collect()}
+    assert ivf == bf
