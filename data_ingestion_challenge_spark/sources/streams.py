@@ -21,3 +21,40 @@ def jsonl_stream(spark: SparkSession, watch_dir: str,
             .schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .json(watch_dir))
+
+
+def kafka_stream(spark: SparkSession, bootstrap_servers: str,
+                 topic: str, schema: str = EVENTS_SCHEMA,
+                 starting_offsets: str = "latest") -> DataFrame:
+    """Kafka ingest: value bytes → JSON → typed events columns.  The
+    downstream contract is IDENTICAL to jsonl_stream/build_source —
+    every plan in this repo runs unchanged on a Kafka feed.
+
+    Requires the spark-sql-kafka connector jar on the classpath (not
+    shipped in this container); without it the data-source lookup
+    fails at .load(), which we surface as a clear ImportError."""
+    from pyspark.sql import functions as F
+    try:
+        raw = (spark.readStream.format("kafka")
+               .option("kafka.bootstrap.servers", bootstrap_servers)
+               .option("subscribe", topic)
+               .option("startingOffsets", starting_offsets)
+               .load())
+    except Exception as exc:  # connector jar absent
+        raise ImportError(
+            "kafka source needs the spark-sql-kafka connector jar "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        ) from exc
+    return (raw.select(F.from_json(F.col("value").cast("string"), schema)
+                       .alias("e"))
+            .select("e.*"))
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Idempotent ingest with BOUNDED state: duplicates of event_id are
+    filtered within the watermark horizon and the dedup state ages out
+    with it — the production form of dropDuplicates (whose state grows
+    forever).  A replay older than the horizon would re-insert; size
+    the watermark to the transport's redelivery window."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))

@@ -225,3 +225,53 @@ def test_watermark_drops_late_events(spark, tmp_path):
     got = drain()
     assert got == {(t, 1), (t + dt.timedelta(hours=5), 1)}, \
         f"late event must be dropped, 00:00 stays at 1: {got}"
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Duplicate event_ids inside the watermark horizon are filtered;
+    state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from data_ingestion_challenge_spark.sources.streams import dedup_stream
+    from data_ingestion_challenge_spark.streaming.pipeline import build_source
+
+    src = tmp_path / "events"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1)
+    rows = [(1, t, 7, "click", 1.0, "{}"),
+            (1, t + dt.timedelta(minutes=1), 7, "click", 1.0, "{}"),  # dup
+            (2, t + dt.timedelta(minutes=2), 8, "view", 2.0, "{}"),
+            (2, t + dt.timedelta(minutes=3), 8, "view", 2.0, "{}"),   # dup
+            (3, t + dt.timedelta(minutes=4), 9, "error", 0.5, "{}")]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil
+    shutil.copy(glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0],
+                src / "b1.parquet")
+
+    q = (dedup_stream(build_source(spark, str(src)))
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = (spark.read
+           .schema("event_id bigint, ts timestamp, user_id bigint, "
+                   "event_type string, value double, props string")
+           .parquet(out))
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_kafka_stream_raises_without_connector(spark):
+    import pytest as _pytest
+
+    from data_ingestion_challenge_spark.sources.streams import kafka_stream
+    with _pytest.raises(ImportError, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092", "events")
