@@ -62,3 +62,29 @@ def lang_id(documents: DataFrame) -> DataFrame:
 
     return documents.select("doc_id", "text").mapInPandas(
         _classify, LANG_ID_SCHEMA)
+
+
+def split_sentences_udtf(spark, documents: DataFrame) -> DataFrame:
+    """Python UDTF (Spark 4 API): one input row → N sentence rows.
+
+    Coverage demo for the lateral table-function surface; note this is
+    row-at-a-time Python — for a production explode use the relational
+    split+posexplode (JVM codegen, ~10× faster).  The semantics here
+    are deliberately simple (split on '. ', drop empties) so the DuckDB
+    oracle reproduces them exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class _SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            idx = 0
+            for s in (text or "").split(". "):
+                if s:
+                    yield doc_id, idx, s
+                idx += 1
+
+    spark.udtf.register("split_sentences_udtf", _SplitSentences)
+    documents.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.sentence "
+        "FROM _docs_for_udtf d, LATERAL split_sentences_udtf(d.doc_id, d.text) s")

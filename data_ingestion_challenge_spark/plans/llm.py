@@ -463,3 +463,21 @@ def kmeans_cluster_sizes_q(cat: Catalog) -> DataFrame:
         kmeans_cluster_sizes,
     )
     return kmeans_cluster_sizes(cat.embeddings, k=8, seed=7)
+
+
+@query(
+    "doc_sentences_udtf",
+    # sent_idx counts split positions including empties; empty segments
+    # themselves are dropped — mirrored by the k-indexed filter below.
+    oracle="""
+    SELECT doc_id, CAST(k AS INT) AS sent_idx, parts[k + 1] AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts,
+                 unnest(range(0, len(string_split(text, '. ')))) AS k
+          FROM documents)
+    WHERE parts[k + 1] <> ''
+    """,
+)
+def doc_sentences_udtf(cat: Catalog) -> DataFrame:
+    """Python UDTF lateral join (operators/textstats.py) — the Spark 4
+    table-function surface, correctness-gated like everything else."""
+    return TS.split_sentences_udtf(cat.spark, cat.documents)

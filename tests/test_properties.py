@@ -205,3 +205,29 @@ def test_simhash_block_trick_equals_bruteforce(spark, docs):
             if hd <= 3:
                 want[(a, b)] = hd
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus, st.sampled_from([0.5, 0.6, 0.9]))
+def test_ppjoin_exact_across_thresholds(spark, docs, tau):
+    """The prefix/length/positional bounds all depend on τ — verify
+    exactness at thresholds other than the registered query's 0.8."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id bigint, text string")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in ngram_jaccard_pairs(df, n=3, tau=tau).collect()}
+    shingles = [
+        {" ".join(d[i:i + 3]) for i in range(len(d) - 2)} for d in docs
+    ]
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles[i], shingles[j]
+            if a and b and len(a & b) / len(a | b) >= tau:
+                want.add((i, j))
+    assert got == want
