@@ -481,3 +481,44 @@ def doc_sentences_udtf(cat: Catalog) -> DataFrame:
     """Python UDTF lateral join (operators/textstats.py) — the Spark 4
     table-function surface, correctness-gated like everything else."""
     return TS.split_sentences_udtf(cat.spark, cat.documents)
+
+
+@query(
+    "dedup_levenshtein",
+    # Fuzzy (edit-distance) near-dup: candidates blocked on
+    # (lang, length band) so the pair join is an equi-join; the
+    # 40-char prefix caps the O(n·m) distance cost per pair.  Integer
+    # metric → no float hazards.
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+               AS edit_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 20 = b.n_chars // 20
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5
+    """,
+)
+def dedup_levenshtein(cat: Catalog) -> DataFrame:
+    """Edit-distance near-dup pairs (typo-level variants that shingle
+    Jaccard can miss on short docs).  Blocking keys (lang, n_chars÷20)
+    make candidate generation an equi-join with bounded buckets — the
+    same discipline as the LSH band joins; at 100 TB add overlapping
+    bands if recall across band boundaries matters."""
+    d = cat.documents.select(
+        "doc_id", "lang",
+        (col("n_chars").cast("long") / 20).cast("long").alias("band"),
+        F.substring("text", 1, 40).alias("prefix"))
+    a = d.select(col("doc_id").alias("doc_a"), "lang", "band",
+                 col("prefix").alias("_pa"))
+    b = d.select(col("doc_id").alias("doc_b"), "lang", "band",
+                 col("prefix").alias("_pb"))
+    return (
+        a.join(b, ["lang", "band"])
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein(col("_pa"), col("_pb")))
+        .where(col("edit_dist") <= 5)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
