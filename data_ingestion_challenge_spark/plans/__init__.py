@@ -10,6 +10,7 @@ from data_ingestion_challenge_spark.plans import tpch2     # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import tpch3     # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events    # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events2   # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import events3   # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm       # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm2      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import temporal  # noqa: F401,E402
