@@ -140,3 +140,42 @@ def test_engine_facade(spark, tmp_path):
     finally:
         from data_ingestion_challenge_spark.plans import QUERIES
         QUERIES.pop("my_event_count", None)
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered layout: a narrow predicate on the NON-leading column
+    intersects far fewer row groups than a linear single-key sort."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from data_ingestion_challenge_spark.sources.files import write_zordered
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 2654435761) % 1000).alias("y"))
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(lpath))
+
+    def matching_row_groups(path, col, lo, hi):
+        import glob
+        n = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        if st.min <= hi and st.max >= lo:
+                            n += 1
+        return n
+
+    z_hit = matching_row_groups(zpath, "y", 100, 110)
+    lin_hit = matching_row_groups(lpath, "y", 100, 110)
+    assert z_hit < lin_hit, (z_hit, lin_hit)
+    # and the data survives the round trip
+    assert (spark.read.parquet(zpath)
+            .where("y between 100 and 110").count()
+            == df.where("y between 100 and 110").count())
