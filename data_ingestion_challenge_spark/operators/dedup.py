@@ -265,3 +265,31 @@ def winnow_fingerprints(documents: DataFrame, n: int = 3,
     return (sel.select("doc_id", col("_m.h").alias("fp_hash"),
                        (-col("_m.np")).alias("fp_pos"))
             .distinct())
+
+
+def benchmark_overlap(posting: DataFrame, bench_pred,
+                      tau: float = 0.5) -> DataFrame:
+    """Decontamination: share of each doc's distinct shingles that also
+    occur in a benchmark/eval set (Lee et al.-style n-gram overlap).
+
+    ``posting`` is the shared (doc_id, s) shingle table; ``bench_pred``
+    is a Column predicate on doc_id selecting the benchmark members.
+
+    Spark-first scale shape: the benchmark shingle vocabulary is tiny
+    relative to the corpus (eval sets are fixed-size; the corpus is the
+    100 TB side), so it is DISTINCT-ed and broadcast — the corpus-side
+    posting table is scanned once with a broadcast LEFT SEMI-shaped
+    mark (left join + flag) and aggregated per doc.  No corpus shuffle
+    beyond the per-doc groupBy, which reuses the posting partitioning."""
+    bench_sh = (posting.where(bench_pred)
+                .select(col("s").alias("bs")).distinct())
+    corpus = posting.where(~bench_pred)
+    marked = corpus.join(F.broadcast(bench_sh),
+                         corpus["s"] == bench_sh["bs"], "left")
+    per_doc = (marked.groupBy("doc_id")
+               .agg(F.count("*").alias("n_shingles"),
+                    F.count("bs").alias("n_overlap")))
+    share = F.round(col("n_overlap") / col("n_shingles"), 4)
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_overlap", share.alias("overlap_share"),
+        (col("n_overlap") / col("n_shingles") >= tau).alias("contaminated"))

@@ -1,0 +1,178 @@
+"""LLM-training-data pipeline, batch 3 (SURVEY.md §2C): benchmark
+decontamination, per-source corpus caps, PII redaction, and VARIANT
+(semi-structured JSON) ingestion on the Spark 4 native type.
+
+All four are fully oracle-gated: hashing is md5 (identical hex in both
+engines), regexes stay in the RE2 ∩ java.util.regex common subset, and
+integer division uses `div` / `//` (never `/`, which is DOUBLE in both
+engines — see SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from data_ingestion_challenge_spark.catalog import Catalog
+from data_ingestion_challenge_spark.operators import dedup as D
+from data_ingestion_challenge_spark.plans.llm import _SH_CTE, _shared_postings
+from data_ingestion_challenge_spark.plans.registry import query
+
+# ------------------------------------------------- decontamination
+
+# Benchmark membership: a fixed deterministic slice of doc_ids stands
+# in for the held-out eval set (the real pipeline would read it from a
+# separate table; the overlap machinery is identical).
+_BENCH_MOD = 97
+
+@query(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH {_SH_CTE},
+    bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    per AS (SELECT c.doc_id, count(*) AS n_shingles,
+                   count(b.s) AS n_overlap
+            FROM sh c LEFT JOIN bsh b ON c.s = b.s
+            WHERE c.doc_id % {_BENCH_MOD} <> 0
+            GROUP BY c.doc_id)
+    SELECT doc_id, n_shingles, n_overlap,
+           round(n_overlap / n_shingles, 4) AS overlap_share,
+           n_overlap / n_shingles >= 0.5 AS contaminated
+    FROM per
+    """,
+)
+def decontaminate_overlap(cat: Catalog) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs whose distinct
+    3-gram shingles overlap a benchmark set above τ=0.5 (the n-gram
+    overlap check of Lee et al. / GPT-3 appendix C, Spark-shaped: the
+    benchmark vocabulary broadcasts, the corpus never re-shuffles
+    beyond its per-doc aggregate)."""
+    return D.benchmark_overlap(
+        _shared_postings(cat),
+        bench_pred=col("doc_id") % _BENCH_MOD == 0, tau=0.5)
+
+
+# ------------------------------------------------- per-source caps
+
+_CAP = 20
+
+@query(
+    "per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    SELECT source,
+           count(*) AS n_total,
+           count(*) FILTER (rk <= {_CAP}) AS n_kept,
+           coalesce(sum(n_chars) FILTER (rk <= {_CAP}), 0) AS chars_kept
+    FROM ranked GROUP BY source
+    """,
+)
+def per_source_cap(cat: Catalog) -> DataFrame:
+    """Per-source document caps (CommonCrawl-style anti-domination: no
+    single domain may contribute more than N docs).  Selection is a
+    deterministic uniform sample — rank by md5(doc_id) within source —
+    so reruns keep the same docs.  One shuffle on `source`; at 100 TB
+    source-skew is the hazard, and row_number over the skewed source
+    still single-tasks — for hot domains switch the rank key to the
+    md5 THRESHOLD form (keep iff md5 < cap/total quantile), which is a
+    zero-shuffle map like stratified_sample_by_lang."""
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(col("doc_id").cast("string")), "doc_id"))
+    kept = col("rk") <= _CAP
+    return (cat.documents
+            .withColumn("rk", F.row_number().over(w))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_total"),
+                 F.count(F.when(kept, 1)).alias("n_kept"),
+                 F.coalesce(F.sum(F.when(kept, col("n_chars"))), F.lit(0))
+                 .alias("chars_kept")))
+
+
+# ------------------------------------------------- PII redaction
+
+# The synthetic corpus contains no organic PII, so the query plants a
+# deterministic contact suffix derived from doc_id and then proves the
+# scrubber removes it — the regex/redaction path is exercised end-to-end
+# and stays engine-portable (RE2 ∩ Java subset: no lookaround, no
+# backreferences).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+@query(
+    "pii_redaction_audit",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.'
+                    || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                    || CAST(doc_id % 250 + 1 AS VARCHAR) AS t
+        FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_emails,
+           len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+           md5(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>',
+               'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redaction_audit(cat: Catalog) -> DataFrame:
+    """PII detect + redact (emails, IPv4) per document — counts plus an
+    md5 of the scrubbed text (the full redacted corpus is what a real
+    run writes; hashing keeps the gate row compact).  Pure codegen'd
+    JVM regex — a narrow map, no shuffle, scales linearly and pushes
+    nothing to Python."""
+    aug = F.concat(
+        col("text"), F.lit(" contact user"), col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (col("doc_id") % 250 + 1).cast("string"))
+    d = cat.documents.select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(col("t"), _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(col("t"), F.lit(_EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(col("t"), F.lit(_IP_RE), F.lit(0)))
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"))
+
+
+# ------------------------------------------------- VARIANT ingestion
+
+@query(
+    "props_variant_agg",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def props_variant_agg(cat: Catalog) -> DataFrame:
+    """Semi-structured ingestion on Spark 4's native VARIANT type:
+    parse_json once, extract typed fields with variant_get, aggregate.
+    VARIANT keeps the parsed tree in a binary columnar encoding —
+    repeated field extraction doesn't re-parse the JSON string per
+    expression the way get_json_object does, the right default for
+    schema-on-read event properties at ingest scale."""
+    k = F.variant_get(F.parse_json(col("props")), "$.k", "int")
+    return (cat.events
+            .select(k.alias("k"), "value")
+            .groupBy(F.expr("k div 10").alias("k_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))

@@ -1,0 +1,71 @@
+"""Semantics of the batch-3 LLM-pipeline queries (plans/llm3.py):
+decontamination, per-source caps, PII redaction, VARIANT ingestion.
+(Engine-vs-DuckDB parity is covered by test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_challenge_spark.operators.dedup import (
+    _postings, benchmark_overlap)
+from data_ingestion_challenge_spark.plans import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def test_benchmark_overlap_flags_copy(spark):
+    """A doc that copies the benchmark verbatim is contaminated; a
+    disjoint doc has zero overlap; benchmark members are excluded."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),       # benchmark (id%2=0)
+         (1, "alpha beta gamma delta epsilon"),       # verbatim copy
+         (3, "one two three four five six")],         # disjoint
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in benchmark_overlap(
+        _postings(docs), F.col("doc_id") % 2 == 0, tau=0.5).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].contaminated and out[1].overlap_share == 1.0
+    assert (not out[3].contaminated) and out[3].n_overlap == 0
+
+
+def test_per_source_cap_semantics(spark):
+    rows = QUERIES["per_source_cap"](spark, SF_DIR).collect()
+    assert all(r.n_kept <= 20 and r.n_kept <= r.n_total for r in rows)
+    # small sources survive whole; big sources are clipped to the cap
+    assert all(r.n_kept == min(r.n_total, 20) for r in rows)
+    assert all(r.chars_kept >= 0 for r in rows)
+
+
+def test_per_source_cap_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["per_source_cap"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, QUERIES["per_source_cap"](spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_pii_redaction_removes_planted_pii(spark):
+    df = QUERIES["pii_redaction_audit"](spark, SF_DIR)
+    rows = df.collect()
+    # every doc got exactly the planted email + IP (corpus has none)
+    assert all(r.n_emails == 1 and r.n_ips == 1 for r in rows)
+    # and a second pass over the REDACTED text finds nothing
+    from data_ingestion_challenge_spark.plans.llm3 import _EMAIL_RE, _IP_RE
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250 + 1).cast("string"))
+    red = F.regexp_replace(F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"),
+                           _IP_RE, "<IP>")
+    leftovers = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                 .select(red.alias("t"))
+                 .where(F.col("t").rlike(_EMAIL_RE)
+                        | F.col("t").rlike(_IP_RE)))
+    assert leftovers.count() == 0
+
+
+def test_props_variant_total(spark):
+    df = QUERIES["props_variant_agg"](spark, SF_DIR)
+    total = df.agg(F.sum("n")).first()[0]
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert total == n_events
+    assert df.where("k_bucket is null").count() == 0
