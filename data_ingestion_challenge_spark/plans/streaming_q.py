@@ -70,3 +70,23 @@ def streaming_sessionize(cat: Catalog) -> DataFrame:
     end-to-end on the real streaming engine, gated against a batch
     window-function oracle."""
     return run_sessionize_bounded(cat.spark, f"{cat.sf_dir}/events.parquet")
+
+
+@query(
+    "streaming_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def streaming_attribution(cat: Catalog) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase
+    attribution) run end-to-end on the streaming engine, gated against
+    the identical batch interval join in SQL."""
+    return pipeline.run_attribution_bounded(
+        cat.spark, f"{cat.sf_dir}/events.parquet")

@@ -114,3 +114,50 @@ def rate_demo(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         .alias("event_type"),
         (col("value") % 50).cast("double").alias("value"),
     )
+
+
+def run_attribution_bounded(spark: SparkSession, events_path: str) -> DataFrame:
+    """Stream-STREAM interval join on the real engine: each purchase
+    matches the same user's clicks from the preceding 30 minutes
+    (click→purchase attribution).
+
+    Both sides are watermarked and the join condition time-bounds the
+    match window, so the engine can expire join state: a buffered click
+    is dropped once the watermark passes click_ts + 30 min — state is
+    O(watermark horizon × arrival rate), never O(stream history).
+    Append mode (matches emit exactly once).  Bounded drain via
+    availableNow; the batch oracle is the identical interval join in
+    SQL."""
+    name = "stream_attr_" + uuid.uuid4().hex[:8]
+    src = build_source(spark, events_path)
+    clicks = (src.where(col("event_type") == "click")
+              .select(col("event_id").alias("click_id"),
+                      col("user_id").alias("c_user"),
+                      col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "2 hours"))
+    purchases = (build_source(spark, events_path)
+                 .where(col("event_type") == "purchase")
+                 .select(col("event_id").alias("purchase_id"),
+                         col("user_id").alias("user_id"),
+                         col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "2 hours"))
+    joined = purchases.join(
+        clicks,
+        (col("user_id") == col("c_user"))
+        & (col("c_ts") <= col("p_ts"))
+        & (col("c_ts") >= col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner")
+    q = (
+        joined.select(
+            "purchase_id", "click_id", "user_id",
+            ((F.unix_micros(col("p_ts")) - F.unix_micros(col("c_ts")))
+             / F.lit(1_000_000)).cast("long").alias("gap_s"))
+        .writeStream
+        .queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -275,3 +275,40 @@ def test_kafka_stream_raises_without_connector(spark):
     from data_ingestion_challenge_spark.sources.streams import kafka_stream
     with _pytest.raises(ImportError, match="spark-sql-kafka"):
         kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_attribution_join_across_batches(spark, tmp_path):
+    """Stream-stream interval join: clicks arriving in an EARLIER
+    micro-batch than their purchase still match (join state buffers
+    across triggers; maxFilesPerTrigger=1 forces separate batches)."""
+    from datetime import datetime
+
+    from data_ingestion_challenge_spark.streaming.pipeline import (
+        run_attribution_bounded)
+
+    def ev(eid, ts_min, uid, etype):
+        return (eid, datetime(2024, 1, 1, 10, ts_min), uid, etype, 1.0, "{}")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import glob
+    import shutil
+
+    src = str(tmp_path / "ev"); os.makedirs(src)
+
+    def land(name, rows):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(stage)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0],
+                    os.path.join(src, name + ".parquet"))
+
+    # batch 1: two clicks (u1 in-window, u2 will be out of window)
+    land("f1", [ev(1, 0, 1, "click"), ev(2, 0, 2, "click")])
+    # batch 2: u1 purchase 20 min later (match), u2 purchase 40 min
+    # later (outside the 30-min window), u3 purchase with no click
+    land("f2", [ev(3, 20, 1, "purchase"), ev(4, 40, 2, "purchase"),
+                ev(5, 20, 3, "purchase")])
+
+    got = run_attribution_bounded(spark, src).collect()
+    assert [(r.purchase_id, r.click_id, r.user_id, r.gap_s)
+            for r in got] == [(3, 1, 1, 1200)]
