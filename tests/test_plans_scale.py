@@ -68,9 +68,12 @@ NON_EQUI_OK = {
     "funnel_signup_purchase", "avg_acctbal_positive", # 1-row cross joins
     "q11_significant_parts", "q22_idle_rich_customers", # 1-row thresholds
     "range_join_value_bands",                        # 4-row band dim
+    "customer_rfm_segments",                         # 1-row max-date scalar
+    "tfidf_top_terms",                               # 1-row corpus-N scalar
 }
 
-STREAMING = {"streaming_hourly_rollup", "streaming_sessionize", "streaming_dedup"}
+STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",
+             "streaming_dedup", "streaming_attribution"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -124,3 +127,25 @@ def test_time_rollup_single_scan(spark):
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle vocabulary must broadcast — shuffling the
+    100 TB corpus side against a KB-scale eval set would be the classic
+    scale bug."""
+    plan = _plan(spark, "decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_no_shuffle(spark):
+    """Redaction is a narrow map: zero exchanges in the plan."""
+    plan = _plan(spark, "pii_redaction_audit")
+    assert "Exchange" not in plan
+
+
+def test_per_source_cap_single_shuffle(spark):
+    """Rank + aggregate share the `source` partitioning: the aggregate
+    after row_number must not re-shuffle (1 exchange total)."""
+    plan = _plan(spark, "per_source_cap")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
