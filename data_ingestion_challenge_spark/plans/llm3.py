@@ -42,6 +42,7 @@ _BENCH_MOD = 97
            n_overlap / n_shingles >= 0.5 AS contaminated
     FROM per
     """,
+    bench=True,
 )
 def decontaminate_overlap(cat: Catalog) -> DataFrame:
     """Eval-set decontamination: flag corpus docs whose distinct
@@ -180,7 +181,7 @@ def props_variant_agg(cat: Catalog) -> DataFrame:
 
 # ------------------------------------------------- PQ ANN
 
-@query("ann_pq_topk", oracle=None)  # quantized index → rows-only
+@query("ann_pq_topk", oracle=None, bench=True)  # quantized index → rows-only
 def ann_pq_topk(cat: Catalog) -> DataFrame:
     """Product-quantization ANN (see operators/similarity.pq_topk):
     m=8 sub-codebooks → 8 B codes per 64-dim vector, ADC lookup-table

@@ -96,3 +96,38 @@ def test_pq_codebooks_deterministic(spark):
     import numpy as np
     a, b = pq_train(emb, m=8, ksub=16), pq_train(emb, m=8, ksub=16)
     assert a.shape == (8, 16, 8) and np.array_equal(a, b)
+
+
+def test_dq_report_detects_planted_violations(spark, tmp_path):
+    """Corrupt a copy of the tables; every constraint must fire with
+    the exact violation count."""
+    from datetime import datetime
+    sf = str(tmp_path)
+    ev = ("event_id long, ts timestamp, user_id long, event_type string,"
+          " value double, props string")
+    t0 = datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, t0, 1, "click", 1.0, "{}"),
+         (1, t0, 2, "view", 2.0, "{}"),        # dup event_id
+         (3, t0, None, "teleport", -5.0, "{}")],  # null uid, bad type, neg
+        ev).write.parquet(f"{sf}/events.parquet")
+    spark.createDataFrame([(1, 10), (2, 99)], "o_orderkey long, o_custkey long") \
+        .write.parquet(f"{sf}/orders.parquet")          # 99 is an orphan
+    spark.createDataFrame([(10,)], "c_custkey long") \
+        .write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame([(1,), (7,)], "l_orderkey long") \
+        .write.parquet(f"{sf}/lineitem.parquet")        # 7 is an orphan
+    spark.createDataFrame([(1, "abc", 3), (2, "abc", 99)],
+                          "doc_id long, text string, n_chars long") \
+        .write.parquet(f"{sf}/documents.parquet")
+    got = {r.constraint: (r.n_checked, r.n_violations)
+           for r in QUERIES["dq_constraint_report"](spark, sf).collect()}
+    assert got == {
+        "events.event_id unique": (3, 1),
+        "events.user_id not null": (3, 1),
+        "events.event_type in domain": (3, 1),
+        "events.value non-negative": (3, 1),
+        "orders.o_custkey in customer": (2, 1),
+        "lineitem.l_orderkey in orders": (2, 1),
+        "documents.n_chars = len(text)": (2, 1),
+    }
