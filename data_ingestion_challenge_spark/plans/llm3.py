@@ -192,3 +192,28 @@ def ann_pq_topk(cat: Catalog) -> DataFrame:
     # on the synthetic corpus; the re-rank list is constant-size, so
     # its cost is invariant to corpus scale.
     return pq_topk(cat.embeddings, n_queries=10, k=5, ksub=32, rerank=96)
+
+
+# ------------------------------------------------- binary-payload dedup
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_md5, count(*) AS dup_count,
+           min(doc_id) AS keep_doc_id, min(strlen(text)) AS n_bytes
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def multimodal_dedup(cat: Catalog) -> DataFrame:
+    """Exact dedup over OPAQUE BINARY payloads (image/audio dedup by
+    content hash — the first pass of any multimodal pipeline; at 100 TB
+    the md5 collapses map-side so only (hash, count) rows shuffle).
+    The payload here is the utf-8 encoding of `text` (multimodal stub),
+    so the oracle hashes the same bytes via md5(text)."""
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        to_binary_table)
+    bt = to_binary_table(cat.documents)
+    return (bt.groupBy(F.md5(col("payload")).alias("payload_md5"))
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("doc_id").alias("keep_doc_id"),
+                 F.min(col("meta.n_bytes")).alias("n_bytes")))

@@ -149,3 +149,20 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
         zdf = zdf.repartitionByRange(num_files, "_z")
     out = zdf.sortWithinPartitions("_z").drop("_z")
     out.write.mode("overwrite").parquet(path)
+
+
+def read_avro(spark, path: str):
+    """Avro batch reader.  spark-avro is an EXTERNAL module (not on the
+    default classpath); this container ships without the jar, so fail
+    with the exact deploy fix instead of Spark's generic error.  Same
+    pattern as sources/streams.kafka_stream: the code path is real, the
+    connector is a spark-submit flag away."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as ex:  # AnalysisException: failed to find source
+        if "avro" in str(ex).lower():
+            raise ImportError(
+                "spark-avro not on the classpath; launch with "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from ex
+        raise

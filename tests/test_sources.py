@@ -179,3 +179,12 @@ def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
     assert (spark.read.parquet(zpath)
             .where("y between 100 and 110").count()
             == df.where("y between 100 and 110").count())
+
+
+def test_read_avro_raises_actionable_error(spark):
+    """No avro jar in this container: the reader must fail with the
+    deploy instruction, not a bare classpath error."""
+    import pytest
+    from data_ingestion_challenge_spark.sources.files import read_avro
+    with pytest.raises(ImportError, match="--packages"):
+        read_avro(spark, "/tmp/nope.avro")
