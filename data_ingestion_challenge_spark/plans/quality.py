@@ -104,3 +104,72 @@ def dq_constraint_report(cat: Catalog) -> DataFrame:
 
     return (ev_report.unionByName(orders_ref).unionByName(lineitem_ref)
             .unionByName(doc_len))
+
+
+@query(
+    "events_profile",
+    oracle="""
+    SELECT 'event_id' AS column, count(*) AS n,
+           count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS min_num,
+           CAST(max(event_id) AS DOUBLE) AS max_num
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type), NULL, NULL FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value),
+           round(min(value), 4), round(max(value), 4) FROM events
+    UNION ALL
+    SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+           CAST(epoch_us(min(ts)) AS DOUBLE),
+           CAST(epoch_us(max(ts)) AS DOUBLE) FROM events
+    """,
+)
+def events_profile(cat: Catalog) -> DataFrame:
+    """Per-column profile of the ingestion stream (null budget,
+    cardinality, range) — the schema-drift tripwire a pipeline runs
+    before publishing a batch.  ONE scan: all per-column aggregates
+    fuse into a single hash-aggregate pass (the exact distinct counts
+    rewrite to expand+aggregate; swap for approx_count_distinct at
+    100 TB where ±2% is acceptable — same shape, mergeable sketch).
+    Timestamps profile as epoch micros: engine-portable, no string
+    formatting parity trap."""
+    ev = cat.events
+    a = ev.agg(
+        F.count("*").alias("n"),
+        *[x for c in ("event_id", "user_id", "event_type", "value", "ts")
+          for x in ((F.count("*") - F.count(c)).alias(f"null_{c}"),
+                    F.countDistinct(c).alias(f"nd_{c}"))],
+        F.min("event_id").alias("mn_event_id"),
+        F.max("event_id").alias("mx_event_id"),
+        F.min("user_id").alias("mn_user_id"),
+        F.max("user_id").alias("mx_user_id"),
+        F.round(F.min("value"), 4).alias("mn_value"),
+        F.round(F.max("value"), 4).alias("mx_value"),
+        F.unix_micros(F.min("ts")).alias("mn_ts"),
+        F.unix_micros(F.max("ts")).alias("mx_ts"))
+
+    def prof(name, mn, mx):
+        return F.struct(
+            F.lit(name).alias("column"), col("n").alias("n"),
+            col(f"null_{name}").alias("n_null"),
+            col(f"nd_{name}").alias("n_distinct"),
+            (mn.cast("double") if mn is not None
+             else F.lit(None).cast("double")).alias("min_num"),
+            (mx.cast("double") if mx is not None
+             else F.lit(None).cast("double")).alias("max_num"))
+
+    rows = [prof("event_id", col("mn_event_id"), col("mx_event_id")),
+            prof("user_id", col("mn_user_id"), col("mx_user_id")),
+            prof("event_type", None, None),
+            prof("value", col("mn_value"), col("mx_value")),
+            prof("ts", col("mn_ts"), col("mx_ts"))]
+    return a.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
