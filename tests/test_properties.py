@@ -231,3 +231,40 @@ def test_ppjoin_exact_across_thresholds(spark, docs, tau):
             if a and b and len(a & b) / len(a | b) >= tau:
                 want.add((i, j))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus)
+def test_benchmark_overlap_equals_naive_set_math(spark, docs):
+    """Decontamination shares equal naive per-doc set intersection
+    against the pooled benchmark shingle vocabulary."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.operators.dedup import (
+        _postings, benchmark_overlap)
+
+    n = 3
+    shingles = [
+        {" ".join(d[i:i + n]) for i in range(len(d) - n + 1)}
+        for d in docs]
+    bench_vocab = set().union(
+        *(s for i, s in enumerate(shingles) if i % 2 == 0)) \
+        if any(i % 2 == 0 for i in range(len(docs))) else set()
+    expect = {
+        i: (len(s), len(s & bench_vocab))
+        for i, s in enumerate(shingles) if i % 2 == 1 and s}
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_overlap)
+           for r in benchmark_overlap(
+               _postings(df, n), F.col("doc_id") % 2 == 0, tau=0.5)
+           .collect()}
+    assert got == expect
+    # share bounds + flag consistency re-derived from the counts
+    for r in benchmark_overlap(_postings(df, n),
+                               F.col("doc_id") % 2 == 0).collect():
+        assert 0.0 <= r.overlap_share <= 1.0
+        assert r.contaminated == (r.n_overlap / r.n_shingles >= 0.5)
