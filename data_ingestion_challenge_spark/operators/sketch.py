@@ -36,30 +36,38 @@ def _bucket(h: "F.Column", a: int, b: int) -> "F.Column":
     return (lit(a) * h + lit(b)) % lit(H.MINHASH_P) % lit(CMS_W)
 
 
-def cms_user_topk(events: DataFrame, k: int = 10) -> DataFrame:
-    """Heavy hitters by event count via count-min sketch: returns
-    (user_id, est_count) for the k users with the largest estimates,
-    ties broken by user_id."""
+def _hash_buckets() -> "F.Column":
+    """d (i, bucket) pairs for the md5-derived hash of the current
+    `_h` column — shared by sketch build and probe."""
     params = H.minhash_params(CMS_D)
-    h = H.h32(col("user_id").cast("string"))
+    return F.explode(F.array(*[
+        F.struct(lit(i).alias("i"), _bucket(col("_h"), a, b).alias("bucket"))
+        for i, (a, b) in enumerate(params)])).alias("e")
 
-    hashed = events.select(h.alias("_h"))
-    sketch = (
-        hashed.select(F.explode(F.array(*[
-            F.struct(lit(i).alias("i"), _bucket(col("_h"), a, b).alias("bucket"))
-            for i, (a, b) in enumerate(params)])).alias("e"))
+
+def user_hash() -> "F.Column":
+    return H.h32(col("user_id").cast("string"))
+
+
+def cms_build(events: DataFrame) -> DataFrame:
+    """The sketch as a table: (i, bucket, c) with ≤ d·w rows.  Works
+    identically on a batch frame or a streaming source (the groupBy
+    is the mergeable state)."""
+    return (
+        events.select(user_hash().alias("_h"))
+        .select(_hash_buckets())
         .groupBy(col("e.i").alias("i"), col("e.bucket").alias("bucket"))
         .agg(F.count("*").alias("c"))
     )
 
-    users = (events.select("user_id").distinct()
-             .withColumn("_h", h))
-    probes = users.select(
-        "user_id",
-        F.explode(F.array(*[
-            F.struct(lit(i).alias("i"), _bucket(col("_h"), a, b).alias("bucket"))
-            for i, (a, b) in enumerate(params)])).alias("e")) \
-        .select("user_id", col("e.i").alias("i"), col("e.bucket").alias("bucket"))
+
+def cms_probe(sketch: DataFrame, users: DataFrame, k: int = 10) -> DataFrame:
+    """Serve top-k from a (possibly streamed-in) sketch table: probe
+    each candidate's d buckets, estimate = min counter."""
+    probes = (users.withColumn("_h", user_hash())
+              .select("user_id", _hash_buckets())
+              .select("user_id", col("e.i").alias("i"),
+                      col("e.bucket").alias("bucket")))
     return (
         probes.join(F.broadcast(sketch), ["i", "bucket"])
         .groupBy("user_id")
@@ -67,6 +75,14 @@ def cms_user_topk(events: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(col("est_count").desc(), "user_id")
         .limit(k)
     )
+
+
+def cms_user_topk(events: DataFrame, k: int = 10) -> DataFrame:
+    """Heavy hitters by event count via count-min sketch: returns
+    (user_id, est_count) for the k users with the largest estimates,
+    ties broken by user_id."""
+    return cms_probe(cms_build(events),
+                     events.select("user_id").distinct(), k)
 
 
 def cms_oracle_sql(k: int = 10) -> str:

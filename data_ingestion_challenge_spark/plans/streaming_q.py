@@ -90,3 +90,14 @@ def streaming_attribution(cat: Catalog) -> DataFrame:
     the identical batch interval join in SQL."""
     return pipeline.run_attribution_bounded(
         cat.spark, f"{cat.sf_dir}/events.parquet")
+
+
+@query("streaming_cms_topk", oracle=None)  # gated in-plan vs batch sketch
+def streaming_cms_topk(cat: Catalog) -> DataFrame:
+    """CMS built by the streaming engine, served batch-side.  The
+    estimates are bit-identical to the batch sketch (same md5 hashing,
+    same bucket sums), so cms_heavy_hitters' oracle covers the math;
+    this entry proves the BUILD runs as constant-state streaming
+    aggregation.  (Declared rows-only: the driver's DuckDB run cannot
+    host a streaming query; tests assert equality to the batch CMS.)"""
+    return pipeline.run_cms_bounded(cat.spark, f"{cat.sf_dir}/events.parquet")

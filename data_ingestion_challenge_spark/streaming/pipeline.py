@@ -161,3 +161,32 @@ def run_attribution_bounded(spark: SparkSession, events_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_cms_bounded(spark: SparkSession, events_path: str,
+                    k: int = 10) -> DataFrame:
+    """Count-min sketch ON the streaming engine: the bucket aggregate
+    (operators/sketch.cms_build) runs as a streaming groupBy whose
+    entire state is the fixed d·w = 1024 counters — the textbook
+    mergeable-sketch stream: state size is CONSTANT in stream length,
+    and every micro-batch's contribution merges by bucket-wise sum.
+
+    Bounded drain (availableNow, complete mode) yields the final
+    sketch table; top-k serving is the batch-side probe against it —
+    exactly how a production deployment splits build (continuous) from
+    serve (on demand)."""
+    from data_ingestion_challenge_spark.operators import sketch as SK
+
+    name = "stream_cms_" + uuid.uuid4().hex[:8]
+    q = (
+        SK.cms_build(build_source(spark, events_path))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    users = spark.read.parquet(events_path).select("user_id").distinct()
+    return SK.cms_probe(spark.table(name), users, k)

@@ -312,3 +312,13 @@ def test_attribution_join_across_batches(spark, tmp_path):
     got = run_attribution_bounded(spark, src).collect()
     assert [(r.purchase_id, r.click_id, r.user_id, r.gap_s)
             for r in got] == [(3, 1, 1, 1200)]
+
+
+def test_streaming_cms_equals_batch_sketch(spark):
+    """The stream-built sketch serves IDENTICAL top-k estimates to the
+    batch count-min sketch (bucket-wise merge is exact)."""
+    from data_ingestion_challenge_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+    got = QUERIES["streaming_cms_topk"](spark, SF_DIR).collect()
+    want = QUERIES["cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
