@@ -217,3 +217,60 @@ def multimodal_dedup(cat: Catalog) -> DataFrame:
             .agg(F.count("*").alias("dup_count"),
                  F.min("doc_id").alias("keep_doc_id"),
                  F.min(col("meta.n_bytes")).alias("n_bytes")))
+
+
+# ------------------------------------------------- dedup keep-list
+
+@query(
+    "dedup_keep_list",
+    # Terminal decision of the dedup pipeline: every vec keeps iff it
+    # is its cluster's survivor (min id); singletons (no near-dup
+    # pair) always keep.  Oracle extends the dedup_clusters recursive
+    # CTE with the keep verdict over ALL corpus members.
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+            list_sum(list_transform(range(1, 65),
+                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+             * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))),
+            4) >= 0.4
+    ), edges AS (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION SELECT vb, va FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), clusters AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+           (c.cluster_id IS NULL OR c.cluster_id = e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.id
+    """,
+)
+def dedup_keep_list(cat: Catalog) -> DataFrame:
+    """The dedup pipeline's OUTPUT: per corpus member, its cluster and
+    the keep/drop verdict (keep = cluster survivor, min id; singletons
+    trivially keep).  The left join back to the corpus is keyed on id
+    — at 100 TB the cluster table (≪ corpus: only members of some
+    near-dup pair) broadcasts or buckets; everything upstream reuses
+    dedup_clusters' shuffle discipline."""
+    from data_ingestion_challenge_spark.operators.graph import (
+        connected_components)
+    from data_ingestion_challenge_spark.operators import similarity as S
+
+    pairs = S.embedding_cosine_pairs(cat.embeddings, tau=0.4)
+    clusters = connected_components(pairs, "vec_a", "vec_b")
+    base = cat.embeddings.select("vec_id")
+    joined = base.join(F.broadcast(clusters),
+                       base["vec_id"] == clusters["id"], "left")
+    return joined.select(
+        "vec_id",
+        F.coalesce(col("cluster_id"), col("vec_id")).alias("cluster_id"),
+        (col("cluster_id").isNull() | (col("cluster_id") == col("vec_id")))
+        .alias("keep"))

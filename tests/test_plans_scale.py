@@ -64,6 +64,7 @@ def test_token_counts_prunes_text_table(spark):
 NON_EQUI_OK = {
     "rolling_7d_dau", "signup_cohort_retention",     # range joins
     "dedup_embedding_cosine", "dedup_clusters",      # all-pairs by design
+    "dedup_keep_list",                               # same all-pairs core
     "ann_bruteforce_topk",                           # broadcast q × corpus
     "funnel_signup_purchase", "avg_acctbal_positive", # 1-row cross joins
     "q11_significant_parts", "q22_idle_rich_customers", # 1-row thresholds
