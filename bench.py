@@ -40,18 +40,17 @@ def main() -> None:
             except Exception:
                 pass  # a warm-up failure must never kill the bench
 
-    # min of 2 measured runs per query: the box carries variable
-    # external load (observed 2-8× swings); the minimum is the
-    # best available steady-state throughput estimate.
+    # median of 3 measured runs per query: the box carries variable
+    # external load (observed 2-8× swings); the median keeps one noise
+    # spike from reading as a regression when rounds are compared.
     for name, q in bench_queries.items():
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q(spark, sf_dir)
             df.count()  # full execution; avoids collect-to-driver cost
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -87,3 +87,13 @@ class Engine:
             run_incremental_rollup,
         )
         run_incremental_rollup(self.spark, events_path, out_dir, checkpoint)
+
+    # ------------------------------------------------------- lifecycle
+    def close(self) -> None:
+        """Release executor storage held on this engine's behalf (the
+        shared posting cache).  The SparkSession itself is NOT stopped —
+        it may be shared with other engines."""
+        from data_ingestion_challenge_spark.plans.llm import (
+            clear_posting_cache,
+        )
+        clear_posting_cache()

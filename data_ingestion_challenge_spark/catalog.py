@@ -39,10 +39,27 @@ def normalize_ts(df: DataFrame) -> DataFrame:
 class Catalog:
     """Lazy view of one scale-factor directory."""
 
+    # Confs the testdata requires regardless of who built the session.
+    # Callers (the correctness driver included) hand us a vanilla
+    # SparkSession; both confs are runtime-settable, so set them here
+    # rather than relying on session.py's builder having run.
+    _REQUIRED_CONFS = (
+        # events.ts is INT64 TIMESTAMP(NANOS) — unreadable without this.
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # Deterministic wall-clock rendering to match the DuckDB oracle.
+        ("spark.sql.session.timeZone", "UTC"),
+    )
+
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        for key, value in self._REQUIRED_CONFS:
+            try:
+                if spark.conf.get(key, None) != value:
+                    spark.conf.set(key, value)
+            except Exception:
+                spark.conf.set(key, value)
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:

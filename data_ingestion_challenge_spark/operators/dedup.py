@@ -88,6 +88,12 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     identical results to the naive join, no false negatives."""
     if posting is None:
         posting = _postings(documents, n)
+    # Float roundoff guard: at J exactly = τ the bounds hit integers
+    # (τ·n = 4 computes as 4.0000000000000002, ceil→5) and the filters
+    # silently drop a true pair.  Every ε below LOOSENS a bound, so it
+    # can only admit extra candidates — the exact verification still
+    # decides membership; no false negatives, by construction.
+    eps = 1e-9
     # df / set size / frequency-rank in two window passes (shuffle on
     # s, then on doc_id) instead of three groupBy+join round-trips.
     pp = (
@@ -98,7 +104,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
             Window.partitionBy("doc_id").orderBy("_df", "s")))
     )
     prefix = (
-        pp.where(col("_pos") <= F.floor((1 - tau) * col("n")) + 1)
+        pp.where(col("_pos") <= F.floor((1 - tau) * col("n") + eps) + 1)
         .select("doc_id", "s", "n", "_pos")
     )
     # PPJoin candidate filters — both EXACT (no false negatives):
@@ -108,12 +114,12 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     #  intersection J ≥ τ implies.
     x, y = prefix.alias("x"), prefix.alias("y")
     nx, ny = col("x.n"), col("y.n")
-    min_inter = F.ceil((tau / (1 + tau)) * (nx + ny))
+    min_inter = F.ceil((tau / (1 + tau)) * (nx + ny) - eps)
     ubound = 1 + F.least(nx - col("x._pos"), ny - col("y._pos"))
     cand = (
         x.join(y, "s")
         .where((col("x.doc_id") < col("y.doc_id"))
-               & (ny >= tau * nx) & (nx >= tau * ny)
+               & (ny >= tau * nx - eps) & (nx >= tau * ny - eps)
                & (ubound >= min_inter))
         .select(col("x.doc_id").alias("doc_a"),
                 col("y.doc_id").alias("doc_b"))

@@ -172,8 +172,8 @@ def json_props_extract(cat: Catalog) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM seq
     )
     SELECT user_id, session_seq, count(*) AS n_events,

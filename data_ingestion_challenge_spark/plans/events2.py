@@ -18,11 +18,11 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "pivot_daily_event_counts",
     oracle="""
     SELECT date_trunc('day', ts)::TIMESTAMP AS day_ts,
-           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY date_trunc('day', ts)::TIMESTAMP
     """,
 )

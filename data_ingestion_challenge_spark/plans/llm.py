@@ -42,16 +42,37 @@ def dedup_exact(cat: Catalog) -> DataFrame:
 # The persisted shingle posting table is the shared input of the
 # Jaccard / MinHash / SimHash pipelines — at cluster scale you
 # materialize it ONCE (checkpoint/table) and fan the dedup variants out
-# from it.  Cache per (session, sf_dir): one split+explode+distinct
+# from it.  Cache per (application, sf_dir): one split+explode+distinct
 # instead of three when several dedup queries run in one session.
+# Keyed by applicationId (stable; id(spark) can be re-used after GC)
+# and bounded: beyond _POSTING_CACHE_MAX entries the oldest is
+# unpersisted and evicted, so executor storage can't leak across many
+# Engine instances in a long-lived application.
 _POSTING_CACHE: dict = {}
+_POSTING_CACHE_MAX = 4
 
 
 def _shared_postings(cat: Catalog, n: int = 3):
-    key = (id(cat.spark), cat.sf_dir, n)
+    key = (cat.spark.sparkContext.applicationId, cat.sf_dir, n)
     if key not in _POSTING_CACHE:
+        while len(_POSTING_CACHE) >= _POSTING_CACHE_MAX:
+            old = _POSTING_CACHE.pop(next(iter(_POSTING_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # its session may already be stopped
         _POSTING_CACHE[key] = D._postings(cat.documents, n)
     return _POSTING_CACHE[key]
+
+
+def clear_posting_cache() -> None:
+    """Unpersist and evict every cached posting table (Engine close)."""
+    for df in _POSTING_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _POSTING_CACHE.clear()
 
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc.
@@ -423,7 +444,7 @@ def doc_winnow_fingerprints(cat: Catalog) -> DataFrame:
     )
     SELECT bg.doc_id,
            count(*) AS n_bigrams,
-           sum(freq.c) AS familiarity_sum,
+           CAST(sum(freq.c) AS BIGINT) AS familiarity_sum,
            round(sum(freq.c) / count(*), 4) AS familiarity
     FROM bg JOIN freq USING (b)
     GROUP BY bg.doc_id

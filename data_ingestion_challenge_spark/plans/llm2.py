@@ -47,7 +47,7 @@ def _tokens(cat: Catalog) -> DataFrame:
                   lead(word) OVER (PARTITION BY doc_id ORDER BY pos) nxt
            FROM t),
     pw AS (SELECT doc_id, word, count(*) c FROM t2 GROUP BY 1, 2),
-    a1 AS (SELECT doc_id, max(c) top_cnt, sum(c) n_tokens
+    a1 AS (SELECT doc_id, max(c) top_cnt, CAST(sum(c) AS BIGINT) n_tokens
            FROM pw GROUP BY 1),
     a2 AS (SELECT doc_id,
                   count(DISTINCT word || ' ' || nxt) n_distinct_bi,
@@ -136,7 +136,8 @@ def stratified_sample_by_lang(cat: Catalog) -> DataFrame:
     "corpus_sampling_weights",
     oracle="""
     WITH lt AS (SELECT lang, count(*) n_docs,
-                       sum(len(string_split(text, ' '))) n_tokens
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           n_tokens
                 FROM documents GROUP BY lang)
     SELECT lang, n_docs, n_tokens,
            round(n_tokens / sum(n_tokens) OVER (), 4) AS token_share,

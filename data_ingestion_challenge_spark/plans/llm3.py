@@ -58,6 +58,7 @@ def decontaminate_overlap(cat: Catalog) -> DataFrame:
 # ------------------------------------------------- per-source caps
 
 _CAP = 20
+_CAP_SALTS = 16
 
 @query(
     "per_source_cap",
@@ -71,7 +72,8 @@ _CAP = 20
     SELECT source,
            count(*) AS n_total,
            count(*) FILTER (rk <= {_CAP}) AS n_kept,
-           coalesce(sum(n_chars) FILTER (rk <= {_CAP}), 0) AS chars_kept
+           CAST(coalesce(sum(n_chars) FILTER (rk <= {_CAP}), 0) AS BIGINT)
+               AS chars_kept
     FROM ranked GROUP BY source
     """,
 )
@@ -79,21 +81,37 @@ def per_source_cap(cat: Catalog) -> DataFrame:
     """Per-source document caps (CommonCrawl-style anti-domination: no
     single domain may contribute more than N docs).  Selection is a
     deterministic uniform sample — rank by md5(doc_id) within source —
-    so reruns keep the same docs.  One shuffle on `source`; at 100 TB
-    source-skew is the hazard, and row_number over the skewed source
-    still single-tasks — for hot domains switch the rank key to the
-    md5 THRESHOLD form (keep iff md5 < cap/total quantile), which is a
-    zero-shuffle map like stratified_sample_by_lang."""
-    w = (Window.partitionBy("source")
-         .orderBy(F.md5(col("doc_id").cast("string")), "doc_id"))
-    kept = col("rk") <= _CAP
-    return (cat.documents
-            .withColumn("rk", F.row_number().over(w))
+    so reruns keep the same docs.
+
+    Skew-proof EXACT top-N per key (two-phase): a plain row_number
+    over `source` single-tasks a hot domain (the r1 scale-killer); here
+    each doc first ranks within (source, salt) — the largest task is
+    hot_source/SALTS — and only the per-salt top-CAP survive (a doc in
+    the global top-CAP of its source is in its salt group's top-CAP, so
+    no candidate is lost).  The exact rank then runs over ≤ SALTS×CAP
+    rows per source.  Totals come from a partially-aggregated count
+    (map-side combine absorbs the skew)."""
+    docs = cat.documents.select("source", "doc_id", "n_chars")
+    key = F.md5(col("doc_id").cast("string"))
+    salt = F.pmod(F.xxhash64(col("doc_id")), F.lit(_CAP_SALTS))
+    local = Window.partitionBy("source", "_salt").orderBy("_k", "doc_id")
+    exact = Window.partitionBy("source").orderBy("_k", "doc_id")
+    kept = (docs
+            .withColumn("_k", key).withColumn("_salt", salt)
+            .withColumn("_lrk", F.row_number().over(local))
+            .where(col("_lrk") <= _CAP)
+            .withColumn("_rk", F.row_number().over(exact))
+            .where(col("_rk") <= _CAP)
             .groupBy("source")
-            .agg(F.count("*").alias("n_total"),
-                 F.count(F.when(kept, 1)).alias("n_kept"),
-                 F.coalesce(F.sum(F.when(kept, col("n_chars"))), F.lit(0))
-                 .alias("chars_kept")))
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").alias("chars_kept")))
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    return (totals.join(kept, "source", "left")
+            .select("source", "n_total",
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                    .alias("n_kept"),
+                    F.coalesce("chars_kept", F.lit(0).cast("long"))
+                    .alias("chars_kept")))
 
 
 # ------------------------------------------------- PII redaction
@@ -231,12 +249,11 @@ def multimodal_dedup(cat: Catalog) -> DataFrame:
     WITH RECURSIVE pairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(
-            list_sum(list_transform(range(1, 65),
+        WHERE list_sum(list_transform(range(1, 65),
                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
             / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
-             * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))),
-            4) >= 0.4
+             * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))
+            >= 0.4
     ), edges AS (
         SELECT va AS src, vb AS dst FROM pairs
         UNION SELECT vb, va FROM pairs

@@ -200,7 +200,8 @@ def q10_returned_items(cat: Catalog) -> DataFrame:
                CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
                row_number() OVER (
                    PARTITION BY p_brand
-                   ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, p_partkey
+                   ORDER BY sum(CAST((l_extendedprice * (1 - l_discount))
+                                AS DECIMAL(30,6))) DESC, p_partkey
                ) AS rk
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand, p_partkey

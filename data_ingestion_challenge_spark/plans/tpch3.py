@@ -132,8 +132,8 @@ def q17_small_quantity_revenue(cat: Catalog) -> DataFrame:
     oracle="""
     WITH ps AS (
         SELECT l_partkey, l_suppkey,
-               sum(CAST(round(l_extendedprice * 1000000) AS BIGINT))
-                 // sum(CAST(round(l_quantity) AS BIGINT)) AS unit_price_micros
+               CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT))
+                 // sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS unit_price_micros
         FROM lineitem GROUP BY l_partkey, l_suppkey
     ), ranked AS (
         SELECT *, row_number() OVER (PARTITION BY l_partkey
@@ -297,7 +297,8 @@ def q22_idle_rich_customers(cat: Catalog) -> DataFrame:
     # are integral → exact comparisons).
     oracle="""
     WITH shipped AS (
-        SELECT l_suppkey, sum(CAST(round(l_quantity) AS BIGINT)) AS promo_qty
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS promo_qty
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE p_type = 'PROMO'

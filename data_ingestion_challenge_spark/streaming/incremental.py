@@ -15,10 +15,15 @@ The merged frame is materialized (localCheckpoint) BEFORE the write so
 the read-modify-write on the same path can't race its own lazy scan.
 
 On a lake with ACID tables this maps 1:1 to `MERGE INTO`; plain
-parquet + dynamic overwrite is the dependency-free equivalent with
-idempotency provided by the streaming checkpoint (a replayed batch
-re-merges the same increments onto the pre-write snapshot only if the
-write never committed — foreachBatch + batchId gating below).
+parquet + dynamic overwrite is the dependency-free equivalent.  Replay
+idempotency: every sink row carries ``last_batch_id``, the id of the
+batch that last rewrote its day partition.  The unit of overwrite IS
+the day partition, so gating is per-day — a replayed batch (write
+committed, checkpoint commit lost) skips the days whose partitions
+already carry its id and re-merges only the days the crash left
+behind.  (Restarting a stream with a FRESH checkpoint against an
+existing sink resets batch ids and would wrongly skip — reuse the
+checkpoint, as the streaming engine requires anyway.)
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 ROLLUP_SCHEMA = "day_ts timestamp, n_events bigint, value_sum_micros bigint"
+_SINK_SCHEMA = ROLLUP_SCHEMA + ", last_batch_id bigint"
 
 
 def _day_agg(df: DataFrame) -> DataFrame:
@@ -41,6 +47,53 @@ def _day_agg(df: DataFrame) -> DataFrame:
     )
 
 
+def merge_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch upsert: aggregate the batch per day, merge onto
+    the sink's current rows for the touched days, dynamic-overwrite
+    only those day partitions.  Module-level (not a closure) so the
+    replay gate is directly testable."""
+    spark_b = batch_df.sparkSession
+    inc = _day_agg(batch_df).localCheckpoint()
+    days = [r["day_ts"] for r in inc.select("day_ts").distinct().collect()]
+    if not days:
+        return
+    try:
+        # partition discovery appends `day` beyond the explicit
+        # schema — drop it before merging with the increment
+        current = (spark_b.read.schema(_SINK_SCHEMA).parquet(out_dir)
+                   .where(col("day_ts").isin(days))
+                   .drop("day")
+                   .localCheckpoint())
+    except Exception:          # first batch: sink doesn't exist yet
+        current = spark_b.createDataFrame([], _SINK_SCHEMA)
+    # Replay gate: a day whose partition already carries this batch_id
+    # was fully rewritten before the crash — merging the increment
+    # again would double-count it.
+    done = [r["day_ts"] for r in
+            current.where(col("last_batch_id") >= batch_id)
+            .select("day_ts").distinct().collect()]
+    if done:
+        inc = inc.where(~col("day_ts").isin(done))
+        current = current.where(~col("day_ts").isin(done))
+        if not inc.take(1):
+            return
+    merged = (
+        current.drop("last_batch_id").unionByName(inc)
+        .groupBy("day_ts")
+        .agg(F.sum("n_events").alias("n_events"),
+             F.sum("value_sum_micros").alias("value_sum_micros"))
+        .withColumn("last_batch_id", F.lit(batch_id).cast("bigint"))
+        .localCheckpoint()     # materialize BEFORE overwriting source files
+    )
+    prev = spark_b.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.withColumn("day", F.date_format("day_ts", "yyyy-MM-dd"))
+         .write.mode("overwrite").partitionBy("day").parquet(out_dir))
+    finally:
+        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def run_incremental_rollup(spark: SparkSession, events_path: str,
                            out_dir: str, checkpoint: str) -> None:
     """Drain the bounded source, maintaining a per-day rollup at
@@ -49,33 +102,7 @@ def run_incremental_rollup(spark: SparkSession, events_path: str,
     from data_ingestion_challenge_spark.streaming.pipeline import build_source
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark_b = batch_df.sparkSession
-        inc = _day_agg(batch_df).localCheckpoint()
-        days = [r["day_ts"] for r in inc.select("day_ts").distinct().collect()]
-        if not days:
-            return
-        try:
-            # partition discovery appends `day` beyond the explicit
-            # schema — drop it before merging with the increment
-            current = (spark_b.read.schema(ROLLUP_SCHEMA).parquet(out_dir)
-                       .where(col("day_ts").isin(days))
-                       .drop("day"))
-        except Exception:          # first batch: sink doesn't exist yet
-            current = spark_b.createDataFrame([], ROLLUP_SCHEMA)
-        merged = (
-            current.unionByName(inc)
-            .groupBy("day_ts")
-            .agg(F.sum("n_events").alias("n_events"),
-                 F.sum("value_sum_micros").alias("value_sum_micros"))
-            .localCheckpoint()     # materialize BEFORE overwriting source files
-        )
-        prev = spark_b.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (merged.withColumn("day", F.date_format("day_ts", "yyyy-MM-dd"))
-             .write.mode("overwrite").partitionBy("day").parquet(out_dir))
-        finally:
-            spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        merge_batch(batch_df, batch_id, out_dir)
 
     q = (
         build_source(spark, events_path)
@@ -89,6 +116,6 @@ def run_incremental_rollup(spark: SparkSession, events_path: str,
 
 
 def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
-    return (spark.read.schema(ROLLUP_SCHEMA + ", day string")
+    return (spark.read.schema(_SINK_SCHEMA + ", day string")
             .parquet(out_dir)
             .select("day_ts", "n_events", "value_sum_micros"))

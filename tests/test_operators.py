@@ -217,3 +217,17 @@ def test_ivf_trained_centroids_full_probe_exact(spark, cat):
     bf = {tuple(r) for r in
           S.brute_force_topk(cat.embeddings, n_queries=5, k=3).collect()}
     assert ivf == bf
+
+
+def test_blocked_cosine_pairs_block_invariant(spark, cat):
+    """The blocked-gemm all-pairs must be block-size invariant: B=1
+    (single gemm) and B>1 (cross-block groups) emit the same pair set —
+    the cross-block/within-block bookkeeping is where the bugs live."""
+    from data_ingestion_challenge_spark.operators import similarity as S
+
+    one = sorted(tuple(r) for r in S.embedding_cosine_pairs(
+        cat.embeddings, tau=0.4, block=10_000).collect())
+    multi = sorted(tuple(r) for r in S.embedding_cosine_pairs(
+        cat.embeddings, tau=0.4, block=64).collect())
+    assert one == multi
+    assert len(one) > 0

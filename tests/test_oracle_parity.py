@@ -43,6 +43,18 @@ ORACLED = [q for q in QUERIES.values() if q.oracle]
 
 
 @pytest.mark.parametrize("q", ORACLED, ids=[q.name for q in ORACLED])
+def test_oracle_emits_no_hugeint(q):
+    """DuckDB sum() over integers returns HUGEINT (int128); the driver's
+    value-hasher distinguishes it from Spark's int64 even when every
+    value is equal (r1: q12/q2/q20 failed on exactly this).  Every
+    integer sum in oracle SQL must be CAST(... AS BIGINT) — including
+    window sums surfaced as output columns."""
+    types = [str(t) for t in _duck().sql(q.oracle).types]
+    assert not any("HUGEINT" in t or "INT128" in t for t in types), (
+        f"{q.name}: oracle emits {types}")
+
+
+@pytest.mark.parametrize("q", ORACLED, ids=[q.name for q in ORACLED])
 def test_matches_oracle(q, spark):
     sdf = q(spark, SF_DIR)
     scols = sdf.columns

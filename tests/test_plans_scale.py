@@ -63,8 +63,9 @@ def test_token_counts_prunes_text_table(spark):
 # pair generation, scalar-subquery cross joins on 1-row sides).
 NON_EQUI_OK = {
     "rolling_7d_dau", "signup_cohort_retention",     # range joins
-    "dedup_embedding_cosine", "dedup_clusters",      # all-pairs by design
-    "dedup_keep_list",                               # same all-pairs core
+    # dedup_embedding_cosine / dedup_clusters / dedup_keep_list were
+    # whitelisted here in r1 (all-pairs BNLJ); the blocked-gemm rewrite
+    # (operators/similarity.py:embedding_cosine_pairs) removed the need.
     "ann_bruteforce_topk",                           # broadcast q × corpus
     "funnel_signup_purchase", "avg_acctbal_positive", # 1-row cross joins
     "q11_significant_parts", "q22_idle_rich_customers", # 1-row thresholds
@@ -145,8 +146,13 @@ def test_pii_redaction_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
-def test_per_source_cap_single_shuffle(spark):
-    """Rank + aggregate share the `source` partitioning: the aggregate
-    after row_number must not re-shuffle (1 exchange total)."""
+def test_per_source_cap_salted_topk(spark):
+    """Skew-proof exact top-N per key: the FIRST rank pass must
+    partition on (source, _salt) — a window over bare `source` ahead
+    of the salted prefilter would single-task a hot domain (the r1
+    weakness).  The exact `source` rank may only run on the ≤
+    SALTS×CAP salted survivors."""
     plan = _plan(spark, "per_source_cap")
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("_salt" in p and "source" in p for p in parts), \
+        f"no (source, _salt) shuffle — hot-source rank unsalted: {parts}"

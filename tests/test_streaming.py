@@ -169,6 +169,31 @@ def test_incremental_rollup_equals_recompute(spark, tmp_path, cat):
     assert rollup_now() == batch_ref(full)
 
 
+def test_incremental_rollup_replay_is_idempotent(spark, tmp_path, cat):
+    """A replayed micro-batch (write committed, checkpoint commit lost)
+    must NOT double-count: every sink row carries last_batch_id and a
+    day whose partition already holds the replayed id is skipped."""
+    from data_ingestion_challenge_spark.streaming.incremental import (
+        merge_batch, read_rollup)
+
+    out = str(tmp_path / "rollup")
+    batch = cat.events.orderBy("event_id").limit(300).localCheckpoint()
+
+    def snapshot():
+        return {(r["day_ts"], r["n_events"], r["value_sum_micros"])
+                for r in read_rollup(spark, out).collect()}
+
+    merge_batch(batch, 0, out)
+    before = snapshot()
+    # replay of batch 0 against the committed sink: must be a no-op
+    merge_batch(batch, 0, out)
+    assert snapshot() == before
+    # a genuinely NEW batch still merges
+    merge_batch(batch, 1, out)
+    doubled = {(d, 2 * n, 2 * v) for d, n, v in before}
+    assert snapshot() == doubled
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Late-data semantics end-to-end: an event arriving after the
     watermark passed its window is DROPPED — the finalized window's
