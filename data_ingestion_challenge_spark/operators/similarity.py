@@ -88,6 +88,85 @@ def _bucket(vec, planes) -> "F.Column":
     return sig
 
 
+# Shared DuckDB cosine between two aliased embedding columns — same
+# dot/(|a||b|) formula the Arrow-batched scorer computes.
+def _dk_cos(a: str, b: str) -> str:
+    def _nrm(t: str) -> str:
+        return (f"sqrt(list_sum(list_transform({t}.embedding::DOUBLE[],"
+                " x -> x*x)))")
+    return (f"list_dot_product({a}.embedding::DOUBLE[],"
+            f" {b}.embedding::DOUBLE[]) / ({_nrm(a)} * {_nrm(b)})")
+
+
+def lsh_oracle_sql(n_queries: int = 10, k: int = 5, bits: int = 4,
+                   dim: int = 64) -> str:
+    """DuckDB twin of lsh_topk: the seeded hyperplanes are model
+    CONSTANTS (like cms_oracle_sql's hash params), so they embed as
+    literal arrays and the whole index — sign signature, bucket join,
+    cosine rank — replays exactly in SQL."""
+    planes = _hyperplanes(dim, bits)
+    vals = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in p))
+        for i, p in enumerate(planes))
+    return f"""
+    WITH planes(i, p) AS (VALUES {vals}),
+    sig AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                   pl.p) > 0
+                        THEN (1::BIGINT << pl.i) ELSE 0 END)
+                    AS BIGINT) AS bkt
+        FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               {_dk_cos('q', 'd')} AS cs
+        FROM sig sq
+        JOIN embeddings q ON q.vec_id = sq.vec_id
+                         AND sq.vec_id < {n_queries}
+        JOIN sig sd ON sd.bkt = sq.bkt AND sd.vec_id <> sq.vec_id
+        JOIN embeddings d ON d.vec_id = sd.vec_id
+    )
+    SELECT query_id, neighbor_id, rk, round(cs, 4) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+def ivf_oracle_sql(n_queries: int = 10, k: int = 5, nlist: int = 16,
+                   nprobe: int = 4) -> str:
+    """DuckDB twin of ivf_topk with the default training-free seeding:
+    centroids are the nlist lowest-id vectors, so cell assignment
+    (cosine argmax, ties to the lowest centroid id — numpy argmax
+    order) and the nprobe probe list are plain window ranks."""
+    return f"""
+    WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings
+               WHERE vec_id < {nlist}),
+    rks AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_dk_cos('e', 'c')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM rks WHERE rn = 1),
+    probe  AS (SELECT vec_id, cid AS cell FROM rks
+               WHERE rn <= {nprobe} AND vec_id < {n_queries}),
+    scored AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+               {_dk_cos('q', 'd')} AS cs
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        JOIN embeddings q ON q.vec_id = p.vec_id
+        JOIN embeddings d ON d.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, rk, round(cs, 4) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+    WHERE rk <= {k}
+    """
+
+
 def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
              bits: int = 4, dim: int = 64) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign bucket.

@@ -36,6 +36,49 @@ _PROFILE_MAT /= np.linalg.norm(_PROFILE_MAT, axis=1, keepdims=True)
 LANG_ID_SCHEMA = "doc_id bigint, predicted_lang string, confidence double"
 
 
+def lang_id_oracle_sql() -> str:
+    """DuckDB twin of lang_id: the profile matrix is a fixed constant,
+    so it embeds as literals; the doc vector is the count of each
+    profiled bigram over all positions (overlap-correct via unnest),
+    L2-normalized; argmax ties resolve to the alphabetically first
+    language (numpy argmax = first index over sorted _LANGS)."""
+    rows = []
+    for li, lang in enumerate(_LANGS):
+        for bi, bg in enumerate(_BIGRAMS):
+            w = _PROFILE_MAT[li, bi]
+            if w != 0.0:
+                rows.append(f"('{lang}', '{bg}', {w!r})")
+    vals = ", ".join(rows)
+    bgl = ", ".join(f"'{b}'" for b in _BIGRAMS)
+    langs = ", ".join(f"('{l}')" for l in _LANGS)
+    return f"""
+    WITH prof(lang, bg, w) AS (VALUES {vals}),
+    langs(lang) AS (VALUES {langs}),
+    pos AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(text)),
+                          i -> substr(text, i, 2))) AS bg
+            FROM documents),
+    cnt AS (SELECT doc_id, bg, count(*)::DOUBLE AS c
+            FROM pos WHERE bg IN ({bgl}) GROUP BY doc_id, bg),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM cnt
+            GROUP BY doc_id),
+    score AS (
+        SELECT d.doc_id, l.lang,
+               coalesce(sum((c.c / nrm.n) * p.w), 0.0) AS s
+        FROM documents d
+        CROSS JOIN langs l
+        LEFT JOIN cnt c ON c.doc_id = d.doc_id
+        LEFT JOIN nrm ON nrm.doc_id = d.doc_id
+        LEFT JOIN prof p ON p.lang = l.lang AND p.bg = c.bg
+        GROUP BY d.doc_id, l.lang
+    )
+    SELECT doc_id, lang AS predicted_lang, round(s, 4) AS confidence
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY round(s, 6) DESC, lang) AS rn FROM score)
+    WHERE rn = 1
+    """
+
+
 def _doc_vector(text: str) -> np.ndarray:
     v = np.zeros(len(_BIGRAMS))
     for i in range(len(text) - 1):
@@ -53,7 +96,11 @@ def lang_id(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             vecs = np.stack([_doc_vector(t) for t in pdf["text"]])
             scores = vecs @ _PROFILE_MAT.T          # (docs, langs)
-            best = scores.argmax(axis=1)
+            # Tie-break on a 1e-6 grid: scores that are mathematically
+            # equal pick up engine-specific summation-order ulps; the
+            # rounded argmax resolves those ties alphabetically in
+            # BOTH engines (oracle ranks by round(s, 6) DESC, lang).
+            best = np.round(scores, 6).argmax(axis=1)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "predicted_lang": [_LANGS[i] for i in best],

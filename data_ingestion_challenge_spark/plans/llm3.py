@@ -199,17 +199,31 @@ def props_variant_agg(cat: Catalog) -> DataFrame:
 
 # ------------------------------------------------- PQ ANN
 
-@query("ann_pq_topk", oracle=None, bench=True)  # quantized index → rows-only
+@query(
+    "ann_pq_topk",
+    # Codebook training is iterative (not SQL-replayable) → the
+    # driver-checkable surface is the recall gate, mirroring
+    # ann_ivf_trained_topk.  bench.py times the raw pq_topk operator
+    # directly so the measured cost stays the index scan, not the
+    # brute-force audit twin.
+    oracle="""
+    SELECT count(*) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def ann_pq_topk(cat: Catalog) -> DataFrame:
     """Product-quantization ANN (see operators/similarity.pq_topk):
     m=8 sub-codebooks → 8 B codes per 64-dim vector, ADC lookup-table
     scan, exact top-k re-rank.  The memory-bound answer to '100 TB of
-    embeddings' — the code table is ~32× smaller than the floats."""
+    embeddings' — the code table is ~32× smaller than the floats.
+    ksub=32 (5-bit codes), rerank=96: recall@5 ≈ 0.9 vs brute force on
+    the synthetic corpus; registered as the ≥0.5-recall audit."""
     from data_ingestion_challenge_spark.operators.similarity import pq_topk
-    # ksub=32 (5-bit codes), rerank=96: recall@5 ≈ 0.9 vs brute force
-    # on the synthetic corpus; the re-rank list is constant-size, so
-    # its cost is invariant to corpus scale.
-    return pq_topk(cat.embeddings, n_queries=10, k=5, ksub=32, rerank=96)
+    from data_ingestion_challenge_spark.plans.llm import _recall_gate
+    from data_ingestion_challenge_spark.operators import similarity as S
+    approx = pq_topk(cat.embeddings, n_queries=10, k=5, ksub=32, rerank=96)
+    exact = S.brute_force_topk(cat.embeddings, n_queries=10, k=5)
+    return _recall_gate(approx, exact, floor=0.5)
 
 
 # ------------------------------------------------- binary-payload dedup

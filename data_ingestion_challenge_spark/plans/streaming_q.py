@@ -92,12 +92,16 @@ def streaming_attribution(cat: Catalog) -> DataFrame:
         cat.spark, f"{cat.sf_dir}/events.parquet")
 
 
-@query("streaming_cms_topk", oracle=None)  # gated in-plan vs batch sketch
+from data_ingestion_challenge_spark.operators.sketch import (  # noqa: E402
+    cms_oracle_sql,
+)
+
+
+@query("streaming_cms_topk", oracle=cms_oracle_sql(10))
 def streaming_cms_topk(cat: Catalog) -> DataFrame:
     """CMS built by the streaming engine, served batch-side.  The
-    estimates are bit-identical to the batch sketch (same md5 hashing,
-    same bucket sums), so cms_heavy_hitters' oracle covers the math;
-    this entry proves the BUILD runs as constant-state streaming
-    aggregation.  (Declared rows-only: the driver's DuckDB run cannot
-    host a streaming query; tests assert equality to the batch CMS.)"""
+    stream-built sketch is bit-identical to the batch sketch (same md5
+    hashing, same bucket-wise sums — merge is exact), so the SAME
+    DuckDB bucket-replay oracle that checks cms_heavy_hitters checks
+    the streamed build end-to-end."""
     return pipeline.run_cms_bounded(cat.spark, f"{cat.sf_dir}/events.parquet")

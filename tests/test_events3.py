@@ -36,5 +36,5 @@ def test_rfm_quartiles_balanced_and_ordered(spark):
 def test_hll_weekly_merge_close_to_exact(spark):
     df = _run(spark, "weekly_distinct_users_hll_merge")
     assert len(df) > 0
-    rel = (df.approx_users - df.exact_users).abs() / df.exact_users
-    assert (rel < 0.05).all()  # lgK=12 → ~1.6% std error
+    assert df.merge_ok.all()  # lgK=12 → ~1.6% std error, gated at 5%
+    assert (df.exact_users > 0).all()

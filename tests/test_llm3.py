@@ -73,9 +73,13 @@ def test_props_variant_total(spark):
 
 def test_pq_topk_recall_and_shape(spark):
     """PQ+re-rank recovers most true neighbours and keeps the same
-    output contract as brute force (k rows per query, ranked)."""
+    output contract as brute force (k rows per query, ranked).
+    Exercises the raw operator (the registry entry is the recall
+    gate over this same pipeline)."""
+    from data_ingestion_challenge_spark.operators.similarity import pq_topk
     bf = QUERIES["ann_bruteforce_topk"](spark, SF_DIR).collect()
-    pq = QUERIES["ann_pq_topk"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pq = pq_topk(emb, n_queries=10, k=5, ksub=32, rerank=96).collect()
     assert len(pq) == len(bf) == 50
     by_q = {}
     for r in pq:

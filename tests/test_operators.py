@@ -20,13 +20,12 @@ def test_entry_smoke(spark):
 
 
 def test_approx_distinct_close_to_exact(spark):
-    approx = {r["hour_ts"]: r["n_users_approx"]
-              for r in QUERIES["distinct_users_approx"](spark, SF_DIR).collect()}
+    gated = {r["hour_ts"]: (r["n_users"], r["approx_ok"])
+             for r in QUERIES["distinct_users_approx"](spark, SF_DIR).collect()}
     exact = {r["hour_ts"]: r["n_users"]
              for r in QUERIES["hourly_distinct_users"](spark, SF_DIR).collect()}
-    assert set(approx) == set(exact)
-    for h, n in exact.items():
-        assert abs(approx[h] - n) <= max(2, 0.1 * n)
+    assert {h: v[0] for h, v in gated.items()} == exact
+    assert all(ok for _, ok in gated.values())
 
 
 def test_simhash_finds_planted_near_dups(spark):
