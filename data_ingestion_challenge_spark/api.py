@@ -88,6 +88,24 @@ class Engine:
         )
         run_incremental_rollup(self.spark, events_path, out_dir, checkpoint)
 
+    # -------------------------------------------------------- serving
+    def serve(self, query_name: str, table: str, path: str, key: str,
+              n_buckets: int = 32) -> None:
+        """Materialize a registry query's result as a keyed serving
+        table (bucketed + sorted by `key`) for point lookups — the
+        analog of the reference's per-key rollup read endpoints."""
+        from data_ingestion_challenge_spark.serving import (
+            build_keyed_rollup,
+        )
+        build_keyed_rollup(self.run(query_name), table, path, key,
+                           n_buckets)
+
+    def lookup(self, table: str, key: str, value) -> DataFrame:
+        """Point read from a serve()d table: no shuffle, one bucket
+        file, row-group-pruned (see serving.py)."""
+        from data_ingestion_challenge_spark.serving import point_lookup
+        return point_lookup(self.spark, table, key, value)
+
     # ------------------------------------------------------- lifecycle
     def close(self) -> None:
         """Release executor storage held on this engine's behalf (the
