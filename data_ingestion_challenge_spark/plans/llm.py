@@ -253,6 +253,64 @@ def ann_ivf_topk(cat: Catalog) -> DataFrame:
     return S.ivf_topk(cat.embeddings, n_queries=10, k=5, nlist=16, nprobe=4)
 
 
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < 20),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_QD_COS} DESC, d.vec_id) AS rk
+            FROM q JOIN embeddings d ON q.vec_id <> d.vec_id
+        ) WHERE rk <= 5
+    ),
+    votes AS (
+        SELECT t.query_id, e.label, count(*) AS c
+        FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        GROUP BY t.query_id, e.label
+    ),
+    pred AS (
+        SELECT query_id, label AS pred_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, label) AS rn FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, p.pred_label, q.label AS true_label,
+           p.pred_label = q.label AS correct
+    FROM pred p JOIN q ON q.vec_id = p.query_id
+    """,
+)
+def knn_label_vote(cat: Catalog) -> DataFrame:
+    """kNN label vote over the embedding column — the standard
+    embedding-quality eval (does cosine neighborhood predict the
+    label?).  Majority of the exact top-5 neighbors' labels, ties to
+    the smallest label; emits per-query prediction vs truth.
+
+    Scale shape: rides brute_force_topk's single corpus pass (per-batch
+    partial top-k); the vote aggregates ≤ queries×k rows and the label
+    join touches only those neighbor ids."""
+    emb = cat.embeddings
+    topk = S.brute_force_topk(emb, n_queries=20, k=5)
+    votes = (topk
+             .join(emb.select(col("vec_id").alias("neighbor_id"), "label"),
+                   "neighbor_id")
+             .groupBy("query_id", "label")
+             .agg(F.count("*").alias("c")))
+    w = Window.partitionBy("query_id").orderBy(col("c").desc(), "label")
+    pred = (votes.withColumn("rn", F.row_number().over(w))
+            .where(col("rn") == 1)
+            .select("query_id", col("label").alias("pred_label")))
+    truth = (emb.where(col("vec_id") < 20)
+             .select(col("vec_id").alias("query_id"),
+                     col("label").alias("true_label")))
+    return (pred.join(truth, "query_id")
+            .select("query_id", "pred_label", "true_label",
+                    (col("pred_label") == col("true_label"))
+                    .alias("correct")))
+
+
 def _recall_gate(approx: DataFrame, exact: DataFrame,
                  floor: float) -> DataFrame:
     """Single-row recall audit of an ANN result vs the exact top-k:

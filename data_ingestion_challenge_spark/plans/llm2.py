@@ -202,3 +202,53 @@ def tfidf_top_terms(cat: Catalog) -> DataFrame:
         Window.partitionBy("lang").orderBy(col("tfidf").desc(), "word"))
     return (s.withColumn("rnk", rnk).where(col("rnk") <= 5)
             .select("lang", "word", "tf", "tfidf", "rnk"))
+
+
+# ------------------------------------------------- sequence packing
+
+_PACK_CAP = 2048  # token budget per training sequence
+
+
+@query(
+    "sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT source, n_tok,
+               CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tok) // {_PACK_CAP}
+                    AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def sequence_pack(cat: Catalog) -> DataFrame:
+    """Pretraining sequence packing: assign each doc to the fixed
+    token-budget pack where its token stream BEGINS (contiguous
+    chunking of the per-source doc stream in deterministic doc_id
+    order) and report per-pack document/token counts — the batch-prep
+    step that turns a curated corpus into fixed-length training rows.
+
+    Scale shape: ONE running-sum window per source partition (the
+    per-source stream is the parallel unit, like a shard file); the
+    rollup reuses the same partitioning, so AQE sees a single shuffle.
+    A pathologically hot source splits into (source, doc_id-range)
+    sub-streams first — packing is chunking, so any deterministic
+    sub-split stays a valid packing."""
+    toks = cat.documents.select(
+        "doc_id", "source",
+        F.size(F.split(col("text"), " ")).alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - col("n_tok")) / _PACK_CAP))
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens")))

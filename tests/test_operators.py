@@ -230,3 +230,32 @@ def test_blocked_cosine_pairs_block_invariant(spark, cat):
         cat.embeddings, tau=0.4, block=64).collect())
     assert one == multi
     assert len(one) > 0
+
+
+def test_sequence_pack_invariants(spark):
+    """Packing is a partition of the per-source doc stream: token
+    totals are conserved and pack ids are dense from 0."""
+    from pyspark.sql import functions as F
+    df = QUERIES["sequence_pack"](spark, SF_DIR)
+    per_source = (df.groupBy("source")
+                  .agg(F.sum("n_tokens").alias("tok"),
+                       F.sum("n_docs").alias("docs"),
+                       F.min("pack_id").alias("lo"),
+                       F.max("pack_id").alias("hi"),
+                       F.count("*").alias("n_packs")).collect())
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = {r["source"]: (r["tok"], r["docs"]) for r in
+            docs.groupBy("source")
+            .agg(F.sum(F.size(F.split("text", " "))).alias("tok"),
+                 F.count("*").alias("docs")).collect()}
+    for r in per_source:
+        assert (r["tok"], r["docs"]) == want[r["source"]]
+        assert r["lo"] == 0
+        assert r["n_packs"] == r["hi"] + 1, "pack ids must be dense"
+
+
+def test_knn_label_vote_shape(spark):
+    rows = QUERIES["knn_label_vote"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["correct"] == (r["pred_label"] == r["true_label"])
+               for r in rows)
