@@ -88,6 +88,29 @@ class Engine:
         )
         run_incremental_rollup(self.spark, events_path, out_dir, checkpoint)
 
+    # --------------------------------------------------- dedup infra
+    def materialize_postings(self, table: str, path: str, n: int = 3,
+                             n_buckets: int = 32) -> None:
+        """Materialize the shared (doc_id, shingle) posting table as a
+        bucketed-by-shingle lake table — the checkpoint the in-session
+        posting cache stands in for.  Every inverted-index dedup join
+        (jaccard prefix, candidate verify) keys on the shingle, so two
+        scans of this table self-join with no exchange; pass
+        ``spark.table(table)`` as the ``posting=`` argument of the
+        operators in operators/dedup.py to reuse it."""
+        from data_ingestion_challenge_spark.operators.dedup import (
+            _postings,
+        )
+        from data_ingestion_challenge_spark.sources.files import (
+            write_bucketed,
+        )
+        posting = _postings(self.catalog.documents, n)
+        try:
+            write_bucketed(posting, table, path, bucket_key="s",
+                           n_buckets=n_buckets)
+        finally:
+            posting.unpersist()
+
     # -------------------------------------------------------- serving
     def serve(self, query_name: str, table: str, path: str, key: str,
               n_buckets: int = 32) -> None:

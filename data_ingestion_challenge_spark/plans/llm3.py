@@ -305,3 +305,140 @@ def dedup_keep_list(cat: Catalog) -> DataFrame:
         F.coalesce(col("cluster_id"), col("vec_id")).alias("cluster_id"),
         (col("cluster_id").isNull() | (col("cluster_id") == col("vec_id")))
         .alias("keep"))
+
+
+# --------------------------------------------- intra-doc cleaning
+
+@query(
+    "intra_doc_dedup",
+    # Same '. '-split sentence semantics as doc_sentences_udtf (empties
+    # dropped), so one relational definition serves both engines.
+    oracle="""
+    WITH sent AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, unnest(string_split(text, '. ')) AS s
+            FROM documents)
+        WHERE s <> ''
+    )
+    SELECT doc_id,
+           count(*) AS n_sentences,
+           count(DISTINCT s) AS n_unique,
+           CAST(count(*) - count(DISTINCT s) AS BIGINT) AS n_dup,
+           round(1.0 - count(DISTINCT s) / count(*), 4) AS dup_ratio
+    FROM sent GROUP BY doc_id
+    """,
+)
+def intra_doc_dedup(cat: Catalog) -> DataFrame:
+    """C4-style INTRA-document cleaning signal: repeated sentences
+    within one doc (boilerplate, scraped nav bars, SSG artifacts).
+    Pipelines drop the repeats or the whole doc above a dup-ratio cap.
+
+    Scale shape: split+explode then one groupBy(doc_id) — the shuffle
+    carries (doc_id, sentence-hash-sized) rows and combines map-side;
+    per-doc fan-out is bounded by doc length."""
+    sent = (cat.documents
+            .select("doc_id",
+                    F.explode(F.split(col("text"), "\\. ")).alias("s"))
+            .where(col("s") != ""))
+    n, nu = F.count("*"), F.countDistinct("s")
+    return (sent.groupBy("doc_id")
+            .agg(n.alias("n_sentences"),
+                 nu.alias("n_unique"),
+                 (n - nu).alias("n_dup"),
+                 F.round(F.lit(1.0) - nu / n, 4).alias("dup_ratio")))
+
+
+# --------------------------------------------- near-containment
+
+_CONTAIN_TAU = 0.6
+_CONTAIN_MAX_DF = 64  # drop fingerprints shared by more docs (boilerplate)
+
+# Winnowing fingerprint sets as a reusable oracle CTE (the same
+# relational restatement doc_winnow_fingerprints is checked against),
+# reduced to distinct (doc_id, fp_hash).
+_WINNOW_FPS_CTE = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, greatest(len(t) - 1, 1))) AS INT) AS pos,
+               t
+        FROM toks WHERE len(t) >= 3
+    ), hashed AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(array_to_string(t[pos:pos+2], ' ')), 1, 8))::BIGINT AS h
+        FROM grams
+    ), counts AS (
+        SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+    ), expanded AS (
+        SELECT g.doc_id, p.pos AS p, g.pos, g.h
+        FROM hashed g
+        JOIN hashed p ON g.doc_id = p.doc_id
+                     AND g.pos BETWEEN p.pos AND p.pos + 3
+        JOIN counts c ON c.doc_id = g.doc_id
+        WHERE p.pos <= greatest(c.n - 3, 1)
+    ), wmin AS (
+        SELECT doc_id, p, min(h) AS mh FROM expanded GROUP BY doc_id, p
+    ), fps AS (
+        SELECT DISTINCT doc_id, mh AS fp_hash FROM wmin
+    )
+"""
+
+
+@query(
+    "doc_containment",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTE},
+    capped AS (
+        SELECT fp_hash FROM fps GROUP BY fp_hash
+        HAVING count(*) <= {_CONTAIN_MAX_DF}
+    ), use_fps AS (
+        SELECT f.doc_id, f.fp_hash FROM fps f JOIN capped USING (fp_hash)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_fp FROM use_fps GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+               count(*) AS ic
+        FROM use_fps a JOIN use_fps b
+          ON a.fp_hash = b.fp_hash AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT inner_doc, outer_doc,
+           round(ic / s.n_fp, 4) AS containment
+    FROM inter JOIN sizes s ON s.doc_id = inner_doc
+    WHERE ic / s.n_fp >= {_CONTAIN_TAU}
+    """,
+)
+def doc_containment(cat: Catalog) -> DataFrame:
+    """Near-CONTAINMENT detection (quotes, excerpts, wrapped reposts):
+    directional overlap of winnowing fingerprint sets —
+    |fp(inner) ∩ fp(outer)| / |fp(inner)| ≥ τ.  Jaccard-style dedup
+    misses these (a small doc inside a big one has low symmetric
+    similarity); containment is the signal Lee et al.-style substring
+    decontamination needs at doc granularity.
+
+    Scale shape: inverted-index equi-join on fp_hash with a document-
+    frequency cap (df ≤ {_CONTAIN_MAX_DF} drops boilerplate
+    fingerprints, bounding every posting list), intersection counts
+    via map-side-combined groupBy — never all-pairs."""
+    fps = (D.winnow_fingerprints(cat.documents, n=3, w=4)
+           .select("doc_id", "fp_hash").distinct())
+    capped = (fps.groupBy("fp_hash")
+              .agg(F.count("*").alias("_df"))
+              .where(col("_df") <= _CONTAIN_MAX_DF)
+              .select("fp_hash"))
+    use = fps.join(capped, "fp_hash")
+    sizes = use.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = use.select(col("doc_id").alias("inner_doc"), "fp_hash")
+    b = use.select(col("doc_id").alias("outer_doc"), "fp_hash")
+    inter = (a.join(b, "fp_hash")
+             .where(col("inner_doc") != col("outer_doc"))
+             .groupBy("inner_doc", "outer_doc")
+             .agg(F.count("*").alias("ic")))
+    cont = col("ic") / col("n_fp")
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "inner_doc"),
+                  "inner_doc")
+            .where(cont >= _CONTAIN_TAU)
+            .select("inner_doc", "outer_doc",
+                    F.round(cont, 4).alias("containment")))

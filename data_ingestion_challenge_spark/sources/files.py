@@ -166,3 +166,20 @@ def read_avro(spark, path: str):
                 "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
             ) from ex
         raise
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Opaque-payload ingest (images/audio/video/model shards) via
+    Spark's built-in binaryFile source: one row per file with (path,
+    modificationTime, length, content BINARY).  The multimodal decode
+    operators (operators/multimodal.py) consume `content` directly.
+
+    Scale notes: files are the parallel unit (no splitting), so shard
+    media into object-store-friendly sizes upstream;
+    spark.sql.files.maxPartitionBytes packs small files per task.
+    Filters on path/length prune BEFORE payload reads."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

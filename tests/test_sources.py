@@ -188,3 +188,60 @@ def test_read_avro_raises_actionable_error(spark):
     from data_ingestion_challenge_spark.sources.files import read_avro
     with pytest.raises(ImportError, match="--packages"):
         read_avro(spark, "/tmp/nope.avro")
+
+
+def test_binary_file_reader(spark, tmp_path):
+    """binaryFile ingest: one row per file, payload byte-exact, glob
+    filter prunes before payload reads."""
+    payloads = {"a.bin": b"\x00\x01\x02", "b.bin": b"hello",
+                "skip.txt": b"nope"}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    df = SRC.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+            for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01\x02", "b.bin": b"hello"}
+    assert {r["length"] for r in df.collect()} == {3, 5}
+
+
+def test_materialized_postings_selfjoin_no_shuffle(spark, tmp_path, cat):
+    """The bucketed posting table self-joins on the shingle with zero
+    Exchange nodes — the checkpointed-posting scale contract."""
+    from data_ingestion_challenge_spark.api import Engine
+    from tests.conftest import SF_DIR
+    eng = Engine(SF_DIR, spark=spark)
+    try:
+        eng.materialize_postings("b_postings", str(tmp_path / "bp"),
+                                 n_buckets=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = spark.table("b_postings")
+            joined = (p.alias("x").join(p.alias("y"), "s")
+                      .where(F.col("x.doc_id") < F.col("y.doc_id")))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_postings")
+
+
+def test_dedup_accepts_materialized_postings(spark, tmp_path, cat):
+    """ngram_jaccard_pairs over the lake posting table returns the
+    same pairs as the in-session posting path."""
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.operators import dedup as D
+    from tests.conftest import SF_DIR
+    eng = Engine(SF_DIR, spark=spark)
+    try:
+        eng.materialize_postings("b_post2", str(tmp_path / "bp2"),
+                                 n_buckets=4)
+        from_lake = {tuple(r) for r in D.ngram_jaccard_pairs(
+            cat.documents, posting=spark.table("b_post2")).collect()}
+        in_session = {tuple(r) for r in
+                      D.ngram_jaccard_pairs(cat.documents).collect()}
+        assert from_lake == in_session and from_lake
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_post2")
