@@ -252,3 +252,52 @@ def sequence_pack(cat: Catalog) -> DataFrame:
     return (packed.groupBy("source", "pack_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tok").alias("n_tokens")))
+
+
+# -------------------------------------- temperature-scaled mixture
+
+_MIX_ALPHA = 0.3  # mT5/XLM-R style exponent: upsample the tail
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH lt AS (SELECT lang, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY lang),
+    sh AS (SELECT *,
+                  n_tokens / sum(n_tokens) OVER () AS share,
+                  pow(n_tokens / sum(n_tokens) OVER (), {_MIX_ALPHA})
+                      AS powed
+           FROM lt)
+    SELECT lang, n_docs, n_tokens,
+           round(share, 4) AS token_share,
+           round(powed / sum(powed) OVER (), 4) AS sample_prob,
+           round((powed / sum(powed) OVER ()) / share, 4) AS upsample
+    FROM sh
+    """,
+)
+def mixture_temperature_weights(cat: Catalog) -> DataFrame:
+    """Temperature-scaled language mixture (p_l ∝ share_l^α, α=0.3 —
+    the mT5/XLM-R recipe): low-resource languages upsample, head
+    languages downsample, and `upsample` is the per-lang repeat factor
+    a sampler applies.  Complements corpus_sampling_weights (uniform
+    target) with the tunable-α production path.
+
+    Scale shape: one token-count aggregate per lang (map-side
+    combined); the |langs|-row table then computes shares with window
+    sums over a broadcast-sized frame."""
+    lt = (cat.documents
+          .groupBy("lang")
+          .agg(F.count("*").alias("n_docs"),
+               F.sum(F.size(F.split(col("text"), " "))).alias("n_tokens")))
+    total = Window.partitionBy()
+    share = col("n_tokens") / F.sum("n_tokens").over(total)
+    powed = F.pow(share, F.lit(_MIX_ALPHA))
+    prob = powed / F.sum(powed).over(total)
+    return lt.select(
+        "lang", "n_docs", "n_tokens",
+        F.round(share, 4).alias("token_share"),
+        F.round(prob, 4).alias("sample_prob"),
+        F.round(prob / share, 4).alias("upsample"))

@@ -442,3 +442,49 @@ def doc_containment(cat: Catalog) -> DataFrame:
             .where(cont >= _CONTAIN_TAU)
             .select("inner_doc", "outer_doc",
                     F.round(cont, 4).alias("containment")))
+
+
+# --------------------------------------- exact-substring decontamination
+
+@query(
+    "decontaminate_substring",
+    # The winnowing guarantee (window w=4, gram n=3): any shared run of
+    # w+n-1 = 6 words yields a shared fingerprint — so "shares ≥1
+    # fingerprint with the eval slice" is exact-substring contamination
+    # at 6-word granularity, the Lee et al. check at doc resolution.
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTE},
+    eval_fps AS (
+        SELECT DISTINCT fp_hash FROM fps WHERE doc_id % {_BENCH_MOD} = 0
+    )
+    SELECT f.doc_id,
+           count(*) AS n_fps,
+           count(e.fp_hash) AS n_shared,
+           count(e.fp_hash) > 0 AS contaminated
+    FROM fps f LEFT JOIN eval_fps e ON f.fp_hash = e.fp_hash
+    WHERE f.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY f.doc_id
+    """,
+)
+def decontaminate_substring(cat: Catalog) -> DataFrame:
+    """EXACT-substring decontamination (Lee et al. §4 shape): flag any
+    corpus doc sharing a ≥6-word verbatim run with the held-out eval
+    slice.  Complements decontaminate_overlap (n-gram share ≥ τ): that
+    catches paraphrase-level overlap, this catches a single verbatim
+    quote regardless of doc length.
+
+    Scale shape: the eval fingerprint set is corpus-independent-sized
+    → broadcast semi-mark; the corpus side is one winnow pass (shared
+    with doc_winnow_fingerprints/doc_containment) + a per-doc
+    aggregate.  No corpus self-join at all."""
+    fps = (D.winnow_fingerprints(cat.documents, n=3, w=4)
+           .select("doc_id", "fp_hash").distinct())
+    eval_fps = (fps.where(col("doc_id") % _BENCH_MOD == 0)
+                .select("fp_hash").distinct()
+                .withColumn("_hit", F.lit(1)))
+    corpus = fps.where(col("doc_id") % _BENCH_MOD != 0)
+    return (corpus.join(F.broadcast(eval_fps), "fp_hash", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_fps"),
+                 F.count("_hit").alias("n_shared"),
+                 (F.count("_hit") > 0).alias("contaminated")))

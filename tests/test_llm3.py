@@ -135,3 +135,33 @@ def test_dq_report_detects_planted_violations(spark, tmp_path):
         "lineitem.l_orderkey in orders": (2, 1),
         "documents.n_chars = len(text)": (2, 1),
     }
+
+
+def test_containment_detects_planted_quote(spark):
+    """A doc that verbatim-quotes another must be flagged by the
+    containment operator (inner = quoted doc) even though symmetric
+    Jaccard similarity is low."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id bigint, text string")
+    fps = winnow_fingerprints(docs, n=3, w=4).select(
+        "doc_id", "fp_hash").distinct()
+    inner = {r["fp_hash"] for r in fps.where("doc_id = 1").collect()}
+    outer = {r["fp_hash"] for r in fps.where("doc_id = 2").collect()}
+    assert inner, "quoted doc produced no fingerprints"
+    assert inner <= outer, "every inner fingerprint must appear in outer"
+
+
+def test_substring_decontamination_flags_eval_quote(spark):
+    """decontaminate_substring marks exactly the corpus docs sharing a
+    ≥6-word verbatim run with the eval slice on the real table."""
+    from data_ingestion_challenge_spark.plans import QUERIES
+    rows = QUERIES["decontaminate_substring"](spark, SF_DIR).collect()
+    assert rows
+    assert all((r["n_shared"] > 0) == r["contaminated"] for r in rows)
+    assert all(r["n_shared"] <= r["n_fps"] for r in rows)
