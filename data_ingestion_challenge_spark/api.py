@@ -123,18 +123,23 @@ class Engine:
         build_keyed_rollup(self.run(query_name), table, path, key,
                            n_buckets)
 
-    def lookup(self, table: str, key: str, value) -> DataFrame:
-        """Point read from a serve()d table: no shuffle, one bucket
-        file, row-group-pruned (see serving.py)."""
+    def lookup(self, table: str, key: str, value) -> list:
+        """Point read from a serve()d table, executed eagerly: no
+        shuffle, one bucket file, row-group-pruned (see serving.py).
+        Returns the matching Rows."""
         from data_ingestion_challenge_spark.serving import point_lookup
         return point_lookup(self.spark, table, key, value)
 
     # ------------------------------------------------------- lifecycle
     def close(self) -> None:
-        """Release executor storage held on this engine's behalf (the
-        shared posting cache).  The SparkSession itself is NOT stopped —
-        it may be shared with other engines."""
+        """Release executor storage held on THIS engine's behalf: only
+        posting-cache entries for this session's application and this
+        engine's sf_dir are evicted, so other live Engines sharing the
+        application keep their caches.  The SparkSession itself is NOT
+        stopped — it may be shared with other engines."""
         from data_ingestion_challenge_spark.plans.llm import (
             clear_posting_cache,
         )
-        clear_posting_cache()
+        clear_posting_cache(
+            app_id=self.spark.sparkContext.applicationId,
+            sf_dir=self.catalog.sf_dir)

@@ -299,3 +299,42 @@ def benchmark_overlap(posting: DataFrame, bench_pred,
     return per_doc.select(
         "doc_id", "n_shingles", "n_overlap", share.alias("overlap_share"),
         (col("n_overlap") / col("n_shingles") >= tau).alias("contaminated"))
+
+
+def winnow_fps_oracle_cte(n: int = 3, w: int = 4) -> str:
+    """The ONE relational restatement of winnow_fingerprints for DuckDB
+    oracles, parameterized on (n, w): expand each window start p over
+    its w grams (range join), take the min hash and the rightmost
+    position attaining it.  Ends with table `sel(doc_id, p, mh, mpos)`;
+    callers select fingerprints from it.  Every winnow-based oracle
+    (doc_winnow_fingerprints, doc_containment, decontaminate_substring)
+    builds on this so the model can never drift between them."""
+    return f"""
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, greatest(len(t) - {n - 2}, 1))) AS INT) AS pos,
+               t
+        FROM toks WHERE len(t) >= {n}
+    ), hashed AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(array_to_string(t[pos:pos+{n - 1}], ' ')), 1, 8))::BIGINT AS h
+        FROM grams
+    ), counts AS (
+        SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+    ), expanded AS (
+        SELECT g.doc_id, p.pos AS p, g.pos, g.h
+        FROM hashed g
+        JOIN hashed p ON g.doc_id = p.doc_id
+                     AND g.pos BETWEEN p.pos AND p.pos + {w - 1}
+        JOIN counts c ON c.doc_id = g.doc_id
+        WHERE p.pos <= greatest(c.n - {w - 1}, 1)
+    ), wmin AS (
+        SELECT doc_id, p, min(h) AS mh FROM expanded GROUP BY doc_id, p
+    ), sel AS (
+        SELECT e.doc_id, e.p, w.mh, max(e.pos) AS mpos
+        FROM expanded e
+        JOIN wmin w ON e.doc_id = w.doc_id AND e.p = w.p AND e.h = w.mh
+        GROUP BY e.doc_id, e.p, w.mh
+    )"""

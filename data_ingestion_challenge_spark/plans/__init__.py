@@ -37,10 +37,21 @@ def _driver_verdicts() -> dict[str, bool]:
     import json
     import os
 
+    import re
+
     root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     verdicts: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    # Numeric sort: lexicographic would order r10 before r2 if the
+    # driver ever drops the zero padding, silently resurrecting stale
+    # verdicts over current ones.
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                       key=_round_no):
         try:
             with open(path) as f:
                 data = json.load(f)

@@ -4,9 +4,10 @@ similarity search, text analysis, multimodal plumbing.
 Oracle strategy: all hashing is md5-derived integer arithmetic
 (functions/hashing.py), so even the MinHash+LSH pipeline has an exact
 DuckDB oracle — the SQL below reproduces signatures, band keys and
-candidate generation bit-for-bit.  Approx ops (simhash candidates with
-engine-specific bit tricks verified exactly anyway, LSH-ANN, the
-mapInPandas language classifier) are declared rows-only where noted.
+candidate generation bit-for-bit.  Since round 2 the same holds for
+every "approx" op: model constants (simhash h32 bits, LSH planes, IVF
+seed centroids, the lang-id profile matrix) embed as SQL literals for
+exact replay, and the iterative trainers gate on recall instead.
 """
 
 from __future__ import annotations
@@ -65,14 +66,21 @@ def _shared_postings(cat: Catalog, n: int = 3):
     return _POSTING_CACHE[key]
 
 
-def clear_posting_cache() -> None:
-    """Unpersist and evict every cached posting table (Engine close)."""
-    for df in _POSTING_CACHE.values():
+def clear_posting_cache(app_id: str | None = None,
+                        sf_dir: str | None = None) -> None:
+    """Unpersist and evict cached posting tables.  With no arguments,
+    everything; with app_id/sf_dir, only matching keys — Engine.close
+    passes both so one engine's close never evicts a sibling engine's
+    cache in a shared application."""
+    doomed = [k for k in _POSTING_CACHE
+              if (app_id is None or k[0] == app_id)
+              and (sf_dir is None or k[1] == sf_dir)]
+    for k in doomed:
         try:
-            df.unpersist()
+            _POSTING_CACHE[k].unpersist()
         except Exception:
             pass
-    _POSTING_CACHE.clear()
+        del _POSTING_CACHE[k]
 
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc.
@@ -196,10 +204,10 @@ def doc_fingerprint(cat: Catalog) -> DataFrame:
 
 # Explicit cosine so DuckDB matches the Spark fold formula
 # dot / (sqrt(na)*sqrt(nb)) exactly (not list_cosine_similarity, whose
-# internal formula may differ in final-ulp rounding).
-_DK_COS = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-           " / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))"
-           " * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))")
+# internal formula may differ in final-ulp rounding).  ONE definition —
+# similarity._dk_cos — serves every embedding oracle (here and the
+# LSH/IVF oracles) so a parity tweak can't desynchronize them.
+_DK_COS = S._dk_cos("a", "b")
 
 
 @query(
@@ -215,8 +223,7 @@ def dedup_embedding_cosine(cat: Catalog) -> DataFrame:
     return S.embedding_cosine_pairs(cat.embeddings, tau=0.4)
 
 
-_QD_COS = _DK_COS.replace("a.embedding", "q.embedding") \
-                 .replace("b.embedding", "d.embedding")
+_QD_COS = S._dk_cos("q", "d")
 
 @query(
     "ann_bruteforce_topk",
@@ -509,38 +516,11 @@ def multimodal_frame_sample(cat: Catalog) -> DataFrame:
 
 @query(
     "doc_winnow_fingerprints",
-    # Relational restatement of winnowing for DuckDB: expand each
-    # window start p over its w grams (range join), take the min hash
-    # and the rightmost position attaining it, dedupe.
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), grams AS (
-        SELECT doc_id,
-               CAST(unnest(range(1, greatest(len(t) - 1, 1))) AS INT) AS pos,
-               t
-        FROM toks WHERE len(t) >= 3
-    ), hashed AS (
-        SELECT doc_id, pos,
-               ('0x' || substr(md5(array_to_string(t[pos:pos+2], ' ')), 1, 8))::BIGINT AS h
-        FROM grams
-    ), counts AS (
-        SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
-    ), expanded AS (
-        SELECT g.doc_id, p.pos AS p, g.pos, g.h
-        FROM hashed g
-        JOIN hashed p ON g.doc_id = p.doc_id
-                     AND g.pos BETWEEN p.pos AND p.pos + 3
-        JOIN counts c ON c.doc_id = g.doc_id
-        WHERE p.pos <= greatest(c.n - 3, 1)
-    ), wmin AS (
-        SELECT doc_id, p, min(h) AS mh FROM expanded GROUP BY doc_id, p
-    ), sel AS (
-        SELECT e.doc_id, e.p, w.mh, max(e.pos) AS mpos
-        FROM expanded e
-        JOIN wmin w ON e.doc_id = w.doc_id AND e.p = w.p AND e.h = w.mh
-        GROUP BY e.doc_id, e.p, w.mh
-    )
+    # Shared relational restatement of winnowing (see
+    # dedup.winnow_fps_oracle_cte — also the base of the containment
+    # and substring-decontamination oracles).
+    oracle=f"""
+    WITH {D.winnow_fps_oracle_cte(n=3, w=4)}
     SELECT DISTINCT doc_id, mh AS fp_hash, mpos AS fp_pos FROM sel
     """,
 )

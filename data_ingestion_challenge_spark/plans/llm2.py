@@ -246,9 +246,11 @@ def sequence_pack(cat: Catalog) -> DataFrame:
         F.size(F.split(col("text"), " ")).alias("n_tok"))
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = toks.withColumn(
-        "pack_id",
-        F.floor((F.sum("n_tok").over(w) - col("n_tok")) / _PACK_CAP))
+    # Integral `div`, not `/`+floor: the double path loses exactness
+    # once per-source cumulative tokens pass 2^53 (real at 100 TB).
+    packed = (toks
+              .withColumn("_start", F.sum("n_tok").over(w) - col("n_tok"))
+              .withColumn("pack_id", F.expr(f"_start div {_PACK_CAP}")))
     return (packed.groupBy("source", "pack_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tok").alias("n_tokens")))

@@ -17,7 +17,8 @@ from pyspark.sql.window import Window
 
 from data_ingestion_challenge_spark.catalog import Catalog
 from data_ingestion_challenge_spark.operators import dedup as D
-from data_ingestion_challenge_spark.plans.llm import _SH_CTE, _shared_postings
+from data_ingestion_challenge_spark.plans.llm import (
+    _GATE_ORACLE, _SH_CTE, _shared_postings)
 from data_ingestion_challenge_spark.plans.registry import query
 
 # ------------------------------------------------- decontamination
@@ -203,13 +204,10 @@ def props_variant_agg(cat: Catalog) -> DataFrame:
     "ann_pq_topk",
     # Codebook training is iterative (not SQL-replayable) → the
     # driver-checkable surface is the recall gate, mirroring
-    # ann_ivf_trained_topk.  bench.py times the raw pq_topk operator
-    # directly so the measured cost stays the index scan, not the
-    # brute-force audit twin.
-    oracle="""
-    SELECT count(*) AS n_queries, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
-    """,
+    # ann_ivf_trained_topk (same shared oracle string).  bench.py times
+    # the raw pq_topk operator directly so the measured cost stays the
+    # index scan, not the brute-force audit twin.
+    oracle=_GATE_ORACLE,
 )
 def ann_pq_topk(cat: Catalog) -> DataFrame:
     """Product-quantization ANN (see operators/similarity.pq_topk):
@@ -353,34 +351,12 @@ def intra_doc_dedup(cat: Catalog) -> DataFrame:
 _CONTAIN_TAU = 0.6
 _CONTAIN_MAX_DF = 64  # drop fingerprints shared by more docs (boilerplate)
 
-# Winnowing fingerprint sets as a reusable oracle CTE (the same
-# relational restatement doc_winnow_fingerprints is checked against),
-# reduced to distinct (doc_id, fp_hash).
-_WINNOW_FPS_CTE = """
-    toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), grams AS (
-        SELECT doc_id,
-               CAST(unnest(range(1, greatest(len(t) - 1, 1))) AS INT) AS pos,
-               t
-        FROM toks WHERE len(t) >= 3
-    ), hashed AS (
-        SELECT doc_id, pos,
-               ('0x' || substr(md5(array_to_string(t[pos:pos+2], ' ')), 1, 8))::BIGINT AS h
-        FROM grams
-    ), counts AS (
-        SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
-    ), expanded AS (
-        SELECT g.doc_id, p.pos AS p, g.pos, g.h
-        FROM hashed g
-        JOIN hashed p ON g.doc_id = p.doc_id
-                     AND g.pos BETWEEN p.pos AND p.pos + 3
-        JOIN counts c ON c.doc_id = g.doc_id
-        WHERE p.pos <= greatest(c.n - 3, 1)
-    ), wmin AS (
-        SELECT doc_id, p, min(h) AS mh FROM expanded GROUP BY doc_id, p
-    ), fps AS (
-        SELECT DISTINCT doc_id, mh AS fp_hash FROM wmin
+# Winnowing fingerprint sets reduced to distinct (doc_id, fp_hash) —
+# built on the ONE shared relational winnow restatement so this oracle
+# can never drift from doc_winnow_fingerprints' (see
+# dedup.winnow_fps_oracle_cte).
+_WINNOW_FPS_CTE = f"""{D.winnow_fps_oracle_cte(n=3, w=4)}, fps AS (
+        SELECT DISTINCT doc_id, mh AS fp_hash FROM sel
     )
 """
 

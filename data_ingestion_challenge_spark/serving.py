@@ -37,17 +37,33 @@ def build_keyed_rollup(df: DataFrame, table: str, path: str,
     write_bucketed(df, table, path, bucket_key=key, n_buckets=n_buckets)
 
 
-def point_lookup(spark: SparkSession, table: str, key: str,
-                 value) -> DataFrame:
-    """Keyed read against a build_keyed_rollup table.  The literal
+_AUTO_BUCKETED = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
+
+def point_lookup_df(spark: SparkSession, table: str, key: str,
+                    value) -> DataFrame:
+    """Lazy keyed read against a build_keyed_rollup table.  The literal
     equality predicate is what unlocks bucket pruning — Catalyst
     computes the bucket id from the literal and scans only that file.
 
-    autoBucketedScan must be OFF for the pruning to apply: with it on,
-    the planner "helpfully" falls back to a plain file scan for
-    queries with no bucketing-exploiting join/agg, which reads all N
-    buckets.  Point reads are exactly the case the bucketed scan
-    exists for, so pin it off here (scan-side conf; runtime-settable)."""
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    Caveat: {conf} must be false AT EXECUTION TIME for the pruning to
+    apply — with it on (the default), the planner falls back to a
+    plain file scan for queries with no bucketing-exploiting join/agg
+    and reads all N buckets.  Use point_lookup() for the scoped
+    set-execute-restore path; this variant leaves confs alone so the
+    caller controls scoping.""".format(conf=_AUTO_BUCKETED)
     return spark.table(table).where(col(key) == value)
+
+
+def point_lookup(spark: SparkSession, table: str, key: str,
+                 value) -> list:
+    """Keyed point read, executed eagerly (a serving lookup returns
+    rows, not a plan): disables autoBucketedScan ONLY for the scoped
+    execution and restores it after, so the rest of the session's
+    bucketed-table scans keep their planner-chosen parallelism."""
+    prev = spark.conf.get(_AUTO_BUCKETED, "true")
+    spark.conf.set(_AUTO_BUCKETED, "false")
+    try:
+        return point_lookup_df(spark, table, key, value).collect()
+    finally:
+        spark.conf.set(_AUTO_BUCKETED, prev)

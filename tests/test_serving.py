@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from data_ingestion_challenge_spark.api import Engine
 from data_ingestion_challenge_spark.serving import (
+    _AUTO_BUCKETED,
     build_keyed_rollup,
     point_lookup,
+    point_lookup_df,
 )
 
 from tests.conftest import SF_DIR
@@ -30,15 +32,22 @@ def test_point_lookup_correct_and_bucket_pruned(spark, cat, tmp_path):
                            key="user_id", n_buckets=8)
         uid, want_n, want_v = rollup.orderBy("user_id").first()
 
-        got = point_lookup(spark, "srv_users", "user_id", uid)
-        plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
-        assert "Exchange" not in plan, "point read must not shuffle"
+        prev = spark.conf.get(_AUTO_BUCKETED, "true")
+        spark.conf.set(_AUTO_BUCKETED, "false")
+        try:
+            got = point_lookup_df(spark, "srv_users", "user_id", uid)
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+            assert "Exchange" not in plan, "point read must not shuffle"
+        finally:
+            spark.conf.set(_AUTO_BUCKETED, prev)
 
-        rows = got.collect()
+        rows = point_lookup(spark, "srv_users", "user_id", uid)
         assert len(rows) == 1
         assert (rows[0]["n_events"], rows[0]["total_value"]) == \
             (want_n, want_v)
+        # the scoped execution restored the session conf
+        assert spark.conf.get(_AUTO_BUCKETED, "true") == prev
     finally:
         _cleanup(spark, "srv_users")
 
@@ -54,6 +63,24 @@ def test_engine_serve_and_lookup_roundtrip(spark, tmp_path):
         full = eng.run("user_lifetime_stats")
         some = full.orderBy("user_id").first()
         got = eng.lookup("srv_lifetime", "user_id", some["user_id"])
-        assert [tuple(r) for r in got.collect()] == [tuple(some)]
+        assert [tuple(r) for r in got] == [tuple(some)]
     finally:
         _cleanup(spark, "srv_lifetime")
+
+
+def test_engine_close_scoped_to_own_cache(spark):
+    """Closing one Engine evicts only ITS posting-cache entries; a
+    sibling engine sharing the application keeps its cache."""
+    from data_ingestion_challenge_spark.plans.llm import (
+        _POSTING_CACHE, _shared_postings)
+    eng_a = Engine(SF_DIR, spark=spark)
+    eng_b = Engine("/root/testdata/sf0.01", spark=spark)
+    _shared_postings(eng_a.catalog)
+    _shared_postings(eng_b.catalog)
+    keys_b = {k for k in _POSTING_CACHE if k[1] == eng_b.catalog.sf_dir}
+    assert keys_b
+    eng_a.close()
+    assert all(k in _POSTING_CACHE for k in keys_b), \
+        "sibling engine's cache must survive a close()"
+    assert not any(k[1] == eng_a.catalog.sf_dir for k in _POSTING_CACHE)
+    eng_b.close()
