@@ -268,3 +268,41 @@ def test_benchmark_overlap_equals_naive_set_math(spark, docs):
                                F.col("doc_id") % 2 == 0).collect():
         assert 0.0 <= r.overlap_share <= 1.0
         assert r.contaminated == (r.n_overlap / r.n_shingles >= 0.5)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),       # source
+              st.integers(min_value=0, max_value=10_000)),  # doc_id
+    min_size=1, max_size=40, unique_by=lambda t: t[1]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_topn_equals_plain_rank(spark, rows):
+    """per_source_cap's two-phase salted top-N must select EXACTLY the
+    docs a plain row_number over source would — the salt prefilter may
+    never lose a global top-CAP candidate (pigeonhole argument in the
+    docstring; this drives it with arbitrary key layouts)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+    from pyspark.sql.window import Window
+
+    cap, salts = 3, 4
+    df = spark.createDataFrame(
+        [(s, i, 10 * i) for s, i in rows],
+        "source string, doc_id long, n_chars long")
+    key = F.md5(col("doc_id").cast("string"))
+    # reference: single global rank per source
+    wref = Window.partitionBy("source").orderBy("_k", "doc_id")
+    want = {(r["source"], r["doc_id"]) for r in
+            df.withColumn("_k", key)
+            .withColumn("rk", F.row_number().over(wref))
+            .where(col("rk") <= cap).collect()}
+    # two-phase salted variant (the per_source_cap formulation)
+    salt = F.pmod(F.xxhash64(col("doc_id")), F.lit(salts))
+    wloc = Window.partitionBy("source", "_salt").orderBy("_k", "doc_id")
+    got = {(r["source"], r["doc_id"]) for r in
+           df.withColumn("_k", key).withColumn("_salt", salt)
+           .withColumn("_lrk", F.row_number().over(wloc))
+           .where(col("_lrk") <= cap)
+           .withColumn("_rk", F.row_number().over(wref))
+           .where(col("_rk") <= cap).collect()}
+    assert got == want
