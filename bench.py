@@ -61,15 +61,63 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
+    p50_ms, p99_ms = _point_lookup_latency(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "point_lookup_p50_ms": p50_ms,
+        "point_lookup_p99_ms": p99_ms,
         "sf": sf,
     }))
     spark.stop()
+
+
+def _point_lookup_latency(spark, sf_dir: str,
+                          n_lookups: int = 40) -> tuple[float, float]:
+    """Serving-path latency: build the keyed user rollup once (the
+    bucketed+sorted layout serving.py contracts), then time end-to-end
+    keyed reads — the reference's core read path is exactly this
+    lookup, so the bench reports its p50/p99 alongside throughput."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark import serving
+    from data_ingestion_challenge_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    rollup = (cat.events.groupBy("user_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum("value").alias("value_sum")))
+    tmp = tempfile.mkdtemp(prefix="serving_bench_")
+    table = "bench_point_lookup_rollup"
+    try:
+        serving.build_keyed_rollup(rollup, table, tmp,
+                                   key="user_id", n_buckets=32)
+        keys = [r[0] for r in
+                rollup.select("user_id").limit(4 * n_lookups).collect()]
+        keys = keys[::4][:n_lookups] or [0]
+        serving.point_lookup(spark, table, "user_id", keys[0])  # warm
+        lat = []
+        for k in keys:
+            t0 = time.perf_counter()
+            serving.point_lookup(spark, table, "user_id", k)
+            lat.append((time.perf_counter() - t0) * 1000.0)
+        lat.sort()
+        p50 = lat[len(lat) // 2]
+        p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+        return round(p50, 2), round(p99, 2)
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

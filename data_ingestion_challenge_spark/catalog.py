@@ -26,13 +26,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def normalize_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) → surfaced as long via the
-    nanosAsLong conf; truncate ns→µs exactly like DuckDB does.  Must use
-    integral `div` — doubles can't hold 1e18 ns exactly."""
+    """Normalize events.ts to TimestampType (LTZ, session tz UTC)
+    whatever the driver generated this round:
+
+    - parquet TIMESTAMP(NANOS) → long via the nanosAsLong conf;
+      truncate ns→µs exactly like DuckDB does.  Must use integral
+      `div` — doubles can't hold 1e18 ns exactly.
+    - parquet timestamp[us] (no tz) → TIMESTAMP_NTZ; cast to LTZ.
+      With the session pinned to UTC the wall-clock (and thus every
+      oracle comparison) is unchanged, and downstream plans keep the
+      TimestampType they were written against (unix_micros & co.
+      reject NTZ inputs).
+    """
     from pyspark.sql import functions as F
     for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+        if f.name != "ts":
+            continue
+        kind = f.dataType.simpleString()
+        if kind == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

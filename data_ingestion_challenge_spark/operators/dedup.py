@@ -94,11 +94,16 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     # can only admit extra candidates — the exact verification still
     # decides membership; no false negatives, by construction.
     eps = 1e-9
-    # df / set size / frequency-rank in two window passes (shuffle on
-    # s, then on doc_id) instead of three groupBy+join round-trips.
+    # Document frequency via groupBy+join, NOT a window over s: the
+    # groupBy partial-aggregates map-side (a hot shingle ships one
+    # (s, count) row per map task, not its whole posting list into a
+    # single window task), and the df table is |vocab|-sized so AQE
+    # turns the join into a broadcast when it fits — the skew-safe
+    # shape at 100 TB.  The doc_id windows are fine: per-doc posting
+    # lists are bounded by doc length.
+    dfreq = posting.groupBy("s").agg(F.count("*").alias("_df"))
     pp = (
-        posting
-        .withColumn("_df", F.count("*").over(Window.partitionBy("s")))
+        posting.join(dfreq, "s")
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
         .withColumn("_pos", F.row_number().over(
             Window.partitionBy("doc_id").orderBy("_df", "s")))

@@ -331,6 +331,106 @@ def embedding_cosine_pairs(embeddings: DataFrame, tau: float = 0.4,
     )
 
 
+def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
+                           cell: int = 128,
+                           nlist: int | None = None) -> DataFrame:
+    """(vec_id, embedding, _cell) — each vector exploded to its
+    `nprobe` nearest seeded Voronoi cells.  Shared probe stage of
+    ivf_candidate_pairs and its audit tests; nlist defaults to
+    ceil(n / cell) so occupancy stays constant as the corpus grows."""
+    import math
+
+    n = embeddings.count()
+    if nlist is None:
+        nlist = max(16, math.ceil(n / cell))
+    seeds = (embeddings.where(col("vec_id") < nlist)
+             .select("vec_id", "embedding").collect())
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sorted(seeds, key=lambda r: r["vec_id"])])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _probe(se: pd.Series) -> pd.Series:
+        A = np.stack(se.to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        order = np.argsort(-(A @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return embeddings.select(
+        "vec_id", "embedding",
+        F.explode(_probe(col("embedding"))).alias("_cell"))
+
+
+def ivf_candidate_pairs(embeddings: DataFrame, tau: float = 0.4,
+                        nprobe: int = 4, cell: int = 128,
+                        nlist: int | None = None) -> DataFrame:
+    """SUB-QUADRATIC near-dup pairs: multi-probe IVF blocking + exact
+    cosine verification on candidates only — the scale path that feeds
+    the dedup pipeline terminal (`dedup_keep_list`), with
+    `embedding_cosine_pairs` kept as its exact O(n²) audit twin.
+
+    Every vector is assigned to its `nprobe` nearest of `nlist`
+    Voronoi cells; a candidate pair is two vectors sharing ≥1 cell,
+    and only candidates pay the exact cosine check.  `nlist` scales
+    with the corpus (ceil(n / cell)) so expected cell occupancy stays
+    ≤ nprobe·cell regardless of n: the pair stage materializes
+    O(nlist · (nprobe·cell)²) = O(n · nprobe²·cell / 2) rows — LINEAR
+    in corpus size with a fixed constant, vs the gemm twin's O(n²/block).
+    At 100 TB you'd train the centroids (kmeans_centroids) for balanced
+    cells; the seeded variant keeps the model a pure function of the
+    data so the DuckDB oracle replays the index exactly (same pattern
+    as ivf_oracle_sql: lowest-id seeding, cos-desc/cid-asc probe rank).
+    """
+    e = _ivf_probe_assignments(embeddings, nprobe=nprobe, cell=cell,
+                               nlist=nlist)
+    a = e.select("_cell", col("vec_id").alias("vec_a"),
+                 col("embedding").alias("_ea"))
+    b = e.select("_cell", col("vec_id").alias("vec_b"),
+                 col("embedding").alias("_eb"))
+    # Verify BEFORE dedup: the τ filter kills ~all candidates row-local
+    # (vectorized numpy, no shuffle), so the distinct only shuffles the
+    # few true near-dup pairs — never the embedding payloads.
+    return (
+        a.join(b, "_cell")
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("_cos", V.cosine_batch(col("_ea"), col("_eb")))
+        .where(col("_cos") >= tau)
+        .select("vec_a", "vec_b", F.round(col("_cos"), 4).alias("cos_sim"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def ivf_candidate_cte(tau: float = 0.4, nprobe: int = 4,
+                      cell: int = 128) -> str:
+    """DuckDB replay of ivf_candidate_pairs as a CTE body: defines
+    `pairs(va, vb)` — splice into WITH [RECURSIVE] chains.  nlist uses
+    the same ceil(n/cell) formula; probe rank the same cos-desc,
+    cid-asc tie-break as the numpy stable argsort."""
+    return f"""
+    nl AS (SELECT GREATEST(16, CAST(ceil(count(*) / {cell}.0) AS BIGINT))
+                  AS nlist FROM embeddings),
+    ctr AS (SELECT vec_id AS cid, embedding FROM embeddings
+            WHERE vec_id < (SELECT nlist FROM nl)),
+    rks AS (
+        SELECT e.vec_id, ctr.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_dk_cos('e', 'ctr')} DESC, ctr.cid) AS rn
+        FROM embeddings e CROSS JOIN ctr
+    ),
+    probe AS (SELECT vec_id, cid AS cell FROM rks WHERE rn <= {nprobe}),
+    cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+             FROM probe a JOIN probe b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    pairs AS (
+        SELECT va, vb FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.va
+        JOIN embeddings eb ON eb.vec_id = cand.vb
+        WHERE {_dk_cos('ea', 'eb')} >= {tau}
+    )"""
+
+
 def _lloyd(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
     """Tiny seeded Lloyd loop for PQ codebook training (numpy, driver
     side — PQ trains on a bounded sample, as FAISS does)."""

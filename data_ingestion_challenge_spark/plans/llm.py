@@ -641,22 +641,73 @@ def doc_sentences_udtf(cat: Catalog) -> DataFrame:
 )
 def dedup_levenshtein(cat: Catalog) -> DataFrame:
     """Edit-distance near-dup pairs (typo-level variants that shingle
-    Jaccard can miss on short docs).  Blocking keys (lang, n_chars÷20)
-    make candidate generation an equi-join with bounded buckets — the
-    same discipline as the LSH band joins; at 100 TB add overlapping
-    bands if recall across band boundaries matters."""
+    Jaccard can miss on short docs).
+
+    Candidate generation is PassJoin-style SEGMENT blocking, exact by
+    pigeonhole: split the 40-char prefix into k+1 = 6 segments; ≤ k
+    edits leave ≥ 1 segment untouched, and that segment appears
+    verbatim in the partner at a start position shifted by at most k.
+    So candidates = equi-join on (lang, band, segment#, segment text)
+    against the partner's ±k-shifted same-length substrings — per-doc
+    join fan-out is a CONSTANT (6 probe + 66 index keys), never the
+    (lang, band) block's full membership.  This replaces the r2 plain
+    (lang, band) block join whose hot band was quadratic in a
+    natural-language corpus (length distributions concentrate).  Docs
+    shorter than the 40-char prefix (bands 0-1 — disjoint from the
+    segmented bands by construction) keep the plain block join; exact
+    levenshtein verification decides membership either way, so results
+    are identical to the all-pairs oracle."""
+    k = 5
     d = cat.documents.select(
         "doc_id", "lang",
         (col("n_chars").cast("long") / 20).cast("long").alias("band"),
         F.substring("text", 1, 40).alias("prefix"))
-    a = d.select(col("doc_id").alias("doc_a"), "lang", "band",
-                 col("prefix").alias("_pa"))
-    b = d.select(col("doc_id").alias("doc_b"), "lang", "band",
-                 col("prefix").alias("_pb"))
+    longs = d.where(F.length("prefix") == 40)
+    shorts = d.where(F.length("prefix") < 40)
+
+    # Fixed segmentation of the 40-char prefix: 4×7 + 2×6.
+    segs = [(0, 7), (7, 7), (14, 7), (21, 7), (28, 6), (34, 6)]
+    probe_entries = [
+        F.struct(F.lit(i).alias("i"),
+                 F.substring("prefix", p + 1, L).alias("s"))
+        for i, (p, L) in enumerate(segs)]
+    probe = (longs.select(col("doc_id").alias("doc_a"), "lang", "band",
+                          F.explode(F.array(*probe_entries)).alias("e"))
+             .select("doc_a", "lang", "band",
+                     col("e.i").alias("i"), col("e.s").alias("s")))
+    index_entries = [
+        F.struct(F.lit(i).alias("i"),
+                 F.substring("prefix", q + 1, L).alias("s"))
+        for i, (p, L) in enumerate(segs)
+        for q in range(max(0, p - k), min(40 - L, p + k) + 1)]
+    index = (longs.select(col("doc_id").alias("doc_b"), "lang", "band",
+                          F.explode(F.array_distinct(
+                              F.array(*index_entries))).alias("e"))
+             .select("doc_b", "lang", "band",
+                     col("e.i").alias("i"), col("e.s").alias("s")))
+    # Probe×index covers both directions (either endpoint may play the
+    # segmented role), so canonicalize with least/greatest + distinct.
+    cand = (probe.join(index, ["lang", "band", "i", "s"])
+            .where(col("doc_a") != col("doc_b"))
+            .select(F.least("doc_a", "doc_b").alias("doc_a"),
+                    F.greatest("doc_a", "doc_b").alias("doc_b"))
+            .distinct())
+    pa = d.select(col("doc_id").alias("doc_a"), col("prefix").alias("_pa"))
+    pb = d.select(col("doc_id").alias("doc_b"), col("prefix").alias("_pb"))
+    long_pairs = cand.join(pa, "doc_a").join(pb, "doc_b")
+
+    sa = shorts.select(col("doc_id").alias("doc_a"), "lang", "band",
+                       col("prefix").alias("_pa"))
+    sb = shorts.select(col("doc_id").alias("doc_b"), "lang", "band",
+                       col("prefix").alias("_pb"))
+    short_pairs = (sa.join(sb, ["lang", "band"])
+                   .where(col("doc_a") < col("doc_b"))
+                   .select("doc_a", "doc_b", "_pa", "_pb"))
+
     return (
-        a.join(b, ["lang", "band"])
-        .where(col("doc_a") < col("doc_b"))
+        long_pairs.select("doc_a", "doc_b", "_pa", "_pb")
+        .unionByName(short_pairs)
         .withColumn("edit_dist", F.levenshtein(col("_pa"), col("_pb")))
-        .where(col("edit_dist") <= 5)
+        .where(col("edit_dist") <= k)
         .select("doc_a", "doc_b", "edit_dist")
     )

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from data_ingestion_challenge_spark.catalog import Catalog
 from data_ingestion_challenge_spark.operators import dedup as D
+from data_ingestion_challenge_spark.operators import similarity as S
 from data_ingestion_challenge_spark.plans.llm import (
     _GATE_ORACLE, _SH_CTE, _shared_postings)
 from data_ingestion_challenge_spark.plans.registry import query
@@ -255,18 +256,15 @@ def multimodal_dedup(cat: Catalog) -> DataFrame:
     "dedup_keep_list",
     # Terminal decision of the dedup pipeline: every vec keeps iff it
     # is its cluster's survivor (min id); singletons (no near-dup
-    # pair) always keep.  Oracle extends the dedup_clusters recursive
-    # CTE with the keep verdict over ALL corpus members.
-    oracle="""
-    WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS va, b.vec_id AS vb
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(range(1, 65),
-                i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-            / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
-             * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))
-            >= 0.4
-    ), edges AS (
+    # pair) always keep.  The pair stage is the SUB-QUADRATIC IVF
+    # candidate path (multi-probe cell blocking + exact cosine verify
+    # on candidates only) — the oracle replays the identical index via
+    # ivf_candidate_cte, then extends it with the recursive
+    # connected-components CTE and the keep verdict over ALL corpus
+    # members.  `dedup_embedding_cosine` stays registered as the exact
+    # O(n²) audit twin of the pair stage.
+    oracle=f"""
+    WITH RECURSIVE {S.ivf_candidate_cte(tau=0.4)}, edges AS (
         SELECT va AS src, vb AS dst FROM pairs
         UNION SELECT vb, va FROM pairs
     ), reach(src, dst) AS (
@@ -285,15 +283,17 @@ def multimodal_dedup(cat: Catalog) -> DataFrame:
 def dedup_keep_list(cat: Catalog) -> DataFrame:
     """The dedup pipeline's OUTPUT: per corpus member, its cluster and
     the keep/drop verdict (keep = cluster survivor, min id; singletons
-    trivially keep).  The left join back to the corpus is keyed on id
-    — at 100 TB the cluster table (≪ corpus: only members of some
-    near-dup pair) broadcasts or buckets; everything upstream reuses
-    dedup_clusters' shuffle discipline."""
+    trivially keep).  The pair feed is ivf_candidate_pairs — O(n)
+    candidate rows with a fixed nprobe²·cell constant, never the
+    all-pairs gemm — so the terminal stays sub-quadratic end to end.
+    The left join back to the corpus is keyed on id — at 100 TB the
+    cluster table (≪ corpus: only members of some near-dup pair)
+    broadcasts or buckets; everything upstream reuses dedup_clusters'
+    shuffle discipline."""
     from data_ingestion_challenge_spark.operators.graph import (
         connected_components)
-    from data_ingestion_challenge_spark.operators import similarity as S
 
-    pairs = S.embedding_cosine_pairs(cat.embeddings, tau=0.4)
+    pairs = S.ivf_candidate_pairs(cat.embeddings, tau=0.4)
     clusters = connected_components(pairs, "vec_a", "vec_b")
     base = cat.embeddings.select("vec_id")
     joined = base.join(F.broadcast(clusters),
