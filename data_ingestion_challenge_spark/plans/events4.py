@@ -1,0 +1,235 @@
+"""Events analytics, batch 4 (SURVEY.md §2A): sequence transitions,
+inter-arrival gaps, DAU/WAU stickiness, tail latency of the value
+stream, and a JSONL-source ingest gate.
+
+Parity notes: every event-time window orders by (ts, event_id) — the
+composite is unique, so lag() is deterministic in both engines; gap
+arithmetic stays in integral microseconds (epoch_us == unix_micros)
+until the final rounded division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+from pyspark.sql.window import Window
+
+from data_ingestion_challenge_spark.catalog import Catalog
+from data_ingestion_challenge_spark.plans.registry import query
+
+# ------------------------------------------------ sequence analysis
+
+@query(
+    "event_type_transitions",
+    # First-order Markov transition counts over each user's event
+    # sequence — the input of any behavioral next-event model.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events)
+    SELECT prev AS from_type, event_type AS to_type,
+           count(*) AS n_transitions
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+)
+def event_type_transitions(cat: Catalog) -> DataFrame:
+    """One shuffle on user_id for the lag window (per-user sequences
+    are bounded), then a map-side-combined count over the tiny
+    (from, to) key space."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (cat.events.select("user_id", "event_type", "ts", "event_id")
+           .withColumn("prev", F.lag("event_type").over(w)))
+    return (seq.where(col("prev").isNotNull())
+            .groupBy(col("prev").alias("from_type"),
+                     col("event_type").alias("to_type"))
+            .agg(F.count("*").alias("n_transitions")))
+
+
+@query(
+    "user_interarrival_stats",
+    # Per-user event cadence: gaps in integral microseconds (exact in
+    # both engines), averaged exactly (BIGINT sum, then one division).
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS gap_us
+        FROM events)
+    SELECT user_id, count(*) AS n_gaps,
+           round(avg(gap_us) / 1000000.0, 4) AS avg_gap_s,
+           round(max(gap_us) / 1000000.0, 4) AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_interarrival_stats(cat: Catalog) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(col("ts"))
+    g = (cat.events.select("user_id", "ts", "event_id")
+         .withColumn("gap_us", us - F.lag(us).over(w))
+         .where(col("gap_us").isNotNull()))
+    return (g.groupBy("user_id")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.round(F.avg("gap_us") / 1000000.0, 4).alias("avg_gap_s"),
+                 F.round(F.max("gap_us") / 1000000.0, 4).alias("max_gap_s")))
+
+
+# ------------------------------------------------ engagement ratios
+
+@query(
+    "dau_wau_stickiness",
+    # Stickiness = DAU / trailing-7d WAU per day — the engagement KPI
+    # on top of the rolling_7d_dau range join.
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS d
+                  FROM events),
+    wau AS (SELECT d, count(DISTINCT e.user_id) AS wau
+            FROM days JOIN events e
+              ON e.ts >= d - INTERVAL 6 DAY AND e.ts < d + INTERVAL 1 DAY
+            GROUP BY d),
+    dau AS (SELECT date_trunc('day', ts)::TIMESTAMP AS d,
+                   count(DISTINCT user_id) AS dau
+            FROM events GROUP BY 1)
+    SELECT dau.d AS day_ts, dau.dau, wau.wau,
+           round(dau.dau / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def dau_wau_stickiness(cat: Catalog) -> DataFrame:
+    """The tiny `days` dim broadcasts against one events scan (same
+    plan discipline as rolling_7d_dau); the final dau⋈wau join is
+    |days| rows on both sides."""
+    days = (cat.events
+            .select(F.date_trunc("day", col("ts")).alias("d")).distinct())
+    wau = (cat.events.select("ts", "user_id")
+           .join(broadcast(days),
+                 (col("ts") >= col("d") - F.expr("INTERVAL 6 DAYS"))
+                 & (col("ts") < col("d") + F.expr("INTERVAL 1 DAY")))
+           .groupBy("d").agg(F.countDistinct("user_id").alias("wau")))
+    dau = (cat.events
+           .groupBy(F.date_trunc("day", col("ts")).alias("d"))
+           .agg(F.countDistinct("user_id").alias("dau")))
+    return (dau.join(wau, "d")
+            .select(col("d").alias("day_ts"), "dau", "wau",
+                    F.round(col("dau") / col("wau"), 4).alias("stickiness")))
+
+
+@query(
+    "hourly_value_p95",
+    # Exact interpolated tail percentile per hour (Spark `percentile`
+    # == DuckDB `quantile_cont`, the order_value_percentiles pairing).
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
+           round(quantile_cont(value, 0.95), 4) AS p95_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def hourly_value_p95(cat: Catalog) -> DataFrame:
+    return (cat.events
+            .groupBy(F.date_trunc("hour", col("ts")).alias("hour_ts"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.percentile("value", F.lit(0.95)), 4)
+                 .alias("p95_value")))
+
+
+# --------------------------------------------- file-source gates
+#
+# One gate per text/columnar wire format: materialize events once in
+# the format under test (idempotent via Spark's _SUCCESS marker), read
+# it back through the sources/files.py reader, and aggregate — the
+# oracle reads the parquet ground truth, so any row lost or value bent
+# in the round-trip diverges.  Timestamps travel as integral unix
+# micros in the text formats (lossless; ISO strings round-trip µs
+# ambiguously across engines).
+
+def _format_dir_for(cat: Catalog, fmt: str, write_fn) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(cat.sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_{fmt}_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_fn(out)
+    return out
+
+
+def _wire_events(cat: Catalog) -> DataFrame:
+    return cat.events.select(
+        "event_id", F.unix_micros(col("ts")).alias("ts_us"),
+        "user_id", "event_type", "value").coalesce(2)
+
+
+_WIRE_SCHEMA = ("event_id long, ts_us long, user_id long, "
+                "event_type string, value double")
+
+
+def _jsonl_dir_for(cat: Catalog) -> str:
+    return _format_dir_for(
+        cat, "jsonl",
+        lambda out: _wire_events(cat).write.mode("overwrite").json(out))
+
+
+@query(
+    "jsonl_source_hourly_counts",
+    # The oracle reads the parquet view: if the JSONL round-trip bent a
+    # single timestamp or dropped a row, the hourly rollup diverges.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def jsonl_source_hourly_counts(cat: Catalog) -> DataFrame:
+    """Gates spark.read.json with an EXPLICIT schema (schema inference
+    is a full extra pass at 100 TB — never rely on it) against the
+    parquet ground truth."""
+    from data_ingestion_challenge_spark.sources.files import read_jsonl
+
+    df = read_jsonl(cat.spark, _jsonl_dir_for(cat), schema=_WIRE_SCHEMA)
+    return _hourly_rollup(df)
+
+
+def _hourly_rollup(df: DataFrame) -> DataFrame:
+    return (df.groupBy(F.date_trunc("hour", F.timestamp_micros(
+                col("ts_us"))).alias("hour_ts"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+_HOURLY_ORACLE = """
+    SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY date_trunc('hour', ts)
+    """
+
+
+@query("csv_source_hourly_counts", oracle=_HOURLY_ORACLE)
+def csv_source_hourly_counts(cat: Catalog) -> DataFrame:
+    """Gates the header-on CSV reader (sources/files.read_csv) — the
+    format's stringly types make it the easiest place to silently bend
+    a double or overflow a long, hence the parquet-oracle check."""
+    from data_ingestion_challenge_spark.sources.files import read_csv
+
+    path = _format_dir_for(
+        cat, "csv",
+        lambda out: (_wire_events(cat).write.mode("overwrite")
+                     .option("header", "true").csv(out)))
+    return _hourly_rollup(read_csv(cat.spark, path, schema=_WIRE_SCHEMA))
+
+
+@query("orc_source_hourly_counts", oracle=_HOURLY_ORACLE)
+def orc_source_hourly_counts(cat: Catalog) -> DataFrame:
+    """Gates the ORC reader (sources/files.read_orc) — same vectorized
+    scan contract as parquet, verified against the parquet twin."""
+    from data_ingestion_challenge_spark.sources.files import read_orc
+
+    path = _format_dir_for(
+        cat, "orc",
+        lambda out: _wire_events(cat).write.mode("overwrite").orc(out))
+    return _hourly_rollup(read_orc(cat.spark, path))

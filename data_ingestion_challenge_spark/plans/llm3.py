@@ -250,6 +250,64 @@ def multimodal_dedup(cat: Catalog) -> DataFrame:
                  F.min(col("meta.n_bytes")).alias("n_bytes")))
 
 
+def _binary_dir_for(cat: Catalog) -> str:
+    """Materialize the documents table as one .bin file per doc
+    (payload = utf-8 text bytes, filename = <doc_id>.bin) under a
+    per-sf temp dir, so the REAL binaryFile source path — not just the
+    in-plan to_binary_table stub — is correctness-gated.  Idempotent
+    via a _DONE marker; the driver-side write loop is test scaffolding
+    only (production media lands in object storage upstream)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(cat.sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_bin_{tag}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        for r in cat.documents.select("doc_id", "text").collect():
+            path = os.path.join(out, f"{r['doc_id']}.bin")
+            with open(path, "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "multimodal_binary_source_dedup",
+    # Same verdict as multimodal_dedup, but the payloads come off DISK
+    # through the binaryFile source — file length and content bytes
+    # must round-trip exactly (text is ascii, so strlen = byte length).
+    oracle="""
+    SELECT md5(text) AS payload_md5, count(*) AS dup_count,
+           min(doc_id) AS keep_doc_id, min(strlen(text)) AS n_bytes
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def multimodal_binary_source_dedup(cat: Catalog) -> DataFrame:
+    """Content-hash dedup over REAL binary files (sources/files.py:
+    read_binary_files): one row per file with (path, length, content),
+    doc identity recovered from the filename.  At 100 TB files are the
+    parallel unit and the md5 collapses map-side exactly as in
+    multimodal_dedup — this entry exists to gate the source itself
+    (schema, glob filter, payload round-trip), which the in-plan
+    binary-table stub can't exercise."""
+    from data_ingestion_challenge_spark.sources.files import (
+        read_binary_files)
+
+    bf = read_binary_files(cat.spark, _binary_dir_for(cat), glob="*.bin")
+    return (bf.select(
+                F.regexp_extract("path", r"(\d+)\.bin$", 1)
+                .cast("long").alias("doc_id"),
+                F.md5("content").alias("payload_md5"),
+                col("length"))
+            .groupBy("payload_md5")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("doc_id").alias("keep_doc_id"),
+                 F.min("length").alias("n_bytes")))
+
+
 # ------------------------------------------------- dedup keep-list
 
 @query(

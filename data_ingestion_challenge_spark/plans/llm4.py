@@ -1,0 +1,259 @@
+"""LLM-training-data pipeline, batch 4 (SURVEY.md §2C): Gopher-style
+corpus quality rules, token statistics, a sketch-accuracy audit for the
+MinHash estimator, and int8 embedding compression.
+
+Parity notes: every ratio is an exact integer division rendered as
+DOUBLE in both engines; float folds over arrays run in identical
+element order (Spark `aggregate` left fold == DuckDB `list_sum` over
+`list_transform`), so even the quantization RMSE replays bit-for-bit
+before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from data_ingestion_challenge_spark.catalog import Catalog
+from data_ingestion_challenge_spark.functions import hashing as H
+from data_ingestion_challenge_spark.operators import dedup as D
+from data_ingestion_challenge_spark.plans.llm import (
+    _MH_VALUES, _SH_CTE, _shared_postings)
+from data_ingestion_challenge_spark.plans.registry import query
+
+# ------------------------------------------------ quality filtering
+
+@query(
+    "gopher_quality_filter",
+    # Gopher-style rule battery (Rae et al. §A1.1 shape): word-count
+    # bounds, mean/max word length bounds, lexical diversity.  All
+    # rules are exact integer arithmetic → identical verdicts in both
+    # engines; thresholds are the published ballpark adapted to the
+    # synthetic corpus.
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, n_chars,
+                      string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id, lang,
+           len(w) AS n_words,
+           round((n_chars - len(w) + 1) / len(w), 4) AS mean_word_len,
+           list_max(list_transform(w, x -> strlen(x))) AS max_word_len,
+           round(len(list_distinct(w)) / len(w), 4) AS distinct_ratio,
+           CASE WHEN len(w) BETWEEN 10 AND 10000
+                 AND (n_chars - len(w) + 1) / len(w) BETWEEN 2 AND 12
+                 AND list_max(list_transform(w, x -> strlen(x))) <= 20
+                 AND len(list_distinct(w)) / len(w) >= 0.2
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM t
+    """,
+)
+def gopher_quality_filter(cat: Catalog) -> DataFrame:
+    """Narrow map over the corpus — zero shuffle, whole-stage codegen;
+    at 100 TB this is the cheapest pass in the pipeline and the one
+    that drops the most bytes, so it runs FIRST (before any dedup
+    shuffle pays for docs the rules would discard anyway)."""
+    w = F.split(col("text"), " ")
+    n_words = F.size(w)
+    mean_wl = (col("n_chars") - n_words + 1) / n_words
+    max_wl = F.array_max(F.transform(w, F.length))
+    dratio = F.size(F.array_distinct(w)) / n_words
+    return cat.documents.select(
+        "doc_id", "lang",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        max_wl.alias("max_word_len"),
+        F.round(dratio, 4).alias("distinct_ratio"),
+        F.when(n_words.between(10, 10000)
+               & mean_wl.between(2, 12)
+               & (max_wl <= 20)
+               & (dratio >= 0.2), 1)
+        .otherwise(0).alias("keep_flag"))
+
+
+@query(
+    "doc_token_entropy",
+    # Shannon entropy of the per-doc token distribution — the
+    # "gibberish vs natural text" signal quality classifiers key on.
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+            FROM cnt GROUP BY doc_id)
+    SELECT c.doc_id,
+           min(t.n) AS n_tokens,
+           count(*) AS n_unique,
+           round(-sum((c / t.n) * log2(c / t.n)), 4) AS entropy
+    FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def doc_token_entropy(cat: Catalog) -> DataFrame:
+    """Both aggregations key on doc_id, so AQE reuses one hash
+    partitioning for the count and the entropy fold; per-doc group
+    sizes are bounded by doc length — no skew surface."""
+    tok = cat.documents.select(
+        "doc_id", F.explode(F.split(col("text"), " ")).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = col("c") / col("n")
+    return (cnt.join(tot, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.min("n").alias("n_tokens"),
+                 F.count("*").alias("n_unique"),
+                 F.round(-F.sum(p * F.log2(p)), 4).alias("entropy")))
+
+
+@query(
+    "token_freq_topk",
+    # Corpus-level heavy hitters, EXACT (the CMS sketch twin lives in
+    # cms_heavy_hitters): groupBy partial-aggregates map-side, then a
+    # distributed TakeOrdered picks the global top 50 — the vocabulary
+    # never sorts in one task.
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    c AS (SELECT w AS token, count(*) AS cnt FROM tok GROUP BY w),
+    r AS (SELECT token, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT)
+                     AS rank
+          FROM c)
+    SELECT token, cnt, rank FROM r WHERE rank <= 50
+    """,
+)
+def token_freq_topk(cat: Catalog) -> DataFrame:
+    tok = cat.documents.select(
+        F.explode(F.split(col("text"), " ")).alias("token"))
+    c = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = c.orderBy(col("cnt").desc(), "token").limit(50)
+    # rank window runs on the 50 surviving rows only.
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(col("cnt").desc(),
+                                                   "token")))
+
+
+# ------------------------------------------------ sketch accuracy
+
+@query(
+    "minhash_estimate_audit",
+    # The MinHash estimator's accuracy, AUDITED: for every LSH band
+    # candidate pair, the signature-agreement estimate k_eq/16 next to
+    # the exact Jaccard — the per-pair error a tuning pass reads before
+    # picking (k, bands).  Signatures replay exactly in SQL (same
+    # md5-derived h32, same (a,b) params), so est/exact/err all match
+    # bit-for-bit before rounding.
+    oracle=f"""
+    WITH {_SH_CTE},
+    hs AS (SELECT doc_id, s,
+                  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+           FROM sh),
+    params(i, a, b) AS (VALUES {_MH_VALUES}),
+    sig AS (SELECT doc_id, p.i,
+                   min((p.a * h + p.b) % {H.MINHASH_P}) AS m
+            FROM hs CROSS JOIN params p GROUP BY doc_id, p.i),
+    band AS (SELECT doc_id, i // 2 AS bi,
+                    string_agg(m, ':' ORDER BY i) AS bkey
+             FROM sig GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM band x JOIN band y
+               ON x.bi = y.bi AND x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+    est AS (SELECT doc_a, doc_b,
+                   sum(CASE WHEN xa.m = yb.m THEN 1 ELSE 0 END) / 16.0
+                       AS est
+            FROM cand
+            JOIN sig xa ON xa.doc_id = doc_a
+            JOIN sig yb ON yb.doc_id = doc_b AND xa.i = yb.i
+            GROUP BY doc_a, doc_b),
+    inter AS (SELECT doc_a, doc_b, count(*) AS ic
+              FROM cand
+              JOIN sh a ON a.doc_id = doc_a
+              JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+              GROUP BY doc_a, doc_b)
+    SELECT e.doc_a, e.doc_b,
+           round(e.est, 4) AS est_jaccard,
+           round(ic / (sa.n + sb.n - ic), 4) AS jaccard,
+           round(abs(e.est - ic / (sa.n + sb.n - ic)), 4) AS abs_err
+    FROM est e
+    JOIN inter USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """,
+)
+def minhash_estimate_audit(cat: Catalog) -> DataFrame:
+    posting = _shared_postings(cat)
+    k = 16
+    hashed = posting.select("doc_id", H.h32(col("s")).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * col("h") + F.lit(b)) % F.lit(H.MINHASH_P))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(H.minhash_params(k))])
+    rows = 2
+    band_cols = [
+        F.concat_ws(":", F.lit(str(b)),
+                    *[col(f"m{b * rows + r}").cast("string")
+                      for r in range(rows)])
+        for b in range(k // rows)]
+    bandrows = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bkey"))
+    cand = (bandrows.alias("x").join(bandrows.alias("y"), "bkey")
+            .where(col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").alias("doc_a"),
+                    col("y.doc_id").alias("doc_b"))
+            .distinct())
+    eq = sum(F.when(col(f"xa.m{i}") == col(f"yb.m{i}"), 1).otherwise(0)
+             for i in range(k))
+    est = (cand
+           .join(sig.alias("xa"), col("xa.doc_id") == col("doc_a"))
+           .join(sig.alias("yb"), col("yb.doc_id") == col("doc_b"))
+           .select("doc_a", "doc_b", (eq / float(k)).alias("est")))
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # tau=0 keeps every candidate: the audit wants the error on misses
+    # (est high, exact low) just as much as on hits.
+    exact = D._verify_candidates(cand, posting, sizes, tau=0.0)
+    return (est.join(exact, ["doc_a", "doc_b"])
+            .select("doc_a", "doc_b",
+                    F.round(col("est"), 4).alias("est_jaccard"),
+                    "jaccard",
+                    F.round(F.abs(col("est") - col("jaccard")), 4)
+                    .alias("abs_err")))
+
+
+# --------------------------------------------- embedding compression
+
+@query(
+    "embedding_quantize_int8",
+    # Symmetric per-vector int8 quantization (the 4× memory cut an ANN
+    # index takes before PQ): scale = 127/max|x|, q = round(x·scale),
+    # reconstruction RMSE.  The fold runs in array order in both
+    # engines, so the doubles agree bit-for-bit before rounding.
+    oracle="""
+    WITH s AS (SELECT vec_id,
+                      embedding::DOUBLE[] AS e,
+                      127.0 / list_max(list_transform(
+                          embedding::DOUBLE[], x -> abs(x))) AS sc
+               FROM embeddings)
+    SELECT vec_id,
+           round(sc, 6) AS scale,
+           round(sqrt(list_sum(list_transform(
+                     e, x -> pow(x - round(x * sc) / sc, 2)))
+                 / len(e)), 6) AS rmse
+    FROM s
+    """,
+)
+def embedding_quantize_int8(cat: Catalog) -> DataFrame:
+    """Narrow map (no shuffle); arithmetic-only lambdas are safe inside
+    higher-order functions (the no-md5/split-in-lambda rule guards
+    re-evaluated EXPENSIVE exprs, not folds like this)."""
+    e = cat.embeddings.selectExpr(
+        "vec_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS e",
+        "127.0D / array_max(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " x -> abs(x))) AS sc")
+    return e.selectExpr(
+        "vec_id",
+        "round(sc, 6) AS scale",
+        "round(sqrt(aggregate(e, 0.0D,"
+        " (acc, x) -> acc + pow(x - round(x * sc) / sc, 2),"
+        " acc -> acc / size(e))), 6) AS rmse")

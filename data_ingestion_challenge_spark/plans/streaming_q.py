@@ -40,6 +40,24 @@ def streaming_dedup(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_watermark",
+    # Each event is doubled on ingest; the watermark-scoped dedup must
+    # collapse the pair back to one — so the oracle is the plain batch
+    # count per type.
+    oracle="""
+    SELECT event_type, count(*) AS n_events_deduped
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_watermark(cat: Catalog) -> DataFrame:
+    """dropDuplicatesWithinWatermark on the REAL engine — bounded
+    dedup state (ages out with event time), the 100 TB-stream shape of
+    streaming_dedup."""
+    return pipeline.run_dedup_watermark_bounded(
+        cat.spark, f"{cat.sf_dir}/events.parquet")
+
+
+@query(
     "streaming_sessionize",
     # The stateful operator emits a session only once a LATER event
     # proves the 30-min gap; each user's final session is still open in

@@ -102,6 +102,37 @@ def run_dedup_bounded(spark: SparkSession, events_path: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_dedup_watermark_bounded(spark: SparkSession,
+                                events_path: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: the PRODUCTION shape of
+    idempotent ingestion — dedup state ages out with the event-time
+    watermark instead of growing forever (run_dedup_bounded's
+    dropDuplicates keeps every key for the life of the query).
+
+    The synthetic duplicate rides the SAME input row (explode of a
+    two-element array), so both copies always land in one micro-batch:
+    the dedup verdict is batch-boundary-invariant and the bounded
+    drain stays deterministic under any availableNow splitting."""
+    name = "stream_dedup_wm_" + uuid.uuid4().hex[:8]
+    src = build_source(spark, events_path)
+    dup = src.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("_copy"), "*")
+    q = (
+        dup.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events_deduped"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def rate_demo(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Unbounded rate-source demo stream (synthetic ingest load) — used
     by tests to prove the pipeline accepts genuinely unbounded input."""

@@ -63,6 +63,7 @@ def test_token_counts_prunes_text_table(spark):
 # pair generation, scalar-subquery cross joins on 1-row sides).
 NON_EQUI_OK = {
     "rolling_7d_dau", "signup_cohort_retention",     # range joins
+    "dau_wau_stickiness",                            # 7d WAU range join
     # dedup_embedding_cosine / dedup_clusters / dedup_keep_list were
     # whitelisted here in r1 (all-pairs BNLJ); the blocked-gemm rewrite
     # (operators/similarity.py:embedding_cosine_pairs) removed the need.
@@ -75,7 +76,8 @@ NON_EQUI_OK = {
 }
 
 STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",
-             "streaming_dedup", "streaming_attribution"}
+             "streaming_dedup", "streaming_dedup_watermark",
+             "streaming_attribution"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
