@@ -306,3 +306,59 @@ def test_salted_topn_equals_plain_rank(spark, rows):
            .withColumn("_rk", F.row_number().over(wref))
            .where(col("_rk") <= cap).collect()}
     assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_lev_doc = st.lists(st.sampled_from(WORDS), min_size=5, max_size=14)
+_lev_corpus = st.lists(_lev_doc, min_size=2, max_size=5)
+_lev_edits = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 39),
+              st.sampled_from("abcxyz")),
+    min_size=0, max_size=3)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_lev_corpus, _lev_edits)
+def test_passjoin_segments_equal_naive_all_pairs(spark, docs, edits):
+    """dedup_levenshtein's PassJoin segment blocking must find EXACTLY
+    the pairs the plain (lang, band) all-pairs join finds — the
+    pigeonhole filter (≤5 edits leave one of 6 prefix segments intact
+    within a ±5 position shift) may never lose a true pair.  Edited
+    near-copies are appended so true pairs actually occur; both the
+    40-char segmented path and the short-doc fallback get exercised."""
+    from data_ingestion_challenge_spark.plans.llm import dedup_levenshtein
+
+    texts = [" ".join(d) for d in docs]
+    for di, pos, ch in edits:
+        t = texts[di % len(texts)]
+        p = pos % len(t)
+        texts.append(t[:p] + ch + t[p + 1:])
+    df = spark.createDataFrame(
+        [(i, "en", len(t), t) for i, t in enumerate(texts)],
+        "doc_id bigint, lang string, n_chars bigint, text string")
+
+    class _Cat:
+        documents = df
+
+    got = {(r["doc_a"], r["doc_b"], r["edit_dist"])
+           for r in dedup_levenshtein(_Cat()).collect()}
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if len(texts[i]) // 20 != len(texts[j]) // 20:
+                continue
+            d = _lev(texts[i][:40], texts[j][:40])
+            if d <= 5:
+                want.add((i, j, d))
+    assert got == want
