@@ -50,11 +50,11 @@ def dedup_exact(cat: Catalog) -> DataFrame:
 # unpersisted and evicted, so executor storage can't leak across many
 # Engine instances in a long-lived application.
 _POSTING_CACHE: dict = {}
-_POSTING_CACHE_MAX = 4
+_POSTING_CACHE_MAX = 6
 
 
-def _shared_postings(cat: Catalog, n: int = 3):
-    key = (cat.spark.sparkContext.applicationId, cat.sf_dir, n)
+def _cache_shared(cat: Catalog, tag, build):
+    key = (cat.spark.sparkContext.applicationId, cat.sf_dir, tag)
     if key not in _POSTING_CACHE:
         while len(_POSTING_CACHE) >= _POSTING_CACHE_MAX:
             old = _POSTING_CACHE.pop(next(iter(_POSTING_CACHE)))
@@ -62,8 +62,25 @@ def _shared_postings(cat: Catalog, n: int = 3):
                 old.unpersist()
             except Exception:
                 pass  # its session may already be stopped
-        _POSTING_CACHE[key] = D._postings(cat.documents, n)
+        _POSTING_CACHE[key] = build()
     return _POSTING_CACHE[key]
+
+
+def _shared_postings(cat: Catalog, n: int = 3):
+    # _postings persists internally, so the cache just keys the handle.
+    return _cache_shared(cat, n, lambda: D._postings(cat.documents, n))
+
+
+def _shared_winnow(cat: Catalog, n: int = 3, w: int = 4):
+    """Winnowing fingerprint table, persisted and shared exactly like
+    the shingle postings: doc_winnow_fingerprints, doc_containment and
+    decontaminate_substring each branch from it multiple times per
+    plan — without the persist every branch re-runs the whole
+    postings→hash→window-min pipeline (their shuffles differ, so
+    ReusedExchange can't save them)."""
+    return _cache_shared(
+        cat, ("winnow", n, w),
+        lambda: D.winnow_fingerprints(cat.documents, n=n, w=w).persist())
 
 
 def clear_posting_cache(app_id: str | None = None,
@@ -441,12 +458,17 @@ def token_counts(cat: Catalog) -> DataFrame:
     """,
 )
 def doc_quality(cat: Catalog) -> DataFrame:
-    w = T.words(col("text"))
-    n_tokens = F.size(w)
-    return cat.documents.select(
+    # Tokenize ONCE in a lower projection (CollapseProject keeps a
+    # non-cheap expr referenced >1× un-inlined) — the collapsed form
+    # re-ran split(text) six times per row.
+    d = cat.documents.select(
+        "doc_id", "n_chars", T.words(col("text")).alias("w"))
+    n_tokens = F.size(col("w"))
+    return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(T.stopword_count(w) / n_tokens, 4).alias("stop_ratio"),
+        F.round(T.stopword_count(col("w")) / n_tokens, 4)
+        .alias("stop_ratio"),
         F.round((col("n_chars") - n_tokens + 1) / n_tokens, 4)
         .alias("avg_word_len"),
         F.when(col("n_chars").between(100, 20000) & (n_tokens >= 10), 1)
@@ -526,7 +548,7 @@ def multimodal_frame_sample(cat: Catalog) -> DataFrame:
 )
 def doc_winnow_fingerprints(cat: Catalog) -> DataFrame:
     """MOSS-style winnowing fingerprint table (operators/dedup.py)."""
-    return D.winnow_fingerprints(cat.documents, n=3, w=4)
+    return _shared_winnow(cat, n=3, w=4)
 
 
 @query(

@@ -19,7 +19,7 @@ from data_ingestion_challenge_spark.catalog import Catalog
 from data_ingestion_challenge_spark.operators import dedup as D
 from data_ingestion_challenge_spark.operators import similarity as S
 from data_ingestion_challenge_spark.plans.llm import (
-    _GATE_ORACLE, _SH_CTE, _shared_postings)
+    _GATE_ORACLE, _SH_CTE, _shared_postings, _shared_winnow)
 from data_ingestion_challenge_spark.plans.registry import query
 
 # ------------------------------------------------- decontamination
@@ -455,7 +455,7 @@ def doc_containment(cat: Catalog) -> DataFrame:
     frequency cap (df ≤ {_CONTAIN_MAX_DF} drops boilerplate
     fingerprints, bounding every posting list), intersection counts
     via map-side-combined groupBy — never all-pairs."""
-    fps = (D.winnow_fingerprints(cat.documents, n=3, w=4)
+    fps = (_shared_winnow(cat, n=3, w=4)
            .select("doc_id", "fp_hash").distinct())
     capped = (fps.groupBy("fp_hash")
               .agg(F.count("*").alias("_df"))
@@ -511,7 +511,7 @@ def decontaminate_substring(cat: Catalog) -> DataFrame:
     → broadcast semi-mark; the corpus side is one winnow pass (shared
     with doc_winnow_fingerprints/doc_containment) + a per-doc
     aggregate.  No corpus self-join at all."""
-    fps = (D.winnow_fingerprints(cat.documents, n=3, w=4)
+    fps = (_shared_winnow(cat, n=3, w=4)
            .select("doc_id", "fp_hash").distinct())
     eval_fps = (fps.where(col("doc_id") % _BENCH_MOD == 0)
                 .select("fp_hash").distinct()

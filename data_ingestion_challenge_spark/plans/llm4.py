@@ -49,16 +49,22 @@ from data_ingestion_challenge_spark.plans.registry import query
     """,
 )
 def gopher_quality_filter(cat: Catalog) -> DataFrame:
-    """Narrow map over the corpus — zero shuffle, whole-stage codegen;
-    at 100 TB this is the cheapest pass in the pipeline and the one
-    that drops the most bytes, so it runs FIRST (before any dedup
-    shuffle pays for docs the rules would discard anyway)."""
-    w = F.split(col("text"), " ")
-    n_words = F.size(w)
+    """Narrow map over the corpus — zero shuffle; at 100 TB this is
+    the cheapest pass in the pipeline and the one that drops the most
+    bytes, so it runs FIRST (before any dedup shuffle pays for docs
+    the rules would discard anyway).
+
+    The tokenization binds ONCE in a lower projection: every rule
+    references `w`, and CollapseProject refuses to inline a non-cheap
+    expression used more than once — a single-select formulation
+    re-evaluates split(text) per rule (~10× the scan's CPU)."""
+    d = cat.documents.select(
+        "doc_id", "lang", "n_chars", F.split(col("text"), " ").alias("w"))
+    n_words = F.size(col("w"))
     mean_wl = (col("n_chars") - n_words + 1) / n_words
-    max_wl = F.array_max(F.transform(w, F.length))
-    dratio = F.size(F.array_distinct(w)) / n_words
-    return cat.documents.select(
+    max_wl = F.array_max(F.transform(col("w"), F.length))
+    dratio = F.size(F.array_distinct(col("w"))) / n_words
+    return d.select(
         "doc_id", "lang",
         n_words.alias("n_words"),
         F.round(mean_wl, 4).alias("mean_word_len"),

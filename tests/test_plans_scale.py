@@ -243,3 +243,21 @@ def test_ivf_candidate_pairs_sub_quadratic(spark):
     allp = n * (n - 1) // 2
     assert cand < 0.15 * allp, \
         f"IVF candidates not sub-quadratic: {cand}/{allp}"
+
+
+def test_gopher_filter_no_shuffle_single_split(spark):
+    """The quality-rule battery is a narrow map — zero exchanges — and
+    the tokenizing split(text) must be BOUND ONCE (a collapsed
+    projection re-evaluates it per rule, ~10× the scan CPU at 100 TB;
+    higher-order lambdas already force this Project out of codegen, so
+    there is no codegen CSE to save us)."""
+    plan = _plan(spark, "gopher_quality_filter")
+    assert "Exchange" not in plan
+    assert plan.count("split(text") <= 1, \
+        f"split(text) evaluated {plan.count('split(text')}× in the plan"
+
+
+def test_quantize_no_shuffle(spark):
+    """int8 quantization is per-row array math: zero exchanges."""
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan
