@@ -226,6 +226,88 @@ def minhash_estimate_audit(cat: Catalog) -> DataFrame:
                     .alias("abs_err")))
 
 
+# --------------------------------------------- pipeline terminal
+
+@query(
+    "corpus_train_ready",
+    # The document pipeline's FUNNEL VERDICT per source: a doc is
+    # train-ready iff it (a) passes the Gopher rule battery, (b) is
+    # its exact-dup group's survivor (min doc_id per md5), (c) is not
+    # an eval-slice member, and (d) is not contaminated (shingle
+    # overlap with the eval slice < 0.5).  One row per source with the
+    # survival funnel — what a pipeline operator actually reads before
+    # shipping a corpus snapshot.
+    oracle=f"""
+    WITH {_SH_CTE},
+    bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    ov AS (SELECT c.doc_id,
+                  count(b.s) / count(*) >= 0.5 AS contaminated
+           FROM sh c LEFT JOIN bsh b ON c.s = b.s
+           WHERE c.doc_id % 97 <> 0
+           GROUP BY c.doc_id),
+    toks AS (SELECT doc_id, source, n_chars,
+                    md5(text) AS h, string_split(text, ' ') AS w2
+             FROM documents),
+    base AS (
+        SELECT doc_id, source,
+               min(doc_id) OVER (PARTITION BY h) = doc_id AS is_survivor,
+               len(w2) BETWEEN 10 AND 10000
+                 AND (n_chars - len(w2) + 1) / len(w2) BETWEEN 2 AND 12
+                 AND list_max(list_transform(w2, x -> strlen(x))) <= 20
+                 AND len(list_distinct(w2)) / len(w2) >= 0.2 AS rules_ok
+        FROM toks)
+    SELECT b.source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (
+               b.rules_ok AND b.is_survivor AND b.doc_id % 97 <> 0
+               AND NOT coalesce(o.contaminated, FALSE)) AS BIGINT)
+               AS n_train_ready,
+           round(count(*) FILTER (
+               b.rules_ok AND b.is_survivor AND b.doc_id % 97 <> 0
+               AND NOT coalesce(o.contaminated, FALSE)) / count(*), 4)
+               AS train_ready_share
+    FROM base b LEFT JOIN ov o ON b.doc_id = o.doc_id
+    GROUP BY b.source
+    """,
+)
+def corpus_train_ready(cat: Catalog) -> DataFrame:
+    """Composes the registered signals — gopher_quality_filter's rule
+    verdict, dedup_exact's survivor choice, decontaminate_overlap's
+    contamination flag — into the per-source funnel.  Scale shape: all
+    three signals are narrow maps or reuse the shared posting table;
+    the md5 survivor window shuffles once on the hash (dup groups are
+    tiny); the final aggregate is per-source, map-side combined."""
+    from data_ingestion_challenge_spark.plans.llm3 import _BENCH_MOD
+
+    d = cat.documents.select(
+        "doc_id", "source", "n_chars",
+        F.md5(col("text")).alias("_h"),
+        F.split(col("text"), " ").alias("w"))
+    n_words = F.size(col("w"))
+    mean_wl = (col("n_chars") - n_words + 1) / n_words
+    rules_ok = (n_words.between(10, 10000)
+                & mean_wl.between(2, 12)
+                & (F.array_max(F.transform(col("w"), F.length)) <= 20)
+                & ((F.size(F.array_distinct(col("w"))) / n_words) >= 0.2))
+    surv = (F.min("doc_id").over(Window.partitionBy("_h"))
+            == col("doc_id"))
+    flags = d.select("doc_id", "source",
+                     rules_ok.alias("rules_ok"), surv.alias("is_survivor"))
+    ov = D.benchmark_overlap(
+        _shared_postings(cat),
+        bench_pred=col("doc_id") % _BENCH_MOD == 0,
+        tau=0.5).select("doc_id", "contaminated")
+    ready = (col("rules_ok") & col("is_survivor")
+             & (col("doc_id") % _BENCH_MOD != 0)
+             & ~F.coalesce(col("contaminated"), F.lit(False)))
+    return (flags.join(ov, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(ready.cast("long")).alias("n_train_ready"),
+                 F.round(F.sum(ready.cast("int")) / F.count("*"), 4)
+                 .alias("train_ready_share")))
+
+
 # --------------------------------------------- embedding compression
 
 @query(
