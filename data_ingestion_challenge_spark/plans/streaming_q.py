@@ -58,6 +58,74 @@ def streaming_dedup_watermark(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "streaming_incremental_rollup",
+    # value_sum accumulates in integral micro-units (exact under ANY
+    # micro-batch split), so the incrementally-maintained sink must
+    # equal the one-shot batch aggregate bit-for-bit.
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day_ts,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_sum_micros
+    FROM events GROUP BY date_trunc('day', ts)::TIMESTAMP
+    """,
+)
+def streaming_incremental_rollup(cat: Catalog) -> DataFrame:
+    """Continuous-aggregate maintenance on the REAL engine: foreachBatch
+    upserts only the day partitions each micro-batch touches (dynamic
+    partition overwrite + per-day batch-id replay gate), then the sink
+    is read back and checked against the one-shot batch oracle — the
+    ingest→maintain→serve loop the reference runs, driver-gated."""
+    import tempfile
+
+    from data_ingestion_challenge_spark.streaming.incremental import (
+        read_rollup, run_incremental_rollup)
+
+    out = tempfile.mkdtemp(prefix="incr_rollup_out_")
+    ck = tempfile.mkdtemp(prefix="incr_rollup_ck_")
+    run_incremental_rollup(cat.spark, f"{cat.sf_dir}/events.parquet",
+                           out, ck)
+    return read_rollup(cat.spark, out)
+
+
+@query(
+    "serving_point_lookup",
+    # The keyed serving read: build the bucketed+sorted rollup once,
+    # then read ONE key through the bucket-pruned path.  Key choice is
+    # deterministic (min user_id), so the oracle is a plain filtered
+    # aggregate on the ground truth.
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_sum_micros
+    FROM events
+    WHERE user_id = (SELECT min(user_id) FROM events)
+    GROUP BY user_id
+    """,
+)
+def serving_point_lookup(cat: Catalog) -> DataFrame:
+    """Gates serving.py end-to-end under the driver: layout build
+    (write_bucketed), bucket-pruned read (1 file of N), and the
+    returned row's values — the reference's per-key read endpoint."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark import serving
+
+    rollup = (cat.events.groupBy("user_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+                   .alias("value_sum_micros")))
+    key = cat.events.agg(F.min("user_id")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="serving_gate_")
+    serving.build_keyed_rollup(rollup, "serving_gate_rollup", tmp,
+                               key="user_id", n_buckets=8)
+    return serving.point_lookup_df(cat.spark, "serving_gate_rollup",
+                                   "user_id", key)
+
+
+@query(
     "streaming_sessionize",
     # The stateful operator emits a session only once a LATER event
     # proves the 30-min gap; each user's final session is still open in
