@@ -261,3 +261,11 @@ def test_quantize_no_shuffle(spark):
     """int8 quantization is per-row array math: zero exchanges."""
     plan = _plan(spark, "embedding_quantize_int8")
     assert "Exchange" not in plan
+
+
+def test_token_topk_distributed_take_ordered(spark):
+    """The corpus-level top-50 must use TakeOrderedAndProject (partial
+    per-partition top-k) — a global sort of the vocabulary would
+    single-task the 100 TB token table."""
+    plan = _plan(spark, "token_freq_topk")
+    assert "TakeOrderedAndProject" in plan
