@@ -152,7 +152,14 @@ def _format_dir_for(cat: Catalog, fmt: str, write_fn) -> str:
     import os
     import tempfile
 
-    tag = hashlib.md5(cat.sf_dir.encode()).hexdigest()[:12]
+    # The tag includes the source parquet's (mtime, size): testdata is
+    # regenerated between rounds, and a stale /tmp scaffold keyed on
+    # sf_dir alone would silently serve last round's rows.
+    src = f"{cat.sf_dir}/events.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{cat.sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"spark_graft_{fmt}_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         write_fn(out)

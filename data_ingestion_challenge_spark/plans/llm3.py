@@ -261,7 +261,14 @@ def _binary_dir_for(cat: Catalog) -> str:
     import os
     import tempfile
 
-    tag = hashlib.md5(cat.sf_dir.encode()).hexdigest()[:12]
+    # Tag includes the source parquet's (mtime, size): testdata is
+    # regenerated between rounds, and a stale /tmp scaffold keyed on
+    # sf_dir alone would silently serve last round's bytes.
+    src = f"{cat.sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{cat.sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"spark_graft_bin_{tag}")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
