@@ -407,6 +407,52 @@ def dedup_clusters(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_stats",
+    # The report a dedup run ships with: how many near-dup clusters of
+    # each size, and how many docs each size class removes (size-1 ×
+    # n_clusters).  Singletons (no pair) are excluded — same contract
+    # as dedup_clusters.
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_DK_COS} >= 0.4
+    ), edges AS (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION
+        SELECT vb, va FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), clusters AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ), by_cluster AS (
+        SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_docs_removed
+    FROM by_cluster GROUP BY sz
+    """,
+)
+def dedup_cluster_stats(cat: Catalog) -> DataFrame:
+    """Cluster-size histogram over the connected components — the
+    shuffle runs over the (tiny) cluster table, never the corpus."""
+    from data_ingestion_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    pairs = S.embedding_cosine_pairs(cat.embeddings, tau=0.4)
+    by_cluster = (connected_components(pairs, "vec_a", "vec_b")
+                  .groupBy("cluster_id").agg(F.count("*").alias("sz")))
+    return (by_cluster.groupBy(col("sz").alias("cluster_size"))
+            .agg(F.count("*").alias("n_clusters"),
+                 ((col("sz") - 1) * F.count("*")).cast("long")
+                 .alias("n_docs_removed")))
+
+
+@query(
     "embedding_norms",
     oracle="""
     SELECT vec_id,
