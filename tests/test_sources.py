@@ -245,3 +245,30 @@ def test_dedup_accepts_materialized_postings(spark, tmp_path, cat):
         assert from_lake == in_session and from_lake
     finally:
         spark.sql("DROP TABLE IF EXISTS b_post2")
+
+
+def test_source_gate_scaffold_rekeys_on_data_change(spark, tmp_path):
+    """The /tmp write-once scaffolds behind the ingest gates must get a
+    NEW directory when the source parquet changes (testdata is
+    regenerated between rounds; serving stale rows would fail every
+    format gate against the fresh ground truth)."""
+    import os
+
+    from data_ingestion_challenge_spark.catalog import Catalog
+    from data_ingestion_challenge_spark.plans.events4 import _format_dir_for
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.range(3).selectExpr(
+        "id AS event_id", "timestamp_micros(id) AS ts").write.parquet(
+        str(sf / "events.parquet"))
+    cat = Catalog(spark, str(sf))
+    d1 = _format_dir_for(cat, "probe", lambda out: os.makedirs(
+        os.path.join(out), exist_ok=True))
+    # regenerate the source: same path, different bytes/mtime
+    spark.range(4).selectExpr(
+        "id AS event_id", "timestamp_micros(id) AS ts").write.mode(
+        "overwrite").parquet(str(sf / "events.parquet"))
+    d2 = _format_dir_for(cat, "probe", lambda out: os.makedirs(
+        os.path.join(out), exist_ok=True))
+    assert d1 != d2, "scaffold dir must re-key when source data changes"
