@@ -30,11 +30,15 @@ from data_ingestion_challenge_spark.plans import tpch3     # noqa: F401,E402
 #      re-enter the window to flip red → green;
 #   2. entries with NO driver record yet (registration order already
 #      leads with the novel llm/streaming surface);
-#   3. entries the driver last recorded green (re-confirmation only).
+#   3. entries the driver last recorded green, LEAST-recently-checked
+#      first — testdata regenerates every round, so a green record
+#      ages; without this tier an entry checked in r1 would never
+#      re-enter the window once tiers 1-2 empty out.
 # Self-updating: each new round's artifact re-prioritizes the next
 # round's window with no manual edit.  Local tests still run ALL
 # queries against their oracles (tests/test_oracle_parity.py).
-def _driver_verdicts() -> dict[str, bool]:
+def _driver_verdicts() -> dict[str, tuple[bool, int]]:
+    """name -> (latest verdict, round of that latest record)."""
     import glob
     import json
     import os
@@ -43,7 +47,7 @@ def _driver_verdicts() -> dict[str, bool]:
 
     root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
-    verdicts: dict[str, bool] = {}
+    verdicts: dict[str, tuple[bool, int]] = {}
 
     def _round_no(path: str) -> int:
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -61,20 +65,29 @@ def _driver_verdicts() -> dict[str, bool]:
             continue  # malformed artifact must never break imports
         if not isinstance(data, dict):
             continue
+        rnd = _round_no(path)
         for name, rec in data.items():
             if isinstance(rec, dict):
-                verdicts[name] = (not rec.get("err")
-                                  and bool(rec.get("rows_match"))
-                                  and bool(rec.get("schema_match"))
-                                  and bool(rec.get("hash_match")))
+                ok = (not rec.get("err")
+                      and bool(rec.get("rows_match"))
+                      and bool(rec.get("schema_match"))
+                      and bool(rec.get("hash_match")))
+                verdicts[name] = (ok, rnd)
     return verdicts
 
 
 def _apply_verify_order() -> None:
     verdicts = _driver_verdicts()
-    failed = [n for n in QUERIES if verdicts.get(n) is False]
-    unchecked = [n for n in QUERIES if n not in verdicts]
-    ordered = {n: QUERIES[n] for n in failed + unchecked}
+    names = list(QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    failed = [n for n in names if n in verdicts and not verdicts[n][0]]
+    unchecked = [n for n in names if n not in verdicts]
+    # Tier 3: green entries, stalest driver record first; registration
+    # order breaks ties so the rotation is deterministic.
+    green = sorted((n for n in names
+                    if n in verdicts and verdicts[n][0]),
+                   key=lambda n: (verdicts[n][1], pos[n]))
+    ordered = {n: QUERIES[n] for n in failed + unchecked + green}
     for n, q in QUERIES.items():
         if n not in ordered:
             ordered[n] = q

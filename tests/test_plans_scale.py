@@ -163,9 +163,9 @@ def test_per_source_cap_salted_topk(spark):
 def test_verification_priority_from_driver_artifacts(spark):
     """Registration order derives from CORRECTNESS_r*.json: every
     entry whose latest driver record failed sorts before every entry
-    with a green record (unchecked entries in between) — the fixes
-    re-enter the driver's checked window automatically."""
-    import json
+    with a green record (unchecked entries in between), and green
+    entries rotate LEAST-recently-checked first so stale records
+    re-enter the driver's ~50-query window as testdata regenerates."""
     from pathlib import Path
 
     from data_ingestion_challenge_spark.plans import (
@@ -178,13 +178,21 @@ def test_verification_priority_from_driver_artifacts(spark):
         pytest.skip("no driver artifacts in this checkout")
     names = list(QUERIES)
     pos = {n: i for i, n in enumerate(names)}
-    failed = [n for n in names if verdicts.get(n) is False]
-    green = [n for n in names if verdicts.get(n) is True]
+    failed = [n for n in names if n in verdicts and not verdicts[n][0]]
+    green = [n for n in names if n in verdicts and verdicts[n][0]]
     if failed and green:
         assert max(pos[n] for n in failed) < min(pos[n] for n in green)
     unchecked = [n for n in names if n not in verdicts]
     if unchecked and green:
         assert max(pos[n] for n in unchecked) < min(pos[n] for n in green)
+    # LRU rotation: within the green tier, an entry last checked in an
+    # earlier round always precedes one checked in a later round.
+    for a in green:
+        for b in green:
+            if verdicts[a][1] < verdicts[b][1]:
+                assert pos[a] < pos[b], (
+                    f"{a} (r{verdicts[a][1]}) should precede "
+                    f"{b} (r{verdicts[b][1]})")
 
 
 def test_doc_containment_df_capped_postings(spark):
@@ -269,3 +277,14 @@ def test_token_topk_distributed_take_ordered(spark):
     single-task the 100 TB token table."""
     plan = _plan(spark, "token_freq_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_prefix_windows_fused(spark):
+    """The PPJoin prefix stage computes per-doc size AND df-rank in ONE
+    Window node (shared (doc_id, _df, s) sort): splitting the specs
+    plans two full sorts of the posting table per self-join branch —
+    the r3 dedup_ngram_jaccard regression.  The full query self-joins
+    the prefix, so the plan carries exactly one Window per branch."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert plan.count("Window ") <= 2, \
+        f"prefix windows not fused: {plan.count('Window ')} Window nodes"
