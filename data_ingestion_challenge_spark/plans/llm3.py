@@ -254,9 +254,13 @@ def _binary_dir_for(cat: Catalog) -> str:
     """Materialize the documents table as one .bin file per doc
     (payload = utf-8 text bytes, filename = <doc_id>.bin) under a
     per-sf temp dir, so the REAL binaryFile source path — not just the
-    in-plan to_binary_table stub — is correctness-gated.  Idempotent
-    via a _DONE marker; the driver-side write loop is test scaffolding
-    only (production media lands in object storage upstream)."""
+    in-plan to_binary_table stub — is correctness-gated.  The files
+    are written EXECUTOR-side (mapInPandas partition writer) so the
+    corpus never lands in driver memory — the driver sees only one
+    written-count row per partition; file content is deterministic per
+    path, so a task retry just overwrites identical bytes.  Idempotent
+    via a _DONE marker (local[*] shares the driver filesystem; on a
+    real cluster the scaffold would target shared object storage)."""
     import hashlib
     import os
     import tempfile
@@ -273,10 +277,23 @@ def _binary_dir_for(cat: Catalog) -> str:
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
-        for r in cat.documents.select("doc_id", "text").collect():
-            path = os.path.join(out, f"{r['doc_id']}.bin")
-            with open(path, "wb") as f:
-                f.write(r["text"].encode("utf-8"))
+
+        def _write_partition(batches):
+            import pandas as pd
+            n = 0
+            for pdf in batches:
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    path = os.path.join(out, f"{doc_id}.bin")
+                    with open(path, "wb") as f:
+                        f.write(text.encode("utf-8"))
+                n += len(pdf)
+            yield pd.DataFrame({"written": [n]})
+
+        total = (cat.documents.select("doc_id", "text")
+                 .mapInPandas(_write_partition, "written long")
+                 .agg(F.sum("written").alias("n")).collect()[0]["n"])
+        if total is None or total <= 0:
+            raise RuntimeError(f"binary scaffold wrote no files to {out}")
         open(marker, "w").close()
     return out
 
