@@ -58,17 +58,24 @@ def _postings(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
-                        tau: float) -> DataFrame:
+                        tau: float, keep_raw: bool = False) -> DataFrame:
     """(doc_a, doc_b, ic=|A∩B|) + per-doc set sizes → Jaccard ≥ tau.
     Postings are distinct, so the pair-join row count IS the
-    intersection — no array materialization or re-intersection."""
+    intersection — no array materialization or re-intersection.
+    keep_raw adds the UNROUNDED jaccard as `jaccard_raw` for callers
+    that derive further arithmetic from it (error audits): deriving
+    from the rounded value diverges from an oracle computing on the
+    raw ratio whenever the true value sits near a rounding boundary."""
     sa = sizes.select(col("doc_id").alias("doc_a"), col("n").alias("_na"))
     sb = sizes.select(col("doc_id").alias("doc_b"), col("n").alias("_nb"))
     jac = col("ic") / (col("_na") + col("_nb") - col("ic"))
+    cols = ["doc_a", "doc_b", F.round(jac, 4).alias("jaccard")]
+    if keep_raw:
+        cols.append(jac.alias("jaccard_raw"))
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .where(jac >= tau)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(*cols)
     )
 
 
@@ -102,11 +109,19 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     # shape at 100 TB.  The doc_id windows are fine: per-doc posting
     # lists are bounded by doc length.
     dfreq = posting.groupBy("s").agg(F.count("*").alias("_df"))
+    # ONE window spec for both size and rank: WindowExec groups window
+    # expressions by (partition, order) — frames may differ — so the
+    # unbounded-frame count rides the row_number's (doc_id, _df, s)
+    # sort.  Splitting them (plain count over doc_id + ordered
+    # row_number) plans TWO Window nodes with two full sorts of the
+    # posting table, the r3 dedup_ngram_jaccard regression.
+    wspec = Window.partitionBy("doc_id").orderBy("_df", "s")
     pp = (
         posting.join(dfreq, "s")
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-        .withColumn("_pos", F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("_df", "s")))
+        .withColumn("n", F.count("*").over(
+            wspec.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+        .withColumn("_pos", F.row_number().over(wspec))
     )
     prefix = (
         pp.where(col("_pos") <= F.floor((1 - tau) * col("n") + eps) + 1)
@@ -135,7 +150,8 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
 
 
 def _verify_candidates(cand: DataFrame, posting: DataFrame,
-                       sizes: DataFrame, tau: float) -> DataFrame:
+                       sizes: DataFrame, tau: float,
+                       keep_raw: bool = False) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: expand doc_a's
     postings over its pairs, equi-join doc_b's postings — linear in
     candidate postings, never all-pairs."""
@@ -147,7 +163,7 @@ def _verify_candidates(cand: DataFrame, posting: DataFrame,
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ic"))
     )
-    return _jaccard_from_inter(inter, sizes, tau)
+    return _jaccard_from_inter(inter, sizes, tau, keep_raw=keep_raw)
 
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 16,
@@ -276,6 +292,29 @@ def winnow_fingerprints(documents: DataFrame, n: int = 3,
     return (sel.select("doc_id", col("_m.h").alias("fp_hash"),
                        (-col("_m.np")).alias("fp_pos"))
             .distinct())
+
+
+def char_gram_hashes(documents: DataFrame, k: int = 20) -> DataFrame:
+    """(doc_id, gh): md5 of the k-CHARACTER gram at EVERY character
+    offset of `text` — the any-position exact-match index.  Two texts
+    share a verbatim character run of length ≥ k iff they share at
+    least one k-gram, with no word-alignment or sampling caveat (the
+    winnowing index is word-aligned and window-sampled).
+
+    Scale shape: |text| rows per doc — O(total corpus chars), the same
+    asymptotic budget a suffix-array build (Lee et al. §4) pays, as a
+    zero-shuffle narrow map.  Same explode-the-position-range
+    formulation as _postings: codegen'd substring per row, never a
+    higher-order lambda (interpreted + re-evaluated per reference)."""
+    idx = documents.select(
+        "doc_id", "text",
+        F.explode(
+            F.when(F.length("text") >= k,
+                   F.sequence(F.lit(1), F.length("text") - (k - 1)))
+            .otherwise(F.array().cast("array<int>"))).alias("i"))
+    return idx.select(
+        "doc_id",
+        F.md5(F.expr(f"substring(text, i, {k})")).alias("gh"))
 
 
 def benchmark_overlap(posting: DataFrame, bench_pred,

@@ -9,15 +9,22 @@ DataFrame ops:
 
     label(v) ← min(label(v), min over neighbors u of label(u))
 
-repeated to fixpoint.  Each round is ONE shuffled equi-join + groupBy
-on vertex id (same key → AQE reuses the partitioning); rounds needed =
-graph diameter, which for near-dup clusters is tiny (pairs are dense
-within a cluster).  `localCheckpoint` truncates the growing lineage so
+repeated to fixpoint, PLUS a pointer-doubling shortcut each round
+
+    label(v) ← min(label(v), label(label(v)))
+
+(the Shiloach-Vishkin / hash-to-min trick): labels chase their own
+mapping, so the distance a label travels doubles per round and the
+loop converges in O(log diameter) rounds instead of O(diameter) —
+containment-style chains (A quotes B quotes C …) produce long paths
+that would otherwise exhaust max_iter.  Each round is two shuffled
+equi-joins + a groupBy on vertex id (same key → AQE reuses the
+partitioning).  `localCheckpoint` truncates the growing lineage so
 round N doesn't re-execute rounds 1..N-1.
 
 At 100 TB: edge lists from LSH banding are bounded per bucket, the
-loop is O(diameter) shuffles of the (small) vertex-label table, not of
-the corpus.
+loop is O(log diameter) shuffles of the (small) vertex-label table,
+not of the corpus.
 """
 
 from __future__ import annotations
@@ -49,10 +56,25 @@ def connected_components(pairs: DataFrame, a: str, b: str,
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        prop = (
             labels.join(nbr_min, col("id") == col("src"), "left")
             .select("id",
                     F.least(col("label"), F.coalesce(col("nbr_min"),
+                                                     col("label")))
+                    .alias("label"))
+        )
+        # Pointer doubling: label ← min(label, label(label)).  Every
+        # label value is itself a vertex id (labels start as ids and
+        # only ever take min over ids), so the self-join always
+        # resolves; chasing the mapping doubles propagation distance
+        # per round → O(log diameter) rounds on chain graphs where
+        # neighbor-min alone needs O(diameter).
+        lmap = prop.select(col("id").alias("_lid"),
+                           col("label").alias("_ll"))
+        new_labels = (
+            prop.join(lmap, col("label") == col("_lid"), "left")
+            .select("id",
+                    F.least(col("label"), F.coalesce(col("_ll"),
                                                      col("label")))
                     .alias("label"))
             .localCheckpoint()

@@ -235,12 +235,14 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
                               for r in sorted(seeds, key=lambda r: r["vec_id"])])
     C = np.asarray(centroids, dtype=np.float64)
     nlist = len(C)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cnorm = np.linalg.norm(C, axis=1)
 
     def _sims(se: "pd.Series") -> np.ndarray:
+        # dot/(|a|·|c|), the _dk_cos operation order — see
+        # _ivf_probe_assignments for why ulps matter here.
         A = np.stack(se.to_numpy()).astype(np.float64)
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        return A @ Cn.T
+        return (A @ C.T) / (np.linalg.norm(A, axis=1)[:, None]
+                            * Cnorm[None, :])
 
     @pandas_udf("int")
     def _assign(se: pd.Series) -> pd.Series:
@@ -347,15 +349,20 @@ def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
              .select("vec_id", "embedding").collect())
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in sorted(seeds, key=lambda r: r["vec_id"])])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cnorm = np.linalg.norm(C, axis=1)
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
     def _probe(se: pd.Series) -> pd.Series:
         A = np.stack(se.to_numpy()).astype(np.float64)
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        order = np.argsort(-(A @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+        # Score as dot/(|a|·|c|) — the SAME operation order as the
+        # DuckDB replay's _dk_cos — not (a/|a|)·(c/|c|): the two double
+        # expressions differ by ulps, and a near-tie in centroid rank
+        # would flip the probe set between engines.
+        scores = (A @ C.T) / (np.linalg.norm(A, axis=1)[:, None]
+                              * Cnorm[None, :])
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype("int32")))
 
     return embeddings.select(

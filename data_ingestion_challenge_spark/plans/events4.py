@@ -182,38 +182,44 @@ def _jsonl_dir_for(cat: Catalog) -> str:
         lambda out: _wire_events(cat).write.mode("overwrite").json(out))
 
 
-@query(
-    "jsonl_source_hourly_counts",
-    # The oracle reads the parquet view: if the JSONL round-trip bent a
-    # single timestamp or dropped a row, the hourly rollup diverges.
-    oracle="""
-    SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
-           count(DISTINCT user_id) AS n_users
-    FROM events GROUP BY date_trunc('hour', ts)
-    """,
-)
-def jsonl_source_hourly_counts(cat: Catalog) -> DataFrame:
-    """Gates spark.read.json with an EXPLICIT schema (schema inference
-    is a full extra pass at 100 TB — never rely on it) against the
-    parquet ground truth."""
-    from data_ingestion_challenge_spark.sources.files import read_jsonl
-
-    df = read_jsonl(cat.spark, _jsonl_dir_for(cat), schema=_WIRE_SCHEMA)
-    return _hourly_rollup(df)
-
-
 def _hourly_rollup(df: DataFrame) -> DataFrame:
+    """The gate aggregate checks EVERY wire column, not just the group
+    key: value rides as sum of integral micros (a CSV double bent in
+    the text round-trip diverges), event_id as min/max (a dropped or
+    duplicated row moves count; a corrupted id moves the extrema)."""
     return (df.groupBy(F.date_trunc("hour", F.timestamp_micros(
                 col("ts_us"))).alias("hour_ts"))
             .agg(F.count("*").alias("n_events"),
-                 F.countDistinct("user_id").alias("n_users")))
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.round(col("value") * 1000000).cast("bigint"))
+                 .alias("value_sum_micros"),
+                 F.min("event_id").alias("min_event_id"),
+                 F.max("event_id").alias("max_event_id"),
+                 F.countDistinct("event_type").alias("n_types")))
 
 
 _HOURLY_ORACLE = """
     SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n_events,
-           count(DISTINCT user_id) AS n_users
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_sum_micros,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           count(DISTINCT event_type) AS n_types
     FROM events GROUP BY date_trunc('hour', ts)
     """
+
+
+@query("jsonl_source_hourly_counts", oracle=_HOURLY_ORACLE)
+def jsonl_source_hourly_counts(cat: Catalog) -> DataFrame:
+    """Gates spark.read.json with an EXPLICIT schema (schema inference
+    is a full extra pass at 100 TB — never rely on it) against the
+    parquet ground truth.  The oracle reads the parquet view: any row
+    lost or value bent in the JSONL round-trip diverges."""
+    from data_ingestion_challenge_spark.sources.files import read_jsonl
+
+    df = read_jsonl(cat.spark, _jsonl_dir_for(cat), schema=_WIRE_SCHEMA)
+    return _hourly_rollup(df)
 
 
 @query("csv_source_hourly_counts", oracle=_HOURLY_ORACLE)

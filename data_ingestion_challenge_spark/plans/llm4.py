@@ -216,13 +216,18 @@ def minhash_estimate_audit(cat: Catalog) -> DataFrame:
            .select("doc_a", "doc_b", (eq / float(k)).alias("est")))
     sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
     # tau=0 keeps every candidate: the audit wants the error on misses
-    # (est high, exact low) just as much as on hits.
-    exact = D._verify_candidates(cand, posting, sizes, tau=0.0)
+    # (est high, exact low) just as much as on hits.  abs_err derives
+    # from the UNROUNDED jaccard (keep_raw) — the oracle computes
+    # abs(est - ic/(na+nb-ic)) on the raw ratio, and rounding first
+    # flips the 4th decimal whenever the true error sits within 5e-5
+    # of a rounding boundary (data-dependent flake).
+    exact = D._verify_candidates(cand, posting, sizes, tau=0.0,
+                                 keep_raw=True)
     return (est.join(exact, ["doc_a", "doc_b"])
             .select("doc_a", "doc_b",
                     F.round(col("est"), 4).alias("est_jaccard"),
                     "jaccard",
-                    F.round(F.abs(col("est") - col("jaccard")), 4)
+                    F.round(F.abs(col("est") - col("jaccard_raw")), 4)
                     .alias("abs_err")))
 
 

@@ -106,7 +106,12 @@ def streaming_incremental_rollup(cat: Catalog) -> DataFrame:
 def serving_point_lookup(cat: Catalog) -> DataFrame:
     """Gates serving.py end-to-end under the driver: layout build
     (write_bucketed), bucket-pruned read (1 file of N), and the
-    returned row's values — the reference's per-key read endpoint."""
+    returned row's values — the reference's per-key read endpoint.
+    Executes via serving.point_lookup (the scoped autoBucketedScan=off
+    set-execute-restore path) so the rows the driver hashes really
+    came through the PRUNED single-bucket scan — returning the lazy
+    point_lookup_df here would let driver-side execution re-plan it as
+    an all-bucket scan (gate would verify values but not the path)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -121,8 +126,10 @@ def serving_point_lookup(cat: Catalog) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="serving_gate_")
     serving.build_keyed_rollup(rollup, "serving_gate_rollup", tmp,
                                key="user_id", n_buckets=8)
-    return serving.point_lookup_df(cat.spark, "serving_gate_rollup",
-                                   "user_id", key)
+    schema = cat.spark.table("serving_gate_rollup").schema
+    rows = serving.point_lookup(cat.spark, "serving_gate_rollup",
+                                "user_id", key)
+    return cat.spark.createDataFrame(rows, schema=schema)
 
 
 @query(

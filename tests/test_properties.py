@@ -90,6 +90,24 @@ def test_connected_components_equals_union_find(spark, edges):
     assert got == set(_union_find_components(edges).items())
 
 
+def test_connected_components_log_rounds_on_path_graph(spark):
+    """Pointer doubling bounds the loop at O(log diameter): a 1024-node
+    PATH graph (diameter 1023 — the containment-chain worst case) must
+    converge within 14 rounds, where plain neighbor-min propagation
+    needs 1023.  Convergence is observable in the result: only a
+    converged run labels every vertex with the global min (0)."""
+    from data_ingestion_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    n = 1024
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               "a bigint, b bigint")
+    res = connected_components(df, "a", "b", max_iter=14).collect()
+    assert len(res) == n
+    assert {r["cluster_id"] for r in res} == {0}, \
+        "path graph not fully labeled in 14 rounds — doubling broken"
+
+
 _events = st.lists(
     st.tuples(st.integers(0, 2),          # user
               st.integers(0, 120),        # minutes offset
