@@ -61,7 +61,8 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
-    p50_ms, p99_ms = _point_lookup_latency(spark, sf_dir)
+    (p50_ms, p99_ms), (sql_p50_ms, sql_p99_ms) = \
+        _point_lookup_latency(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -71,17 +72,22 @@ def main() -> None:
         "queries": timings,
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,
+        "point_lookup_sql_p50_ms": sql_p50_ms,
+        "point_lookup_sql_p99_ms": sql_p99_ms,
         "sf": sf,
     }))
     spark.stop()
 
 
-def _point_lookup_latency(spark, sf_dir: str,
-                          n_lookups: int = 40) -> tuple[float, float]:
+def _point_lookup_latency(spark, sf_dir: str, n_lookups: int = 40):
     """Serving-path latency: build the keyed user rollup once (the
     bucketed+sorted layout serving.py contracts), then time end-to-end
     keyed reads — the reference's core read path is exactly this
-    lookup, so the bench reports its p50/p99 alongside throughput."""
+    lookup, so the bench reports its p50/p99 alongside throughput.
+    Two paths: the SERVING read (point_lookup_fast — Murmur3 bucket
+    routing + cached manifest + Arrow predicate read, no planner) and
+    the SQL-planner read (point_lookup) for comparison.  Returns
+    ((fast_p50, fast_p99), (sql_p50, sql_p99)) in ms."""
     import shutil
     import tempfile
 
@@ -102,16 +108,20 @@ def _point_lookup_latency(spark, sf_dir: str,
         keys = [r[0] for r in
                 rollup.select("user_id").limit(4 * n_lookups).collect()]
         keys = keys[::4][:n_lookups] or [0]
-        serving.point_lookup(spark, table, "user_id", keys[0])  # warm
-        lat = []
-        for k in keys:
-            t0 = time.perf_counter()
-            serving.point_lookup(spark, table, "user_id", k)
-            lat.append((time.perf_counter() - t0) * 1000.0)
-        lat.sort()
-        p50 = lat[len(lat) // 2]
-        p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
-        return round(p50, 2), round(p99, 2)
+        def _percentiles(fn):
+            fn(spark, table, "user_id", keys[0])  # warm
+            lat = []
+            for k in keys:
+                t0 = time.perf_counter()
+                fn(spark, table, "user_id", k)
+                lat.append((time.perf_counter() - t0) * 1000.0)
+            lat.sort()
+            p50 = lat[len(lat) // 2]
+            p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+            return round(p50, 2), round(p99, 2)
+
+        return (_percentiles(serving.point_lookup_fast),
+                _percentiles(serving.point_lookup))
     finally:
         try:
             spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -246,3 +246,22 @@ def orc_source_hourly_counts(cat: Catalog) -> DataFrame:
         cat, "orc",
         lambda out: _wire_events(cat).write.mode("overwrite").orc(out))
     return _hourly_rollup(read_orc(cat.spark, path))
+
+
+@query("avro_source_hourly_counts", oracle=_HOURLY_ORACLE)
+def avro_source_hourly_counts(cat: Catalog) -> DataFrame:
+    """Gates the Avro wire format END-TO-END: events are written as
+    real Avro container files (pure-Python OCF writer, executor-side —
+    sources/avro_ocf.py implements the public Avro spec since neither
+    the spark-avro jar nor a Python avro package ships in this
+    container), read back through the avro_ocf Python DataSource, and
+    rolled up against the parquet ground truth.  A bent varint, a
+    mis-framed block, or a dropped row diverges from the oracle."""
+    from data_ingestion_challenge_spark.sources.avro_ocf import (
+        read_avro_ocf, write_avro_ocf)
+
+    path = _format_dir_for(
+        cat, "avro",
+        lambda out: write_avro_ocf(_wire_events(cat), out))
+    return _hourly_rollup(read_avro_ocf(cat.spark, path,
+                                        schema=_WIRE_SCHEMA))

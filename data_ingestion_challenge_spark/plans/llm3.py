@@ -546,3 +546,72 @@ def decontaminate_substring(cat: Catalog) -> DataFrame:
             .agg(F.count("*").alias("n_fps"),
                  F.count("_hit").alias("n_shared"),
                  (F.count("_hit") > 0).alias("contaminated")))
+
+
+_SUBSTR_K = 20
+
+
+@query(
+    "decontaminate_substring_exact",
+    # Char-level exactness: two texts share a verbatim run of ≥ k
+    # characters iff they share a k-gram at SOME character offset, so
+    # hashing every offset's k-gram is the complete any-position check
+    # — no word alignment, no winnow sampling.  The oracle replays the
+    # same index with unnest(generate_series) + substr + md5.
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               md5(substr(text, CAST(i AS INT), {_SUBSTR_K})) AS gh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(
+                         1, greatest(strlen(text) - {_SUBSTR_K - 1}, 0)))
+                         AS i
+              FROM documents)
+    ),
+    eval_g AS (SELECT DISTINCT gh FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    agg AS (
+        SELECT c.doc_id, count(*) AS n_grams, count(e.gh) AS n_shared
+        FROM g c LEFT JOIN eval_g e ON c.gh = e.gh
+        WHERE c.doc_id % {_BENCH_MOD} <> 0
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.n_shared, 0) AS n_shared,
+           coalesce(a.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> 0
+    """,
+)
+def decontaminate_substring_exact(cat: Catalog) -> DataFrame:
+    """EXACT any-position substring decontamination (Lee et al. §4 at
+    character resolution): flag every corpus doc sharing a verbatim
+    run of ≥ 20 characters with the held-out eval slice, at ANY
+    character offset — including runs shorter than the winnow gate's
+    w+n-1 = 6 words and runs that don't align with word boundaries,
+    the two known gaps of `decontaminate_substring`.
+
+    Scale shape: the corpus side is a zero-shuffle narrow map emitting
+    |text| hashed k-grams per doc (O(total corpus chars) — the budget
+    a distributed suffix-array build pays, without the global sort);
+    the eval k-gram vocabulary is corpus-independent-sized → broadcast
+    semi-mark; one map-side-combined per-doc aggregate.  No corpus
+    self-join.  n_shared counts contaminated OFFSETS, so it also
+    approximates the contaminated span length in characters."""
+    g = D.char_gram_hashes(cat.documents, _SUBSTR_K)
+    eval_g = (g.where(col("doc_id") % _BENCH_MOD == 0)
+              .select("gh").distinct().withColumn("_hit", F.lit(1)))
+    corpus = g.where(col("doc_id") % _BENCH_MOD != 0)
+    agg = (corpus.join(F.broadcast(eval_g), "gh", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_grams"),
+                F.count("_hit").alias("n_shared")))
+    base = (cat.documents.where(col("doc_id") % _BENCH_MOD != 0)
+            .select("doc_id"))
+    return (base.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(col("n_grams"), F.lit(0)).alias("n_grams"),
+                    F.coalesce(col("n_shared"), F.lit(0))
+                    .alias("n_shared"),
+                    (F.coalesce(col("n_shared"), F.lit(0)) > 0)
+                    .alias("contaminated")))

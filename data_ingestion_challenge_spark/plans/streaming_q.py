@@ -133,6 +133,48 @@ def serving_point_lookup(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "serving_point_lookup_fast",
+    # Same verdict as serving_point_lookup, but the rows come through
+    # the PLANNERLESS serving path: Murmur3 bucket routing + cached
+    # file manifest + Arrow predicate read.  The oracle re-derives the
+    # key's aggregate from ground truth, so a wrong bucket hash, a
+    # stale manifest, or a broken predicate read all diverge.
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_sum_micros
+    FROM events
+    WHERE user_id = (SELECT min(user_id) FROM events)
+    GROUP BY user_id
+    """,
+)
+def serving_point_lookup_fast(cat: Catalog) -> DataFrame:
+    """Gates serving.point_lookup_fast end-to-end under the driver —
+    the latency-grade read endpoint (p50 ~1 ms vs ~65 ms through the
+    SQL planner at sf0.1).  Builds the same bucketed layout as
+    serving_point_lookup, then reads the key WITHOUT a Spark job."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark import serving
+
+    rollup = (cat.events.groupBy("user_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+                   .alias("value_sum_micros")))
+    key = cat.events.agg(F.min("user_id")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="serving_fast_gate_")
+    serving.build_keyed_rollup(rollup, "serving_fast_gate_rollup", tmp,
+                               key="user_id", n_buckets=8)
+    schema = cat.spark.table("serving_fast_gate_rollup").schema
+    rows = serving.point_lookup_fast(cat.spark,
+                                     "serving_fast_gate_rollup",
+                                     "user_id", key)
+    return cat.spark.createDataFrame(rows, schema=schema)
+
+
+@query(
     "streaming_sessionize",
     # The stateful operator emits a session only once a LATER event
     # proves the 30-min gap; each user's final session is still open in

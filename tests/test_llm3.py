@@ -165,3 +165,69 @@ def test_substring_decontamination_flags_eval_quote(spark):
     assert rows
     assert all((r["n_shared"] > 0) == r["contaminated"] for r in rows)
     assert all(r["n_shared"] <= r["n_fps"] for r in rows)
+
+
+def test_char_gram_exactness_vs_bruteforce(spark):
+    """char_gram_hashes is a complete any-position index: two texts
+    share a k-gram hash iff they share a ≥k-char verbatim run —
+    checked against a brute-force python substring scan."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        char_gram_hashes,
+    )
+    k = 8
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a quick brown fix jumped the gun entirely",
+        3: "xyzzyplughfoobarbazqux",
+        4: "completely unrelated words here now",
+        5: "zz the lazy dogs bark xyzzyplugh",
+    }
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    grams = {d: set() for d in texts}
+    for r in char_gram_hashes(docs, k=k).collect():
+        grams[r["doc_id"]].add(r["gh"])
+    for a in texts:
+        for b in texts:
+            if a >= b:
+                continue
+            ta, tb = texts[a], texts[b]
+            brute = any(ta[i:i + k] in tb
+                        for i in range(len(ta) - k + 1))
+            assert bool(grams[a] & grams[b]) == brute, (a, b)
+
+
+def test_substring_exact_catches_unaligned_short_runs(spark):
+    """The exact variant's reason to exist: a verbatim run that is
+    (a) shorter than 6 words and (b) not word-aligned is invisible to
+    the winnow-based gate but flagged by the char-level index."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        char_gram_hashes, winnow_fingerprints,
+    )
+    # eval doc 0; corpus doc 1 embeds a 24-char run of it MID-WORD
+    # ("...razorQUOTED RUN HEREknife...") — word tokens all differ.
+    run = "QUOTEDVERBATIMRUN12345678"
+    eval_doc = "irrelevant prefix " + run + " irrelevant suffix"
+    corpus_doc = "razor" + run + "knife and other unrelated words"
+    docs = spark.createDataFrame(
+        [(0, eval_doc), (1, corpus_doc)], "doc_id bigint, text string")
+    g = char_gram_hashes(docs, k=20)
+    ev = {r["gh"] for r in g.where("doc_id = 0").collect()}
+    co = {r["gh"] for r in g.where("doc_id = 1").collect()}
+    assert ev & co, "char-level index must flag the unaligned run"
+    fps = winnow_fingerprints(docs, n=3, w=4).select(
+        "doc_id", "fp_hash").distinct()
+    evf = {r["fp_hash"] for r in fps.where("doc_id = 0").collect()}
+    cof = {r["fp_hash"] for r in fps.where("doc_id = 1").collect()}
+    assert not (evf & cof), \
+        "winnow gate should NOT see this run (word tokens differ)"
+
+
+def test_substring_exact_registered_query(spark):
+    """The registered query's verdict columns are internally
+    consistent on the real table."""
+    from data_ingestion_challenge_spark.plans import QUERIES
+    rows = QUERIES["decontaminate_substring_exact"](spark, SF_DIR).collect()
+    assert rows
+    assert all((r["n_shared"] > 0) == r["contaminated"] for r in rows)
+    assert all(r["n_shared"] <= r["n_grams"] for r in rows)

@@ -84,3 +84,60 @@ def test_engine_close_scoped_to_own_cache(spark):
         "sibling engine's cache must survive a close()"
     assert not any(k[1] == eng_a.catalog.sf_dir for k in _POSTING_CACHE)
     eng_b.close()
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """The fast path's bucket routing stands on _murmur3_long being
+    bit-equal to Spark's hash() (Murmur3, seed 42) for BIGINT keys —
+    checked across sign/magnitude edge cases."""
+    from data_ingestion_challenge_spark.serving import _murmur3_long
+    vals = [0, 1, -1, 42, -42, 2**31 - 1, -(2**31), 2**63 - 1,
+            -(2**63), 123456789012345, -987654321098765]
+    row = spark.sql(
+        "SELECT " + ", ".join(f"hash({v}L)" for v in vals)).collect()[0]
+    assert [_murmur3_long(v) for v in vals] == list(row)
+
+
+def test_point_lookup_fast_equals_sql_path(spark, cat, tmp_path):
+    """Every key must return identical rows through the plannerless
+    Arrow path and the SQL-planner path, including missing keys."""
+    from data_ingestion_challenge_spark import serving
+    rollup = (cat.events.groupBy("user_id")
+              .agg(F.count("*").alias("n_events")))
+    try:
+        serving.build_keyed_rollup(rollup, "srv_fast_eq",
+                                   str(tmp_path / "sfe"),
+                                   key="user_id", n_buckets=8)
+        keys = [r[0] for r in rollup.limit(20).collect()] + [10**15]
+        for k in keys:
+            a = sorted(map(tuple, serving.point_lookup(
+                spark, "srv_fast_eq", "user_id", k)))
+            b = sorted(map(tuple, serving.point_lookup_fast(
+                spark, "srv_fast_eq", "user_id", k)))
+            assert a == b, f"fast path diverged for key {k}"
+    finally:
+        _cleanup(spark, "srv_fast_eq")
+
+
+def test_manifest_cache_invalidated_on_rebuild(spark, cat, tmp_path):
+    """Rebuilding a serving table must evict its cached manifest, or
+    lookups would read the PREVIOUS build's files forever."""
+    from data_ingestion_challenge_spark import serving
+    r1 = cat.events.groupBy("user_id").agg(F.count("*").alias("n"))
+    r2 = r1.withColumn("n", F.col("n") * 2)
+    try:
+        serving.build_keyed_rollup(r1, "srv_rebuild",
+                                   str(tmp_path / "b1"),
+                                   key="user_id", n_buckets=4)
+        k = r1.orderBy("user_id").first()["user_id"]
+        before = serving.point_lookup_fast(
+            spark, "srv_rebuild", "user_id", k)
+        serving.build_keyed_rollup(r2, "srv_rebuild",
+                                   str(tmp_path / "b2"),
+                                   key="user_id", n_buckets=4)
+        after = serving.point_lookup_fast(
+            spark, "srv_rebuild", "user_id", k)
+        assert after[0]["n"] == 2 * before[0]["n"], \
+            "fast lookup served a stale manifest after rebuild"
+    finally:
+        _cleanup(spark, "srv_rebuild")

@@ -272,3 +272,66 @@ def test_source_gate_scaffold_rekeys_on_data_change(spark, tmp_path):
     d2 = _format_dir_for(cat, "probe", lambda out: os.makedirs(
         os.path.join(out), exist_ok=True))
     assert d1 != d2, "scaffold dir must re-key when source data changes"
+
+
+# ------------------------------------------------------ avro OCF
+
+def test_avro_encoding_spec_vectors():
+    """Known-answer vectors from the public Avro specification: long
+    zigzag-varints and the record-of-{long,string} example whose
+    serialization the spec gives as 0x36 0x06 'foo'."""
+    from data_ingestion_challenge_spark.sources.avro_ocf import (
+        _enc_double, _enc_long, _enc_str)
+    import struct
+    assert _enc_long(0) == b"\x00"
+    assert _enc_long(-1) == b"\x01"
+    assert _enc_long(1) == b"\x02"
+    assert _enc_long(-2) == b"\x03"
+    assert _enc_long(2) == b"\x04"
+    assert _enc_long(-64) == b"\x7f"
+    assert _enc_long(64) == b"\x80\x01"
+    # the spec's record example: {"a": 27, "b": "foo"}
+    assert _enc_long(27) + _enc_str("foo") == b"\x36\x06foo"
+    assert _enc_double(1.0) == struct.pack("<d", 1.0)
+
+
+def test_avro_ocf_roundtrip_and_header(tmp_path):
+    """write_ocf emits a spec-shaped container (magic, schema+codec
+    metadata, sync-delimited blocks) that read_ocf replays exactly."""
+    import json
+    from data_ingestion_challenge_spark.sources.avro_ocf import (
+        read_ocf, write_ocf)
+    schema = json.dumps({
+        "type": "record", "name": "row",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "v", "type": "double"},
+                   {"name": "s", "type": "string"}]})
+    rows = [(i, i * 0.5, f"s{i}") for i in range(10_000)]
+    rows += [(-(2**62), -1.5, "üñïçødé"), (2**62, float("inf"), "")]
+    p = str(tmp_path / "t.avro")
+    assert write_ocf(p, schema, iter(rows), block_rows=1024) == len(rows)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"Obj\x01"
+    assert b"avro.schema" in raw and b"avro.codec" in raw
+    assert list(read_ocf(p)) == rows
+
+
+def test_avro_ocf_spark_roundtrip(spark, cat, tmp_path):
+    """Executor-side Avro write → Python DataSource read preserves
+    every wire column bit-for-bit vs the in-memory DataFrame."""
+    from pyspark.sql import functions as F
+    from data_ingestion_challenge_spark.sources.avro_ocf import (
+        read_avro_ocf, write_avro_ocf)
+    wire = cat.events.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id", "event_type", "value").coalesce(2)
+    out = str(tmp_path / "avro_rt")
+    n = write_avro_ocf(wire, out)
+    assert n == wire.count()
+    back = read_avro_ocf(
+        spark, out,
+        schema="event_id long, ts_us long, user_id long, "
+               "event_type string, value double")
+    a = sorted(map(tuple, wire.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
