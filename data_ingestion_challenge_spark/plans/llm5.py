@@ -1,0 +1,261 @@
+"""LLM-training-data pipeline, batch 5 (SURVEY.md §2C): quality-aware
+dedup survivors, corpus-level repeated-substring signal, deterministic
+importance resampling, and a unigram LM score.
+
+Same parity discipline as the earlier batches: md5-derived hashing,
+integer-safe thresholds where a float boundary could flip a verdict,
+ratios rounded to 4dp in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.window import Window
+
+from data_ingestion_challenge_spark.catalog import Catalog
+from data_ingestion_challenge_spark.functions import text as T
+from data_ingestion_challenge_spark.functions.hashing import h32
+from data_ingestion_challenge_spark.operators import dedup as D
+from data_ingestion_challenge_spark.plans.llm import (
+    _SH_CTE, _shared_postings)
+from data_ingestion_challenge_spark.plans.registry import query
+
+# ------------------------------------------- quality-aware survivor
+
+# Near-dup pairs (exact PPJoin, tau=0.8) as a reusable CTE chain: the
+# same candidate+verify shape as dedup_ngram_jaccard's oracle, ending
+# in jp(doc_a, doc_b).
+_JP_CTE = f"""
+    {_SH_CTE},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+    jp AS (
+        SELECT i.doc_a, i.doc_b
+        FROM (SELECT doc_a, doc_b, count(*) AS ic FROM cand
+              JOIN sh a ON a.doc_id = doc_a
+              JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+              GROUP BY doc_a, doc_b) i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.ic / (sa.n + sb.n - i.ic) >= 0.8
+    )
+"""
+
+
+@query(
+    "dedup_keep_best_quality",
+    # Survivor = LONGEST doc per near-dup cluster (ties → lowest id) —
+    # the policy real pipelines prefer over keep-lowest-id: near-dups
+    # are usually truncations/wrappers of one best copy.  The oracle
+    # replays the PPJoin pair graph, closes it with the recursive CC
+    # CTE, and picks the survivor with the same window.
+    oracle=f"""
+    WITH RECURSIVE {_JP_CTE},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION SELECT doc_b, doc_a FROM jp
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), clusters AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ), toks AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), lab AS (
+        SELECT t.doc_id, coalesce(c.cluster_id, t.doc_id) AS cluster_id,
+               t.n_tokens
+        FROM toks t LEFT JOIN clusters c ON t.doc_id = c.id
+    )
+    SELECT doc_id, cluster_id, n_tokens,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id) = 1
+               AS keep
+    FROM lab
+    """,
+)
+def dedup_keep_best_quality(cat: Catalog) -> DataFrame:
+    """Dedup terminal with a QUALITY-aware survivor policy: per
+    near-dup cluster keep the doc with the most tokens (tie → lowest
+    doc_id) instead of blindly keeping min-id — truncated or wrapped
+    near-dups lose to the fullest copy.
+
+    Scale shape: pair stage is the exact PPJoin (prefix-filtered,
+    never cartesian); clusters via O(log diameter) CC of the pair
+    graph (≪ corpus); the survivor pick is one window over the
+    cluster-labeled VERTEX table, then a broadcast join back — the
+    corpus itself never reshuffles."""
+    from data_ingestion_challenge_spark.operators.graph import (
+        connected_components)
+
+    pairs = D.ngram_jaccard_pairs(cat.documents, n=3, tau=0.8,
+                                  posting=_shared_postings(cat))
+    clusters = connected_components(pairs, "doc_a", "doc_b")
+    toks = cat.documents.select(
+        "doc_id",
+        F.size(T.words(col("text"))).cast("bigint").alias("n_tokens"))
+    lab = (toks.join(F.broadcast(clusters),
+                     toks["doc_id"] == clusters["id"], "left")
+           .select("doc_id",
+                   F.coalesce(col("cluster_id"), col("doc_id"))
+                   .alias("cluster_id"),
+                   "n_tokens"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        col("n_tokens").desc(), col("doc_id"))
+    return lab.select(
+        "doc_id", "cluster_id", "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"))
+
+
+# ----------------------------------- corpus repeated-substring signal
+
+_REP_K = 20
+
+
+@query(
+    "corpus_repeated_substrings",
+    # Lee et al. ExactSubstr SELF-dedup signal at corpus level: per
+    # doc, how many of its char-20-gram offsets occur in ≥2 distinct
+    # docs — the share of the doc that is verbatim-duplicated text
+    # somewhere else in the corpus (license headers, templates,
+    # mirrored paragraphs).
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               md5(substr(text, CAST(i AS INT), {_REP_K})) AS gh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(
+                         1, greatest(strlen(text) - {_REP_K - 1}, 0)))
+                         AS i
+              FROM documents)
+    ),
+    rep AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd
+                            FROM g GROUP BY gh)
+            WHERE nd >= 2),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    hit AS (SELECT g.doc_id, count(*) AS n_repeated
+            FROM g JOIN rep ON g.gh = rep.gh GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_grams, 0) AS n_grams,
+           coalesce(h.n_repeated, 0) AS n_repeated,
+           round(coalesce(h.n_repeated, 0)
+                 / greatest(coalesce(t.n_grams, 0), 1), 4)
+               AS repeated_ratio
+    FROM documents d
+    LEFT JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN hit h ON d.doc_id = h.doc_id
+    """,
+)
+def corpus_repeated_substrings(cat: Catalog) -> DataFrame:
+    """Per-doc share of character offsets whose 20-gram appears in ≥2
+    distinct docs — the corpus-wide verbatim-duplication signal the
+    Lee et al. ExactSubstr pass cuts on (boilerplate headers, mirrored
+    spans), WITHOUT any doc-pair join.
+
+    Scale shape: char grams are a zero-shuffle narrow map (O(total
+    chars) rows); the gram→doc-count aggregate partial-aggregates
+    map-side; the repeated-vocabulary join shuffles on gh and reuses
+    the aggregate's partitioning.  Everything is linear — the doc×doc
+    dimension never appears."""
+    g = D.char_gram_hashes(cat.documents, _REP_K)
+    rep = (g.groupBy("gh")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .where(col("nd") >= 2)
+           .select("gh"))
+    tot = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hit = (g.join(rep, "gh")
+           .groupBy("doc_id").agg(F.count("*").alias("n_repeated")))
+    base = cat.documents.select("doc_id")
+    n_grams = F.coalesce(col("n_grams"), F.lit(0))
+    n_rep = F.coalesce(col("n_repeated"), F.lit(0))
+    return (base.join(tot, "doc_id", "left")
+            .join(hit, "doc_id", "left")
+            .select("doc_id",
+                    n_grams.alias("n_grams"),
+                    n_rep.alias("n_repeated"),
+                    F.round(n_rep / F.greatest(n_grams, F.lit(1)), 4)
+                    .alias("repeated_ratio")))
+
+
+# -------------------------------------- deterministic importance resample
+
+@query(
+    "importance_resample_by_length",
+    # Token-proportional resampling (weight = min(n_tokens, 100)%):
+    # the md5-uniform acceptance test is an INTEGER compare — no float
+    # power near a threshold boundary, so the verdict can't flip
+    # between engines (the stratified-sample pattern, weighted).
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(least(len(string_split(text, ' ')), 100) AS BIGINT)
+               AS weight_pct
+    FROM documents
+    WHERE ('0x' || substr(md5('resample:' || doc_id::VARCHAR), 1, 8))
+              ::BIGINT % 100
+          < least(len(string_split(text, ' ')), 100)
+    """,
+)
+def importance_resample_by_length(cat: Catalog) -> DataFrame:
+    """Deterministic importance resampling, P(keep) ∝ doc weight
+    (token count capped at 100): the md5-bucket acceptance makes the
+    sample a pure function of the data — re-ingestion re-selects the
+    SAME docs (idempotent curation), unlike rand()-based sampling.
+    Weighted variant of stratified_sample_by_lang; zero-shuffle map."""
+    w_pct = F.least(F.size(T.words(col("text"))), F.lit(100))
+    bucket = h32(F.concat(F.lit("resample:"),
+                          col("doc_id").cast("string"))) % 100
+    return (cat.documents
+            .select("doc_id", "lang",
+                    w_pct.cast("bigint").alias("weight_pct"),
+                    bucket.alias("_b"))
+            .where(col("_b") < col("weight_pct"))
+            .drop("_b"))
+
+
+# ------------------------------------------------ unigram LM scoring
+
+@query(
+    "doc_unigram_logloss",
+    # CCNet-style LM quality proxy: per-doc mean negative log2
+    # probability of its tokens under the CORPUS unigram distribution.
+    # Gibberish / rare-token soup scores high, common prose low.
+    # Same log-parity treatment as doc_token_entropy (4dp round).
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+    f AS (SELECT t, count(*) AS c FROM t GROUP BY t),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-log2(c / (SELECT total FROM n))), 4)
+               AS xent_bits
+    FROM t JOIN f USING (t)
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logloss(cat: Catalog) -> DataFrame:
+    """Unigram LM cross-entropy per doc (bits/token) against the
+    corpus's own token distribution — the cheap stand-in for the
+    KenLM-perplexity quality filter (CCNet): outlier docs spend most
+    of their mass on rare tokens.
+
+    Scale shape: one groupBy(token) builds the frequency model
+    (map-side combined; vocabulary-sized result → broadcast to the
+    scoring join); the corpus total is a driver scalar (bounded);
+    per-doc aggregate partial-aggregates.  Complements
+    doc_token_entropy (per-doc distribution) and
+    doc_bigram_familiarity (integer bigram typicality)."""
+    toks = cat.documents.select(
+        "doc_id", F.explode(T.words(col("text"))).alias("t"))
+    freq = toks.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c")).collect()[0][0]
+    return (toks.join(F.broadcast(freq), "t")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg(-F.log2(col("c") / F.lit(float(total)))),
+                         4).alias("xent_bits")))

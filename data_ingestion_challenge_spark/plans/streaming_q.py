@@ -175,6 +175,87 @@ def serving_point_lookup_fast(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "merge_upsert_rollup",
+    # MERGE INTO end-to-end: the target starts as the pre-cutoff
+    # per-user rollup; the post-cutoff users' FULL totals are merged
+    # in (update for returning users, insert for new ones).  Users
+    # with no post-cutoff activity keep their pre-cutoff totals —
+    # which ARE their full totals — so the merged table must equal
+    # the one-shot per-user aggregate over all events, bit-for-bit.
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_sum_micros
+    FROM events GROUP BY user_id
+    """,
+)
+def merge_upsert_rollup(cat: Catalog) -> DataFrame:
+    """Gates the copy-on-write MERGE sink (merge.py) under the driver:
+    init the bucket-partitioned layout, merge an update batch that
+    exercises both WHEN MATCHED (returning users) and WHEN NOT MATCHED
+    (new users), read the table back.  Only touched bucket partitions
+    rewrite (tests/test_merge.py pins untouched files by mtime)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark import merge
+
+    events = cat.events
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) / 2
+    micros = F.sum(F.round(F.col("value") * 1000000).cast("bigint")) \
+        .alias("value_sum_micros")
+
+    base = (events.where(F.col("ts") < F.lit(cutoff))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), micros))
+    post_users = (events.where(F.col("ts") >= F.lit(cutoff))
+                  .select("user_id").distinct())
+    updates = (events.join(F.broadcast(post_users), "user_id")
+               .groupBy("user_id")
+               .agg(F.count("*").alias("n_events"), micros))
+
+    out = tempfile.mkdtemp(prefix="merge_gate_")
+    merge.init_keyed(base, out, key="user_id", n_buckets=8)
+    merge.merge_into_keyed(cat.spark, out, updates, key="user_id",
+                           n_buckets=8)
+    return merge.read_merged(cat.spark, out)
+
+
+@query(
+    "streaming_keyed_upsert",
+    # The reference's core loop on the real engine: queue-fed events →
+    # per-user state maintained incrementally → serveable layout.
+    # Sum-accumulation in integral micros is exact under ANY
+    # micro-batch split, so the drained state must equal the one-shot
+    # per-user aggregate bit-for-bit.
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_sum_micros
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_keyed_upsert(cat: Catalog) -> DataFrame:
+    """Gates merge.run_keyed_upsert end-to-end under the driver: the
+    streaming engine drains the events source, each micro-batch
+    sum-merges per-user counters into the bucket-partitioned layout
+    (touched buckets only, per-bucket batch-id replay gate), and the
+    final state is read back against the batch oracle."""
+    import tempfile
+
+    from data_ingestion_challenge_spark import merge
+
+    out = tempfile.mkdtemp(prefix="keyed_upsert_out_")
+    ck = tempfile.mkdtemp(prefix="keyed_upsert_ck_")
+    merge.run_keyed_upsert(cat.spark, f"{cat.sf_dir}/events.parquet",
+                           out, ck, n_buckets=8)
+    return (merge.read_merged(cat.spark, out)
+            .select("user_id", "n_events", "value_sum_micros"))
+
+
+@query(
     "streaming_sessionize",
     # The stateful operator emits a session only once a LATER event
     # proves the 30-min gap; each user's final session is still open in
