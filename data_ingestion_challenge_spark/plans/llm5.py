@@ -259,3 +259,117 @@ def doc_unigram_logloss(cat: Catalog) -> DataFrame:
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.avg(-F.log2(col("c") / F.lit(float(total)))),
                          4).alias("xent_bits")))
+
+
+# ------------------------------------------------ threshold tuning
+
+@query(
+    "dedup_threshold_sweep",
+    # The τ-tuning table a dedup operator reads before picking a
+    # threshold: verified pair counts per 0.1-wide Jaccard bucket plus
+    # the cumulative pairs-at-or-above count.  One verified pair set
+    # (τ ≥ 0.5) serves every candidate threshold — no re-run per τ.
+    oracle=f"""
+    WITH {_SH_CTE},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+    jpv AS (
+        SELECT i.doc_a, i.doc_b,
+               round(i.ic / (sa.n + sb.n - i.ic), 4) AS jaccard
+        FROM (SELECT doc_a, doc_b, count(*) AS ic FROM cand
+              JOIN sh a ON a.doc_id = doc_a
+              JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+              GROUP BY doc_a, doc_b) i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.ic / (sa.n + sb.n - i.ic) >= 0.5
+    ),
+    bucketed AS (
+        SELECT CAST(floor(jaccard * 10) AS BIGINT) AS tau_bucket,
+               count(*) AS n_pairs
+        FROM jpv GROUP BY 1
+    )
+    SELECT tau_bucket, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY tau_bucket DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_pairs_at_or_above
+    FROM bucketed
+    """,
+)
+def dedup_threshold_sweep(cat: Catalog) -> DataFrame:
+    """Threshold-tuning surface: exact-verified Jaccard pairs at
+    τ ≥ 0.5, bucketed by 0.1, with the cumulative count a pipeline
+    reads to pick its dedup threshold ("τ=0.8 drops N pairs, τ=0.7
+    drops M").  Reuses the shared posting table and the PPJoin pair
+    machinery at the lower τ — the per-τ answer comes from ONE run.
+
+    Scale shape: identical to dedup_ngram_jaccard (prefix filter is
+    just looser at τ=0.5); the sweep itself is a tiny aggregate."""
+    pairs = D.ngram_jaccard_pairs(cat.documents, n=3, tau=0.5,
+                                  posting=_shared_postings(cat))
+    bucketed = (pairs
+                .groupBy(F.floor(col("jaccard") * 10).cast("bigint")
+                         .alias("tau_bucket"))
+                .agg(F.count("*").alias("n_pairs")))
+    w = (Window.orderBy(col("tau_bucket").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return bucketed.select(
+        "tau_bucket", "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint")
+        .alias("n_pairs_at_or_above"))
+
+
+# ------------------------------------------------- ANN recall audit
+
+from data_ingestion_challenge_spark.operators import similarity as S  # noqa: E402
+from data_ingestion_challenge_spark.plans.llm import _QD_COS  # noqa: E402
+
+
+@query(
+    "ann_recall_audit",
+    # Recall@5 of the IVF index vs exact brute force, PER QUERY — the
+    # accuracy/throughput dial an ANN deployment tunes (nprobe/nlist).
+    # Both index replays are the existing oracle constructions, nested
+    # as CTE bodies; the audit is their per-query intersection.
+    oracle=f"""
+    WITH brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_QD_COS} DESC, d.vec_id) AS rk
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10) q
+            JOIN embeddings d ON q.vec_id <> d.vec_id
+        ) WHERE rk <= 5
+    ),
+    ivf AS ({S.ivf_oracle_sql(n_queries=10, k=5)}),
+    hits AS (
+        SELECT b.query_id, count(*) AS n_hits
+        FROM brute b JOIN ivf i
+          ON b.query_id = i.query_id
+         AND b.neighbor_id = i.neighbor_id
+        GROUP BY b.query_id
+    )
+    SELECT q.query_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+)
+def ann_recall_audit(cat: Catalog) -> DataFrame:
+    """Per-query recall@5 of the IVF index against exact brute force —
+    the tuning artifact that justifies an nprobe/nlist choice before a
+    100 TB deployment.  Both sides are the registered index operators;
+    the audit is one small join on their (query, neighbor) outputs."""
+    brute = (S.brute_force_topk(cat.embeddings, n_queries=10, k=5)
+             .select("query_id", "neighbor_id"))
+    ivf = (S.ivf_topk(cat.embeddings, n_queries=10, k=5)
+           .select("query_id", "neighbor_id"))
+    hits = (brute.join(ivf, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    base = brute.select("query_id").distinct()
+    n_hits = F.coalesce(col("n_hits"), F.lit(0))
+    return (base.join(hits, "query_id", "left")
+            .select("query_id", n_hits.alias("n_hits"),
+                    F.round(n_hits / 5.0, 4).alias("recall_at_5")))
