@@ -130,6 +130,35 @@ class Engine:
         from data_ingestion_challenge_spark.serving import point_lookup
         return point_lookup(self.spark, table, key, value)
 
+    def lookup_fast(self, table: str, key: str, value) -> list:
+        """Plannerless point read (serving.point_lookup_fast): Murmur3
+        bucket routing + cached manifest + Arrow predicate read —
+        ~1 ms instead of a Spark job.  Same rows as lookup()."""
+        from data_ingestion_challenge_spark.serving import (
+            point_lookup_fast,
+        )
+        return point_lookup_fast(self.spark, table, key, value)
+
+    def merge_init(self, df: DataFrame, target_dir: str, key: str,
+                   n_buckets: int = 32) -> None:
+        """(Re)build a keyed MERGE target layout (merge.py)."""
+        from data_ingestion_challenge_spark import merge
+        merge.init_keyed(df, target_dir, key, n_buckets)
+
+    def merge_upsert(self, target_dir: str, updates: DataFrame,
+                     key: str, n_buckets: int = 32,
+                     deletes: DataFrame | None = None) -> None:
+        """Copy-on-write MERGE INTO the keyed layout: update/insert
+        `updates`, drop `deletes` — rewrites only touched buckets."""
+        from data_ingestion_challenge_spark import merge
+        merge.merge_into_keyed(self.spark, target_dir, updates, key,
+                               n_buckets, deletes)
+
+    def merged(self, target_dir: str) -> DataFrame:
+        """Read back a MERGE target as a DataFrame."""
+        from data_ingestion_challenge_spark import merge
+        return merge.read_merged(self.spark, target_dir)
+
     # ------------------------------------------------------- lifecycle
     def close(self) -> None:
         """Release executor storage held on THIS engine's behalf: only

@@ -25,6 +25,8 @@ Python twin, test-enforced).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
@@ -84,6 +86,17 @@ def merge_into_keyed(spark: SparkSession, target_dir: str,
          .parquet(target_dir))
     finally:
         spark.conf.set(_OVERWRITE_MODE, prev)
+    # Dynamic overwrite only replaces partitions PRESENT in the
+    # written frame — a delete that empties a bucket would otherwise
+    # be a silent no-op (hypothesis-caught).  Drop emptied bucket
+    # dirs explicitly; `merged` is checkpointed, so this distinct is
+    # a cheap scan bounded by |touched|.
+    import shutil
+
+    still = {r[0] for r in merged.select(_BUCKET).distinct().collect()}
+    for b in set(touched) - still:
+        shutil.rmtree(os.path.join(target_dir, f"{_BUCKET}={b}"),
+                      ignore_errors=True)
 
 
 # ------------------------------------------- streaming accumulation

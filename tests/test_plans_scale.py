@@ -288,3 +288,27 @@ def test_ngram_prefix_windows_fused(spark):
     plan = _plan(spark, "dedup_ngram_jaccard")
     assert plan.count("Window ") <= 2, \
         f"prefix windows not fused: {plan.count('Window ')} Window nodes"
+
+
+def test_unigram_logloss_broadcasts_frequency_model(spark):
+    """The vocabulary-sized frequency table must broadcast to the
+    scoring join — shuffling the exploded token stream against it
+    would add a corpus-sized exchange at 100 TB."""
+    plan = _plan(spark, "doc_unigram_logloss")
+    assert "BroadcastHashJoin" in plan, "freq model not broadcast"
+
+
+def test_repeated_substrings_no_pair_join(spark):
+    """corpus_repeated_substrings must stay linear: gram->count
+    aggregate + vocabulary join, never a doc-pair product."""
+    plan = _plan(spark, "corpus_repeated_substrings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, "no map-side combine"
+
+
+def test_keep_best_quality_broadcasts_clusters(spark):
+    """The cluster-label table (pair-graph members only, << corpus)
+    must broadcast back onto the corpus token table."""
+    plan = _plan(spark, "dedup_keep_best_quality")
+    assert "BroadcastHashJoin" in plan, "cluster labels not broadcast"
