@@ -117,3 +117,31 @@ def bot_burst_flag(cat: Catalog) -> DataFrame:
     return (burst.groupBy("user_id")
             .agg(F.max("_c").alias("max_burst_60s"),
                  (F.max("_c") >= 20).alias("bot_flag")))
+
+
+@query(
+    "event_type_cooccurrence",
+    # Behavioural co-occurrence matrix: for every unordered event-type
+    # pair, how many users emitted both — the "users who X also Y"
+    # surface.  Per-user distinct types is bounded by |types| (a
+    # handful), so the per-user pair fan-out is a small constant.
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def event_type_cooccurrence(cat: Catalog) -> DataFrame:
+    """Scale shape: the distinct collapses map-side; the self-join is
+    an equi-join on user_id whose per-key fan-out is ≤ |types|² (a
+    constant); the final rollup is |types|²-sized."""
+    ut = cat.events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", col("event_type").alias("type_a"))
+    b = ut.select("user_id", col("event_type").alias("type_b"))
+    return (a.join(b, "user_id")
+            .where(col("type_a") < col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_users")))

@@ -373,3 +373,93 @@ def ann_recall_audit(cat: Catalog) -> DataFrame:
     return (base.join(hits, "query_id", "left")
             .select("query_id", n_hits.alias("n_hits"),
                     F.round(n_hits / 5.0, 4).alias("recall_at_5")))
+
+
+# ------------------------------------------- packing efficiency
+
+_PACK_CAP = 2048  # same budget as sequence_pack
+
+
+@query(
+    "packing_efficiency_audit",
+    # The batch-prep efficiency report: per source, pack count and
+    # fill ratio (tokens / packs·cap).  Waste shows up as fill < 1 —
+    # the number a pipeline watches when it tunes pack budget vs doc
+    # length distribution.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT source, n_tok,
+               CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tok) // {_PACK_CAP}
+                    AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT source,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           count(*) AS n_docs,
+           round(sum(n_tok)
+                 / (count(DISTINCT pack_id) * {_PACK_CAP}.0), 4)
+               AS fill_ratio
+    FROM packed GROUP BY source
+    """,
+)
+def packing_efficiency_audit(cat: Catalog) -> DataFrame:
+    """Per-source packing efficiency over the sequence_pack layout:
+    pack count, token total and fill ratio against the fixed 2048
+    budget.  Same one-window-per-source shape as sequence_pack; the
+    audit rollup rides the identical partitioning."""
+    toks = cat.documents.select(
+        "doc_id", "source",
+        F.size(F.split(col("text"), " ")).alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (toks
+              .withColumn("_start", F.sum("n_tok").over(w) - col("n_tok"))
+              .withColumn("pack_id", F.expr(f"_start div {_PACK_CAP}")))
+    return (packed.groupBy("source")
+            .agg(F.countDistinct("pack_id").alias("n_packs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.count("*").alias("n_docs"),
+                 F.round(F.sum("n_tok")
+                         / (F.countDistinct("pack_id") * _PACK_CAP), 4)
+                 .alias("fill_ratio")))
+
+
+@query(
+    "doc_length_percentiles",
+    # The curation thresholds' source of truth: per-language doc
+    # length quantiles (chars + tokens) a length filter is tuned from.
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 4) AS p25_chars,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           round(quantile_cont(len(string_split(text, ' ')), 0.5), 4)
+               AS p50_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_percentiles(cat: Catalog) -> DataFrame:
+    """Per-language length distribution (exact interpolated
+    percentiles, the order_value_percentiles pairing) — where the
+    Gopher min/max word-count bounds come from when they're re-fit to
+    a new corpus.  One groupBy(lang); tokenization binds once in a
+    lower projection."""
+    d = cat.documents.select(
+        "lang", "n_chars",
+        F.size(T.words(col("text"))).alias("_nt"))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.percentile("n_chars", F.lit(0.25)), 4)
+                 .alias("p25_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.5)), 4)
+                 .alias("p50_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.9)), 4)
+                 .alias("p90_chars"),
+                 F.round(F.percentile("_nt", F.lit(0.5)), 4)
+                 .alias("p50_tokens")))

@@ -173,3 +173,45 @@ def events_profile(cat: Catalog) -> DataFrame:
             prof("value", col("mn_value"), col("mx_value")),
             prof("ts", col("mn_ts"), col("mx_ts"))]
     return a.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@query(
+    "documents_profile",
+    # The documents twin of events_profile: null budget, cardinality
+    # and range per column in ONE fused scan — the publication-gate
+    # profile for the text corpus.
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS null_doc_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+           CAST(count(*) - count(lang) AS BIGINT) AS null_lang,
+           CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang,
+           CAST(count(*) - count(source) AS BIGINT) AS null_source,
+           CAST(count(DISTINCT source) AS BIGINT) AS nd_source,
+           min(n_chars) AS mn_chars, max(n_chars) AS mx_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN strlen(text) <> n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chars_mismatch
+    FROM documents
+    """,
+)
+def documents_profile(cat: Catalog) -> DataFrame:
+    """One-scan corpus profile, including the n_chars-vs-text
+    consistency tripwire (a mismatch means the metadata column and the
+    payload diverged somewhere in the pipeline).  All aggregates fuse
+    into a single hash-aggregate pass; exact distincts rewrite to
+    expand+aggregate (swap for approx_count_distinct at 100 TB)."""
+    d = cat.documents
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.count("doc_id")).alias("null_doc_id"),
+        F.countDistinct("doc_id").alias("nd_doc_id"),
+        (F.count("*") - F.count("lang")).alias("null_lang"),
+        F.countDistinct("lang").alias("nd_lang"),
+        (F.count("*") - F.count("source")).alias("null_source"),
+        F.countDistinct("source").alias("nd_source"),
+        F.min("n_chars").alias("mn_chars"),
+        F.max("n_chars").alias("mx_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.length(col("text")) != col("n_chars"), 1)
+              .otherwise(0)).alias("n_chars_mismatch"))
