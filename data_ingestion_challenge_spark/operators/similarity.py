@@ -333,6 +333,21 @@ def embedding_cosine_pairs(embeddings: DataFrame, tau: float = 0.4,
     )
 
 
+_ROWCOUNT_CACHE: dict[tuple, int] = {}
+
+
+def _cached_count(df: DataFrame) -> int:
+    """Row count memoized on (application, semantic plan hash): sizing
+    scans (nlist derivation) shouldn't pay a count job per call — at
+    scale this is the metastore/manifest rowcount lookup."""
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    n = _ROWCOUNT_CACHE.get(key)
+    if n is None:
+        n = df.count()
+        _ROWCOUNT_CACHE[key] = n
+    return n
+
+
 def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
                            cell: int = 128,
                            nlist: int | None = None) -> DataFrame:
@@ -342,7 +357,7 @@ def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     ceil(n / cell) so occupancy stays constant as the corpus grows."""
     import math
 
-    n = embeddings.count()
+    n = _cached_count(embeddings)
     if nlist is None:
         nlist = max(16, math.ceil(n / cell))
     seeds = (embeddings.where(col("vec_id") < nlist)
