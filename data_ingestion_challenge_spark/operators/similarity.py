@@ -195,6 +195,91 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def lsh_multiprobe_topk(embeddings: DataFrame, n_queries: int = 10,
+                        k: int = 5, bits: int = 4,
+                        dim: int = 64) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07 shape): each query
+    scans its own sign bucket PLUS every hamming-1 neighbor bucket
+    (bits+1 probes) — recovering most of the recall single-bucket LSH
+    loses to near-boundary vectors, at (bits+1)/2^bits of the corpus
+    instead of more tables.  Same seeded planes as lsh_topk, so the
+    DuckDB oracle replays the whole index exactly."""
+    planes = _hyperplanes(dim, bits)
+    d = embeddings.select(col("vec_id").alias("neighbor_id"),
+                          col("embedding").alias("_de"),
+                          _bucket(col("embedding"), planes).alias("_bkt"))
+    q = (embeddings.where(col("vec_id") < n_queries)
+         .select(col("vec_id").alias("query_id"),
+                 col("embedding").alias("_qe"),
+                 _bucket(col("embedding"), planes).alias("_qb")))
+    probes = F.array(col("_qb"),
+                     *[col("_qb").bitwiseXOR(F.lit(1 << i))
+                       for i in range(bits)])
+    qp = q.select("query_id", "_qe",
+                  F.explode(probes).alias("_bkt"))
+    scored = (
+        d.join(broadcast(qp), "_bkt")
+        .where(col("query_id") != col("neighbor_id"))
+        # a neighbor can surface via several probed buckets — dedupe
+        # (query, neighbor) BEFORE scoring so the rank sees each once
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                V.cosine_batch(col("_qe"), col("_de")).alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(col("_cos").desc(),
+                                               "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk",
+                F.round(col("_cos"), 4).alias("cos_sim"))
+    )
+
+
+def lsh_multiprobe_oracle_sql(n_queries: int = 10, k: int = 5,
+                              bits: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of lsh_multiprobe_topk: same literal planes, probe
+    set = own bucket ∪ one-bit flips (xor), distinct candidates,
+    exact cosine rank."""
+    planes = _hyperplanes(dim, bits)
+    vals = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in p))
+        for i, p in enumerate(planes))
+    return f"""
+    WITH planes(i, p) AS (VALUES {vals}),
+    sig AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                   pl.p) > 0
+                        THEN (1::BIGINT << pl.i) ELSE 0 END)
+                    AS BIGINT) AS bkt
+        FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, bkt FROM sig
+        WHERE vec_id < {n_queries}
+        UNION
+        SELECT vec_id, xor(bkt, (1::BIGINT << pl.i))
+        FROM sig CROSS JOIN planes pl WHERE vec_id < {n_queries}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+        FROM probes p JOIN sig s ON s.bkt = p.bkt
+        WHERE s.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, {_dk_cos('q', 'd')} AS cs
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings d ON d.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rk, round(cs, 4) AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cs DESC, neighbor_id) AS rk FROM scored)
+    WHERE rk <= {k}
+    """
+
+
 def kmeans_centroids(embeddings: DataFrame, k: int = 16,
                      seed: int = 7) -> np.ndarray:
     """TRAINED centroids for the IVF index: k-means|| + Lloyd via

@@ -463,3 +463,14 @@ def doc_length_percentiles(cat: Catalog) -> DataFrame:
                  .alias("p90_chars"),
                  F.round(F.percentile("_nt", F.lit(0.5)), 4)
                  .alias("p50_tokens")))
+
+
+@query("ann_lsh_multiprobe_topk",
+       oracle=S.lsh_multiprobe_oracle_sql(n_queries=10, k=5, bits=4))
+def ann_lsh_multiprobe_topk(cat: Catalog) -> DataFrame:
+    """Multi-probe LSH ANN (own bucket + hamming-1 buckets): recovers
+    the near-boundary recall single-bucket LSH loses, scanning
+    (bits+1)/2^bits of the corpus.  Deterministic seeded planes →
+    exact DuckDB replay, like ann_lsh_topk."""
+    return S.lsh_multiprobe_topk(cat.embeddings, n_queries=10, k=5,
+                                 bits=4)

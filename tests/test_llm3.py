@@ -231,3 +231,19 @@ def test_substring_exact_registered_query(spark):
     assert rows
     assert all((r["n_shared"] > 0) == r["contaminated"] for r in rows)
     assert all(r["n_shared"] <= r["n_grams"] for r in rows)
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, cat):
+    """Multi-probe candidates are a superset of the single-bucket
+    candidates (probe set contains the own bucket), so recall@5 vs
+    brute force must be >= single-bucket LSH recall, per query."""
+    from data_ingestion_challenge_spark.operators import similarity as S
+    emb = cat.embeddings
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, 10, 5).collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in S.lsh_topk(emb, 10, 5, bits=4).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in S.lsh_multiprobe_topk(emb, 10, 5, bits=4).collect()}
+    assert len(multi & brute) >= len(single & brute), \
+        "multi-probe lost recall vs single bucket"

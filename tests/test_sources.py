@@ -335,3 +335,34 @@ def test_avro_ocf_spark_roundtrip(spark, cat, tmp_path):
     a = sorted(map(tuple, wire.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_avro_ocf_roundtrip_property():
+    """Hypothesis: arbitrary (long, double, string) rows survive the
+    OCF encode/decode bit-for-bit (finite doubles; NaN compares
+    unequal by definition so it's excluded, not unsupported)."""
+    import json
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from data_ingestion_challenge_spark.sources.avro_ocf import (
+        read_ocf, write_ocf)
+    import tempfile
+
+    schema = json.dumps({
+        "type": "record", "name": "row",
+        "fields": [{"name": "a", "type": "long"},
+                   {"name": "b", "type": "double"},
+                   {"name": "c", "type": "string"}]})
+    rows_st = st.lists(st.tuples(
+        st.integers(-(2**63), 2**63 - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=40)), max_size=30)
+
+    @settings(max_examples=50, deadline=None)
+    @given(rows_st)
+    def check(rows):
+        with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+            write_ocf(f.name, schema, iter(rows), block_rows=7)
+            assert list(read_ocf(f.name)) == rows
+
+    check()
