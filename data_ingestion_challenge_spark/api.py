@@ -159,6 +159,53 @@ class Engine:
         from data_ingestion_challenge_spark import merge
         return merge.read_merged(self.spark, target_dir)
 
+    def check(self, name: str) -> dict:
+        """Run a registry query on Spark AND its DuckDB oracle on the
+        same parquet, and compare (rows, column names, sorted values)
+        — the external correctness gate as a user-facing API.  Returns
+        {"rows_match", "schema_match", "values_match", "spark_rows",
+        "oracle_rows"}.  Raises KeyError for a query with no oracle."""
+        import math
+
+        import duckdb
+
+        sql = self.oracle(name)
+        if sql is None:
+            raise KeyError(f"{name} has no SQL oracle")
+        sdf = self.run(name)
+        srows = [tuple(r) for r in sdf.collect()]
+        con = duckdb.connect()
+        try:
+            for t in ("region", "nation", "customer", "supplier",
+                      "part", "orders", "lineitem", "events",
+                      "documents", "embeddings"):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{self.catalog.sf_dir}/{t}.parquet'")
+            rel = con.sql(sql)
+            drows = rel.fetchall()
+            dcols = rel.columns
+        finally:
+            con.close()
+
+        def _norm(v):
+            if isinstance(v, float):
+                return "NaN" if math.isnan(v) else round(v, 6)
+            return v
+
+        def _key(rows, cols):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return sorted(tuple(_norm(r[i]) for i in order)
+                          for r in rows)
+
+        return {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(sdf.columns) == sorted(dcols),
+            "values_match": _key(srows, sdf.columns) == _key(drows,
+                                                            dcols),
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+        }
+
     # ------------------------------------------------------- lifecycle
     def close(self) -> None:
         """Release executor storage held on THIS engine's behalf: only

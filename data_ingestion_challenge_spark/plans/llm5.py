@@ -474,3 +474,108 @@ def ann_lsh_multiprobe_topk(cat: Catalog) -> DataFrame:
     exact DuckDB replay, like ann_lsh_topk."""
     return S.lsh_multiprobe_topk(cat.embeddings, n_queries=10, k=5,
                                  bits=4)
+
+
+# --------------------------------------------- normalization + QA
+
+from data_ingestion_challenge_spark.operators import textstats as TS  # noqa: E402
+
+
+@query(
+    "dedup_exact_normalized",
+    # C4-style fuzzy-exact dedup: normalize (lowercase + collapse
+    # whitespace + strip trailing/leading space) BEFORE hashing, so
+    # casing/spacing variants of the same text collapse into one
+    # group.  Reports groups that the RAW md5 would have missed.
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                   AS nh,
+               md5(text) AS rh
+        FROM documents
+    )
+    SELECT nh AS norm_hash,
+           count(*) AS dup_count,
+           min(doc_id) AS keep_doc_id,
+           CAST(count(DISTINCT rh) AS BIGINT) AS n_raw_variants
+    FROM n GROUP BY nh
+    """,
+)
+def dedup_exact_normalized(cat: Catalog) -> DataFrame:
+    """Exact dedup on NORMALIZED text (lowercase, collapsed
+    whitespace): the cheap fuzzy-exact pass real pipelines run between
+    raw-md5 and MinHash.  n_raw_variants > 1 marks groups the raw hash
+    missed.  Same map-side-collapsing hash-groupBy shape as
+    dedup_exact."""
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(col("text")),
+                                         " +", " ")))
+    return (cat.documents
+            .select("doc_id", norm.alias("norm_hash"),
+                    F.md5(col("text")).alias("_rh"))
+            .groupBy("norm_hash")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min("doc_id").alias("keep_doc_id"),
+                 F.countDistinct("_rh").alias("n_raw_variants")))
+
+
+@query(
+    "eval_split_assign",
+    # Deterministic train/val/test assignment (md5 bucket % 100 →
+    # 90/5/5): the split a pipeline must reproduce bit-for-bit on
+    # re-ingestion — rand() splits silently reshuffle examples between
+    # train and eval across runs (leakage).
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))
+                   ::BIGINT % 100 AS b
+        FROM documents
+    )
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs
+    FROM a GROUP BY 1, lang
+    """,
+)
+def eval_split_assign(cat: Catalog) -> DataFrame:
+    """Deterministic 90/5/5 split assignment via md5 bucketing —
+    idempotent across re-ingestion (the stratified-sample discipline
+    applied to the train/eval boundary, where non-determinism means
+    contamination).  Zero-shuffle map + a tiny rollup."""
+    b = h32(F.concat(F.lit("split:"), col("doc_id").cast("string"))) % 100
+    split = (F.when(b < 90, "train").when(b < 95, "val")
+             .otherwise("test"))
+    return (cat.documents
+            .select(split.alias("split"), "lang")
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs")))
+
+
+@query(
+    "doc_lang_mismatch_audit",
+    # Label-noise QA: the char-bigram classifier's prediction vs the
+    # labeled lang, as a confusion rollup.  Both sides of the join are
+    # deterministic (the classifier model is a literal), so the full
+    # matrix replays exactly.
+    oracle=f"""
+    WITH pred AS ({TS.lang_id_oracle_sql()})
+    SELECT d.lang AS labeled_lang, p.predicted_lang,
+           count(*) AS n_docs,
+           d.lang = p.predicted_lang AS agree
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.predicted_lang
+    """,
+)
+def doc_lang_mismatch_audit(cat: Catalog) -> DataFrame:
+    """Dataset-QA confusion rollup: labeled lang × classifier
+    prediction with doc counts — where label noise and classifier
+    blind spots surface before a lang-stratified sample bakes them in.
+    One narrow classify map + a tiny |langs|² rollup."""
+    pred = TS.lang_id(cat.documents).select("doc_id", "predicted_lang")
+    lab = cat.documents.select("doc_id", col("lang").alias("labeled_lang"))
+    return (lab.join(pred, "doc_id")
+            .groupBy("labeled_lang", "predicted_lang")
+            .agg(F.count("*").alias("n_docs"),
+                 (col("labeled_lang") == col("predicted_lang"))
+                 .alias("agree")))

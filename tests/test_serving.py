@@ -141,3 +141,17 @@ def test_manifest_cache_invalidated_on_rebuild(spark, cat, tmp_path):
             "fast lookup served a stale manifest after rebuild"
     finally:
         _cleanup(spark, "srv_rebuild")
+
+
+def test_engine_check_api(spark):
+    """Engine.check runs a query against its DuckDB oracle and
+    reports the three-way match — the external gate as a product
+    API."""
+    eng = Engine(SF_DIR, spark=spark)
+    try:
+        rep = eng.check("event_type_breakdown")
+        assert rep["rows_match"] and rep["schema_match"] \
+            and rep["values_match"]
+        assert rep["spark_rows"] == rep["oracle_rows"] > 0
+    finally:
+        eng.close()
