@@ -248,6 +248,62 @@ def orc_source_hourly_counts(cat: Catalog) -> DataFrame:
     return _hourly_rollup(read_orc(cat.spark, path))
 
 
+def _eventlog_write(cat: Catalog, out: str) -> None:
+    """Executor-side wire-line writer: one .log file per partition in
+    the eventlog source's `id|iso_ts|user|type|value|props` format.
+    repr(float) round-trips the double exactly; the timestamp travels
+    as ISO-8601 with microseconds (the format the source parses)."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out, exist_ok=True)
+    wire = cat.events.select(
+        "event_id", F.unix_micros(col("ts")).alias("ts_us"),
+        "user_id", "event_type", "value", "props").coalesce(2)
+
+    def _write(batches):
+        from datetime import datetime, timedelta
+
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out, f"part-{pid:05d}.log")
+        n = 0
+        epoch = datetime(1970, 1, 1)
+        with open(path, "w", encoding="utf-8") as fh:
+            for pdf in batches:
+                for eid, us, uid, et, v, pr in pdf.itertuples(
+                        index=False, name=None):
+                    ts = (epoch
+                          + timedelta(microseconds=int(us))).isoformat()
+                    fh.write(f"{eid}|{ts}|{uid}|{et}|{v!r}|{pr}\n")
+                    n += 1
+        yield pd.DataFrame({"written": [n]})
+
+    (wire.mapInPandas(_write, "written long")
+     .agg(F.sum("written")).collect())
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+
+
+@query("eventlog_source_hourly_counts", oracle=_HOURLY_ORACLE)
+def eventlog_source_hourly_counts(cat: Catalog) -> DataFrame:
+    """Gates the CUSTOM Python DataSource (sources/eventlog.py) under
+    the driver: events materialize as real wire-format .log lines
+    (executor-side writer), read back through the registered
+    `eventlog` format, and the rollup must equal the parquet ground
+    truth — a bent ISO timestamp, a float that didn't round-trip, or a
+    line sent to the _corrupt column all diverge."""
+    from data_ingestion_challenge_spark.sources.eventlog import (
+        read_eventlog)
+
+    path = _format_dir_for(cat, "eventlog",
+                           lambda out: _eventlog_write(cat, out))
+    df = read_eventlog(cat.spark, path).select(
+        "event_id", F.unix_micros(col("ts")).alias("ts_us"),
+        "user_id", "event_type", "value")
+    return _hourly_rollup(df)
+
+
 @query("avro_source_hourly_counts", oracle=_HOURLY_ORACLE)
 def avro_source_hourly_counts(cat: Catalog) -> DataFrame:
     """Gates the Avro wire format END-TO-END: events are written as
