@@ -276,7 +276,10 @@ def _eventlog_write(cat: Catalog, out: str) -> None:
                         index=False, name=None):
                     ts = (epoch
                           + timedelta(microseconds=int(us))).isoformat()
-                    fh.write(f"{eid}|{ts}|{uid}|{et}|{v!r}|{pr}\n")
+                    # float(v) first: itertuples yields numpy scalars,
+                    # and numpy>=2 reprs them as 'np.float64(0.5)' —
+                    # not a parseable wire literal.
+                    fh.write(f"{eid}|{ts}|{uid}|{et}|{float(v)!r}|{pr}\n")
                     n += 1
         yield pd.DataFrame({"written": [n]})
 

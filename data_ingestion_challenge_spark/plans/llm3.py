@@ -361,6 +361,10 @@ def multimodal_binary_source_dedup(cat: Catalog) -> DataFrame:
            (c.cluster_id IS NULL OR c.cluster_id = e.vec_id) AS keep
     FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.id
     """,
+    # benched: the connected-components terminal is the real 100 TB
+    # dedup cost center — its wall time (IVF candidates + O(log d)
+    # pointer-doubling rounds) belongs in the headline suite.
+    bench=True,
 )
 def dedup_keep_list(cat: Catalog) -> DataFrame:
     """The dedup pipeline's OUTPUT: per corpus member, its cluster and
@@ -564,7 +568,7 @@ _SUBSTR_K = 20
                md5(substr(text, CAST(i AS INT), {_SUBSTR_K})) AS gh
         FROM (SELECT doc_id, text,
                      unnest(generate_series(
-                         1, greatest(strlen(text) - {_SUBSTR_K - 1}, 0)))
+                         1, greatest(length(text) - {_SUBSTR_K - 1}, 0)))
                          AS i
               FROM documents)
     ),

@@ -38,11 +38,11 @@ from data_ingestion_challenge_spark.plans.registry import query
     SELECT doc_id, lang,
            len(w) AS n_words,
            round((n_chars - len(w) + 1) / len(w), 4) AS mean_word_len,
-           list_max(list_transform(w, x -> strlen(x))) AS max_word_len,
+           list_max(list_transform(w, x -> length(x))) AS max_word_len,
            round(len(list_distinct(w)) / len(w), 4) AS distinct_ratio,
            CASE WHEN len(w) BETWEEN 10 AND 10000
                  AND (n_chars - len(w) + 1) / len(w) BETWEEN 2 AND 12
-                 AND list_max(list_transform(w, x -> strlen(x))) <= 20
+                 AND list_max(list_transform(w, x -> length(x))) <= 20
                  AND len(list_distinct(w)) / len(w) >= 0.2
                 THEN 1 ELSE 0 END AS keep_flag
     FROM t
@@ -258,7 +258,7 @@ def minhash_estimate_audit(cat: Catalog) -> DataFrame:
                min(doc_id) OVER (PARTITION BY h) = doc_id AS is_survivor,
                len(w2) BETWEEN 10 AND 10000
                  AND (n_chars - len(w2) + 1) / len(w2) BETWEEN 2 AND 12
-                 AND list_max(list_transform(w2, x -> strlen(x))) <= 20
+                 AND list_max(list_transform(w2, x -> length(x))) <= 20
                  AND len(list_distinct(w2)) / len(w2) >= 0.2 AS rules_ok
         FROM toks)
     SELECT b.source,

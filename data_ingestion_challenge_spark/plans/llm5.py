@@ -130,7 +130,7 @@ _REP_K = 20
                md5(substr(text, CAST(i AS INT), {_REP_K})) AS gh
         FROM (SELECT doc_id, text,
                      unnest(generate_series(
-                         1, greatest(strlen(text) - {_REP_K - 1}, 0)))
+                         1, greatest(length(text) - {_REP_K - 1}, 0)))
                          AS i
               FROM documents)
     ),

@@ -190,7 +190,7 @@ def events_profile(cat: Catalog) -> DataFrame:
            CAST(count(DISTINCT source) AS BIGINT) AS nd_source,
            min(n_chars) AS mn_chars, max(n_chars) AS mx_chars,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           CAST(sum(CASE WHEN strlen(text) <> n_chars THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_chars_mismatch
     FROM documents
     """,

@@ -173,6 +173,10 @@ def read_ocf(path: str):
             n = _dec_long(fh)
             if n == 0:
                 break
+            if n < 0:
+                # Spec's negative-count map block: abs(n) entries are
+                # preceded by a long giving the block's byte size.
+                _dec_long(fh)
             for _ in range(abs(n)):
                 k = _dec_str(fh)
                 vlen = _dec_long(fh)
