@@ -120,3 +120,80 @@ def test_streaming_keyed_upsert_equals_batch(spark, cat, tmp_path):
                       .agg(F.count("*").alias("n"), micros.alias("s"))
                       .collect()))
     assert got == want
+
+
+# ------------------------------------------- single-writer fencing
+
+def test_merge_second_writer_raises_and_lock_releases(spark, tmp_path):
+    """Two concurrent writers on a plain-parquet layout silently lose
+    one writer's updates (no commit protocol) — the lock turns that
+    into an explicit ConcurrentMergeError, and a clean merge releases
+    it so the next writer proceeds."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(i, i) for i in range(50)], "k long, v long")
+    out = str(tmp_path / "mlock")
+    merge.init_keyed(base, out, key="k", n_buckets=4)
+    one = spark.createDataFrame([(7, -7)], "k long, v long")
+    with merge._writer_lock(out):  # another writer holds the target
+        with pytest.raises(merge.ConcurrentMergeError):
+            merge.merge_into_keyed(spark, out, one, key="k", n_buckets=4)
+    # released → same merge now succeeds, and releases again
+    merge.merge_into_keyed(spark, out, one, key="k", n_buckets=4)
+    assert not os.path.exists(merge._lock_path(out))
+    got = {(r["k"], r["v"]) for r in
+           merge.read_merged(spark, out).collect()}
+    assert (7, -7) in got and len(got) == 50
+
+
+def test_force_unlock_recovers_stale_lock(spark, tmp_path):
+    import pytest
+
+    base = spark.createDataFrame([(1, 1)], "k long, v long")
+    out = str(tmp_path / "mstale")
+    merge.init_keyed(base, out, key="k", n_buckets=2)
+    # a crashed writer's leftover lock
+    with open(merge._lock_path(out), "w") as fh:
+        fh.write("pid=999999 token=dead")
+    upd = spark.createDataFrame([(2, 2)], "k long, v long")
+    with pytest.raises(merge.ConcurrentMergeError):
+        merge.merge_into_keyed(spark, out, upd, key="k", n_buckets=2)
+    merge.force_unlock(out)
+    merge.merge_into_keyed(spark, out, upd, key="k", n_buckets=2)
+    assert merge.read_merged(spark, out).count() == 2
+
+
+def test_merge_duplicate_update_keys_raise(spark, tmp_path):
+    """SQL MERGE errors on >1 source row per key; so do we (both rows
+    inserted would leave duplicate keys in the target)."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 1)], "k long, v long")
+    out = str(tmp_path / "mdup")
+    merge.init_keyed(base, out, key="k", n_buckets=2)
+    dup = spark.createDataFrame([(5, 1), (5, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="at most one source row"):
+        merge.merge_into_keyed(spark, out, dup, key="k", n_buckets=2)
+
+
+def test_accumulate_corrupt_target_raises(spark, tmp_path):
+    """A read failure over EXISTING accumulated state must propagate —
+    the old bare-except treated any read error as 'first batch' and
+    silently discarded all prior totals (round-4 ADVICE)."""
+    import pytest
+
+    out = str(tmp_path / "macc")
+    agg0 = spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, n long")
+    merge.accumulate_batch(agg0, 0, out, key="k", sum_cols=["n"],
+                           n_buckets=2)
+    # corrupt the layout: a non-parquet file where a footer must be
+    bucket_dirs = [d for d in os.listdir(out) if d.startswith("_bucket=")]
+    with open(os.path.join(out, bucket_dirs[0],
+                           "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file")
+    agg1 = spark.createDataFrame([(1, 1), (2, 1)], "k long, n long")
+    with pytest.raises(Exception):
+        merge.accumulate_batch(agg1, 1, out, key="k", sum_cols=["n"],
+                               n_buckets=2)
