@@ -36,9 +36,39 @@ def to_binary_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes):  # pragma: no cover - documented stub
-    """Where the real decoder goes (PIL.Image.open / av.open / soundfile).
-    The container ships no media libraries, so this is a marked stub."""
+# Import-time probe: real decode binds to whatever media lib is
+# present; in this container both probes fail and decode_real stays a
+# marked stub.  The registered multimodal queries ALWAYS run
+# decode_stub (deterministic, oracle-replayable) — decode_real is the
+# production drop-in, exercised by a conditional test that skips when
+# the libs are absent (tests/test_operators.py).
+try:  # pragma: no cover - lib not shipped here
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+try:  # pragma: no cover - lib not shipped here
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+
+HAS_MEDIA_LIBS = _PIL_Image is not None or _soundfile is not None
+
+
+def decode_real(payload: bytes):
+    """Real media decode, bound at import to the available lib:
+    images via PIL (returns (n_bytes, n_frames) with n_frames from
+    the container's frame count), audio via soundfile (n_frames =
+    sample frames).  Raises NotImplementedError when neither lib is
+    installed — this container ships none, so the deterministic
+    decode_stub carries every registered query."""
+    if _PIL_Image is not None:  # pragma: no cover - lib not shipped
+        import io
+        with _PIL_Image.open(io.BytesIO(payload)) as img:
+            return len(payload), getattr(img, "n_frames", 1)
+    if _soundfile is not None:  # pragma: no cover - lib not shipped
+        import io
+        info = _soundfile.info(io.BytesIO(payload))
+        return len(payload), int(info.frames)
     raise NotImplementedError(
         "media decode requires PIL/av/soundfile — not available here; "
         "use decode_stub for the deterministic fake path")

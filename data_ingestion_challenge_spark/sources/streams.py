@@ -23,6 +23,22 @@ def jsonl_stream(spark: SparkSession, watch_dir: str,
             .json(watch_dir))
 
 
+def parse_event_values(raw: DataFrame, schema: str = EVENTS_SCHEMA,
+                       value_col: str = "value") -> DataFrame:
+    """The Kafka wire contract as a standalone projection: a frame
+    carrying JSON event payloads in a binary/string `value_col` →
+    typed events columns.  This is EXACTLY what kafka_stream applies
+    after .load(); factoring it out makes the transform testable on a
+    batch DataFrame without the connector jar (absent here) — the
+    contract test proves it byte-identical to the jsonl source's
+    parse of the same payload lines (tests/test_kafka_contract.py).
+    Works on batch and streaming frames alike (pure projection)."""
+    from pyspark.sql import functions as F
+    return (raw.select(F.from_json(F.col(value_col).cast("string"), schema)
+                       .alias("e"))
+            .select("e.*"))
+
+
 def kafka_stream(spark: SparkSession, bootstrap_servers: str,
                  topic: str, schema: str = EVENTS_SCHEMA,
                  starting_offsets: str = "latest") -> DataFrame:
@@ -33,7 +49,6 @@ def kafka_stream(spark: SparkSession, bootstrap_servers: str,
     Requires the spark-sql-kafka connector jar on the classpath (not
     shipped in this container); without it the data-source lookup
     fails at .load(), which we surface as a clear ImportError."""
-    from pyspark.sql import functions as F
     try:
         raw = (spark.readStream.format("kafka")
                .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -45,9 +60,7 @@ def kafka_stream(spark: SparkSession, bootstrap_servers: str,
             "kafka source needs the spark-sql-kafka connector jar "
             "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
         ) from exc
-    return (raw.select(F.from_json(F.col("value").cast("string"), schema)
-                       .alias("e"))
-            .select("e.*"))
+    return parse_event_values(raw, schema)
 
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
