@@ -38,30 +38,34 @@ def connected_components(pairs: DataFrame, a: str, b: str,
                          max_iter: int = 25) -> DataFrame:
     """pairs(a, b) undirected edges → (id, cluster_id) with cluster_id
     = min member id of the component.  Only ids appearing in an edge
-    are returned (singletons have no dup decision to make)."""
+    are returned (singletons have no dup decision to make).
+
+    Per-round cost discipline: the edge table carries a SELF-LOOP per
+    vertex, so one edges⋈labels groupBy yields min(own, neighbors)
+    directly — no separate labels⟕nbr_min join; and convergence is
+    witnessed by the LABEL SUM, not a join-against-previous: labels
+    only ever decrease (min-propagation), so sum(label) is strictly
+    monotone and equal sums ⟺ fixpoint.  Each round is therefore
+    exactly two shuffled joins + one scalar agg on the vertex table."""
     e = pairs.select(col(a).alias("src"), col(b).alias("dst"))
-    edges = (e.unionByName(e.select(col("dst").alias("src"),
-                                    col("src").alias("dst")))
+    sym = e.unionByName(e.select(col("dst").alias("src"),
+                                 col("src").alias("dst")))
+    ids = sym.select(col("src").alias("id")).distinct().localCheckpoint()
+    # Self-loops fold each vertex's own label into the neighbor min.
+    edges = (sym.unionByName(ids.select(col("id").alias("src"),
+                                        col("id").alias("dst")))
              .distinct()
              .localCheckpoint())
 
-    labels = (edges.select(col("src").alias("id")).distinct()
-              .withColumn("label", col("id"))
-              .localCheckpoint())
+    labels = ids.withColumn("label", col("id")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "dst_id"),
-                       col("dst") == col("dst_id"))
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
         prop = (
-            labels.join(nbr_min, col("id") == col("src"), "left")
-            .select("id",
-                    F.least(col("label"), F.coalesce(col("nbr_min"),
-                                                     col("label")))
-                    .alias("label"))
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "id")
         )
         # Pointer doubling: label ← min(label, label(label)).  Every
         # label value is itself a vertex id (labels start as ids and
@@ -71,7 +75,7 @@ def connected_components(pairs: DataFrame, a: str, b: str,
         # neighbor-min alone needs O(diameter).
         lmap = prop.select(col("id").alias("_lid"),
                            col("label").alias("_ll"))
-        new_labels = (
+        labels = (
             prop.join(lmap, col("label") == col("_lid"), "left")
             .select("id",
                     F.least(col("label"), F.coalesce(col("_ll"),
@@ -79,14 +83,9 @@ def connected_components(pairs: DataFrame, a: str, b: str,
                     .alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(col("new_label") != col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.select("id", col("label").alias("cluster_id"))

@@ -439,12 +439,16 @@ def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     """(vec_id, embedding, _cell) — each vector exploded to its
     `nprobe` nearest seeded Voronoi cells.  Shared probe stage of
     ivf_candidate_pairs and its audit tests; nlist defaults to
-    ceil(n / cell) so occupancy stays constant as the corpus grows."""
+    ceil(n·nprobe / cell): the multi-probe explode replicates every
+    vector nprobe×, so the cell budget must divide the ASSIGNMENT
+    count, not the vector count — sizing off n alone leaves each cell
+    at nprobe·cell occupancy and inflates the pair fan-out by
+    nprobe² (measured 4× wall time on the sf0.1 terminal)."""
     import math
 
     n = _cached_count(embeddings)
     if nlist is None:
-        nlist = max(16, math.ceil(n / cell))
+        nlist = max(16, math.ceil(n * nprobe / cell))
     seeds = (embeddings.where(col("vec_id") < nlist)
              .select("vec_id", "embedding").collect())
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
@@ -516,7 +520,8 @@ def ivf_candidate_cte(tau: float = 0.4, nprobe: int = 4,
     the same ceil(n/cell) formula; probe rank the same cos-desc,
     cid-asc tie-break as the numpy stable argsort."""
     return f"""
-    nl AS (SELECT GREATEST(16, CAST(ceil(count(*) / {cell}.0) AS BIGINT))
+    nl AS (SELECT GREATEST(16, CAST(ceil(count(*) * {nprobe} / {cell}.0)
+                                    AS BIGINT))
                   AS nlist FROM embeddings),
     ctr AS (SELECT vec_id AS cid, embedding FROM embeddings
             WHERE vec_id < (SELECT nlist FROM nl)),
