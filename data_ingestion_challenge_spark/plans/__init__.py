@@ -10,6 +10,8 @@ from data_ingestion_challenge_spark.plans import llm2      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm3      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm4      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm5      # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import llm6      # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import events6   # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events4   # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events5   # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import quality   # noqa: F401,E402

@@ -69,6 +69,8 @@ NON_EQUI_OK = {
     # (operators/similarity.py:embedding_cosine_pairs) removed the need.
     "ann_bruteforce_topk",                           # broadcast q × corpus
     "funnel_signup_purchase", "avg_acctbal_positive", # 1-row cross joins
+    "funnel_3step_strict",                # 1-row stage-count cross joins
+    "label_centroid_drift",               # 1-row global-norm scalar
     "q11_significant_parts", "q22_idle_rich_customers", # 1-row thresholds
     "range_join_value_bands",                        # 4-row band dim
     "customer_rfm_segments",                         # 1-row max-date scalar
