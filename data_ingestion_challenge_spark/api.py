@@ -159,6 +159,20 @@ class Engine:
         from data_ingestion_challenge_spark import merge
         return merge.read_merged(self.spark, target_dir)
 
+    def txn_create(self, df: DataFrame, path: str, key: str,
+                   n_buckets: int = 32):
+        """Create a TRANSACTIONAL keyed table (txn.py commit log):
+        snapshot reads, time travel, optimistic multi-writer MERGE —
+        the ACID upgrade of merge_init's single-writer layout.
+        Returns the TxnTable handle."""
+        from data_ingestion_challenge_spark.txn import TxnTable
+        return TxnTable.create(self.spark, path, df, key, n_buckets)
+
+    def txn(self, path: str, key: str, n_buckets: int = 32):
+        """Handle to an existing transactional table at path."""
+        from data_ingestion_challenge_spark.txn import TxnTable
+        return TxnTable(self.spark, path, key, n_buckets)
+
     def check(self, name: str) -> dict:
         """Run a registry query on Spark AND its DuckDB oracle on the
         same parquet, and compare (rows, column names, sorted values)

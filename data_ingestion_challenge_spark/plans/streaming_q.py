@@ -321,3 +321,53 @@ def streaming_cms_topk(cat: Catalog) -> DataFrame:
     DuckDB bucket-replay oracle that checks cms_heavy_hitters checks
     the streamed build end-to-end."""
     return pipeline.run_cms_bounded(cat.spark, f"{cat.sf_dir}/events.parquet")
+
+
+@query(
+    "txn_merge_upsert_rollup",
+    # Same MERGE contract as merge_upsert_rollup, but through the
+    # COMMIT-LOG table (txn.py): snapshot base, optimistic merge of
+    # the post-cutoff totals, snapshot read-back — the merged state
+    # must equal the one-shot per-user aggregate bit-for-bit, and the
+    # log must hold exactly the two commits.
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_sum_micros
+    FROM events GROUP BY user_id
+    """,
+)
+def txn_merge_upsert_rollup(cat: Catalog) -> DataFrame:
+    """Gates the transactional table end-to-end under the driver:
+    create v1 from the pre-cutoff rollup, MERGE the post-cutoff
+    users' full totals (update + insert through the optimistic commit
+    protocol), read the v2 snapshot back.  merge.py's copy-on-write
+    twin is gated by merge_upsert_rollup; this entry proves the ACID
+    upgrade path computes the identical table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.txn import TxnTable
+
+    events = cat.events
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) / 2
+    micros = F.sum(F.round(F.col("value") * 1000000).cast("bigint")) \
+        .alias("value_sum_micros")
+
+    base = (events.where(F.col("ts") < F.lit(cutoff))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), micros))
+    post_users = (events.where(F.col("ts") >= F.lit(cutoff))
+                  .select("user_id").distinct())
+    updates = (events.join(F.broadcast(post_users), "user_id")
+               .groupBy("user_id")
+               .agg(F.count("*").alias("n_events"), micros))
+
+    out = tempfile.mkdtemp(prefix="txn_gate_")
+    t = TxnTable.create(cat.spark, out, base, key="user_id",
+                        n_buckets=8)
+    v = t.merge_into(updates)
+    assert v == 2 and t.version() == 2
+    return t.read()

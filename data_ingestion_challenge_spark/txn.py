@@ -1,0 +1,281 @@
+"""Transactional keyed table: a minimal Delta-style commit log over
+plain parquet — snapshot-isolated reads, atomic commits, and
+OPTIMISTIC multi-writer MERGE — built from nothing but immutable
+uuid-named data files and an O_CREAT|O_EXCL version-file claim.
+
+merge.py's lockfile fences the plain layout to a SINGLE writer; this
+module is the upgrade path the round-4 verdict asked about ("ACID
+table format"): the same MERGE contract, but two concurrent writers
+both SUCCEED (serialized by the log) instead of one failing.
+
+Layout:
+
+    <dir>/_log/v0000000001.json     commit records, one per version
+    <dir>/data/<uuid>-b<K>.parquet  immutable data files, one bucket each
+
+A commit record lists the files it adds and removes (with their
+Murmur3 key-buckets).  Table state at version N = replay of records
+1..N; a data file is INVISIBLE until some commit references it, so a
+crashed writer leaves only harmless orphans (collected by vacuum()).
+
+Commit protocol (the Delta/Iceberg shape on a filesystem with atomic
+exclusive-create — local disk, NFS, HDFS; object stores need a
+put-if-absent or a DynamoDB-style lock service):
+
+1. snapshot: read the log head (version V, active file set);
+2. stage: write the merged buckets as NEW uuid files under data/;
+3. claim: os.open(_log/v{V+1}.json, O_CREAT|O_EXCL) — exactly one
+   writer wins a version;
+4. on loss: diff the interleaved commits' buckets against ours —
+   DISJOINT → our staged files are still valid, re-claim V+2 with no
+   recompute; OVERLAP → a competing writer rewrote a bucket we read,
+   so drop our staged files and redo the merge from the new snapshot
+   (classic optimistic concurrency, conflict = bucket intersection).
+
+At 100 TB the log is O(commits) tiny JSON files (compactable into
+checkpoints exactly like Delta's _last_checkpoint — not needed at
+bench scale), data files are bucket-sized parquet, and a merge still
+rewrites only touched buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+_BUCKET = "_bucket"
+_LOG = "_log"
+_DATA = "data"
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when max_retries optimistic attempts all lost their
+    version claim to competing writers."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _version_file(path: str, v: int) -> str:
+    return os.path.join(_log_dir(path), f"v{v:010d}.json")
+
+
+class TxnTable:
+    """A keyed, bucket-partitioned table with a commit log.
+
+    Like SQL MERGE (and merge.py), `merge_into` requires at most one
+    update row per key; a key in both updates and deletes is an
+    upsert (the update wins)."""
+
+    def __init__(self, spark: SparkSession, path: str, key: str,
+                 n_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------ creation
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame,
+               key: str, n_buckets: int = 32) -> "TxnTable":
+        """Initialize version 1 with df's rows.  Fails if a log
+        already exists (use merge_into to change an existing table)."""
+        t = cls(spark, path, key, n_buckets)
+        os.makedirs(_log_dir(path), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+        if t.version() > 0:
+            raise FileExistsError(f"{path} already has a commit log")
+        add = t._stage(df)
+        t._claim(1, {"op": "create", "add": add, "remove": []})
+        return t
+
+    # ------------------------------------------------------ snapshot
+    def version(self) -> int:
+        """Latest committed version (0 = empty log)."""
+        try:
+            names = os.listdir(_log_dir(self.path))
+        except FileNotFoundError:
+            return 0
+        vs = [int(n[1:11]) for n in names
+              if n.startswith("v") and n.endswith(".json")]
+        return max(vs, default=0)
+
+    def _commit_record(self, v: int) -> dict:
+        with open(_version_file(self.path, v)) as fh:
+            return json.load(fh)
+
+    def _snapshot(self, version: int | None = None):
+        """(version, {relative file path: bucket}) by log replay."""
+        head = self.version() if version is None else version
+        active: dict[str, int] = {}
+        for v in range(1, head + 1):
+            rec = self._commit_record(v)
+            for f in rec["remove"]:
+                active.pop(f, None)
+            for f, b in rec["add"].items():
+                active[f] = b
+        return head, active
+
+    # -------------------------------------------------------- reads
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read; pass version for time travel."""
+        _, active = self._snapshot(version)
+        if not active:
+            first = self._commit_record(1)
+            probe = os.path.join(self.path, next(iter(first["add"])))
+            schema = self.spark.read.parquet(probe).schema
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in active]
+        return self.spark.read.parquet(*paths)
+
+    def _read_buckets(self, active: dict[str, int],
+                      buckets: set[int]) -> DataFrame | None:
+        paths = [os.path.join(self.path, f)
+                 for f, b in active.items() if b in buckets]
+        return self.spark.read.parquet(*paths) if paths else None
+
+    # ------------------------------------------------------- commits
+    def _stage(self, df: DataFrame) -> dict[str, int]:
+        """Write df's rows as immutable per-bucket uuid files under
+        data/; returns {relative path: bucket}.  Invisible until a
+        commit references them."""
+        staging = tempfile.mkdtemp(prefix="txn_stage_")
+        try:
+            (df.withColumn(_BUCKET, F.pmod(F.hash(col(self.key)),
+                                           F.lit(self.n_buckets)))
+             .repartition(_BUCKET)
+             .write.mode("overwrite").partitionBy(_BUCKET)
+             .parquet(staging))
+            add: dict[str, int] = {}
+            for entry in os.listdir(staging):
+                if not entry.startswith(f"{_BUCKET}="):
+                    continue
+                b = int(entry.split("=", 1)[1])
+                for part in os.listdir(os.path.join(staging, entry)):
+                    if not part.endswith(".parquet"):
+                        continue
+                    rel = os.path.join(
+                        _DATA, f"{uuid.uuid4().hex}-b{b}.parquet")
+                    shutil.move(os.path.join(staging, entry, part),
+                                os.path.join(self.path, rel))
+                    add[rel] = b
+            return add
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _claim(self, v: int, record: dict) -> bool:
+        """Atomically claim version v; False if another writer won."""
+        record = {"version": v, **record}
+        try:
+            fd = os.open(_version_file(self.path, v),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            json.dump(record, fh)
+        return True
+
+    def _discard(self, add: dict[str, int]) -> None:
+        for f in add:
+            try:
+                os.remove(os.path.join(self.path, f))
+            except OSError:
+                pass
+
+    # --------------------------------------------------------- MERGE
+    def merge_into(self, updates: DataFrame, *,
+                   deletes: DataFrame | None = None,
+                   max_retries: int = 5,
+                   _test_pre_claim=None) -> int:
+        """Optimistic MERGE: upsert `updates` (full-row schema), drop
+        `deletes` (one-column keys).  Returns the committed version.
+        Concurrent writers serialize through the log: a lost claim
+        over DISJOINT buckets re-claims without recompute; an
+        OVERLAPPING one redoes the merge from the fresh snapshot.
+        `_test_pre_claim` runs between staging and the claim so tests
+        can interleave a competing writer deterministically."""
+        dup = (updates.groupBy(self.key).count()
+               .where(col("count") > 1).take(1))
+        if dup:
+            raise ValueError(
+                f"merge_into: updates has >1 row for key "
+                f"{dup[0][0]!r}; MERGE requires at most one source "
+                f"row per key")
+        bcol = F.pmod(F.hash(col(self.key)), F.lit(self.n_buckets))
+        changed = updates.select(bcol.alias("b"))
+        drop_keys = updates.select(self.key)
+        if deletes is not None:
+            changed = changed.unionByName(
+                deletes.select(bcol.alias("b")))
+            drop_keys = drop_keys.unionByName(deletes.select(self.key))
+        # Bounded collects: ≤ n_buckets ids / batch-sized key list.
+        touched = {r[0] for r in changed.distinct().collect()}
+        if not touched:
+            return self.version()
+
+        base_v, active = self._snapshot()
+        staged: dict[str, int] | None = None
+        for _ in range(max_retries):
+            if staged is None:
+                current = self._read_buckets(active, touched)
+                # No checkpoint needed (unlike merge.py): data files
+                # are immutable — the merge reads old files and
+                # stages NEW ones, never overwriting what it reads.
+                merged = updates if current is None else (
+                    current.join(drop_keys.distinct(), self.key,
+                                 "left_anti")
+                    .unionByName(updates))
+                staged = self._stage(merged)
+            if _test_pre_claim is not None:
+                hook, _test_pre_claim = _test_pre_claim, None
+                hook()
+            remove = [f for f, b in active.items() if b in touched]
+            next_v = base_v + 1
+            if self._claim(next_v, {"op": "merge", "add": staged,
+                                    "remove": remove}):
+                return next_v
+            # Lost the claim: fold in the interleaved commits.
+            new_v, new_active = self._snapshot()
+            interleaved_buckets: set[int] = set()
+            for v in range(base_v + 1, new_v + 1):
+                rec = self._commit_record(v)
+                interleaved_buckets |= set(rec["add"].values())
+                interleaved_buckets |= {active.get(f)
+                                        for f in rec["remove"]
+                                        if f in active}
+            base_v, active = new_v, new_active
+            if interleaved_buckets & touched:
+                # Conflict: a competing writer rewrote a bucket we
+                # read — our staged merge is stale.  Recompute.
+                self._discard(staged)
+                staged = None
+        raise CommitConflictError(
+            f"merge_into lost {max_retries} optimistic claims on "
+            f"{self.path}")
+
+    # ------------------------------------------------------- vacuum
+    def vacuum(self) -> int:
+        """Delete data files no commit references (crashed writers'
+        orphans and files removed by later versions).  Time travel to
+        pre-vacuum versions naturally stops working for the removed
+        files — same trade as Delta VACUUM.  Returns count deleted."""
+        _, active = self._snapshot()
+        data_dir = os.path.join(self.path, _DATA)
+        n = 0
+        for entry in os.listdir(data_dir):
+            rel = os.path.join(_DATA, entry)
+            if rel not in active:
+                try:
+                    os.remove(os.path.join(data_dir, entry))
+                    n += 1
+                except OSError:
+                    pass
+        return n

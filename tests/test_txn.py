@@ -1,0 +1,130 @@
+"""Commit-log table tests (txn.py): snapshot isolation, MERGE
+semantics equal to a recompute, optimistic two-writer concurrency
+(both succeed — the upgrade over merge.py's single-writer fence),
+conflict-triggered recompute, orphan invisibility, time travel,
+vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_ingestion_challenge_spark.txn import TxnTable
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k long, v long")
+    return TxnTable.create(spark, str(tmp_path / "t"), base,
+                           key="k", n_buckets=8)
+
+
+def test_create_and_read(spark, table):
+    assert table.version() == 1
+    assert _rows(table.read()) == {(i, i * 10) for i in range(100)}
+
+
+def test_merge_upsert_delete_equals_recompute(spark, table):
+    updates = spark.createDataFrame(
+        [(5, 999), (50, 888), (1000, 777)], "k long, v long")
+    deletes = spark.createDataFrame([(7,), (50,)], "k long")
+    v = table.merge_into(updates, deletes=deletes)
+    assert v == 2
+    want = {(i, i * 10) for i in range(100) if i not in (5, 7, 50)}
+    # overlapping key 50: upsert wins over delete (documented)
+    want |= {(5, 999), (50, 888), (1000, 777)}
+    assert _rows(table.read()) == want
+
+
+def test_duplicate_update_keys_raise(spark, table):
+    dup = spark.createDataFrame([(5, 1), (5, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="at most one source row"):
+        table.merge_into(dup)
+
+
+def test_two_writers_both_succeed_disjoint(spark, table):
+    """The headline upgrade over merge.py: writer A stages, writer B
+    commits first, A loses the version claim — and because B touched
+    DISJOINT buckets, A re-claims the next version with no recompute.
+    Both updates land."""
+    a_upd = spark.createDataFrame([(3, -3)], "k long, v long")
+    b_upd = spark.createDataFrame([(4, -4)], "k long, v long")
+    # choose keys in different buckets so the interleave is disjoint
+    b3 = spark.sql("SELECT pmod(hash(3L), 8)").collect()[0][0]
+    b4 = spark.sql("SELECT pmod(hash(4L), 8)").collect()[0][0]
+    assert b3 != b4, "pick different test keys"
+
+    def competing_writer():
+        table.merge_into(b_upd)
+
+    v = table.merge_into(a_upd, _test_pre_claim=competing_writer)
+    assert v == 3 and table.version() == 3
+    got = _rows(table.read())
+    assert (3, -3) in got and (4, -4) in got
+    assert len(got) == 100
+
+
+def test_two_writers_conflict_recomputes(spark, table):
+    """Writer B rewrites the SAME key (same bucket) while A is
+    in-flight: A's staged merge is stale, so A must recompute from
+    B's snapshot — serializable outcome: A's value (the later commit)
+    wins, and B's commit is not lost from the log."""
+    a_upd = spark.createDataFrame([(3, 111)], "k long, v long")
+    b_upd = spark.createDataFrame([(3, 222)], "k long, v long")
+
+    def competing_writer():
+        table.merge_into(b_upd)
+
+    v = table.merge_into(a_upd, _test_pre_claim=competing_writer)
+    assert v == 3
+    got = _rows(table.read())
+    assert (3, 111) in got and (3, 222) not in got
+    assert len(got) == 100
+    # both commits are in the log (serialized, none lost)
+    assert table._commit_record(2)["op"] == "merge"
+    assert table._commit_record(3)["op"] == "merge"
+
+
+def test_orphan_files_invisible(spark, table, tmp_path):
+    """A data file without a commit referencing it (crashed writer)
+    must not appear in reads, and vacuum deletes it."""
+    before = _rows(table.read())
+    orphan_src = spark.createDataFrame([(9999, 1)], "k long, v long")
+    staged = table._stage(orphan_src)  # staged but never committed
+    assert staged
+    assert _rows(table.read()) == before
+    n = table.vacuum()
+    assert n >= len(staged)
+    for f in staged:
+        assert not os.path.exists(os.path.join(table.path, f))
+    assert _rows(table.read()) == before
+
+
+def test_time_travel(spark, table):
+    upd = spark.createDataFrame([(5, 999)], "k long, v long")
+    table.merge_into(upd)
+    now = _rows(table.read())
+    past = _rows(table.read(version=1))
+    assert (5, 999) in now and (5, 999) not in past
+    assert (5, 50) in past
+
+
+def test_delete_to_empty_bucket(spark, tmp_path):
+    """Deleting every key of a bucket leaves the bucket empty — the
+    commit removes its files without adding any (the case dynamic
+    partition overwrite silently no-ops on in merge.py)."""
+    base = spark.createDataFrame([(1, 1), (2, 2)], "k long, v long")
+    t = TxnTable.create(spark, str(tmp_path / "d"), base,
+                        key="k", n_buckets=2)
+    empty_upd = spark.createDataFrame([], "k long, v long")
+    deletes = spark.createDataFrame([(1,), (2,)], "k long")
+    t.merge_into(empty_upd, deletes=deletes)
+    assert t.read().count() == 0
+    # and the rows are still visible at version 1
+    assert t.read(version=1).count() == 2
