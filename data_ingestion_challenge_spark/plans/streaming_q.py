@@ -371,3 +371,35 @@ def txn_merge_upsert_rollup(cat: Catalog) -> DataFrame:
     v = t.merge_into(updates)
     assert v == 2 and t.version() == 2
     return t.read()
+
+
+@query(
+    "streaming_txn_upsert",
+    # The keyed-upsert loop landing in the TRANSACTIONAL table: one
+    # atomic commit per micro-batch with a (app, batch_id) txn tag —
+    # the drained snapshot must equal the one-shot per-user aggregate
+    # bit-for-bit (sum-accumulation in integral micros is exact under
+    # any batch split).
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_sum_micros
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_txn_upsert(cat: Catalog) -> DataFrame:
+    """Gates txn.run_keyed_upsert end-to-end under the driver: the
+    streaming engine drains the events source; each micro-batch
+    commits atomically to the commit-log table (exactly-once via the
+    txn tag); the final snapshot is read back against the batch
+    oracle.  streaming_keyed_upsert gates the plain-layout twin."""
+    import tempfile
+
+    from data_ingestion_challenge_spark import txn
+
+    out = tempfile.mkdtemp(prefix="txn_upsert_out_")
+    ck = tempfile.mkdtemp(prefix="txn_upsert_ck_")
+    t = txn.run_keyed_upsert(cat.spark, f"{cat.sf_dir}/events.parquet",
+                             out, ck, n_buckets=8)
+    return (t.read()
+            .select("user_id", "n_events", "value_sum_micros"))

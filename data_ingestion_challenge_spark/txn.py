@@ -129,10 +129,18 @@ class TxnTable:
         """Snapshot read; pass version for time travel."""
         _, active = self._snapshot(version)
         if not active:
-            first = self._commit_record(1)
-            probe = os.path.join(self.path, next(iter(first["add"])))
-            schema = self.spark.read.parquet(probe).schema
-            return self.spark.createDataFrame([], schema)
+            # Empty snapshot: infer the schema from ANY file a commit
+            # ever referenced (e.g. all rows deleted), else fail
+            # clearly (a never-populated table has no schema source).
+            for v in range(1, self.version() + 1):
+                for f in self._commit_record(v)["add"]:
+                    probe = os.path.join(self.path, f)
+                    if os.path.exists(probe):
+                        schema = self.spark.read.parquet(probe).schema
+                        return self.spark.createDataFrame([], schema)
+            raise ValueError(
+                f"{self.path}: empty table with no data file to "
+                f"infer a schema from")
         paths = [os.path.join(self.path, f) for f in active]
         return self.spark.read.parquet(*paths)
 
@@ -190,16 +198,72 @@ class TxnTable:
             except OSError:
                 pass
 
+    # --------------------------------------------------- streaming
+    def last_txn(self, app: str) -> int:
+        """Highest batch_id committed under `app` (-1 if none) — the
+        Delta txn-metadata idempotence pattern: a streaming writer
+        tags each commit with (app, batch_id); a replayed micro-batch
+        whose id is already in the log is skipped WHOLE, which is
+        sound because the commit (unlike a multi-partition file
+        overwrite) is atomic."""
+        best = -1
+        for v in range(1, self.version() + 1):
+            t = self._commit_record(v).get("txn")
+            if t and t.get("app") == app:
+                best = max(best, int(t["batch_id"]))
+        return best
+
+    def accumulate_batch(self, batch_agg: DataFrame, batch_id: int,
+                         sum_cols: list[str],
+                         app: str = "stream") -> int | None:
+        """One micro-batch of keyed SUM-accumulation (t.col += s.col
+        per key), exactly-once under crash-replay via the (app,
+        batch_id) txn tag.  Returns the committed version, or None
+        for a skipped replay."""
+        if batch_id <= self.last_txn(app):
+            return None
+        # Pin the micro-batch frame: foreachBatch frames are only
+        # valid within the batch, and the optimistic retry may need
+        # to re-derive the sums more than once.
+        inc = batch_agg.localCheckpoint()
+        bcol = F.pmod(F.hash(col(self.key)), F.lit(self.n_buckets))
+        touched = {r[0] for r in
+                   inc.select(bcol.alias("b")).distinct().collect()}
+        if not touched:
+            return None
+
+        def _derive() -> DataFrame:
+            # Sums are a function of the snapshot they read — derived
+            # fresh here, and re-derived via _rebuild if a conflicting
+            # commit rewrites one of our buckets mid-flight.
+            _, active = self._snapshot()
+            current = self._read_buckets(active, touched)
+            return inc if current is None else (
+                current.select(*inc.columns).unionByName(inc)
+                .groupBy(self.key)
+                .agg(*[F.sum(c).alias(c) for c in sum_cols]))
+
+        return self.merge_into(_derive(),
+                               _txn={"app": app, "batch_id": batch_id},
+                               _rebuild=_derive)
+
     # --------------------------------------------------------- MERGE
     def merge_into(self, updates: DataFrame, *,
                    deletes: DataFrame | None = None,
                    max_retries: int = 5,
+                   _txn: dict | None = None,
+                   _rebuild=None,
                    _test_pre_claim=None) -> int:
         """Optimistic MERGE: upsert `updates` (full-row schema), drop
         `deletes` (one-column keys).  Returns the committed version.
         Concurrent writers serialize through the log: a lost claim
         over DISJOINT buckets re-claims without recompute; an
         OVERLAPPING one redoes the merge from the fresh snapshot.
+        `_txn` rides the commit record (streaming idempotence tag);
+        `_rebuild`, when given, is called on conflict to re-derive
+        the update set against the new snapshot (accumulate_batch
+        passes it — its summed rows are a function of the snapshot
+        they were read from, so a conflicting commit staleness them);
         `_test_pre_claim` runs between staging and the claim so tests
         can interleave a competing writer deterministically."""
         dup = (updates.groupBy(self.key).count()
@@ -239,8 +303,10 @@ class TxnTable:
                 hook()
             remove = [f for f, b in active.items() if b in touched]
             next_v = base_v + 1
-            if self._claim(next_v, {"op": "merge", "add": staged,
-                                    "remove": remove}):
+            record = {"op": "merge", "add": staged, "remove": remove}
+            if _txn is not None:
+                record["txn"] = _txn
+            if self._claim(next_v, record):
                 return next_v
             # Lost the claim: fold in the interleaved commits.
             new_v, new_active = self._snapshot()
@@ -257,6 +323,12 @@ class TxnTable:
                 # read — our staged merge is stale.  Recompute.
                 self._discard(staged)
                 staged = None
+                if _rebuild is not None:
+                    updates = _rebuild()
+                    drop_keys = updates.select(self.key)
+                    if deletes is not None:
+                        drop_keys = drop_keys.unionByName(
+                            deletes.select(self.key))
         raise CommitConflictError(
             f"merge_into lost {max_retries} optimistic claims on "
             f"{self.path}")
@@ -279,3 +351,45 @@ class TxnTable:
                 except OSError:
                     pass
         return n
+
+
+# ------------------------------------------------ streaming ingestion
+
+def run_keyed_upsert(spark: SparkSession, events_path: str,
+                     out_dir: str, checkpoint: str,
+                     n_buckets: int = 32) -> TxnTable:
+    """The reference's queue→per-key-state loop on the streaming
+    engine, landing in the TRANSACTIONAL table: each micro-batch
+    sum-accumulates per-user (n_events, value_sum_micros) through
+    accumulate_batch — one atomic commit per batch, tagged with
+    (app, batch_id) so a crash-replayed batch is skipped whole.  The
+    merge.py twin (merge.run_keyed_upsert) needs a per-BUCKET replay
+    gate because its multi-partition overwrite isn't atomic; here the
+    commit is, so idempotence is a single log lookup."""
+    from data_ingestion_challenge_spark.streaming.pipeline import (
+        build_source)
+
+    schema = ("user_id long, n_events long, value_sum_micros long")
+    t = TxnTable.create(spark, out_dir,
+                        spark.createDataFrame([], schema),
+                        key="user_id", n_buckets=n_buckets)
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return (df.groupBy("user_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum(F.round(col("value") * 1000000)
+                           .cast("bigint")).alias("value_sum_micros")))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        t.accumulate_batch(_agg(batch_df), batch_id,
+                           sum_cols=["n_events", "value_sum_micros"],
+                           app="keyed_upsert")
+
+    q = (build_source(spark, events_path)
+         .writeStream
+         .foreachBatch(_merge)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return t
