@@ -112,11 +112,50 @@ class TxnTable:
         with open(_version_file(self.path, v)) as fh:
             return json.load(fh)
 
+    def checkpoint(self) -> int:
+        """Compact the log: persist the CURRENT active file set as
+        _log/ckpt-v{N}.json (atomic tmp+rename publish), so snapshots
+        replay O(commits since checkpoint) records instead of the
+        whole history — Delta's _last_checkpoint shape.  Pure derived
+        data: commits never read it for their claims, so it is safe
+        to write concurrently with writers; commit records are kept,
+        so pre-checkpoint time travel still replays.  Returns the
+        checkpointed version."""
+        head, active = self._snapshot()
+        path = os.path.join(_log_dir(self.path),
+                            f"ckpt-v{head:010d}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": head, "active": active}, fh)
+        os.replace(tmp, path)
+        return head
+
+    def _latest_checkpoint(self, upto: int):
+        """(version, active) of the newest checkpoint ≤ upto, or
+        None."""
+        try:
+            names = os.listdir(_log_dir(self.path))
+        except FileNotFoundError:
+            return None
+        vs = [int(n[6:16]) for n in names
+              if n.startswith("ckpt-v") and n.endswith(".json")]
+        vs = [v for v in vs if v <= upto]
+        if not vs:
+            return None
+        best = max(vs)
+        with open(os.path.join(_log_dir(self.path),
+                               f"ckpt-v{best:010d}.json")) as fh:
+            data = json.load(fh)
+        return best, dict(data["active"])
+
     def _snapshot(self, version: int | None = None):
-        """(version, {relative file path: bucket}) by log replay."""
+        """(version, {relative file path: bucket}): replay from the
+        newest checkpoint at or before the requested version, then
+        the remaining commit records."""
         head = self.version() if version is None else version
-        active: dict[str, int] = {}
-        for v in range(1, head + 1):
+        ckpt = self._latest_checkpoint(head)
+        start, active = (ckpt[0] + 1, ckpt[1]) if ckpt else (1, {})
+        for v in range(start, head + 1):
             rec = self._commit_record(v)
             for f in rec["remove"]:
                 active.pop(f, None)

@@ -185,3 +185,72 @@ def test_accumulate_conflict_rederives_sums(spark, tmp_path):
         t.merge_into = orig
     # re-derived: 1000 (competing) + 10 (increment), NOT 100 + 10
     assert _rows(t.read()) == {(1, 1010)}
+
+
+def test_checkpoint_compacts_replay(spark, table):
+    """After checkpoint(), snapshots replay from the compacted active
+    set — results identical, and pre-checkpoint time travel still
+    works from the retained commit records."""
+    for i in range(3):
+        table.merge_into(spark.createDataFrame(
+            [(i, 1000 + i)], "k long, v long"))
+    before = _rows(table.read())
+    ck_v = table.checkpoint()
+    assert ck_v == table.version()
+    assert _rows(table.read()) == before
+    # commits after the checkpoint replay on top of it
+    table.merge_into(spark.createDataFrame([(0, -1)], "k long, v long"))
+    after = _rows(table.read())
+    assert (0, -1) in after and (0, 1000) not in after
+    # time travel to BEFORE the checkpoint still replays
+    assert (0, 1000) in _rows(table.read(version=ck_v))
+    assert (5, 50) in _rows(table.read(version=1))
+
+
+def test_merge_model_property(spark, tmp_path):
+    """Model-based check: a random program of upsert/delete batches
+    applied to both the TxnTable and a plain dict must agree at every
+    version (snapshot now + time travel to each recorded step) —
+    the 'ACID table equals its serial history' property."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    batch = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(-50, 50)),
+        min_size=0, max_size=4,
+        unique_by=lambda t: t[0])
+    dels = st.lists(st.integers(0, 12), min_size=0, max_size=3,
+                    unique=True)
+    program = st.lists(st.tuples(batch, dels), min_size=1, max_size=4)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(program=program)
+    def run(program):
+        import uuid as _uuid
+        path = str(tmp_path / f"prop_{_uuid.uuid4().hex[:8]}")
+        model = {i: i for i in range(5)}
+        t = TxnTable.create(
+            spark, path,
+            spark.createDataFrame(list(model.items()), "k long, v long"),
+            key="k", n_buckets=4)
+        # an op with no updates AND no deletes commits nothing, so
+        # map model states to the version merge_into actually returns
+        history = {1: dict(model)}
+        for ups, ds in program:
+            for k in ds:
+                model.pop(k, None)
+            for k, v in ups:          # upsert wins over delete
+                model[k] = v
+            ver = t.merge_into(
+                spark.createDataFrame(ups, "k long, v long")
+                if ups else
+                spark.createDataFrame([], "k long, v long"),
+                deletes=(spark.createDataFrame([(k,) for k in ds],
+                                               "k long") if ds else None))
+            history[ver] = dict(model)
+        for v, snap in history.items():
+            got = {r[0]: r[1] for r in t.read(version=v).collect()}
+            assert got == snap, f"version {v}: {got} != {snap}"
+
+    run()
