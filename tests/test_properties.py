@@ -85,9 +85,16 @@ def test_connected_components_equals_union_find(spark, edges):
     )
     df = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in edges], "a bigint, b bigint")
-    got = {(r["id"], r["cluster_id"])
-           for r in connected_components(df, "a", "b").collect()}
-    assert got == set(_union_find_components(edges).items())
+    want = set(_union_find_components(edges).items())
+    # BOTH paths must match the model: the small-graph driver-side
+    # fast path (default threshold) and the distributed loop
+    # (threshold 0 disables the shortcut).
+    fast = {(r["id"], r["cluster_id"])
+            for r in connected_components(df, "a", "b").collect()}
+    dist = {(r["id"], r["cluster_id"])
+            for r in connected_components(
+                df, "a", "b", local_threshold=0).collect()}
+    assert fast == want and dist == want
 
 
 def test_connected_components_log_rounds_on_path_graph(spark):
@@ -102,7 +109,10 @@ def test_connected_components_log_rounds_on_path_graph(spark):
     n = 1024
     df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
                                "a bigint, b bigint")
-    res = connected_components(df, "a", "b", max_iter=14).collect()
+    # local_threshold=0 forces the DISTRIBUTED loop — this test pins
+    # the doubling bound, which the small-graph fast path would skip.
+    res = connected_components(df, "a", "b", max_iter=14,
+                               local_threshold=0).collect()
     assert len(res) == n
     assert {r["cluster_id"] for r in res} == {0}, \
         "path graph not fully labeled in 14 rounds — doubling broken"
