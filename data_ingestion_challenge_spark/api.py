@@ -111,6 +111,26 @@ class Engine:
         finally:
             posting.unpersist()
 
+    def materialize_prefix(self, posting_table: str, table: str,
+                           path: str, tau: float = 0.8,
+                           n_buckets: int = 32) -> None:
+        """Materialize the PPJoin prefix table (doc_id, s, n, _pos)
+        for a given τ from an already-materialized posting table —
+        the SECOND lake table a dedup deployment maintains: it is a
+        pure function of (posting, τ) and carries the jaccard
+        pipeline's costliest stage (the full rarity-rank sort), so
+        recurring dedup runs pay only candidates + verification.
+        Bucketed by s: the candidate self-join needs no exchange."""
+        from data_ingestion_challenge_spark.operators.dedup import (
+            build_prefix,
+        )
+        from data_ingestion_challenge_spark.sources.files import (
+            write_bucketed,
+        )
+        prefix = build_prefix(self.spark.table(posting_table), tau)
+        write_bucketed(prefix, table, path, bucket_key="s",
+                       n_buckets=n_buckets)
+
     # -------------------------------------------------------- serving
     def serve(self, query_name: str, table: str, path: str, key: str,
               n_buckets: int = 32) -> None:

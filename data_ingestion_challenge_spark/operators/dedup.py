@@ -79,9 +79,33 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame,
     )
 
 
+def build_prefix(posting: DataFrame, tau: float) -> DataFrame:
+    """The PPJoin prefix table (doc_id, s, n, _pos): document
+    frequency via groupBy+join (skew-safe), set size + rarity rank in
+    ONE fused window spec, keep only the first ⌊(1-τ)·n⌋+1 shingles
+    per doc.  Split out of ngram_jaccard_pairs so a deployment can
+    MATERIALIZE it (Engine.materialize_prefix) next to the posting
+    table — it is a pure function of (posting, τ) and the costliest
+    stage of the jaccard pipeline (one full sort of the postings)."""
+    eps = 1e-9
+    dfreq = posting.groupBy("s").agg(F.count("*").alias("_df"))
+    wspec = Window.partitionBy("doc_id").orderBy("_df", "s")
+    pp = (
+        posting.join(dfreq, "s")
+        .withColumn("n", F.count("*").over(
+            wspec.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+        .withColumn("_pos", F.row_number().over(wspec))
+    )
+    return (pp.where(col("_pos")
+                     <= F.floor((1 - tau) * col("n") + eps) + 1)
+            .select("doc_id", "s", "n", "_pos"))
+
+
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                         tau: float = 0.8,
-                        posting: DataFrame | None = None) -> DataFrame:
+                        posting: DataFrame | None = None,
+                        prefix: DataFrame | None = None) -> DataFrame:
     """Exact all-pairs Jaccard ≥ tau via PREFIX-FILTERED inverted index
     (PPJoin-style).
 
@@ -101,32 +125,18 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     # can only admit extra candidates — the exact verification still
     # decides membership; no false negatives, by construction.
     eps = 1e-9
-    # Document frequency via groupBy+join, NOT a window over s: the
-    # groupBy partial-aggregates map-side (a hot shingle ships one
-    # (s, count) row per map task, not its whole posting list into a
-    # single window task), and the df table is |vocab|-sized so AQE
-    # turns the join into a broadcast when it fits — the skew-safe
-    # shape at 100 TB.  The doc_id windows are fine: per-doc posting
-    # lists are bounded by doc length.
-    dfreq = posting.groupBy("s").agg(F.count("*").alias("_df"))
-    # ONE window spec for both size and rank: WindowExec groups window
-    # expressions by (partition, order) — frames may differ — so the
-    # unbounded-frame count rides the row_number's (doc_id, _df, s)
-    # sort.  Splitting them (plain count over doc_id + ordered
-    # row_number) plans TWO Window nodes with two full sorts of the
-    # posting table, the r3 dedup_ngram_jaccard regression.
-    wspec = Window.partitionBy("doc_id").orderBy("_df", "s")
-    pp = (
-        posting.join(dfreq, "s")
-        .withColumn("n", F.count("*").over(
-            wspec.rowsBetween(Window.unboundedPreceding,
-                              Window.unboundedFollowing)))
-        .withColumn("_pos", F.row_number().over(wspec))
-    )
-    prefix = (
-        pp.where(col("_pos") <= F.floor((1 - tau) * col("n") + eps) + 1)
-        .select("doc_id", "s", "n", "_pos")
-    )
+    if prefix is None:
+        # Document frequency via groupBy+join, NOT a window over s:
+        # the groupBy partial-aggregates map-side (a hot shingle ships
+        # one (s, count) row per map task, not its whole posting list
+        # into a single window task), and the df table is
+        # |vocab|-sized so AQE turns the join into a broadcast when it
+        # fits — the skew-safe shape at 100 TB.  The doc_id windows
+        # are fine: per-doc posting lists are bounded by doc length.
+        # ONE window spec for both size and rank (see build_prefix) —
+        # splitting them plans TWO full sorts of the posting table,
+        # the r3 dedup_ngram_jaccard regression.
+        prefix = build_prefix(posting, tau)
     # PPJoin candidate filters — both EXACT (no false negatives):
     #  length: J ≥ τ forces τ·|B| ≤ |A| (sizes within a τ band);
     #  positional: overlap can't exceed 1 + min(remaining suffix

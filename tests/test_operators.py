@@ -281,3 +281,23 @@ def test_multimodal_decode_real_gate():
         M._PIL_Image.new("RGB", (2, 2)).save(buf, "PNG")
         n_bytes, n_frames = M.decode_real(buf.getvalue())
         assert n_bytes == len(buf.getvalue()) and n_frames == 1
+
+
+def test_jaccard_materialized_prefix_equals_inline(spark, cat):
+    """ngram_jaccard_pairs with a precomputed prefix table (the
+    Engine.materialize_prefix lake layout) must return exactly the
+    inline-built result — the prefix is a pure function of
+    (posting, τ)."""
+    from data_ingestion_challenge_spark.operators import dedup as D
+
+    posting = D._postings(cat.documents, 3)
+    try:
+        inline = {tuple(r) for r in D.ngram_jaccard_pairs(
+            cat.documents, n=3, tau=0.8, posting=posting).collect()}
+        pre = D.build_prefix(posting, 0.8)
+        via_prefix = {tuple(r) for r in D.ngram_jaccard_pairs(
+            cat.documents, n=3, tau=0.8, posting=posting,
+            prefix=pre).collect()}
+        assert via_prefix == inline and inline
+    finally:
+        posting.unpersist()
