@@ -46,14 +46,17 @@ def _posting_for(spark, sf_dir: str, cache: dict = {}):
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         table = f"bench_postings_{tag}"
         ptable = f"bench_prefix_{tag}"
+        stable = f"bench_sigs_{tag}"
         path = tempfile.mkdtemp(prefix=f"bench_postings_{tag}_")
         ppath = tempfile.mkdtemp(prefix=f"bench_prefix_{tag}_")
+        spath = tempfile.mkdtemp(prefix=f"bench_sigs_{tag}_")
         eng = Engine(sf_dir, spark=spark)
         eng.materialize_postings(table, path)
         eng.materialize_prefix(table, ptable, ppath, tau=0.8)
-        cache[sf_dir] = (table, ptable)
-    t, p = cache[sf_dir]
-    return spark.table(t), spark.table(p)
+        eng.materialize_signatures(table, stable, spath, k=16)
+        cache[sf_dir] = (table, ptable, stable)
+    t, p, s = cache[sf_dir]
+    return spark.table(t), spark.table(p), spark.table(s)
 
 
 def _bench_queries(spark):
@@ -78,7 +81,8 @@ def _bench_queries(spark):
         prefix=_posting_for(spark, d)[1])
     qs["dedup_minhash_lsh"] = lambda spark, d: D.minhash_lsh_pairs(
         Catalog(spark, d).documents, n=3, k=16, bands=8, tau=0.8,
-        posting=_posting_for(spark, d)[0])
+        posting=_posting_for(spark, d)[0],
+        sig=_posting_for(spark, d)[2])
     return qs
 
 

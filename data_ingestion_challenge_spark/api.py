@@ -131,6 +131,24 @@ class Engine:
         write_bucketed(prefix, table, path, bucket_key="s",
                        n_buckets=n_buckets)
 
+    def materialize_signatures(self, posting_table: str, table: str,
+                               path: str, k: int = 16,
+                               n_buckets: int = 32) -> None:
+        """Materialize the MinHash signature table (doc_id, m0..mk-1)
+        from a materialized posting table — ~100 B/doc, the artifact
+        every LSH banding pass and estimate audit rereads instead of
+        re-hashing the corpus.  Bucketed by doc_id (the key the
+        banding explode and audits group on)."""
+        from data_ingestion_challenge_spark.operators.dedup import (
+            build_signatures,
+        )
+        from data_ingestion_challenge_spark.sources.files import (
+            write_bucketed,
+        )
+        sig = build_signatures(self.spark.table(posting_table), k)
+        write_bucketed(sig, table, path, bucket_key="doc_id",
+                       n_buckets=n_buckets)
+
     # -------------------------------------------------------- serving
     def serve(self, query_name: str, table: str, path: str, key: str,
               n_buckets: int = 32) -> None:

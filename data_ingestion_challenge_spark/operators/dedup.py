@@ -176,25 +176,40 @@ def _verify_candidates(cand: DataFrame, posting: DataFrame,
     return _jaccard_from_inter(inter, sizes, tau, keep_raw=keep_raw)
 
 
-def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 16,
-                      bands: int = 8, tau: float = 0.8,
-                      posting: DataFrame | None = None) -> DataFrame:
-    """MinHash signature + banded LSH + exact verification (scale path).
+def build_signatures(posting: DataFrame, k: int = 16) -> DataFrame:
+    """The MinHash signature table (doc_id, m0..m{k-1}): one row per
+    doc, k bigint minima.  Split out of minhash_lsh_pairs so a
+    deployment can MATERIALIZE it (Engine.materialize_signatures) —
+    at 100 TB the signatures are ~100 B/doc, ~10⁴× smaller than the
+    postings they derive from, and every LSH banding/estimate audit
+    rereads them instead of re-hashing the corpus.
 
-    The signature is computed via explode → k min-aggregates, NOT via
-    nested higher-order functions: Catalyst does no CSE inside lambda
-    expressions, so an array-fold formulation re-evaluates the md5 of
-    every shingle once per hash function (~16-60× blowup, measured 58s
-    → 3s at sf0.1).  Exploding evaluates md5 exactly once per
-    (doc, shingle); the k mins ride one map-side-combined groupBy."""
-    rows = k // bands
-    if posting is None:
-        posting = _postings(documents, n)
+    Computed via explode → k min-aggregates, NOT nested higher-order
+    functions: Catalyst does no CSE inside lambda expressions, so an
+    array-fold formulation re-evaluates the md5 of every shingle once
+    per hash function (~16-60× blowup, measured 58s → 3s at sf0.1).
+    Exploding evaluates md5 exactly once per (doc, shingle); the k
+    mins ride one map-side-combined groupBy."""
     hashed = posting.select("doc_id", H.h32(col("s")).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(*[
+    return hashed.groupBy("doc_id").agg(*[
         F.min((F.lit(a) * col("h") + F.lit(b)) % F.lit(H.MINHASH_P))
         .alias(f"m{i}")
         for i, (a, b) in enumerate(H.minhash_params(k))])
+
+
+def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 16,
+                      bands: int = 8, tau: float = 0.8,
+                      posting: DataFrame | None = None,
+                      sig: DataFrame | None = None) -> DataFrame:
+    """MinHash signature + banded LSH + exact verification (scale
+    path).  Signature construction notes: see build_signatures; pass
+    a materialized sig= to skip it (postings are still needed for the
+    exact-Jaccard verify of candidates)."""
+    rows = k // bands
+    if posting is None:
+        posting = _postings(documents, n)
+    if sig is None:
+        sig = build_signatures(posting, k)
     band_cols = [
         F.concat_ws(":", F.lit(str(b)),
                     *[col(f"m{b * rows + r}").cast("string")

@@ -301,3 +301,24 @@ def test_jaccard_materialized_prefix_equals_inline(spark, cat):
         assert via_prefix == inline and inline
     finally:
         posting.unpersist()
+
+
+def test_minhash_materialized_signatures_equal_inline(spark, cat):
+    """minhash_lsh_pairs with a precomputed signature table (the
+    Engine.materialize_signatures lake layout) must return exactly
+    the inline result — signatures are a pure function of
+    (posting, k)."""
+    from data_ingestion_challenge_spark.operators import dedup as D
+
+    posting = D._postings(cat.documents, 3)
+    try:
+        inline = {tuple(r) for r in D.minhash_lsh_pairs(
+            cat.documents, n=3, k=16, bands=8, tau=0.8,
+            posting=posting).collect()}
+        sig = D.build_signatures(posting, 16)
+        via_sig = {tuple(r) for r in D.minhash_lsh_pairs(
+            cat.documents, n=3, k=16, bands=8, tau=0.8,
+            posting=posting, sig=sig).collect()}
+        assert via_sig == inline and inline
+    finally:
+        posting.unpersist()
