@@ -94,23 +94,40 @@ class TxnTable:
         if t.version() > 0:
             raise FileExistsError(f"{path} already has a commit log")
         add = t._stage(df)
-        t._claim(1, {"op": "create", "add": add, "remove": []})
+        # The version() pre-check has a race window (two creators can
+        # both see an empty log); the v1 claim is the real arbiter.
+        if not t._claim(1, {"op": "create", "add": add, "remove": []}):
+            t._discard(add)
+            raise FileExistsError(
+                f"{path}: another writer created the table first")
         return t
 
     # ------------------------------------------------------ snapshot
     def version(self) -> int:
-        """Latest committed version (0 = empty log)."""
+        """Latest committed version (0 = empty log).  Checkpoints
+        count: after expire_log() removes every record at or below a
+        checkpoint, the checkpoint itself still witnesses that
+        version."""
         try:
             names = os.listdir(_log_dir(self.path))
         except FileNotFoundError:
             return 0
         vs = [int(n[1:11]) for n in names
               if n.startswith("v") and n.endswith(".json")]
+        vs += [int(n[6:16]) for n in names
+               if n.startswith("ckpt-v") and n.endswith(".json")]
         return max(vs, default=0)
 
     def _commit_record(self, v: int) -> dict:
-        with open(_version_file(self.path, v)) as fh:
-            return json.load(fh)
+        try:
+            with open(_version_file(self.path, v)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise KeyError(
+                f"{self.path}: no commit record v{v} — expired by "
+                f"expire_log()? Time travel below the oldest "
+                f"checkpoint is gone (same trade as Delta log "
+                f"retention)") from None
 
     def checkpoint(self) -> int:
         """Compact the log: persist the CURRENT active file set as
@@ -172,7 +189,11 @@ class TxnTable:
             # ever referenced (e.g. all rows deleted), else fail
             # clearly (a never-populated table has no schema source).
             for v in range(1, self.version() + 1):
-                for f in self._commit_record(v)["add"]:
+                try:
+                    rec = self._commit_record(v)
+                except KeyError:
+                    continue  # expired by expire_log()
+                for f in rec["add"]:
                     probe = os.path.join(self.path, f)
                     if os.path.exists(probe):
                         schema = self.spark.read.parquet(probe).schema
@@ -219,7 +240,14 @@ class TxnTable:
             shutil.rmtree(staging, ignore_errors=True)
 
     def _claim(self, v: int, record: dict) -> bool:
-        """Atomically claim version v; False if another writer won."""
+        """Atomically claim version v; False if another writer won.
+        A claim at or below the newest checkpoint is refused even
+        though its record file may have been expired — succeeding
+        there would commit into the range snapshots never replay
+        (a lagging writer retries from the fresh head instead)."""
+        ckpt = self._latest_checkpoint(self.version())
+        if ckpt is not None and v <= ckpt[0]:
+            return False
         record = {"version": v, **record}
         try:
             fd = os.open(_version_file(self.path, v),
@@ -371,6 +399,26 @@ class TxnTable:
         raise CommitConflictError(
             f"merge_into lost {max_retries} optimistic claims on "
             f"{self.path}")
+
+    # --------------------------------------------------- log expiry
+    def expire_log(self) -> int:
+        """Delete commit records at or below the NEWEST checkpoint —
+        the log-retention half of maintenance (vacuum is the data
+        half): snapshots at or above the checkpoint replay from it
+        and never touch the expired records; time travel below it
+        raises a clear KeyError (Delta's log-retention trade).
+        No-op without a checkpoint.  Returns count deleted."""
+        ckpt = self._latest_checkpoint(self.version())
+        if ckpt is None:
+            return 0
+        n = 0
+        for v in range(1, ckpt[0] + 1):
+            try:
+                os.remove(_version_file(self.path, v))
+                n += 1
+            except FileNotFoundError:
+                pass
+        return n
 
     # ------------------------------------------------------- vacuum
     def vacuum(self) -> int:

@@ -254,3 +254,40 @@ def test_merge_model_property(spark, tmp_path):
             assert got == snap, f"version {v}: {got} != {snap}"
 
     run()
+
+
+def test_expire_log_after_checkpoint(spark, table):
+    """expire_log deletes records at or below the newest checkpoint;
+    current reads and post-checkpoint commits keep working, expired
+    time travel raises the documented KeyError, and a table whose
+    whole history is expired still reports the right version."""
+    table.merge_into(spark.createDataFrame([(5, 999)], "k long, v long"))
+    ck = table.checkpoint()
+    n = table.expire_log()
+    assert n == 2 and table.version() == ck
+    now = _rows(table.read())
+    assert (5, 999) in now and len(now) == 100
+    with pytest.raises(KeyError, match="expired"):
+        table.read(version=1)
+    # commits continue above the checkpoint
+    v = table.merge_into(spark.createDataFrame([(6, -6)], "k long, v long"))
+    assert v == ck + 1
+    assert (6, -6) in _rows(table.read())
+
+
+def test_create_race_loser_raises(spark, tmp_path):
+    """Two creators race to v1: the O_EXCL claim arbitrates, the
+    loser's staged files are discarded and it raises."""
+    path = str(tmp_path / "race")
+    base = spark.createDataFrame([(1, 1)], "k long, v long")
+    TxnTable.create(spark, path, base, key="k", n_buckets=2)
+    # second create: the version() pre-check catches the common case
+    with pytest.raises(FileExistsError):
+        TxnTable.create(spark, path, base, key="k", n_buckets=2)
+    # the narrow race (pre-check passed, claim lost): simulate by
+    # calling the claim path directly with a stale view
+    t = TxnTable(spark, path, key="k", n_buckets=2)
+    staged = t._stage(base)
+    assert not t._claim(1, {"op": "create", "add": staged,
+                            "remove": []})
+    t._discard(staged)
