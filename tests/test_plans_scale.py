@@ -314,3 +314,33 @@ def test_keep_best_quality_broadcasts_clusters(spark):
     must broadcast back onto the corpus token table."""
     plan = _plan(spark, "dedup_keep_best_quality")
     assert "BroadcastHashJoin" in plan, "cluster labels not broadcast"
+
+
+def test_jaccard_bucketed_posting_no_shingle_exchange(spark):
+    """The materialized posting/prefix lake tables are bucketed by
+    shingle so every s-keyed join in the jaccard pipeline (candidate
+    self-join, verification probes) rides the bucketing: the physical
+    plan must contain NO hashpartitioning exchange on s — only the
+    doc_id exchanges of the window/size aggregations."""
+    import re
+    import tempfile
+
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.catalog import Catalog
+    from data_ingestion_challenge_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    eng = Engine(sf, spark=spark)
+    eng.materialize_postings("audit_post_sc", tempfile.mkdtemp())
+    eng.materialize_prefix("audit_post_sc", "audit_pref_sc",
+                           tempfile.mkdtemp(), tau=0.8)
+    df = D.ngram_jaccard_pairs(
+        Catalog(spark, sf).documents, n=3, tau=0.8,
+        posting=spark.table("audit_post_sc"),
+        prefix=spark.table("audit_pref_sc"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for ex in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert not ex.strip().startswith("s#"), \
+            f"shingle-keyed exchange survived the bucketing: {ex}"
+    spark.sql("DROP TABLE IF EXISTS audit_post_sc")
+    spark.sql("DROP TABLE IF EXISTS audit_pref_sc")
