@@ -96,12 +96,14 @@ def _bench_queries(spark):
     return qs
 
 
-def _time_suite(spark, bench_queries, sf_dir: str,
-                n_runs: int = 3) -> dict[str, float]:
+def _time_suite(spark, bench_queries, sf_dir: str, n_runs: int = 3):
     """Median-of-n wall time per query at sf_dir: the box carries
     variable external load (observed 2-8× swings); the median keeps
-    one noise spike from reading as a regression across rounds."""
+    one noise spike from reading as a regression across rounds.
+    Returns (medians, spreads) — spread = (max−min)/median per query,
+    so a reader can tell a real regression from a loaded-box run."""
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, q in bench_queries.items():
         runs = []
         for _ in range(n_runs):
@@ -109,8 +111,11 @@ def _time_suite(spark, bench_queries, sf_dir: str,
             df = q(spark, sf_dir)
             df.count()  # full execution; avoids collect-to-driver cost
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
-    return timings
+        med = sorted(runs)[len(runs) // 2]
+        timings[name] = round(med, 3)
+        spreads[name] = round((max(runs) - min(runs)) / med, 2) \
+            if med > 0 else 0.0
+    return timings, spreads
 
 
 def _streaming_ingest(spark, sf_dir: str, n_files: int = 8):
@@ -211,7 +216,7 @@ def main() -> None:
     except Exception:
         pass
 
-    timings = _time_suite(spark, bench_queries, sf_dir)
+    timings, spreads = _time_suite(spark, bench_queries, sf_dir)
 
     # ---- scaling evidence: same suite at a 10× smaller SF ----------
     scaling = None
@@ -224,7 +229,7 @@ def main() -> None:
             _posting_for(spark, small_dir)
         except Exception:
             pass
-        small = _time_suite(spark, bench_queries, small_dir)
+        small, _ = _time_suite(spark, bench_queries, small_dir)
         import math
         step = math.log10(sf / sf_small)
         per_q = {}
@@ -251,6 +256,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
         "scaling": scaling,
         "streaming_ingest_rows_per_sec": ingest_rps,
         "streaming_ingest_batch_p50_ms": ingest_p50_ms,

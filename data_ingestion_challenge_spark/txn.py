@@ -421,17 +421,26 @@ class TxnTable:
         return n
 
     # ------------------------------------------------------- vacuum
-    def vacuum(self) -> int:
-        """Delete data files no commit references (crashed writers'
-        orphans and files removed by later versions).  Time travel to
-        pre-vacuum versions naturally stops working for the removed
-        files — same trade as Delta VACUUM.  Returns count deleted."""
-        _, active = self._snapshot()
+    def vacuum(self, retain_versions: int = 0) -> int:
+        """Delete data files not referenced by the current snapshot
+        (crashed writers' orphans and files removed by later
+        versions).  retain_versions > 0 additionally KEEPS every file
+        some snapshot in the last N versions references, so time
+        travel that far back survives the vacuum — the version-count
+        analog of Delta's retention duration (older time travel stops
+        working, same trade as Delta VACUUM).  Returns count
+        deleted."""
+        head = self.version()
+        keep: set[str] = set()
+        for v in range(max(1, head - retain_versions), head + 1):
+            try:
+                keep |= set(self._snapshot(v)[1])
+            except KeyError:
+                pass  # below expired log — nothing to retain there
         data_dir = os.path.join(self.path, _DATA)
         n = 0
         for entry in os.listdir(data_dir):
-            rel = os.path.join(_DATA, entry)
-            if rel not in active:
+            if os.path.join(_DATA, entry) not in keep:
                 try:
                     os.remove(os.path.join(data_dir, entry))
                     n += 1

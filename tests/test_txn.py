@@ -291,3 +291,44 @@ def test_create_race_loser_raises(spark, tmp_path):
     assert not t._claim(1, {"op": "create", "add": staged,
                             "remove": []})
     t._discard(staged)
+
+
+def test_vacuum_retention_preserves_recent_time_travel(spark, table):
+    """vacuum(retain_versions=N) keeps every file the last N
+    snapshots reference: time travel within the horizon survives,
+    older reads lose their files (the Delta retention trade)."""
+    table.merge_into(spark.createDataFrame([(5, 999)], "k long, v long"))
+    table.merge_into(spark.createDataFrame([(6, 888)], "k long, v long"))
+    table.vacuum(retain_versions=1)   # keep v2 and v3 files
+    assert (5, 999) in _rows(table.read(version=2))
+    assert (6, 888) in _rows(table.read(version=3))
+
+
+def test_merge_and_txn_sinks_agree(spark, tmp_path):
+    """Cross-validation of the two MERGE sinks: the same program of
+    upsert/delete batches through merge.py (copy-on-write layout) and
+    txn.py (commit log) must produce the identical table."""
+    from data_ingestion_challenge_spark import merge
+
+    base = spark.createDataFrame(
+        [(i, i * 2) for i in range(40)], "k long, v long")
+    mdir = str(tmp_path / "m")
+    merge.init_keyed(base, mdir, key="k", n_buckets=4)
+    t = TxnTable.create(spark, str(tmp_path / "x"), base,
+                        key="k", n_buckets=4)
+    program = [
+        ([(3, 100), (41, 200)], [7]),
+        ([(3, 101)], [41, 9]),
+        ([], [3]),
+    ]
+    for ups, ds in program:
+        updf = spark.createDataFrame(ups, "k long, v long") if ups \
+            else spark.createDataFrame([], "k long, v long")
+        deldf = spark.createDataFrame([(k,) for k in ds], "k long") \
+            if ds else None
+        merge.merge_into_keyed(spark, mdir, updf, key="k",
+                               n_buckets=4, deletes=deldf)
+        t.merge_into(updf, deletes=deldf)
+    got_m = _rows(merge.read_merged(spark, mdir))
+    got_t = _rows(t.read())
+    assert got_m == got_t and len(got_t) > 0
