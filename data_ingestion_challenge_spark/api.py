@@ -149,6 +149,44 @@ class Engine:
         write_bucketed(sig, table, path, bucket_key="doc_id",
                        n_buckets=n_buckets)
 
+    def dedup_corpus(self, method: str = "minhash",
+                     tau: float = 0.8) -> DataFrame:
+        """END-TO-END dedup: near-dup pair generation (`method` ∈
+        exact | minhash | jaccard | simhash) → connected components →
+        keep-list (survivor = min doc_id per cluster; singletons
+        keep) → the documents table filtered to survivors.  The
+        one-call pipeline a reference user runs; each stage is the
+        same scale-disciplined operator the registry gates
+        individually."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import col
+
+        from data_ingestion_challenge_spark.operators import dedup as D
+        from data_ingestion_challenge_spark.operators.graph import (
+            connected_components,
+        )
+
+        docs = self.catalog.documents
+        if method == "exact":
+            keep = (D.exact_dedup(docs)
+                    .select(col("keep_doc_id").alias("doc_id")))
+            return docs.join(keep, "doc_id", "left_semi")
+        if method == "minhash":
+            pairs = D.minhash_lsh_pairs(docs, tau=tau)
+        elif method == "jaccard":
+            pairs = D.ngram_jaccard_pairs(docs, tau=tau)
+        elif method == "simhash":
+            pairs = (D.simhash_pairs(docs)
+                     .select("doc_a", "doc_b"))
+        else:
+            raise ValueError(f"unknown dedup method {method!r}")
+        clusters = connected_components(pairs, "doc_a", "doc_b")
+        drop = clusters.where(col("id") != col("cluster_id")) \
+                       .select(col("id").alias("doc_id"))
+        # no broadcast hint: the drop set can be a large corpus
+        # fraction on a duplicate-heavy crawl — AQE picks the strategy
+        return docs.join(drop, "doc_id", "left_anti")
+
     # -------------------------------------------------------- serving
     def serve(self, query_name: str, table: str, path: str, key: str,
               n_buckets: int = 32) -> None:

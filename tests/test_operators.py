@@ -322,3 +322,32 @@ def test_minhash_materialized_signatures_equal_inline(spark, cat):
         assert via_sig == inline and inline
     finally:
         posting.unpersist()
+
+
+def test_engine_dedup_corpus_end_to_end(spark):
+    """Engine.dedup_corpus: the one-call pipeline keeps exactly one
+    survivor per near-dup cluster (the min doc_id) plus every
+    singleton, for each method."""
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.operators import dedup as D
+    from data_ingestion_challenge_spark.operators.graph import (
+        connected_components)
+
+    eng = Engine("/root/testdata/sf0.001", spark=spark)
+    docs = eng.table("documents")
+    n_docs = docs.count()
+
+    for method in ("exact", "minhash"):
+        kept = eng.dedup_corpus(method=method)
+        kept_ids = {r[0] for r in kept.select("doc_id").collect()}
+        if method == "exact":
+            expect = {r[0] for r in D.exact_dedup(docs)
+                      .select("keep_doc_id").collect()}
+        else:
+            pairs = D.minhash_lsh_pairs(docs, tau=0.8)
+            cl = connected_components(pairs, "doc_a", "doc_b")
+            dropped = {r[0] for r in cl.collect() if r[0] != r[1]}
+            expect = {r[0] for r in docs.select("doc_id").collect()
+                      } - dropped
+        assert kept_ids == expect, method
+        assert 0 < len(kept_ids) <= n_docs
