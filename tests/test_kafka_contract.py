@@ -56,3 +56,39 @@ def test_parse_event_values_is_pure_projection(spark):
     plan = (parse_event_values(raw, schema=_WIRE_SCHEMA)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_parse_event_values_on_streaming_frame(spark, cat, tmp_path):
+    """The contract transform must run unchanged under readStream —
+    spark.readStream.text() exposes the same value-column shape as
+    the Kafka source's .load(), so draining it through
+    parse_event_values proves the projection is streaming-safe (pure,
+    no batch-only ops)."""
+    import uuid
+
+    wire = cat.events.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id", "event_type", "value").coalesce(1)
+    out = str(tmp_path / "stream_payloads")
+    wire.write.mode("overwrite").json(out)
+
+    from data_ingestion_challenge_spark.sources.streams import (
+        parse_event_values)
+
+    name = "kafka_shape_" + uuid.uuid4().hex[:8]
+    stream = (spark.readStream.text(out)
+              .select(F.encode(F.col("value"), "UTF-8").alias("value")))
+    q = (parse_event_values(stream, schema=_WIRE_SCHEMA)
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("ts_us").alias("ts_sum"))
+         .writeStream.queryName(name)
+         .outputMode("complete").format("memory")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in
+            wire.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("ts_us").alias("ts_sum")).collect()}
+    assert got == want and got
