@@ -187,6 +187,38 @@ class Engine:
         # fraction on a duplicate-heavy crawl — AQE picks the strategy
         return docs.join(drop, "doc_id", "left_anti")
 
+    def sample_corpus(self, n: int, salt: str = "res") -> DataFrame:
+        """Deterministic fixed-size uniform sample of the documents
+        table (operators/curation.reservoir_sample): salted md5-rank
+        top-n — replayable across re-ingests, partial top-n plan
+        (no global sort)."""
+        from data_ingestion_challenge_spark.operators.curation import (
+            reservoir_sample,
+        )
+        return reservoir_sample(self.catalog.documents, "doc_id", n,
+                                salt)
+
+    def corpus_drift(self, snap_a: DataFrame,
+                     snap_b: DataFrame) -> DataFrame:
+        """Per-source token-share drift between two corpus snapshots
+        (operators/curation.token_share_drift) — the curation diff a
+        re-crawl review reads."""
+        from data_ingestion_challenge_spark.operators.curation import (
+            token_share_drift,
+        )
+        return token_share_drift(snap_a, snap_b)
+
+    def chunk_corpus(self, chunk_tokens: int = 1024,
+                     stride: int | None = None) -> DataFrame:
+        """Overlapping fixed-size token windows over the documents
+        table (operators/curation.chunk_windows) — long-context
+        training chunking; zero-shuffle Catalyst explode."""
+        from data_ingestion_challenge_spark.operators.curation import (
+            chunk_windows,
+        )
+        return chunk_windows(self.catalog.documents, chunk_tokens,
+                             stride)
+
     # -------------------------------------------------------- serving
     def serve(self, query_name: str, table: str, path: str, key: str,
               n_buckets: int = 32) -> None:

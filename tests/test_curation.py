@@ -1,0 +1,138 @@
+"""Round-6 curation operators: Spark vs DuckDB parity + plan audits.
+
+These ops are not yet registered (round-5 registration budget is held
+for the driver's stale-entry rotation — SURVEY §7); this test runs the
+exact comparison the driver will run once they are.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from data_ingestion_challenge_spark.operators import curation as C
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    con.sql("CREATE VIEW snap_a AS SELECT * FROM documents "
+            "WHERE doc_id % 2 = 0")
+    con.sql("CREATE VIEW snap_b AS SELECT * FROM documents "
+            "WHERE doc_id % 2 = 1")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    return v
+
+
+def _rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _compare(sdf, duck, sql):
+    ddf = duck.sql(sql)
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    srows = _rowset(sdf.collect(), sdf.columns)
+    drows = _rowset(ddf.fetchall(), list(ddf.columns))
+    assert srows == drows
+
+
+def test_reservoir_sample_matches_oracle(spark, cat, duck):
+    sdf = C.reservoir_sample(cat.documents, "doc_id", 50)
+    _compare(sdf, duck, C.oracle_reservoir_sample(
+        "documents", "doc_id", 50,
+        cols="doc_id, text, lang, source, n_chars"))
+
+
+def test_reservoir_sample_is_partial_topn(cat):
+    """The plan must be TakeOrderedAndProject (map-side partial top-n),
+    not a global sort — the property that makes it linear at 100 TB."""
+    plan = C.reservoir_sample(cat.documents, "doc_id", 50) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_reservoir_sample_deterministic_and_uniformish(cat):
+    a = {r.doc_id for r in
+         C.reservoir_sample(cat.documents, "doc_id", 80).collect()}
+    b = {r.doc_id for r in
+         C.reservoir_sample(cat.documents, "doc_id", 80).collect()}
+    assert a == b and len(a) == 80
+    # A different salt draws a genuinely different sample.
+    c = {r.doc_id for r in
+         C.reservoir_sample(cat.documents, "doc_id", 80,
+                            salt="other").collect()}
+    assert c != a
+
+
+def test_token_share_drift_matches_oracle(spark, cat, duck):
+    docs = cat.documents
+    a = docs.where(docs.doc_id % 2 == 0)
+    b = docs.where(docs.doc_id % 2 == 1)
+    sdf = C.token_share_drift(a, b)
+    _compare(sdf, duck, C.oracle_token_share_drift("snap_a", "snap_b"))
+
+
+def test_token_share_drift_disjoint_sources(spark):
+    a = spark.createDataFrame(
+        [(1, "one two three", "web")], "doc_id long, text string, source string")
+    b = spark.createDataFrame(
+        [(2, "four five", "books")], "doc_id long, text string, source string")
+    rows = {r.source: r for r in C.token_share_drift(a, b).collect()}
+    assert rows["web"].a_share == 1.0 and rows["web"].b_share == 0.0
+    assert rows["books"].share_delta == 1.0
+    assert rows["web"].log2_ratio is None  # vanished source: no ratio
+
+
+def test_chunk_windows_matches_oracle(spark, cat, duck):
+    for chunk, stride in ((16, 16), (16, 8)):
+        sdf = C.chunk_windows(cat.documents, chunk, stride)
+        _compare(sdf, duck,
+                 C.oracle_chunk_windows("documents", chunk, stride))
+
+
+def test_chunk_windows_covers_every_token(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id long, text string")
+    out = C.chunk_windows(df, chunk_tokens=4, stride=3).collect()
+    # starts 0,3,6,9 — last is a 1-token partial window
+    assert [r.start_token for r in out] == [0, 3, 6, 9]
+    assert [r.n_tokens for r in out] == [4, 4, 4, 1]
+    assert out[0].chunk_text == "t0 t1 t2 t3"
+    assert out[-1].chunk_text == "t9"
+    covered = set()
+    for r in out:
+        covered.update(range(r.start_token, r.start_token + r.n_tokens))
+    assert covered == set(range(10))
+
+
+def test_chunk_windows_no_shuffle(cat):
+    plan = C.chunk_windows(cat.documents, 32) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_engine_facade_bindings(spark):
+    from data_ingestion_challenge_spark.api import Engine
+    eng = Engine(SF_DIR, spark=spark)
+    assert eng.sample_corpus(10).count() == 10
+    docs = eng.table("documents")
+    drift = eng.corpus_drift(docs.where(docs.doc_id % 2 == 0),
+                             docs.where(docs.doc_id % 2 == 1))
+    assert {"a_share", "b_share", "share_delta"} <= set(drift.columns)
+    chunks = eng.chunk_corpus(chunk_tokens=32)
+    assert chunks.count() >= docs.count()
