@@ -149,6 +149,43 @@ class Engine:
         write_bucketed(sig, table, path, bucket_key="doc_id",
                        n_buckets=n_buckets)
 
+    def materialize_ivf(self, table: str, path: str, nprobe: int = 4,
+                        cell: int = 128, n_buckets: int = 32) -> None:
+        """Materialize the multi-probe IVF index — the (vec_id,
+        embedding, _cell) probe-assignment table — as a lake table
+        bucketed by _cell.  This is the embedding-side analog of
+        materialize_postings: the assignment pass (centroid scoring
+        over the whole corpus) is the index-BUILD cost a deployment
+        pays once per corpus snapshot, while every recurring dedup /
+        keep-list run pays only the candidate self-join + exact
+        verify — and with both join sides read from this bucketed
+        layout that join needs no exchange.  Pass
+        ``spark.table(table)`` as ``assignments=`` to
+        ivf_candidate_pairs."""
+        from data_ingestion_challenge_spark.operators.similarity import (
+            _ivf_probe_assignments,
+        )
+        from data_ingestion_challenge_spark.sources.files import (
+            write_bucketed,
+        )
+        e = _ivf_probe_assignments(self.catalog.embeddings,
+                                   nprobe=nprobe, cell=cell)
+        write_bucketed(e, table, path, bucket_key="_cell",
+                       n_buckets=n_buckets)
+
+    def dedup_incoming(self, new_docs: DataFrame, posting_table: str,
+                       tau: float = 0.8, n: int = 3) -> DataFrame:
+        """Ingest-time admission screen: per incoming doc, the
+        is_dup/dup_of/jaccard verdict against the corpus behind an
+        already-materialized posting table — batch-sized work; the
+        corpus is only touched through the bucketed posting layout
+        (operators/dedup.incremental_dedup_verdict)."""
+        from data_ingestion_challenge_spark.operators.dedup import (
+            incremental_dedup_verdict,
+        )
+        return incremental_dedup_verdict(
+            new_docs, self.spark.table(posting_table), n=n, tau=tau)
+
     def dedup_corpus(self, method: str = "minhash",
                      tau: float = 0.8) -> DataFrame:
         """END-TO-END dedup: near-dup pair generation (`method` ∈

@@ -407,3 +407,101 @@ def winnow_fps_oracle_cte(n: int = 3, w: int = 4) -> str:
         JOIN wmin w ON e.doc_id = w.doc_id AND e.p = w.p AND e.h = w.mh
         GROUP BY e.doc_id, e.p, w.mh
     )"""
+
+
+# ------------------------------------------------ incremental (ingest)
+
+def incremental_jaccard_pairs(new_docs: DataFrame, posting: DataFrame,
+                              n: int = 3, tau: float = 0.8,
+                              dfreq: DataFrame | None = None
+                              ) -> DataFrame:
+    """INGEST-TIME dedup: exact Jaccard ≥ τ pairs between an incoming
+    batch and the EXISTING corpus, via the corpus's maintained posting
+    table (Engine.materialize_postings) — the production flow where
+    new data is screened at arrival instead of re-deduping the whole
+    corpus per batch.
+
+    Cost model at 100 TB: everything batch-sided is batch-sized; the
+    corpus is touched only through (a) one df aggregation over the
+    posting table (map-side combined; pass a maintained ``dfreq`` to
+    skip it), (b) the candidate equi-join of the batch's PREFIX
+    shingles against the bucketed posting table (exchange-free on the
+    corpus side), and (c) size/verify joins restricted to candidate
+    docs.  No corpus self-join ever happens.
+
+    Correctness of the ONE-SIDED prefix: J(A,B) ≥ τ implies
+    |A∩B| ≥ τ·|A∪B| ≥ τ·|A|, and any (|A| − ⌈τ|A|⌉ + 1)-subset of A
+    must then intersect A∩B (else the intersection fits inside the
+    remaining ⌈τ|A|⌉ − 1 elements) — so indexing only each NEW doc's
+    ⌊(1-τ)·|A|⌋+1 rarest-in-corpus shingles against the FULL corpus
+    postings admits every true pair; exact verification decides
+    membership.  Rarity ordering is purely a fan-out heuristic
+    (rare shingles have short corpus posting lists); shingles unseen
+    in the corpus rank rarest (df 0).
+
+    Returns (doc_id, corpus_doc_id, jaccard): batch doc → corpus
+    near-duplicate.  Intra-batch duplicates are a separate (batch-
+    sized) concern — run ngram_jaccard_pairs on the batch itself.
+    """
+    eps = 1e-9
+    new_post = _postings(new_docs, n)
+    if dfreq is None:
+        dfreq = posting.groupBy("s").agg(F.count("*").alias("_df"))
+    wspec = Window.partitionBy("doc_id").orderBy("_df", "s")
+    ranked = (
+        new_post.join(dfreq, "s", "left").fillna({"_df": 0})
+        .withColumn("n", F.count("*").over(
+            wspec.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+        .withColumn("_pos", F.row_number().over(wspec)))
+    new_prefix = ranked.where(
+        col("_pos") <= F.floor((1 - tau) * col("n") + eps) + 1)
+    cand = (
+        new_prefix.select(col("doc_id").alias("_nid"), "s")
+        .join(posting.select(col("doc_id").alias("_cid"), "s"), "s")
+        .select("_nid", "_cid").distinct())
+    # Exact verification: intersection counts from the FULL batch
+    # postings × corpus postings, restricted to candidate pairs.
+    pa = (new_post.join(cand, new_post["doc_id"] == cand["_nid"])
+          .select("_nid", "_cid", "s"))
+    pb = posting.select(col("doc_id").alias("_pb"), col("s").alias("_sb"))
+    inter = (
+        pa.join(pb, (col("_cid") == col("_pb")) & (col("s") == col("_sb")))
+        .groupBy("_nid", "_cid").agg(F.count("*").alias("ic")))
+    sz_new = new_post.groupBy("doc_id").agg(F.count("*").alias("_na")) \
+        .withColumnRenamed("doc_id", "_nid")
+    sz_cor = posting.groupBy("doc_id").agg(F.count("*").alias("_nb")) \
+        .withColumnRenamed("doc_id", "_cid")
+    jac = col("ic") / (col("_na") + col("_nb") - col("ic"))
+    out = (
+        inter.join(sz_new, "_nid").join(sz_cor, "_cid")
+        .where(jac >= tau)
+        .select(col("_nid").alias("doc_id"),
+                col("_cid").alias("corpus_doc_id"),
+                F.round(jac, 4).alias("jaccard")))
+    # new_post stays persisted while `out` is alive (it feeds the
+    # prefix ranks, the verify expansion AND the size agg); it is
+    # batch-sized, and Spark LRU-evicts it once unreferenced — same
+    # lifetime contract as ngram_jaccard_pairs' inline posting.
+    return out
+
+
+def incremental_dedup_verdict(new_docs: DataFrame, posting: DataFrame,
+                              n: int = 3, tau: float = 0.8,
+                              dfreq: DataFrame | None = None
+                              ) -> DataFrame:
+    """Per-batch-doc admission verdict: (doc_id, is_dup, dup_of,
+    jaccard).  dup_of = the best corpus match (highest Jaccard, ties →
+    lowest corpus_doc_id) or NULL for admitted docs — the row an
+    ingestion service writes to its admission log."""
+    pairs = incremental_jaccard_pairs(new_docs, posting, n, tau, dfreq)
+    w = Window.partitionBy("doc_id").orderBy(
+        col("jaccard").desc(), col("corpus_doc_id"))
+    best = (pairs.withColumn("_r", F.row_number().over(w))
+            .where(col("_r") == 1).drop("_r"))
+    return (new_docs.select("doc_id")
+            .join(best, "doc_id", "left")
+            .select("doc_id",
+                    col("corpus_doc_id").isNotNull().alias("is_dup"),
+                    col("corpus_doc_id").alias("dup_of"),
+                    "jaccard"))

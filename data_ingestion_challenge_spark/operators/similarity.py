@@ -476,7 +476,9 @@ def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
 
 def ivf_candidate_pairs(embeddings: DataFrame, tau: float = 0.4,
                         nprobe: int = 4, cell: int = 128,
-                        nlist: int | None = None) -> DataFrame:
+                        nlist: int | None = None,
+                        assignments: DataFrame | None = None
+                        ) -> DataFrame:
     """SUB-QUADRATIC near-dup pairs: multi-probe IVF blocking + exact
     cosine verification on candidates only — the scale path that feeds
     the dedup pipeline terminal (`dedup_keep_list`), with
@@ -493,9 +495,16 @@ def ivf_candidate_pairs(embeddings: DataFrame, tau: float = 0.4,
     cells; the seeded variant keeps the model a pure function of the
     data so the DuckDB oracle replays the index exactly (same pattern
     as ivf_oracle_sql: lowest-id seeding, cos-desc/cid-asc probe rank).
+    ``assignments`` accepts a precomputed (vec_id, embedding, _cell)
+    probe table — the IVF index a deployment MAINTAINS rather than
+    rebuilds per run (Engine.materialize_ivf writes it bucketed by
+    _cell, so the candidate self-join below needs no exchange on
+    either side).  Output is identical to the inline path
+    (tests/test_operators.py gates it).
     """
-    e = _ivf_probe_assignments(embeddings, nprobe=nprobe, cell=cell,
-                               nlist=nlist)
+    e = (assignments if assignments is not None else
+         _ivf_probe_assignments(embeddings, nprobe=nprobe, cell=cell,
+                                nlist=nlist))
     a = e.select("_cell", col("vec_id").alias("vec_a"),
                  col("embedding").alias("_ea"))
     b = e.select("_cell", col("vec_id").alias("vec_b"),

@@ -366,7 +366,8 @@ def multimodal_binary_source_dedup(cat: Catalog) -> DataFrame:
     # pointer-doubling rounds) belongs in the headline suite.
     bench=True,
 )
-def dedup_keep_list(cat: Catalog) -> DataFrame:
+def dedup_keep_list(cat: Catalog,
+                    assignments: DataFrame | None = None) -> DataFrame:
     """The dedup pipeline's OUTPUT: per corpus member, its cluster and
     the keep/drop verdict (keep = cluster survivor, min id; singletons
     trivially keep).  The pair feed is ivf_candidate_pairs — O(n)
@@ -379,7 +380,8 @@ def dedup_keep_list(cat: Catalog) -> DataFrame:
     from data_ingestion_challenge_spark.operators.graph import (
         connected_components)
 
-    pairs = S.ivf_candidate_pairs(cat.embeddings, tau=0.4)
+    pairs = S.ivf_candidate_pairs(cat.embeddings, tau=0.4,
+                                  assignments=assignments)
     clusters = connected_components(pairs, "vec_a", "vec_b")
     base = cat.embeddings.select("vec_id")
     joined = base.join(F.broadcast(clusters),

@@ -351,3 +351,120 @@ def test_engine_dedup_corpus_end_to_end(spark):
                       } - dropped
         assert kept_ids == expect, method
         assert 0 < len(kept_ids) <= n_docs
+
+
+def test_keep_list_materialized_ivf_equals_inline(spark, cat, tmp_path):
+    """dedup_keep_list fed from the Engine.materialize_ivf lake table
+    must return exactly the inline result (assignments are a pure
+    function of the corpus), and the candidate self-join on the
+    bucketed table must need NO exchange on the _cell key."""
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.operators import similarity as S
+    from data_ingestion_challenge_spark.plans import llm3
+
+    inline = {tuple(r) for r in llm3.dedup_keep_list(cat).collect()}
+    eng = Engine(SF_DIR, spark=spark)
+    table = "test_ivf_assignments"
+    try:
+        eng.materialize_ivf(table, str(tmp_path / "ivf"))
+        asg = spark.table(table)
+        via_idx = {tuple(r) for r in
+                   llm3.dedup_keep_list(cat, assignments=asg).collect()}
+        assert via_idx == inline and inline
+        plan = (S.ivf_candidate_pairs(cat.embeddings, tau=0.4,
+                                      assignments=asg)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange hashpartitioning(_cell" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_jaccard_equals_full_cross_pairs(spark, cat):
+    """Ingest-time dedup must find EXACTLY the full-corpus jaccard
+    pairs that straddle the batch/corpus split — the one-sided prefix
+    admits every true pair (completeness) and exact verification
+    rejects everything else (soundness)."""
+    from data_ingestion_challenge_spark.operators import dedup as D
+
+    docs = cat.documents
+    corpus = docs.where(docs.doc_id % 5 != 0)
+    batch = docs.where(docs.doc_id % 5 == 0)
+    posting = D._postings(corpus, 3)
+    try:
+        inc = {(r.doc_id, r.corpus_doc_id, r.jaccard)
+               for r in D.incremental_jaccard_pairs(
+                   batch, posting, n=3, tau=0.8).collect()}
+        full = D.ngram_jaccard_pairs(docs, n=3, tau=0.8).collect()
+        batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+        expect = set()
+        for r in full:
+            a_in = r.doc_a in batch_ids
+            b_in = r.doc_b in batch_ids
+            if a_in != b_in:  # cross pairs only
+                new, old = (r.doc_a, r.doc_b) if a_in else (r.doc_b, r.doc_a)
+                expect.add((new, old, r.jaccard))
+        assert inc == expect and inc
+    finally:
+        posting.unpersist()
+
+
+def test_incremental_dedup_verdict(spark, cat):
+    """Every batch doc gets exactly one verdict row; dup_of is the
+    best-jaccard (tie → lowest id) corpus match; non-dups are NULL."""
+    from data_ingestion_challenge_spark.operators import dedup as D
+
+    docs = cat.documents
+    corpus = docs.where(docs.doc_id % 5 != 0)
+    batch = docs.where(docs.doc_id % 5 == 0)
+    posting = D._postings(corpus, 3)
+    try:
+        pairs = D.incremental_jaccard_pairs(batch, posting,
+                                            tau=0.8).collect()
+        verdict = D.incremental_dedup_verdict(batch, posting,
+                                              tau=0.8).collect()
+        assert len(verdict) == batch.count()
+        best = {}
+        for r in pairs:
+            cur = best.get(r.doc_id)
+            key = (-r.jaccard, r.corpus_doc_id)
+            if cur is None or key < cur[0]:
+                best[r.doc_id] = (key, r.corpus_doc_id, r.jaccard)
+        for v in verdict:
+            if v.doc_id in best:
+                assert v.is_dup and v.dup_of == best[v.doc_id][1]
+                assert v.jaccard == best[v.doc_id][2]
+            else:
+                assert not v.is_dup and v.dup_of is None
+    finally:
+        posting.unpersist()
+
+
+def test_engine_dedup_incoming_via_materialized_postings(spark, tmp_path):
+    """End-to-end admission flow: materialize the corpus posting
+    table, screen a batch through Engine.dedup_incoming — exact dups
+    flagged with jaccard 1.0, novel docs admitted."""
+    from data_ingestion_challenge_spark.api import Engine
+
+    eng = Engine(SF_DIR, spark=spark)
+    table = "test_incoming_postings"
+    try:
+        eng.materialize_postings(table, str(tmp_path / "post"))
+        docs = eng.table("documents")
+        dup = docs.limit(1).select("doc_id", "text")
+        batch = dup.select(
+            (F.lit(10_000_000) + F.col("doc_id")).alias("doc_id"),
+            "text",
+        ).unionByName(spark.createDataFrame(
+            [(10_999_999,
+              "entirely novel text that matches no corpus document "
+              "zyxw vuts rqpo nmlk jihg fedc")],
+            "doc_id long, text string"))
+        out = {r.doc_id: r for r in
+               eng.dedup_incoming(batch, table).collect()}
+        dup_src = dup.collect()[0].doc_id
+        flagged = out[10_000_000 + dup_src]
+        assert flagged.is_dup and flagged.jaccard == 1.0
+        assert flagged.dup_of == dup_src
+        assert not out[10_999_999].is_dup
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
