@@ -88,6 +88,22 @@ class Engine:
         )
         run_incremental_rollup(self.spark, events_path, out_dir, checkpoint)
 
+    def ingest_documents(self, watch_dir: str, table_path: str,
+                         postings_dir: str, log_dir: str,
+                         checkpoint: str, tau: float = 0.8):
+        """Dedup-screened document ingestion: drain jsonl doc drops
+        through the streaming admission pipeline (intra-batch +
+        vs-corpus dedup, exactly-once commit into a transactional
+        corpus table, incremental posting maintenance, per-doc
+        admission log) — streaming/admission.py.  Returns the corpus
+        TxnTable; re-call to pick up new drops."""
+        from data_ingestion_challenge_spark.streaming.admission import (
+            run_document_admission,
+        )
+        return run_document_admission(
+            self.spark, watch_dir, table_path, postings_dir, log_dir,
+            checkpoint, tau=tau)
+
     # --------------------------------------------------- dedup infra
     def materialize_postings(self, table: str, path: str, n: int = 3,
                              n_buckets: int = 32) -> None:

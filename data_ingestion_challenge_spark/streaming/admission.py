@@ -1,0 +1,164 @@
+"""Streaming document admission: dedup-screened, exactly-once corpus
+ingestion — the end-to-end loop an LLM-data ingestion service runs.
+
+Per micro-batch of arriving documents:
+
+1. intra-batch dedup — exact (md5, keep min doc_id) then near-dup
+   (ngram_jaccard_pairs on the batch alone; batch-sized work);
+2. corpus screen — survivors run through
+   operators/dedup.incremental_dedup_verdict against the INCREMENTALLY
+   MAINTAINED posting store (never a corpus rescan);
+3. commit — admitted docs merge into the transactional corpus table
+   (txn.TxnTable) in one atomic commit tagged (app, batch_id): a
+   crash-replayed batch is skipped whole (exactly-once);
+4. maintenance — the admitted docs' postings land in
+   ``postings_dir/ingest_batch=<id>/`` and the full admission log
+   (every verdict, kept or rejected, with the dup target) in
+   ``log_dir/ingest_batch=<id>/``; both are per-batch OVERWRITES, so
+   a replayed batch rewrites the same files instead of duplicating.
+
+Scale notes (100 TB): every stage is batch-sized except the corpus
+screen, which touches the corpus only through the posting store's
+shingle equi-join.  The per-batch posting increments trade the
+bucketed layout for idempotent appends; a deployment compacts them
+into the bucketed table (Engine.materialize_postings /
+sources.files.compact_parquet) on a maintenance cadence, exactly like
+small-file compaction of any streaming sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string"
+
+_APP = "doc_admission"
+
+
+def _dedup_within_batch(batch: DataFrame, n: int, tau: float
+                        ) -> DataFrame:
+    """Exact + near-dup dedup INSIDE one batch: collapse repeated
+    doc_ids (transport redelivery) deterministically, keep the min
+    doc_id of every exact-hash group, then drop the LARGER doc of
+    every near-dup pair.  Pair-drop keeps every doc that is not the
+    larger of any pair — kept docs are pairwise non-near-dup (if two
+    kept docs were a pair, the larger would have been dropped); docs
+    linked only through a dropped middleman both stay, which is
+    deliberately more conservative than a full connected-components
+    collapse."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    wid = Window.partitionBy("doc_id").orderBy(F.md5(col("text")))
+    batch = (batch.withColumn("_r", F.row_number().over(wid))
+             .where(col("_r") == 1).drop("_r"))
+    w = Window.partitionBy(F.md5(col("text"))).orderBy("doc_id")
+    exact = (batch.withColumn("_r", F.row_number().over(w))
+             .where(col("_r") == 1).drop("_r"))
+    near = ngram_jaccard_pairs(exact, n=n, tau=tau)
+    drop = near.select(
+        F.greatest("doc_a", "doc_b").alias("doc_id")).distinct()
+    return exact.join(drop, "doc_id", "left_anti")
+
+
+def document_admission_sink(spark: SparkSession, table_path: str,
+                            postings_dir: str, log_dir: str,
+                            n_buckets: int = 32, n: int = 3,
+                            tau: float = 0.8):
+    """Build the foreachBatch admission callback.  Returns
+    (admit_fn, table): admit_fn(batch_df, batch_id) runs one
+    micro-batch through screen→commit→maintain; `table` is the
+    transactional corpus TxnTable (created empty if absent)."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        _postings, incremental_dedup_verdict,
+    )
+    from data_ingestion_challenge_spark.txn import TxnTable
+
+    table = TxnTable(spark, table_path, key="doc_id",
+                     n_buckets=n_buckets)
+    if table.version() == 0:
+        table = TxnTable.create(
+            spark, table_path, spark.createDataFrame([], DOCS_SCHEMA),
+            key="doc_id", n_buckets=n_buckets)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= table.last_txn(_APP):
+            return  # crash-replayed batch: already committed whole
+        batch = batch_df.localCheckpoint()
+        survivors = _dedup_within_batch(batch, n, tau)
+        have_corpus = any(
+            e.name.startswith("ingest_batch=")
+            for e in (os.scandir(postings_dir)
+                      if os.path.isdir(postings_dir) else []))
+        if have_corpus:
+            # basePath surfaces the ingest_batch partition column;
+            # excluding THIS batch's partition makes the screen
+            # replay-safe — a crash between the posting write and the
+            # txn commit must not let the batch's own postings
+            # self-match its survivors on the rerun (they would all
+            # flag as dups of themselves and be lost).
+            corpus_posting = (
+                spark.read.option("basePath", postings_dir)
+                .parquet(postings_dir)
+                .where(col("ingest_batch") != batch_id)
+                .select("doc_id", "s"))
+            verdict = incremental_dedup_verdict(
+                survivors, corpus_posting, n=n, tau=tau)
+        else:  # empty corpus: everything is novel
+            verdict = survivors.select(
+                "doc_id", F.lit(False).alias("is_dup"),
+                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(None).cast("double").alias("jaccard"))
+        # The admission log covers EVERY arriving doc: batch-dropped
+        # rows appear with dup_of NULL and kept=false (their witness
+        # is in-batch), screened rows carry the corpus dup target.
+        admitted = survivors.join(
+            verdict.where(~col("is_dup")).select("doc_id"),
+            "doc_id", "left_semi").localCheckpoint()
+        log = (batch.select("doc_id").distinct()
+               .join(verdict, "doc_id", "left")
+               .withColumn("kept", F.coalesce(~col("is_dup"),
+                                              F.lit(False)))
+               .select("doc_id", "kept", "dup_of", "jaccard"))
+        log.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"ingest_batch={batch_id}"))
+        # Postings BEFORE the txn commit: if we crash between the
+        # two, the replay overwrites this same dir (no duplicate
+        # rows) and then commits — never a committed doc without
+        # postings, so no admitted dup can slip past a crash.
+        new_post = _postings(admitted, n)
+        (new_post.write.mode("overwrite")
+         .parquet(os.path.join(postings_dir,
+                               f"ingest_batch={batch_id}")))
+        new_post.unpersist()
+        table.merge_into(admitted,
+                         _txn={"app": _APP, "batch_id": batch_id})
+
+    return admit, table
+
+
+def run_document_admission(spark: SparkSession, watch_dir: str,
+                           table_path: str, postings_dir: str,
+                           log_dir: str, checkpoint: str,
+                           n_buckets: int = 32, n: int = 3,
+                           tau: float = 0.8):
+    """Drain jsonl document drops from watch_dir through the admission
+    sink (availableNow; re-call to pick up new drops).  Returns the
+    corpus TxnTable."""
+    admit, table = document_admission_sink(
+        spark, table_path, postings_dir, log_dir,
+        n_buckets=n_buckets, n=n, tau=tau)
+    q = (spark.readStream.schema(DOCS_SCHEMA)
+         .option("maxFilesPerTrigger", 16)
+         .json(watch_dir)
+         .writeStream.foreachBatch(admit)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return table

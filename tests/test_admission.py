@@ -1,0 +1,125 @@
+"""Streaming document admission (streaming/admission.py): dedup
+screening, exactly-once commit, replay idempotence, log contents."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_ingestion_challenge_spark.streaming.admission import (
+    DOCS_SCHEMA, document_admission_sink, run_document_admission,
+)
+
+
+def _drop(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _doc(doc_id, text, lang="en", source="web"):
+    return {"doc_id": doc_id, "text": text, "lang": lang,
+            "source": source}
+
+
+LONG_A = ("the quick brown fox jumps over the lazy dog while the "
+          "moon rises slowly over the quiet hills tonight")
+LONG_A_NEAR = ("the quick brown fox jumps over the lazy dog while the "
+               "moon rises slowly over the quiet hills today")
+NOVEL = ("completely unrelated content about distributed query "
+         "engines shuffling partitioned columnar data at scale")
+NOVEL_NEAR = ("completely unrelated content about distributed query "
+              "engines shuffling partitioned columnar data at speed")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {k: str(tmp_path / k)
+            for k in ("watch", "table", "postings", "log", "ckpt")}
+
+
+def test_admission_end_to_end(spark, dirs):
+    # Drop 1: two distinct docs + an intra-batch exact duplicate.
+    _drop(os.path.join(dirs["watch"], "d1.jsonl"), [
+        _doc(1, LONG_A), _doc(2, NOVEL), _doc(3, LONG_A)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"])
+    kept1 = {r.doc_id for r in table.read().collect()}
+    assert kept1 == {1, 2}  # 3 = exact dup of 1, dropped in-batch
+
+    # Drop 2: exact dup of corpus doc, near-dup of corpus doc,
+    # genuinely novel doc.
+    _drop(os.path.join(dirs["watch"], "d2.jsonl"), [
+        _doc(10, LONG_A),        # exact corpus dup (doc 1) → rejected
+        _doc(11, NOVEL_NEAR),    # near corpus dup (doc 2) → rejected
+        _doc(12, "fresh words never seen before in any prior drop "
+                 "of this admission pipeline test corpus")])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"])
+    kept2 = {r.doc_id for r in table.read().collect()}
+    assert kept2 == {1, 2, 12}
+
+    # Admission log: every arriving doc has a verdict row; the
+    # corpus-screened rejects carry their dup target.
+    log = {r.doc_id: r for r in
+           spark.read.option("basePath", dirs["log"])
+           .parquet(dirs["log"]).collect()}
+    assert set(log) == {1, 2, 3, 10, 11, 12}
+    assert log[10].kept is False and log[10].dup_of == 1
+    assert log[11].kept is False and log[11].dup_of == 2
+    assert log[11].jaccard < 1.0
+    assert log[12].kept is True and log[12].dup_of is None
+    assert log[3].kept is False  # in-batch drop: witness in-batch
+
+    # Posting store: one partition per non-empty batch, only
+    # admitted docs' postings.
+    post = (spark.read.option("basePath", dirs["postings"])
+            .parquet(dirs["postings"]))
+    assert {r.doc_id for r in
+            post.select("doc_id").distinct().collect()} == {1, 2, 12}
+
+
+def test_admission_replay_is_exactly_once(spark, dirs):
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"])
+    b1 = spark.createDataFrame(
+        [(1, LONG_A, "en", "web"), (2, NOVEL, "en", "web")],
+        DOCS_SCHEMA)
+    admit(b1, 0)
+    v_after = table.version()
+    admit(b1, 0)  # crash-replay of the same micro-batch
+    assert table.version() == v_after
+    assert {r.doc_id for r in table.read().collect()} == {1, 2}
+
+    # Replay after a crash BETWEEN posting-write and commit: the
+    # batch's own postings exist but its commit does not — the rerun
+    # must still admit the docs (self-match guard).
+    b2 = spark.createDataFrame(
+        [(5, "another body of text with enough words to shingle "
+             "into plenty of three gram sequences", "en", "web")],
+        DOCS_SCHEMA)
+    from data_ingestion_challenge_spark.operators.dedup import _postings
+    p = _postings(b2, 3)
+    p.write.mode("overwrite").parquet(
+        os.path.join(dirs["postings"], "ingest_batch=1"))
+    p.unpersist()
+    admit(b2, 1)
+    assert {r.doc_id for r in table.read().collect()} == {1, 2, 5}
+
+
+def test_engine_ingest_documents(spark, dirs):
+    from data_ingestion_challenge_spark.api import Engine
+    from tests.conftest import SF_DIR
+
+    _drop(os.path.join(dirs["watch"], "d.jsonl"),
+          [_doc(7, LONG_A), _doc(8, LONG_A)])
+    eng = Engine(SF_DIR, spark=spark)
+    table = eng.ingest_documents(
+        dirs["watch"], dirs["table"], dirs["postings"], dirs["log"],
+        dirs["ckpt"])
+    assert {r.doc_id for r in table.read().collect()} == {7}
