@@ -19,6 +19,7 @@ transformations before collection.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,6 +104,32 @@ class Engine:
         return run_document_admission(
             self.spark, watch_dir, table_path, postings_dir, log_dir,
             checkpoint, tau=tau)
+
+    def compact_admission_postings(self, postings_dir: str,
+                                   out_dir: str,
+                                   n_files: int = 8) -> None:
+        """Maintenance for the admission pipeline's posting store:
+        fold all per-batch increments under ``postings_dir`` into one
+        base partition ``out_dir/ingest_batch=-1`` (s-sorted,
+        ``n_files`` files) so the corpus-side read stops paying one
+        tiny file per historical micro-batch.  Generation swap, same
+        contract as sources.files.compact_parquet: the new store is
+        built beside the old one and the caller points the NEXT
+        admission run at ``out_dir`` — crash-safe (a half-written
+        out_dir is simply recompacted), no in-place surgery on a
+        store a concurrent screen may be reading.  The base id -1
+        can never collide with a real micro-batch id, so the sink's
+        replay guard keeps working unchanged."""
+        from pyspark.sql.functions import col
+
+        post = (self.spark.read
+                .option("basePath", postings_dir)
+                .parquet(postings_dir)
+                .select("doc_id", "s"))
+        (post.repartition(n_files, col("s"))
+         .sortWithinPartitions("s")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "ingest_batch=-1")))
 
     # --------------------------------------------------- dedup infra
     def materialize_postings(self, table: str, path: str, n: int = 3,

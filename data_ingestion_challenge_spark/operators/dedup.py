@@ -505,3 +505,50 @@ def incremental_dedup_verdict(new_docs: DataFrame, posting: DataFrame,
                     col("corpus_doc_id").isNotNull().alias("is_dup"),
                     col("corpus_doc_id").alias("dup_of"),
                     "jaccard"))
+
+
+def incremental_verdict_oracle_sql(batch_pred: str, n: int = 3,
+                                   tau: float = 0.8) -> str:
+    """DuckDB twin of incremental_dedup_verdict over the `documents`
+    table split into batch rows (``batch_pred``) and corpus rows
+    (its negation) — registration-ready for a driver-gated query
+    (round-6 candidate); until then tests/test_operators.py runs the
+    comparison locally.  Columns and tie-breaks mirror the Spark op
+    exactly: best match = highest ROUNDED jaccard, then lowest
+    corpus_doc_id."""
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') w
+               FROM documents),
+    b AS (SELECT doc_id FROM documents WHERE {batch_pred}),
+    c AS (SELECT doc_id FROM documents WHERE NOT ({batch_pred})),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      range(1, greatest(len(w) - {n - 2}, 1)),
+                      i -> array_to_string(w[i:i+{n - 1}], ' '))))
+                      AS s
+           FROM d),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT bs.doc_id AS doc_id, cs.doc_id AS corpus_doc_id,
+                     count(*) AS ic
+              FROM sh bs JOIN b ON bs.doc_id = b.doc_id
+              JOIN sh cs ON cs.s = bs.s
+              JOIN c ON cs.doc_id = c.doc_id
+              GROUP BY bs.doc_id, cs.doc_id),
+    jac AS (SELECT pairs.doc_id AS doc_id, pairs.corpus_doc_id
+                       AS corpus_doc_id,
+                   round(ic / (sa.n + sb.n - ic), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = pairs.doc_id
+            JOIN sizes sb ON sb.doc_id = pairs.corpus_doc_id
+            WHERE ic / (sa.n + sb.n - ic) >= {tau}),
+    best AS (SELECT doc_id, corpus_doc_id, jaccard,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY jaccard DESC,
+                                                corpus_doc_id) AS r
+             FROM jac)
+    SELECT b.doc_id,
+           best.corpus_doc_id IS NOT NULL AS is_dup,
+           best.corpus_doc_id AS dup_of,
+           best.jaccard
+    FROM b LEFT JOIN best ON best.doc_id = b.doc_id AND best.r = 1
+    """

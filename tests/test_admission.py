@@ -123,3 +123,36 @@ def test_engine_ingest_documents(spark, dirs):
         dirs["watch"], dirs["table"], dirs["postings"], dirs["log"],
         dirs["ckpt"])
     assert {r.doc_id for r in table.read().collect()} == {7}
+
+
+def test_compacted_postings_generation_swap(spark, dirs, tmp_path):
+    """Admission continues seamlessly on a compacted posting store:
+    screen results against the base partition equal those against the
+    raw increments; the compacted store rejects a dup of a doc
+    admitted before compaction."""
+    from data_ingestion_challenge_spark.api import Engine
+    from tests.conftest import SF_DIR
+
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"])
+    admit(spark.createDataFrame(
+        [(1, LONG_A, "en", "web"), (2, NOVEL, "en", "web")],
+        DOCS_SCHEMA), 0)
+    eng = Engine(SF_DIR, spark=spark)
+    gen2 = str(tmp_path / "postings_gen2")
+    eng.compact_admission_postings(dirs["postings"], gen2)
+    assert os.path.isdir(os.path.join(gen2, "ingest_batch=-1"))
+
+    admit2, table2 = document_admission_sink(
+        spark, dirs["table"], gen2, dirs["log"])
+    admit2(spark.createDataFrame(
+        [(9, LONG_A, "en", "web"),  # dup of pre-compaction doc 1
+         (10, "genuinely new words for the post compaction batch "
+              "to admit cleanly without any match", "en", "web")],
+        DOCS_SCHEMA), 1)
+    assert {r.doc_id for r in table2.read().collect()} == {1, 2, 10}
+    log = {r.doc_id: r for r in
+           spark.read.option("basePath", dirs["log"])
+           .parquet(os.path.join(dirs["log"], "ingest_batch=1"))
+           .collect()}
+    assert log[9].kept is False and log[9].dup_of == 1

@@ -468,3 +468,27 @@ def test_engine_dedup_incoming_via_materialized_postings(spark, tmp_path):
         assert not out[10_999_999].is_dup
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_verdict_matches_duckdb_oracle(spark, cat):
+    """The r6 registration candidate: incremental_dedup_verdict vs its
+    DuckDB oracle twin on the standard doc_id%5 batch/corpus split."""
+    import duckdb
+
+    from data_ingestion_challenge_spark.operators import dedup as D
+
+    docs = cat.documents
+    corpus = docs.where(docs.doc_id % 5 != 0)
+    batch = docs.where(docs.doc_id % 5 == 0)
+    posting = D._postings(corpus, 3)
+    try:
+        got = {tuple(r) for r in D.incremental_dedup_verdict(
+            batch, posting, n=3, tau=0.8).collect()}
+    finally:
+        posting.unpersist()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    want = {tuple(r) for r in con.sql(
+        D.incremental_verdict_oracle_sql("doc_id % 5 = 0")).fetchall()}
+    assert got == want and got

@@ -429,3 +429,44 @@ def test_merge_equals_dict_replay(spark, tmp_path_factory, ops):
     got = {(r["k"], r["v"]) for r in
            merge.read_merged(spark, out).collect()}
     assert got == set(state.items())
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus, st.integers(min_value=0, max_value=7))
+def test_incremental_dedup_equals_naive_cross_pairs(spark, docs, seed):
+    """incremental_jaccard_pairs (one-sided prefix vs full corpus
+    postings) must find EXACTLY the naive batch×corpus pairs with
+    J ≥ τ, for arbitrary random corpora and batch splits — the
+    completeness lemma under test, not just one fixture."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        _postings, incremental_jaccard_pairs,
+    )
+
+    # Deterministic split: ids ≡ seed (mod 3) form the batch.
+    batch_ids = {i for i in range(len(docs)) if i % 3 == seed % 3}
+    corpus_ids = set(range(len(docs))) - batch_ids
+    if not batch_ids or not corpus_ids:
+        return
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.where(df.doc_id.isin(list(corpus_ids)))
+    batch = df.where(df.doc_id.isin(list(batch_ids)))
+    posting = _postings(corpus, 3)
+    try:
+        got = {(r.doc_id, r.corpus_doc_id) for r in
+               incremental_jaccard_pairs(batch, posting, n=3,
+                                         tau=0.8).collect()}
+    finally:
+        posting.unpersist()
+    shingles = [
+        {" ".join(d[i:i + 3]) for i in range(len(d) - 2)}
+        for d in docs
+    ]
+    expect = set()
+    for b in batch_ids:
+        for c in corpus_ids:
+            A, B = shingles[b], shingles[c]
+            if A and B and len(A & B) / len(A | B) >= 0.8:
+                expect.add((b, c))
+    assert got == expect
