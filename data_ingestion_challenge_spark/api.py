@@ -91,7 +91,8 @@ class Engine:
 
     def ingest_documents(self, watch_dir: str, table_path: str,
                          postings_dir: str, log_dir: str,
-                         checkpoint: str, tau: float = 0.8):
+                         checkpoint: str, tau: float = 0.8,
+                         sizes_dir: str | None = None):
         """Dedup-screened document ingestion: drain jsonl doc drops
         through the streaming admission pipeline (intra-batch +
         vs-corpus dedup, exactly-once commit into a transactional
@@ -103,7 +104,7 @@ class Engine:
         )
         return run_document_admission(
             self.spark, watch_dir, table_path, postings_dir, log_dir,
-            checkpoint, tau=tau)
+            checkpoint, tau=tau, sizes_dir=sizes_dir)
 
     def compact_admission_postings(self, postings_dir: str,
                                    out_dir: str,
@@ -122,14 +123,24 @@ class Engine:
         replay guard keeps working unchanged."""
         from pyspark.sql.functions import col
 
-        post = (self.spark.read
-                .option("basePath", postings_dir)
-                .parquet(postings_dir)
-                .select("doc_id", "s"))
-        (post.repartition(n_files, col("s"))
-         .sortWithinPartitions("s")
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, "ingest_batch=-1")))
+        raw = (self.spark.read
+               .option("basePath", postings_dir)
+               .parquet(postings_dir))
+        base = os.path.join(out_dir, "ingest_batch=-1")
+        if "s_bucket" in raw.columns:
+            # Preserve the shingle-bucket partitioning the screen
+            # prunes on: one compacted file per bucket.
+            (raw.select("doc_id", "s", "s_bucket")
+             .repartition(col("s_bucket"))
+             .sortWithinPartitions("s")
+             .write.mode("overwrite").partitionBy("s_bucket")
+             .parquet(base))
+        else:
+            (raw.select("doc_id", "s")
+             .repartition(n_files, col("s"))
+             .sortWithinPartitions("s")
+             .write.mode("overwrite")
+             .parquet(base))
 
     # --------------------------------------------------- dedup infra
     def materialize_postings(self, table: str, path: str, n: int = 3,

@@ -36,6 +36,12 @@ from pyspark.sql.functions import col
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string"
 
+# Shingle-hash partition fan-out of the posting store: corpus reads in
+# the screen prune to the batch's buckets (see incremental_jaccard_pairs'
+# pruning contract).  At 100 TB you'd raise this (it bounds both the
+# pruning granularity and the per-batch bucket-id collect).
+N_SHINGLE_BUCKETS = 64
+
 _APP = "doc_admission"
 
 
@@ -69,11 +75,19 @@ def _dedup_within_batch(batch: DataFrame, n: int, tau: float
 def document_admission_sink(spark: SparkSession, table_path: str,
                             postings_dir: str, log_dir: str,
                             n_buckets: int = 32, n: int = 3,
-                            tau: float = 0.8):
+                            tau: float = 0.8,
+                            sizes_dir: str | None = None):
     """Build the foreachBatch admission callback.  Returns
     (admit_fn, table): admit_fn(batch_df, batch_id) runs one
     micro-batch through screen→commit→maintain; `table` is the
-    transactional corpus TxnTable (created empty if absent)."""
+    transactional corpus TxnTable (created empty if absent).
+
+    Posting increments are partitioned by ``s_bucket``
+    (pmod(hash(s), N_SHINGLE_BUCKETS)) so the screen's corpus reads
+    prune to the batch's shingle buckets.  Pass ``sizes_dir`` to
+    also maintain the per-doc shingle-count store — with it, NO stage
+    of the screen reads the full posting store (the sizes fallback is
+    the one remaining full pass otherwise)."""
     from data_ingestion_challenge_spark.operators.dedup import (
         _postings, incremental_dedup_verdict,
     )
@@ -102,13 +116,23 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # txn commit must not let the batch's own postings
             # self-match its survivors on the rerun (they would all
             # flag as dups of themselves and be lost).
-            corpus_posting = (
-                spark.read.option("basePath", postings_dir)
-                .parquet(postings_dir)
-                .where(col("ingest_batch") != batch_id)
-                .select("doc_id", "s"))
+            raw = (spark.read.option("basePath", postings_dir)
+                   .parquet(postings_dir)
+                   .where(col("ingest_batch") != batch_id))
+            pruned = "s_bucket" in raw.columns
+            corpus_posting = raw.select(
+                "doc_id", "s",
+                *(["s_bucket"] if pruned else []))
+            sizes = None
+            if sizes_dir is not None and os.path.isdir(sizes_dir):
+                sizes = (spark.read.option("basePath", sizes_dir)
+                         .parquet(sizes_dir)
+                         .where(col("ingest_batch") != batch_id)
+                         .select("doc_id", "n"))
             verdict = incremental_dedup_verdict(
-                survivors, corpus_posting, n=n, tau=tau)
+                survivors, corpus_posting, n=n, tau=tau,
+                sizes=sizes,
+                prune_mod=N_SHINGLE_BUCKETS if pruned else None)
         else:  # empty corpus: everything is novel
             verdict = survivors.select(
                 "doc_id", F.lit(False).alias("is_dup"),
@@ -132,9 +156,18 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         # rows) and then commits — never a committed doc without
         # postings, so no admitted dup can slip past a crash.
         new_post = _postings(admitted, n)
-        (new_post.write.mode("overwrite")
+        (new_post
+         .withColumn("s_bucket",
+                     F.pmod(F.hash("s"), F.lit(N_SHINGLE_BUCKETS)))
+         .write.mode("overwrite").partitionBy("s_bucket")
          .parquet(os.path.join(postings_dir,
                                f"ingest_batch={batch_id}")))
+        if sizes_dir is not None:
+            (new_post.groupBy("doc_id")
+             .agg(F.count("*").alias("n"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(sizes_dir,
+                                   f"ingest_batch={batch_id}")))
         new_post.unpersist()
         table.merge_into(admitted,
                          _txn={"app": _APP, "batch_id": batch_id})
@@ -146,13 +179,14 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
                            table_path: str, postings_dir: str,
                            log_dir: str, checkpoint: str,
                            n_buckets: int = 32, n: int = 3,
-                           tau: float = 0.8):
+                           tau: float = 0.8,
+                           sizes_dir: str | None = None):
     """Drain jsonl document drops from watch_dir through the admission
     sink (availableNow; re-call to pick up new drops).  Returns the
     corpus TxnTable."""
     admit, table = document_admission_sink(
         spark, table_path, postings_dir, log_dir,
-        n_buckets=n_buckets, n=n, tau=tau)
+        n_buckets=n_buckets, n=n, tau=tau, sizes_dir=sizes_dir)
     q = (spark.readStream.schema(DOCS_SCHEMA)
          .option("maxFilesPerTrigger", 16)
          .json(watch_dir)

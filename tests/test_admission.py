@@ -103,10 +103,17 @@ def test_admission_replay_is_exactly_once(spark, dirs):
         [(5, "another body of text with enough words to shingle "
              "into plenty of three gram sequences", "en", "web")],
         DOCS_SCHEMA)
+    from pyspark.sql import functions as F
+
     from data_ingestion_challenge_spark.operators.dedup import _postings
+    from data_ingestion_challenge_spark.streaming.admission import (
+        N_SHINGLE_BUCKETS,
+    )
     p = _postings(b2, 3)
-    p.write.mode("overwrite").parquet(
-        os.path.join(dirs["postings"], "ingest_batch=1"))
+    (p.withColumn("s_bucket",
+                  F.pmod(F.hash("s"), F.lit(N_SHINGLE_BUCKETS)))
+     .write.mode("overwrite").partitionBy("s_bucket")
+     .parquet(os.path.join(dirs["postings"], "ingest_batch=1")))
     p.unpersist()
     admit(b2, 1)
     assert {r.doc_id for r in table.read().collect()} == {1, 2, 5}
@@ -156,3 +163,70 @@ def test_compacted_postings_generation_swap(spark, dirs, tmp_path):
            .parquet(os.path.join(dirs["log"], "ingest_batch=1"))
            .collect()}
     assert log[9].kept is False and log[9].dup_of == 1
+
+
+def test_sizes_store_and_bucket_pruning(spark, dirs, tmp_path):
+    """With a sizes store maintained, screen results are identical,
+    and the corpus-posting scan actually prunes to the batch's
+    shingle buckets (fewer input files than the full store)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.operators.dedup import (
+        incremental_dedup_verdict,
+    )
+    from data_ingestion_challenge_spark.streaming.admission import (
+        N_SHINGLE_BUCKETS,
+    )
+
+    sizes_dir = str(tmp_path / "sizes")
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"],
+        sizes_dir=sizes_dir)
+    admit(spark.createDataFrame(
+        [(1, LONG_A, "en", "web"), (2, NOVEL, "en", "web")],
+        DOCS_SCHEMA), 0)
+    # Sizes store carries full per-doc shingle counts.
+    sizes = {r.doc_id: r.n for r in
+             spark.read.option("basePath", sizes_dir)
+             .parquet(sizes_dir).collect()}
+    assert set(sizes) == {1, 2} and all(v > 0 for v in sizes.values())
+
+    admit(spark.createDataFrame(
+        [(9, LONG_A, "en", "web"),
+         (10, "wholly distinct payload with no overlap at all in any "
+              "three gram window of either admitted doc", "en", "web")],
+        DOCS_SCHEMA), 1)
+    assert {r.doc_id for r in table.read().collect()} == {1, 2, 10}
+    log = {r.doc_id: r for r in
+           spark.read.parquet(
+               os.path.join(dirs["log"], "ingest_batch=1")).collect()}
+    assert log[9].kept is False and log[9].dup_of == 1
+
+    # Pruning evidence: the bucket-filtered corpus read touches fewer
+    # files than the full store (LONG_A yields far fewer shingle
+    # buckets than the store's total partition count).
+    raw = (spark.read.option("basePath", dirs["postings"])
+           .parquet(dirs["postings"]))
+    batch = spark.createDataFrame([(99, LONG_A, "en", "web")],
+                                  DOCS_SCHEMA)
+    from data_ingestion_challenge_spark.operators.dedup import _postings
+    bp = _postings(batch, 3)
+    buckets = [r[0] for r in bp.select(
+        F.pmod(F.hash("s"), F.lit(N_SHINGLE_BUCKETS)).alias("b"))
+        .distinct().collect()]
+    bp.unpersist()
+    # Partition-level pruning: the isin lands in the scan's
+    # PartitionFilters (directories skipped, not rows filtered).
+    import re
+    plan = (raw.where(F.col("s_bucket").isin(buckets))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"PartitionFilters: \[[^\]]*s_bucket", plan), plan
+
+    # And the pruned verdict equals the unpruned one.
+    corpus = raw.select("doc_id", "s", "s_bucket")
+    v_pruned = {tuple(r) for r in incremental_dedup_verdict(
+        batch, corpus, prune_mod=N_SHINGLE_BUCKETS).collect()}
+    v_full = {tuple(r) for r in incremental_dedup_verdict(
+        batch, corpus.drop("s_bucket")).collect()}
+    assert v_pruned == v_full
+    assert next(iter(v_pruned))[1] is True  # 99 is a dup of 1
