@@ -415,7 +415,8 @@ def incremental_jaccard_pairs(new_docs: DataFrame, posting: DataFrame,
                               n: int = 3, tau: float = 0.8,
                               dfreq: DataFrame | None = None,
                               sizes: DataFrame | None = None,
-                              prune_mod: int | None = None
+                              prune_mod: int | None = None,
+                              new_post: DataFrame | None = None
                               ) -> DataFrame:
     """INGEST-TIME dedup: exact Jaccard ≥ τ pairs between an incoming
     batch and the EXISTING corpus, via the corpus's maintained posting
@@ -459,7 +460,14 @@ def incremental_jaccard_pairs(new_docs: DataFrame, posting: DataFrame,
     one full-posting aggregation.
     """
     eps = 1e-9
-    new_post = _postings(new_docs, n)
+    if new_post is None:
+        # Inline batch postings stay persisted for the lifetime of the
+        # returned plan (prefix ranks + verify + sizes all read them)
+        # and are LRU-evicted once unreferenced.  A LONG-RUNNING
+        # caller (the admission sink) passes its own `new_post` and
+        # unpersists it after materializing the verdict — one cached
+        # frame per batch would otherwise accumulate.
+        new_post = _postings(new_docs, n)
     full_posting = posting
     if (prune_mod is not None and "s_bucket" in posting.columns):
         buckets = [r[0] for r in new_post.select(
@@ -513,10 +521,6 @@ def incremental_jaccard_pairs(new_docs: DataFrame, posting: DataFrame,
         .select(col("_nid").alias("doc_id"),
                 col("_cid").alias("corpus_doc_id"),
                 F.round(jac, 4).alias("jaccard")))
-    # new_post stays persisted while `out` is alive (it feeds the
-    # prefix ranks, the verify expansion AND the size agg); it is
-    # batch-sized, and Spark LRU-evicts it once unreferenced — same
-    # lifetime contract as ngram_jaccard_pairs' inline posting.
     return out
 
 
@@ -524,15 +528,16 @@ def incremental_dedup_verdict(new_docs: DataFrame, posting: DataFrame,
                               n: int = 3, tau: float = 0.8,
                               dfreq: DataFrame | None = None,
                               sizes: DataFrame | None = None,
-                              prune_mod: int | None = None
+                              prune_mod: int | None = None,
+                              new_post: DataFrame | None = None
                               ) -> DataFrame:
     """Per-batch-doc admission verdict: (doc_id, is_dup, dup_of,
     jaccard).  dup_of = the best corpus match (highest Jaccard, ties →
     lowest corpus_doc_id) or NULL for admitted docs — the row an
     ingestion service writes to its admission log."""
     pairs = incremental_jaccard_pairs(new_docs, posting, n, tau, dfreq,
-                                      sizes=sizes,
-                                      prune_mod=prune_mod)
+                                      sizes=sizes, prune_mod=prune_mod,
+                                      new_post=new_post)
     w = Window.partitionBy("doc_id").orderBy(
         col("jaccard").desc(), col("corpus_doc_id"))
     best = (pairs.withColumn("_r", F.row_number().over(w))

@@ -487,7 +487,8 @@ def ivf_candidate_pairs(embeddings: DataFrame, tau: float = 0.4,
     Every vector is assigned to its `nprobe` nearest of `nlist`
     Voronoi cells; a candidate pair is two vectors sharing ≥1 cell,
     and only candidates pay the exact cosine check.  `nlist` scales
-    with the corpus (ceil(n / cell)) so expected cell occupancy stays
+    with the corpus (ceil(n·nprobe / cell), sized off the ASSIGNMENT
+    count — see _ivf_probe_assignments) so expected cell occupancy stays
     ≤ nprobe·cell regardless of n: the pair stage materializes
     O(nlist · (nprobe·cell)²) = O(n · nprobe²·cell / 2) rows — LINEAR
     in corpus size with a fixed constant, vs the gemm twin's O(n²/block).
@@ -526,7 +527,9 @@ def ivf_candidate_cte(tau: float = 0.4, nprobe: int = 4,
                       cell: int = 128) -> str:
     """DuckDB replay of ivf_candidate_pairs as a CTE body: defines
     `pairs(va, vb)` — splice into WITH [RECURSIVE] chains.  nlist uses
-    the same ceil(n/cell) formula; probe rank the same cos-desc,
+    the same ceil(n·nprobe/cell) formula as
+    _ivf_probe_assignments (keep them in lockstep — a divergence here
+    splits the Spark/DuckDB probe sets); probe rank the same cos-desc,
     cid-asc tie-break as the numpy stable argsort."""
     return f"""
     nl AS (SELECT GREATEST(16, CAST(ceil(count(*) * {nprobe} / {cell}.0)

@@ -46,7 +46,7 @@ _APP = "doc_admission"
 
 
 def _dedup_within_batch(batch: DataFrame, n: int, tau: float
-                        ) -> DataFrame:
+                        ) -> tuple[DataFrame, list[DataFrame]]:
     """Exact + near-dup dedup INSIDE one batch: collapse repeated
     doc_ids (transport redelivery) deterministically, keep the min
     doc_id of every exact-hash group, then drop the LARGER doc of
@@ -55,9 +55,14 @@ def _dedup_within_batch(batch: DataFrame, n: int, tau: float
     kept docs were a pair, the larger would have been dropped); docs
     linked only through a dropped middleman both stay, which is
     deliberately more conservative than a full connected-components
-    collapse."""
+    collapse.
+
+    Returns (survivors, cache_handles): the caller must unpersist the
+    handles once its derived frames are materialized — a long-running
+    stream would otherwise accumulate one cached posting frame per
+    micro-batch."""
     from data_ingestion_challenge_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        _postings, ngram_jaccard_pairs,
     )
 
     wid = Window.partitionBy("doc_id").orderBy(F.md5(col("text")))
@@ -66,17 +71,19 @@ def _dedup_within_batch(batch: DataFrame, n: int, tau: float
     w = Window.partitionBy(F.md5(col("text"))).orderBy("doc_id")
     exact = (batch.withColumn("_r", F.row_number().over(w))
              .where(col("_r") == 1).drop("_r"))
-    near = ngram_jaccard_pairs(exact, n=n, tau=tau)
+    bp = _postings(exact, n)
+    near = ngram_jaccard_pairs(exact, n=n, tau=tau, posting=bp)
     drop = near.select(
         F.greatest("doc_a", "doc_b").alias("doc_id")).distinct()
-    return exact.join(drop, "doc_id", "left_anti")
+    return exact.join(drop, "doc_id", "left_anti"), [bp]
 
 
 def document_admission_sink(spark: SparkSession, table_path: str,
                             postings_dir: str, log_dir: str,
                             n_buckets: int = 32, n: int = 3,
                             tau: float = 0.8,
-                            sizes_dir: str | None = None):
+                            sizes_dir: str | None = None,
+                            run_id: str | None = None):
     """Build the foreachBatch admission callback.  Returns
     (admit_fn, table): admit_fn(batch_df, batch_id) runs one
     micro-batch through screen→commit→maintain; `table` is the
@@ -87,7 +94,16 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     prune to the batch's shingle buckets.  Pass ``sizes_dir`` to
     also maintain the per-doc shingle-count store — with it, NO stage
     of the screen reads the full posting store (the sizes fallback is
-    the one remaining full pass otherwise)."""
+    the one remaining full pass otherwise).
+
+    ``run_id`` scopes batch ids to one checkpoint lifetime: micro-batch
+    ids restart at 0 whenever a stream gets a fresh checkpoint dir, so
+    without the scope a restarted stream's batches would compare ≤ the
+    old run's last_txn mark and be skipped whole — silently discarding
+    genuinely new documents — and their maintenance partitions would
+    overwrite the old run's.  run_document_admission derives it from a
+    marker persisted in the checkpoint dir; direct callers that manage
+    their own batch-id monotonicity may leave it None."""
     from data_ingestion_challenge_spark.operators.dedup import (
         _postings, incremental_dedup_verdict,
     )
@@ -100,11 +116,15 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             spark, table_path, spark.createDataFrame([], DOCS_SCHEMA),
             key="doc_id", n_buckets=n_buckets)
 
+    app = _APP if run_id is None else f"{_APP}:{run_id}"
+
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= table.last_txn(_APP):
+        tag = str(batch_id) if run_id is None \
+            else f"{run_id}-{batch_id}"
+        if batch_id <= table.last_txn(app):
             return  # crash-replayed batch: already committed whole
         batch = batch_df.localCheckpoint()
-        survivors = _dedup_within_batch(batch, n, tau)
+        survivors, handles = _dedup_within_batch(batch, n, tau)
         have_corpus = any(
             e.name.startswith("ingest_batch=")
             for e in (os.scandir(postings_dir)
@@ -116,9 +136,13 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # txn commit must not let the batch's own postings
             # self-match its survivors on the rerun (they would all
             # flag as dups of themselves and be lost).
+            # String-compare the partition value: run-scoped tags make
+            # it a string column, bare ids an int one — cast covers
+            # both.
             raw = (spark.read.option("basePath", postings_dir)
                    .parquet(postings_dir)
-                   .where(col("ingest_batch") != batch_id))
+                   .where(col("ingest_batch").cast("string")
+                          != F.lit(tag)))
             pruned = "s_bucket" in raw.columns
             corpus_posting = raw.select(
                 "doc_id", "s",
@@ -127,12 +151,16 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             if sizes_dir is not None and os.path.isdir(sizes_dir):
                 sizes = (spark.read.option("basePath", sizes_dir)
                          .parquet(sizes_dir)
-                         .where(col("ingest_batch") != batch_id)
+                         .where(col("ingest_batch").cast("string")
+                                != F.lit(tag))
                          .select("doc_id", "n"))
+            sp = _postings(survivors, n)
+            handles.append(sp)
             verdict = incremental_dedup_verdict(
                 survivors, corpus_posting, n=n, tau=tau,
                 sizes=sizes,
-                prune_mod=N_SHINGLE_BUCKETS if pruned else None)
+                prune_mod=N_SHINGLE_BUCKETS if pruned else None,
+                new_post=sp)
         else:  # empty corpus: everything is novel
             verdict = survivors.select(
                 "doc_id", F.lit(False).alias("is_dup"),
@@ -150,27 +178,35 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                                               F.lit(False)))
                .select("doc_id", "kept", "dup_of", "jaccard"))
         log.write.mode("overwrite").parquet(
-            os.path.join(log_dir, f"ingest_batch={batch_id}"))
+            os.path.join(log_dir, f"ingest_batch={tag}"))
         # Postings BEFORE the txn commit: if we crash between the
         # two, the replay overwrites this same dir (no duplicate
         # rows) and then commits — never a committed doc without
         # postings, so no admitted dup can slip past a crash.
-        new_post = _postings(admitted, n)
+        # Admitted docs' postings are a filter of the already-built
+        # survivor postings — no recompute.
+        new_post = (handles[-1] if handles else _postings(admitted, n)) \
+            .join(admitted.select("doc_id"), "doc_id", "left_semi")
         (new_post
          .withColumn("s_bucket",
                      F.pmod(F.hash("s"), F.lit(N_SHINGLE_BUCKETS)))
          .write.mode("overwrite").partitionBy("s_bucket")
          .parquet(os.path.join(postings_dir,
-                               f"ingest_batch={batch_id}")))
+                               f"ingest_batch={tag}")))
         if sizes_dir is not None:
             (new_post.groupBy("doc_id")
              .agg(F.count("*").alias("n"))
              .write.mode("overwrite")
              .parquet(os.path.join(sizes_dir,
-                                   f"ingest_batch={batch_id}")))
-        new_post.unpersist()
+                                   f"ingest_batch={tag}")))
         table.merge_into(admitted,
-                         _txn={"app": _APP, "batch_id": batch_id})
+                         _txn={"app": app, "batch_id": batch_id})
+        # All derived frames are materialized (log/postings written,
+        # admitted checkpointed, commit done): release the per-batch
+        # posting caches — a long-running stream must not accumulate
+        # one per micro-batch.
+        for h in handles:
+            h.unpersist()
 
     return admit, table
 
@@ -183,10 +219,28 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
                            sizes_dir: str | None = None):
     """Drain jsonl document drops from watch_dir through the admission
     sink (availableNow; re-call to pick up new drops).  Returns the
-    corpus TxnTable."""
+    corpus TxnTable.
+
+    Batch ids are scoped to the checkpoint's lifetime via a marker
+    persisted inside the checkpoint dir: a FRESH checkpoint (ids
+    restart at 0) gets a fresh scope, so its batches are re-screened
+    against the corpus instead of being skipped by the previous run's
+    replay gate — previously-admitted docs simply re-reject as
+    corpus dups; never-seen docs still admit."""
+    import uuid
+
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, "__admission_run_id")
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:
+            fh.write(uuid.uuid4().hex[:12])
+    with open(marker) as fh:
+        run_id = fh.read().strip()
+
     admit, table = document_admission_sink(
         spark, table_path, postings_dir, log_dir,
-        n_buckets=n_buckets, n=n, tau=tau, sizes_dir=sizes_dir)
+        n_buckets=n_buckets, n=n, tau=tau, sizes_dir=sizes_dir,
+        run_id=run_id)
     q = (spark.readStream.schema(DOCS_SCHEMA)
          .option("maxFilesPerTrigger", 16)
          .json(watch_dir)

@@ -96,7 +96,8 @@ class TxnTable:
         add = t._stage(df)
         # The version() pre-check has a race window (two creators can
         # both see an empty log); the v1 claim is the real arbiter.
-        if not t._claim(1, {"op": "create", "add": add, "remove": []}):
+        if not t._claim(1, {"op": "create", "add": add, "remove": [],
+                            "schema": df.schema.json()}):
             t._discard(add)
             raise FileExistsError(
                 f"{path}: another writer created the table first")
@@ -143,13 +144,21 @@ class TxnTable:
                             f"ckpt-v{head:010d}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"version": head, "active": active}, fh)
+            # txn marks and the table schema ride every checkpoint:
+            # expire_log() deletes the records below it, and without
+            # the carried marks a replayed streaming batch would pass
+            # the exactly-once gate (double-count) — Delta checkpoints
+            # carry txn actions for exactly this reason.
+            json.dump({"version": head, "active": active,
+                       "txns": self._txn_marks(head),
+                       "schema": self._table_schema(head)}, fh)
         os.replace(tmp, path)
         return head
 
     def _latest_checkpoint(self, upto: int):
-        """(version, active) of the newest checkpoint ≤ upto, or
-        None."""
+        """(version, active, txns, schema_json) of the newest
+        checkpoint ≤ upto, or None.  txns/schema default for
+        checkpoints written before they were carried forward."""
         try:
             names = os.listdir(_log_dir(self.path))
         except FileNotFoundError:
@@ -163,7 +172,8 @@ class TxnTable:
         with open(os.path.join(_log_dir(self.path),
                                f"ckpt-v{best:010d}.json")) as fh:
             data = json.load(fh)
-        return best, dict(data["active"])
+        return (best, dict(data["active"]),
+                dict(data.get("txns", {})), data.get("schema"))
 
     def _snapshot(self, version: int | None = None):
         """(version, {relative file path: bucket}): replay from the
@@ -185,9 +195,16 @@ class TxnTable:
         """Snapshot read; pass version for time travel."""
         _, active = self._snapshot(version)
         if not active:
-            # Empty snapshot: infer the schema from ANY file a commit
-            # ever referenced (e.g. all rows deleted), else fail
-            # clearly (a never-populated table has no schema source).
+            # Empty snapshot: the recorded schema (create() stores it;
+            # checkpoints carry it) makes a never-populated or
+            # fully-deleted table readable.  Fall back to probing any
+            # referenced file for tables created before the schema
+            # was recorded.
+            sj = self._table_schema(self.version())
+            if sj:
+                from pyspark.sql.types import StructType
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(sj)))
             for v in range(1, self.version() + 1):
                 try:
                     rec = self._commit_record(v)
@@ -249,14 +266,27 @@ class TxnTable:
         if ckpt is not None and v <= ckpt[0]:
             return False
         record = {"version": v, **record}
+        # Publish ATOMICALLY WITH CONTENT: write the full record to a
+        # tmp file first, then hard-link it to the version name — the
+        # link either materializes the complete record or fails with
+        # EEXIST.  The previous O_EXCL-then-write form had a torn
+        # window: the version was visible (claimed) before its body
+        # existed, so a concurrent reader could json-load an empty
+        # file, and a writer crash mid-write bricked the table.
+        target = _version_file(self.path, v)
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
         try:
-            fd = os.open(_version_file(self.path, v),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, target)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as fh:
-            json.dump(record, fh)
-        return True
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def _discard(self, add: dict[str, int]) -> None:
         for f in add:
@@ -266,19 +296,50 @@ class TxnTable:
                 pass
 
     # --------------------------------------------------- streaming
+    def _txn_marks(self, upto: int) -> dict[str, int]:
+        """{app: highest committed batch_id} at version `upto`:
+        newest checkpoint's carried marks + the records above it
+        (records expired by expire_log() are already folded into the
+        checkpoint, so nothing is lost — and nothing raises)."""
+        ckpt = self._latest_checkpoint(upto)
+        start = ckpt[0] + 1 if ckpt else 1
+        marks: dict[str, int] = dict(ckpt[2]) if ckpt else {}
+        for v in range(start, upto + 1):
+            try:
+                t = self._commit_record(v).get("txn")
+            except KeyError:
+                continue
+            if t:
+                marks[t["app"]] = max(marks.get(t["app"], -1),
+                                      int(t["batch_id"]))
+        return marks
+
+    def _table_schema(self, upto: int) -> str | None:
+        """The table's schema as a StructType JSON string: from the
+        newest checkpoint, else from the first commit record that
+        recorded one (create() does)."""
+        ckpt = self._latest_checkpoint(upto)
+        if ckpt and ckpt[3]:
+            return ckpt[3]
+        start = ckpt[0] + 1 if ckpt else 1
+        for v in range(start, upto + 1):
+            try:
+                rec = self._commit_record(v)
+            except KeyError:
+                continue
+            if rec.get("schema"):
+                return rec["schema"]
+        return None
+
     def last_txn(self, app: str) -> int:
         """Highest batch_id committed under `app` (-1 if none) — the
         Delta txn-metadata idempotence pattern: a streaming writer
         tags each commit with (app, batch_id); a replayed micro-batch
         whose id is already in the log is skipped WHOLE, which is
         sound because the commit (unlike a multi-partition file
-        overwrite) is atomic."""
-        best = -1
-        for v in range(1, self.version() + 1):
-            t = self._commit_record(v).get("txn")
-            if t and t.get("app") == app:
-                best = max(best, int(t["batch_id"]))
-        return best
+        overwrite) is atomic.  Survives expire_log(): checkpoints
+        carry the marks forward."""
+        return self._txn_marks(self.version()).get(app, -1)
 
     def accumulate_batch(self, batch_agg: DataFrame, batch_id: int,
                          sum_cols: list[str],
@@ -299,11 +360,17 @@ class TxnTable:
         if not touched:
             return None
 
+        base: dict = {}
+
         def _derive() -> DataFrame:
             # Sums are a function of the snapshot they read — derived
-            # fresh here, and re-derived via _rebuild if a conflicting
-            # commit rewrites one of our buckets mid-flight.
-            _, active = self._snapshot()
+            # fresh here, re-derived via _rebuild on conflict, and the
+            # SAME snapshot is handed to merge_into as the conflict
+            # base (via _base): a commit landing between this read and
+            # the claim is then always detected as an interleave,
+            # never silently overwritten (lost-update window).
+            v, active = self._snapshot()
+            base["snap"] = (v, active)
             current = self._read_buckets(active, touched)
             return inc if current is None else (
                 current.select(*inc.columns).unionByName(inc)
@@ -312,7 +379,8 @@ class TxnTable:
 
         return self.merge_into(_derive(),
                                _txn={"app": app, "batch_id": batch_id},
-                               _rebuild=_derive)
+                               _rebuild=_derive,
+                               _base=lambda: base["snap"])
 
     # --------------------------------------------------------- MERGE
     def merge_into(self, updates: DataFrame, *,
@@ -320,6 +388,7 @@ class TxnTable:
                    max_retries: int = 5,
                    _txn: dict | None = None,
                    _rebuild=None,
+                   _base=None,
                    _test_pre_claim=None) -> int:
         """Optimistic MERGE: upsert `updates` (full-row schema), drop
         `deletes` (one-column keys).  Returns the committed version.
@@ -331,6 +400,12 @@ class TxnTable:
         the update set against the new snapshot (accumulate_batch
         passes it — its summed rows are a function of the snapshot
         they were read from, so a conflicting commit staleness them);
+        `_base`, when given, is a zero-arg callable returning the
+        (version, active) snapshot the CURRENT `updates` were derived
+        from — the claim then uses that as its conflict base instead
+        of taking a fresh snapshot, closing the lost-update window
+        where a commit lands between the derivation read and the
+        merge's own snapshot (accumulate_batch passes it);
         `_test_pre_claim` runs between staging and the claim so tests
         can interleave a competing writer deterministically."""
         dup = (updates.groupBy(self.key).count()
@@ -352,7 +427,8 @@ class TxnTable:
         if not touched:
             return self.version()
 
-        base_v, active = self._snapshot()
+        base_v, active = _base() if _base is not None \
+            else self._snapshot()
         staged: dict[str, int] | None = None
         for _ in range(max_retries):
             if staged is None:
@@ -396,6 +472,15 @@ class TxnTable:
                     if deletes is not None:
                         drop_keys = drop_keys.unionByName(
                             deletes.select(self.key))
+                    if _base is not None:
+                        # Conflict base = the snapshot the rebuild
+                        # actually read, not the head we happened to
+                        # observe before it ran.
+                        base_v, active = _base()
+        if staged:
+            # Exhausted retries with files still staged: clean up —
+            # otherwise they linger as orphans until a vacuum.
+            self._discard(staged)
         raise CommitConflictError(
             f"merge_into lost {max_retries} optimistic claims on "
             f"{self.path}")
@@ -421,15 +506,24 @@ class TxnTable:
         return n
 
     # ------------------------------------------------------- vacuum
-    def vacuum(self, retain_versions: int = 0) -> int:
+    def vacuum(self, retain_versions: int = 0,
+               retain_orphans_s: float = 600.0) -> int:
         """Delete data files not referenced by the current snapshot
         (crashed writers' orphans and files removed by later
         versions).  retain_versions > 0 additionally KEEPS every file
         some snapshot in the last N versions references, so time
         travel that far back survives the vacuum — the version-count
         analog of Delta's retention duration (older time travel stops
-        working, same trade as Delta VACUUM).  Returns count
+        working, same trade as Delta VACUUM).
+
+        retain_orphans_s guards LIVE writers: a mid-merge writer's
+        staged-but-unclaimed files are indistinguishable from crashed
+        orphans, so anything younger than this many seconds is kept
+        (Delta's deletedFileRetentionDuration plays the same role).
+        Only set 0 when no writer can be in flight.  Returns count
         deleted."""
+        import time as _time
+
         head = self.version()
         keep: set[str] = set()
         for v in range(max(1, head - retain_versions), head + 1):
@@ -439,13 +533,18 @@ class TxnTable:
                 pass  # below expired log — nothing to retain there
         data_dir = os.path.join(self.path, _DATA)
         n = 0
+        cutoff = _time.time() - retain_orphans_s
         for entry in os.listdir(data_dir):
-            if os.path.join(_DATA, entry) not in keep:
-                try:
-                    os.remove(os.path.join(data_dir, entry))
-                    n += 1
-                except OSError:
-                    pass
+            full = os.path.join(data_dir, entry)
+            if os.path.join(_DATA, entry) in keep:
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly a live writer's staged file
+                os.remove(full)
+                n += 1
+            except OSError:
+                pass
         return n
 
 

@@ -230,3 +230,34 @@ def test_sizes_store_and_bucket_pruning(spark, dirs, tmp_path):
         batch, corpus.drop("s_bucket")).collect()}
     assert v_pruned == v_full
     assert next(iter(v_pruned))[1] is True  # 99 is a dup of 1
+
+
+def test_fresh_checkpoint_restart_does_not_lose_docs(spark, dirs,
+                                                     tmp_path):
+    """A stream restarted with a FRESH checkpoint replays every file
+    as batch 0: the run-scoped replay gate must re-screen them (old
+    docs re-reject as corpus dups) instead of skipping the batch
+    whole and silently discarding the genuinely new documents in it —
+    and the new run's maintenance partitions must not overwrite the
+    old run's."""
+    _drop(os.path.join(dirs["watch"], "d1.jsonl"),
+          [_doc(1, LONG_A), _doc(2, NOVEL)])
+    run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"])
+
+    _drop(os.path.join(dirs["watch"], "d2.jsonl"),
+          [_doc(30, "a brand new batch of words that matches nothing "
+                    "previously admitted into this corpus at all")])
+    fresh_ckpt = str(tmp_path / "ckpt2")
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], fresh_ckpt)
+    assert {r.doc_id for r in table.read().collect()} == {1, 2, 30}
+    # Old run's postings survive (no partition clobbering): every
+    # admitted doc still has postings in the store.
+    post_docs = {r.doc_id for r in
+                 spark.read.option("basePath", dirs["postings"])
+                 .parquet(dirs["postings"])
+                 .select("doc_id").distinct().collect()}
+    assert {1, 2, 30} <= post_docs

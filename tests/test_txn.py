@@ -93,13 +93,18 @@ def test_two_writers_conflict_recomputes(spark, table):
 
 def test_orphan_files_invisible(spark, table, tmp_path):
     """A data file without a commit referencing it (crashed writer)
-    must not appear in reads, and vacuum deletes it."""
+    must not appear in reads; vacuum's age guard KEEPS fresh unclaimed
+    files (a live writer's staging looks identical) and deletes them
+    only past the retention window."""
     before = _rows(table.read())
     orphan_src = spark.createDataFrame([(9999, 1)], "k long, v long")
     staged = table._stage(orphan_src)  # staged but never committed
     assert staged
     assert _rows(table.read()) == before
-    n = table.vacuum()
+    assert table.vacuum() == 0  # default guard: too fresh to reap
+    for f in staged:
+        assert os.path.exists(os.path.join(table.path, f))
+    n = table.vacuum(retain_orphans_s=0)  # no writer in flight
     assert n >= len(staged)
     for f in staged:
         assert not os.path.exists(os.path.join(table.path, f))
@@ -332,3 +337,96 @@ def test_merge_and_txn_sinks_agree(spark, tmp_path):
     got_m = _rows(merge.read_merged(spark, mdir))
     got_t = _rows(t.read())
     assert got_m == got_t and len(got_t) > 0
+
+
+def test_last_txn_survives_checkpoint_and_expire(spark, table):
+    """The exactly-once replay gate must survive log maintenance:
+    checkpoints carry the (app, batch_id) marks forward, so after
+    expire_log() removes the records, last_txn neither raises nor
+    forgets (a forgotten mark would double-apply a replayed batch)."""
+    from pyspark.sql import functions as F
+
+    agg = spark.createDataFrame([(1, 5)], "k long, v long") \
+        .groupBy("k").agg(F.sum("v").alias("v"))
+    assert table.accumulate_batch(agg, 7, sum_cols=["v"],
+                                  app="gate") is not None
+    table.checkpoint()
+    assert table.expire_log() > 0
+    assert table.last_txn("gate") == 7
+    # Replay of batch 7 after maintenance: skipped whole.
+    assert table.accumulate_batch(agg, 7, sum_cols=["v"],
+                                  app="gate") is None
+
+
+def test_empty_created_table_is_readable(spark, tmp_path):
+    """A created-but-never-populated table reads as an empty frame
+    with the creation schema (recorded in the create commit) — the
+    admission pipeline creates its corpus table exactly this way."""
+    t = TxnTable.create(spark, str(tmp_path / "e"),
+                        spark.createDataFrame([], "k long, v string"),
+                        key="k")
+    df = t.read()
+    assert df.count() == 0
+    assert df.columns == ["k", "v"]
+    # ... and still after checkpoint + expire (schema rides the ckpt).
+    t.checkpoint()
+    t.expire_log()
+    assert t.read().columns == ["k", "v"]
+
+
+def test_claim_crash_leaves_no_torn_record(spark, table):
+    """A writer that dies during a claim must leave the table fully
+    readable: the record publishes atomically via tmp+link, so the
+    only possible debris is an unlinked tmp file, which version()
+    and snapshots ignore."""
+    import json as _json
+
+    from data_ingestion_challenge_spark.txn import _log_dir
+
+    v_before = table.version()
+    # Simulate the crash window: the tmp body exists, the link never
+    # happened.
+    tmp = os.path.join(_log_dir(table.path),
+                       f"v{v_before + 1:010d}.json.tmp-deadbeef")
+    with open(tmp, "w") as fh:
+        _json.dump({"version": v_before + 1, "op": "merge",
+                    "add": {}, "remove": []}, fh)
+    assert table.version() == v_before
+    assert _rows(table.read())  # snapshot replay unaffected
+    # And the next real commit claims the version the crasher wanted.
+    upd = spark.createDataFrame([(0, 123)], "k long, v long")
+    assert table.merge_into(upd) == v_before + 1
+
+
+def test_merge_base_snapshot_closes_lost_update_window(spark, tmp_path):
+    """A commit landing between the derivation read and the merge's
+    claim must be detected as a conflict (via the _base snapshot) and
+    re-derived — not silently overwritten with stale sums."""
+    from pyspark.sql import functions as F
+
+    t = TxnTable.create(spark, str(tmp_path / "w"),
+                        spark.createDataFrame([(1, 100)],
+                                              "k long, v long"),
+                        key="k", n_buckets=4)
+    base: dict = {}
+    rebuilds = []
+
+    def derive(inc_v: int):
+        v, active = t._snapshot()
+        base["snap"] = (v, active)
+        cur = t.read()
+        return (cur.unionByName(spark.createDataFrame(
+            [(1, inc_v)], "k long, v long"))
+            .groupBy("k").agg(F.sum("v").alias("v")))
+
+    stale = derive(10)          # reads v=100 → derives 110
+    # Interleaved writer bumps the same key BEFORE our merge claims.
+    t.merge_into(spark.createDataFrame([(1, 1000)], "k long, v long"))
+
+    def rebuild():
+        rebuilds.append(1)
+        return derive(10)       # reads v=1000 → derives 1010
+
+    t.merge_into(stale, _rebuild=rebuild, _base=lambda: base["snap"])
+    assert rebuilds, "interleave went undetected (lost update)"
+    assert _rows(t.read()) == {(1, 1010)}
