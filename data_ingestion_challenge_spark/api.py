@@ -108,11 +108,16 @@ class Engine:
 
     def compact_admission_postings(self, postings_dir: str,
                                    out_dir: str,
-                                   n_files: int = 8) -> None:
+                                   n_files: int = 8,
+                                   table_path: str | None = None,
+                                   sizes_dir: str | None = None,
+                                   sizes_out: str | None = None
+                                   ) -> None:
         """Maintenance for the admission pipeline's posting store:
         fold all per-batch increments under ``postings_dir`` into one
-        base partition ``out_dir/ingest_batch=-1`` (s-sorted,
-        ``n_files`` files) so the corpus-side read stops paying one
+        base partition ``out_dir/ingest_batch=-1`` (one file per
+        shingle bucket for a bucketed store; ``n_files`` s-sorted
+        files for a flat one) so the corpus-side read stops paying one
         tiny file per historical micro-batch.  Generation swap, same
         contract as sources.files.compact_parquet: the new store is
         built beside the old one and the caller points the NEXT
@@ -120,27 +125,70 @@ class Engine:
         out_dir is simply recompacted), no in-place surgery on a
         store a concurrent screen may be reading.  The base id -1
         can never collide with a real micro-batch id, so the sink's
-        replay guard keeps working unchanged."""
+        replay guard keeps working unchanged.
+
+        Pass ``table_path`` (the corpus TxnTable) to restrict the
+        fold to COMMITTED docs: a batch that crashed between its
+        posting write and its commit leaves postings with no commit,
+        and folding those into the base would make the crashed
+        batch's replay self-match its own survivors (jaccard 1.0)
+        and silently drop them — the exact window the sink's
+        same-tag exclusion protects, which compaction would
+        otherwise erase.  Pass ``sizes_dir``/``sizes_out`` to compact
+        the sizes store alongside (required for the screen's
+        coverage check to keep accepting it)."""
+        import shutil
+
+        from pyspark.sql import functions as F
         from pyspark.sql.functions import col
 
+        from data_ingestion_challenge_spark.streaming.admission import (
+            _META, store_bucket_mod,
+        )
+
+        committed = None
+        if table_path is not None:
+            from data_ingestion_challenge_spark.txn import TxnTable
+            committed = (TxnTable(self.spark, table_path,
+                                  key="doc_id")
+                         .read().select("doc_id"))
+
+        mod = store_bucket_mod(postings_dir)
         raw = (self.spark.read
                .option("basePath", postings_dir)
                .parquet(postings_dir))
+        post = raw.select("doc_id", "s")
+        if committed is not None:
+            post = post.join(committed, "doc_id", "left_semi")
         base = os.path.join(out_dir, "ingest_batch=-1")
-        if "s_bucket" in raw.columns:
-            # Preserve the shingle-bucket partitioning the screen
-            # prunes on: one compacted file per bucket.
-            (raw.select("doc_id", "s", "s_bucket")
+        if mod is not None:
+            # Preserve the shingle-bucket layout the screen prunes
+            # on: one compacted file per bucket, rows s-sorted inside
+            # (secondary sort key — partitionBy alone re-sorts by the
+            # partition column only and would lose the s clustering).
+            (post.withColumn("s_bucket",
+                             F.pmod(F.hash("s"), F.lit(mod)))
              .repartition(col("s_bucket"))
-             .sortWithinPartitions("s")
+             .sortWithinPartitions("s_bucket", "s")
              .write.mode("overwrite").partitionBy("s_bucket")
              .parquet(base))
         else:
-            (raw.select("doc_id", "s")
-             .repartition(n_files, col("s"))
+            (post.repartition(n_files, col("s"))
              .sortWithinPartitions("s")
              .write.mode("overwrite")
              .parquet(base))
+        # The modulus is a property of the stored values: the new
+        # generation must carry the same meta.
+        os.makedirs(out_dir, exist_ok=True)
+        shutil.copyfile(os.path.join(postings_dir, _META),
+                        os.path.join(out_dir, _META))
+        if sizes_dir is not None and sizes_out is not None:
+            sz = (self.spark.read.option("basePath", sizes_dir)
+                  .parquet(sizes_dir).select("doc_id", "n"))
+            if committed is not None:
+                sz = sz.join(committed, "doc_id", "left_semi")
+            (sz.repartition(1).write.mode("overwrite")
+             .parquet(os.path.join(sizes_out, "ingest_batch=-1")))
 
     # --------------------------------------------------- dedup infra
     def materialize_postings(self, table: str, path: str, n: int = 3,

@@ -28,6 +28,7 @@ small-file compaction of any streaming sink.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,6 +44,41 @@ DOCS_SCHEMA = "doc_id long, text string, lang string, source string"
 N_SHINGLE_BUCKETS = 64
 
 _APP = "doc_admission"
+
+_META = "_admission_meta.json"
+
+
+def _batch_tags(d: str) -> set[str]:
+    """Partition-dir tag values under a store dir (empty if absent)."""
+    if not os.path.isdir(d):
+        return set()
+    return {e.name.split("=", 1)[1] for e in os.scandir(d)
+            if e.name.startswith("ingest_batch=")}
+
+
+def store_bucket_mod(postings_dir: str) -> int | None:
+    """The shingle-bucket modulus a posting store was WRITTEN with —
+    persisted in `_admission_meta.json` on the store's first write
+    (underscore prefix: invisible to Spark's file listing).  The
+    modulus is a property of the stored s_bucket values: pruning with
+    a different one silently hides corpus shingles (true dups would
+    be admitted), so it must never be re-derived from the current
+    constant.  Returns None for a flat (pre-bucketing / legacy)
+    store; a meta-less dir that already has batch partitions is
+    treated as flat and stamped so."""
+    meta = os.path.join(postings_dir, _META)
+    try:
+        with open(meta) as fh:
+            return json.load(fh)["s_bucket_mod"]
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+    mod = None if _batch_tags(postings_dir) else N_SHINGLE_BUCKETS
+    os.makedirs(postings_dir, exist_ok=True)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"s_bucket_mod": mod}, fh)
+    os.replace(tmp, meta)
+    return mod
 
 
 def _dedup_within_batch(batch: DataFrame, n: int, tau: float
@@ -105,7 +141,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     marker persisted in the checkpoint dir; direct callers that manage
     their own batch-id monotonicity may leave it None."""
     from data_ingestion_challenge_spark.operators.dedup import (
-        _postings, incremental_dedup_verdict,
+        incremental_dedup_verdict,
     )
     from data_ingestion_challenge_spark.txn import TxnTable
 
@@ -123,12 +159,14 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             else f"{run_id}-{batch_id}"
         if batch_id <= table.last_txn(app):
             return  # crash-replayed batch: already committed whole
+        # The store's layout (bucketed with which modulus, or flat) is
+        # read from its persisted meta, NOT the current constant — a
+        # raised N_SHINGLE_BUCKETS or a legacy flat store must neither
+        # mis-prune nor mix partition depths.
+        mod = store_bucket_mod(postings_dir)
         batch = batch_df.localCheckpoint()
         survivors, handles = _dedup_within_batch(batch, n, tau)
-        have_corpus = any(
-            e.name.startswith("ingest_batch=")
-            for e in (os.scandir(postings_dir)
-                      if os.path.isdir(postings_dir) else []))
+        have_corpus = bool(_batch_tags(postings_dir))
         if have_corpus:
             # basePath surfaces the ingest_batch partition column;
             # excluding THIS batch's partition makes the screen
@@ -143,23 +181,35 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                    .parquet(postings_dir)
                    .where(col("ingest_batch").cast("string")
                           != F.lit(tag)))
-            pruned = "s_bucket" in raw.columns
+            pruned = mod is not None and "s_bucket" in raw.columns
             corpus_posting = raw.select(
                 "doc_id", "s",
                 *(["s_bucket"] if pruned else []))
+            # The sizes store is only SOUND if it covers every
+            # posting increment: the size join is what ratifies a
+            # candidate, so a corpus doc missing from it could never
+            # be flagged as a dup target.  Coverage = every posting
+            # batch tag has a sizes tag (a store enabled mid-life
+            # fails this and falls back to the full aggregation
+            # until compaction produces a covered store).
             sizes = None
-            if sizes_dir is not None and os.path.isdir(sizes_dir):
+            if (sizes_dir is not None
+                    and _batch_tags(postings_dir) - {tag}
+                    <= _batch_tags(sizes_dir)):
                 sizes = (spark.read.option("basePath", sizes_dir)
                          .parquet(sizes_dir)
                          .where(col("ingest_batch").cast("string")
                                 != F.lit(tag))
                          .select("doc_id", "n"))
-            sp = _postings(survivors, n)
-            handles.append(sp)
+            # Survivor postings = a filter of the already-cached
+            # batch postings (survivors ⊆ exact) — no re-tokenize.
+            sp = (handles[0]
+                  .join(survivors.select("doc_id"), "doc_id",
+                        "left_semi"))
             verdict = incremental_dedup_verdict(
                 survivors, corpus_posting, n=n, tau=tau,
                 sizes=sizes,
-                prune_mod=N_SHINGLE_BUCKETS if pruned else None,
+                prune_mod=mod if pruned else None,
                 new_post=sp)
         else:  # empty corpus: everything is novel
             verdict = survivors.select(
@@ -184,21 +234,28 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         # rows) and then commits — never a committed doc without
         # postings, so no admitted dup can slip past a crash.
         # Admitted docs' postings are a filter of the already-built
-        # survivor postings — no recompute.
-        new_post = (handles[-1] if handles else _postings(admitted, n)) \
-            .join(admitted.select("doc_id"), "doc_id", "left_semi")
-        (new_post
-         .withColumn("s_bucket",
-                     F.pmod(F.hash("s"), F.lit(N_SHINGLE_BUCKETS)))
-         .write.mode("overwrite").partitionBy("s_bucket")
-         .parquet(os.path.join(postings_dir,
-                               f"ingest_batch={tag}")))
-        if sizes_dir is not None:
-            (new_post.groupBy("doc_id")
-             .agg(F.count("*").alias("n"))
-             .write.mode("overwrite")
-             .parquet(os.path.join(sizes_dir,
-                                   f"ingest_batch={tag}")))
+        # batch postings — no recompute.  A batch with nothing to
+        # admit (or only sub-n-gram docs) writes NO partition: a
+        # partitionBy write of an empty frame leaves a file-less dir
+        # that breaks schema inference for every later read.
+        new_post = handles[0].join(admitted.select("doc_id"),
+                                   "doc_id", "left_semi")
+        if not new_post.isEmpty():
+            writer = new_post
+            if mod is not None:
+                writer = (writer.withColumn(
+                    "s_bucket", F.pmod(F.hash("s"), F.lit(mod)))
+                    .write.mode("overwrite").partitionBy("s_bucket"))
+            else:
+                writer = writer.write.mode("overwrite")
+            writer.parquet(os.path.join(postings_dir,
+                                        f"ingest_batch={tag}"))
+            if sizes_dir is not None:
+                (new_post.groupBy("doc_id")
+                 .agg(F.count("*").alias("n"))
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(sizes_dir,
+                                       f"ingest_batch={tag}")))
         table.merge_into(admitted,
                          _txn={"app": app, "batch_id": batch_id})
         # All derived frames are materialized (log/postings written,
@@ -231,11 +288,25 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
 
     os.makedirs(checkpoint, exist_ok=True)
     marker = os.path.join(checkpoint, "__admission_run_id")
-    if not os.path.exists(marker):
-        with open(marker, "w") as fh:
+
+    def _read_marker() -> str:
+        try:
+            with open(marker) as fh:
+                return fh.read().strip()
+        except FileNotFoundError:
+            return ""
+
+    run_id = _read_marker()
+    if not run_id:
+        # Atomic publish (tmp + replace): a crash during creation must
+        # not leave an EMPTY marker — two checkpoints sharing the ''
+        # scope would collide on batch ids, resurrecting exactly the
+        # skipped-batch data loss the scope exists to prevent.
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(uuid.uuid4().hex[:12])
-    with open(marker) as fh:
-        run_id = fh.read().strip()
+        os.replace(tmp, marker)
+        run_id = _read_marker()
 
     admit, table = document_admission_sink(
         spark, table_path, postings_dir, log_dir,

@@ -1,7 +1,8 @@
 """Transactional keyed table: a minimal Delta-style commit log over
 plain parquet — snapshot-isolated reads, atomic commits, and
 OPTIMISTIC multi-writer MERGE — built from nothing but immutable
-uuid-named data files and an O_CREAT|O_EXCL version-file claim.
+uuid-named data files and an atomic version-file claim (tmp-write +
+hard-link: the record is either fully present or absent).
 
 merge.py's lockfile fences the plain layout to a SINGLE writer; this
 module is the upgrade path the round-4 verdict asked about ("ACID
@@ -24,8 +25,9 @@ put-if-absent or a DynamoDB-style lock service):
 
 1. snapshot: read the log head (version V, active file set);
 2. stage: write the merged buckets as NEW uuid files under data/;
-3. claim: os.open(_log/v{V+1}.json, O_CREAT|O_EXCL) — exactly one
-   writer wins a version;
+3. claim: write the full record to a tmp file, hard-link it to
+   _log/v{V+1}.json — exactly one writer wins a version, and the
+   record publishes atomically WITH its body;
 4. on loss: diff the interleaved commits' buckets against ours —
    DISJOINT → our staged files are still valid, re-claim V+2 with no
    recompute; OVERLAP → a competing writer rewrote a bucket we read,
@@ -278,10 +280,32 @@ class TxnTable:
         with open(tmp, "w") as fh:
             json.dump(record, fh)
         try:
-            os.link(tmp, target)
-            return True
-        except FileExistsError:
-            return False
+            try:
+                os.link(tmp, target)
+                won = True
+            except FileExistsError:
+                # NFS link retransmit idiom: the server may have
+                # applied OUR link and lost the reply — EEXIST then
+                # lies.  The tmp's link count is the ground truth
+                # (2 = our link landed); without this check a writer
+                # would treat its own landed commit as a lost claim
+                # and re-apply the change (double-count).
+                won = os.stat(tmp).st_nlink == 2
+            except OSError:
+                # Filesystem without hard links: fall back to
+                # O_CREAT|O_EXCL.  This re-opens the torn-record
+                # window on such filesystems — documented trade; the
+                # primary deployment targets (local disk, NFS, HDFS
+                # via mounts) all support link.
+                try:
+                    fd = os.open(target,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    return False
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(record, fh)
+                return True
+            return won
         finally:
             try:
                 os.remove(tmp)

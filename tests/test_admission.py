@@ -261,3 +261,118 @@ def test_fresh_checkpoint_restart_does_not_lose_docs(spark, dirs,
                  .parquet(dirs["postings"])
                  .select("doc_id").distinct().collect()}
     assert {1, 2, 30} <= post_docs
+
+
+def test_legacy_flat_store_keeps_working(spark, dirs):
+    """A pre-bucketing posting store (flat ingest_batch=N dirs, no
+    meta) must keep working: new batches write FLAT too (mixed
+    partition depths would break discovery), the screen skips
+    pruning, and dup rejection is unchanged."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_ingestion_challenge_spark.operators.dedup import _postings
+
+    # Hand-build the legacy layout for doc 1.
+    legacy = spark.createDataFrame([(1, LONG_A, "en", "web")],
+                                   DOCS_SCHEMA)
+    p = _postings(legacy, 3)
+    p.write.mode("overwrite").parquet(
+        os.path.join(dirs["postings"], "ingest_batch=0"))
+    p.unpersist()
+
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"])
+    admit(spark.createDataFrame(
+        [(9, LONG_A, "en", "web"), (10, NOVEL, "en", "web")],
+        DOCS_SCHEMA), 1)
+    assert {r.doc_id for r in table.read().collect()} == {10}
+    # New increment is flat as well: no s_bucket dirs anywhere.
+    for root, d, f in os.walk(dirs["postings"]):
+        assert not any(x.startswith("s_bucket=") for x in d)
+
+
+def test_partial_sizes_store_falls_back(spark, dirs, tmp_path):
+    """A sizes store that does not cover every posting increment is
+    IGNORED (full-aggregation fallback): using it would inner-join
+    away candidates whose corpus doc predates the store, silently
+    admitting their duplicates."""
+    sizes_dir = str(tmp_path / "sizes")
+    # Batch 0 without a sizes store...
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"])
+    admit(spark.createDataFrame([(1, LONG_A, "en", "web")],
+                                DOCS_SCHEMA), 0)
+    # ...then the store is enabled mid-life.
+    admit2, table2 = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"],
+        sizes_dir=sizes_dir)
+    admit2(spark.createDataFrame(
+        [(9, LONG_A, "en", "web")], DOCS_SCHEMA), 1)
+    # Doc 9 duplicates doc 1, which has NO sizes row — the fallback
+    # must still reject it.
+    assert {r.doc_id for r in table2.read().collect()} == {1}
+
+
+def test_compaction_excludes_uncommitted_batch(spark, dirs, tmp_path):
+    """Compacting with table_path must NOT fold a crashed batch's
+    postings (written, never committed) into the base: the crashed
+    batch's replay would self-match its own survivors at jaccard 1.0
+    and drop them forever."""
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.operators.dedup import _postings
+    from tests.conftest import SF_DIR
+
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"])
+    admit(spark.createDataFrame([(1, NOVEL, "en", "web")],
+                                DOCS_SCHEMA), 0)
+    # Simulate the crash window for batch 1: postings written
+    # (bucketed, matching the store), commit never happened.
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        store_bucket_mod,
+    )
+    mod = store_bucket_mod(dirs["postings"])
+    crashed = spark.createDataFrame([(5, LONG_A, "en", "web")],
+                                    DOCS_SCHEMA)
+    p = _postings(crashed, 3)
+    (p.withColumn("s_bucket", F.pmod(F.hash("s"), F.lit(mod)))
+     .write.mode("overwrite").partitionBy("s_bucket")
+     .parquet(os.path.join(dirs["postings"], "ingest_batch=1")))
+    p.unpersist()
+
+    eng = Engine(SF_DIR, spark=spark)
+    gen2 = str(tmp_path / "gen2")
+    eng.compact_admission_postings(dirs["postings"], gen2,
+                                   table_path=dirs["table"])
+    # Base holds only committed doc 1's postings.
+    docs = {r.doc_id for r in
+            spark.read.option("basePath", gen2).parquet(gen2)
+            .select("doc_id").distinct().collect()}
+    assert docs == {1}
+    # Replay of crashed batch 1 against the compacted store admits.
+    admit2, table2 = document_admission_sink(
+        spark, dirs["table"], gen2, dirs["log"])
+    admit2(crashed, 1)
+    assert {r.doc_id for r in table2.read().collect()} == {1, 5}
+
+
+def test_store_modulus_pinned_against_constant_change(spark, dirs,
+                                                      monkeypatch):
+    """The stored s_bucket modulus, not the current constant, drives
+    both pruning and new writes: raising N_SHINGLE_BUCKETS on an
+    existing store must not hide corpus shingles behind mismatched
+    bucket ids (which would admit true duplicates)."""
+    import data_ingestion_challenge_spark.streaming.admission as adm
+
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"])
+    admit(spark.createDataFrame([(1, LONG_A, "en", "web")],
+                                DOCS_SCHEMA), 0)
+    monkeypatch.setattr(adm, "N_SHINGLE_BUCKETS", 4096)
+    admit2, table2 = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"])
+    admit2(spark.createDataFrame([(9, LONG_A, "en", "web")],
+                                 DOCS_SCHEMA), 1)
+    assert {r.doc_id for r in table2.read().collect()} == {1}
