@@ -252,7 +252,8 @@ class Engine:
                        n_buckets=n_buckets)
 
     def materialize_ivf(self, table: str, path: str, nprobe: int = 4,
-                        cell: int = 128, n_buckets: int = 32) -> None:
+                        cell: int = 128, n_buckets: int = 32,
+                        two_level: bool = False) -> None:
         """Materialize the multi-probe IVF index — the (vec_id,
         embedding, _cell) probe-assignment table — as a lake table
         bucketed by _cell.  This is the embedding-side analog of
@@ -263,15 +264,20 @@ class Engine:
         verify — and with both join sides read from this bucketed
         layout that join needs no exchange.  Pass
         ``spark.table(table)`` as ``assignments=`` to
-        ivf_candidate_pairs."""
+        ivf_candidate_pairs.  ``two_level=True`` builds the index
+        with the coarse-quantized probe (ivf2_probe_assignments,
+        O(√nlist) centroid scores per vector instead of O(nlist) —
+        the build-cost path for corpora where nlist itself is large;
+        probe sets are approximate, recall-gated in tests)."""
         from data_ingestion_challenge_spark.operators.similarity import (
-            _ivf_probe_assignments,
+            _ivf_probe_assignments, ivf2_probe_assignments,
         )
         from data_ingestion_challenge_spark.sources.files import (
             write_bucketed,
         )
-        e = _ivf_probe_assignments(self.catalog.embeddings,
-                                   nprobe=nprobe, cell=cell)
+        probe = (ivf2_probe_assignments if two_level
+                 else _ivf_probe_assignments)
+        e = probe(self.catalog.embeddings, nprobe=nprobe, cell=cell)
         write_bucketed(e, table, path, bucket_key="_cell",
                        n_buckets=n_buckets)
 

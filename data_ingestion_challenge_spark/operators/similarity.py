@@ -673,3 +673,89 @@ def pq_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
             .where(col("rk") <= k)
             .select("query_id", "neighbor_id", "rk",
                     F.round(col("_cos"), 4).alias("cos_sim")))
+
+
+def ivf2_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
+                           cell: int = 128, nlist: int | None = None,
+                           wprobe: int = 4,
+                           ncoarse: int | None = None) -> DataFrame:
+    """TWO-LEVEL (coarse-quantized) multi-probe IVF assignment — the
+    sub-linear centroid scan the flat probe lacks at corpus scale.
+
+    _ivf_probe_assignments scores every vector against ALL nlist
+    centroids; with nlist ∝ n (fixed cell budget) that scan is
+    O(n·nlist·d) — quadratic-ish in the corpus, and the assignment
+    stage's asymptotic bottleneck long before the pair join is.
+    Here the nlist centroids are themselves grouped under
+    ncoarse ≈ √nlist coarse centroids (lowest-id seeding, same
+    determinism contract as the flat path); a vector scores the
+    ncoarse coarse centroids, descends into its best `wprobe`
+    groups, and scores only their member centroids:
+    O((ncoarse + wprobe·nlist/ncoarse)·d) ≈ O(√nlist·d) per vector.
+    FAISS solves the same problem the same way (IVF with a flat/HNSW
+    coarse quantizer over the centroid set).
+
+    Same output contract as _ivf_probe_assignments — (vec_id,
+    embedding, _cell), one row per probed cell — so it drops into
+    ivf_candidate_pairs via ``assignments=``.  The probe set is
+    APPROXIMATE (a true nearest cell can hide in an unprobed coarse
+    group): recall against the flat probe is gated in tests, and the
+    downstream exact-cosine verify keeps pair precision at 1
+    regardless.  Deterministic: stable score ordering with centroid-id
+    tie-breaks at both levels."""
+    import math
+
+    n = _cached_count(embeddings)
+    if nlist is None:
+        nlist = max(16, math.ceil(n * nprobe / cell))
+    seeds = (embeddings.where(col("vec_id") < nlist)
+             .select("vec_id", "embedding").collect())
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sorted(seeds, key=lambda r: r["vec_id"])])
+    Cnorm = np.linalg.norm(C, axis=1)
+    if ncoarse is None:
+        ncoarse = max(4, int(math.ceil(math.sqrt(nlist))))
+    ncoarse = min(ncoarse, len(C))
+    CC = C[:ncoarse]
+    CCnorm = Cnorm[:ncoarse]
+
+    # Driver-side (tiny): group every centroid under its nearest
+    # coarse centroid — nlist × ncoarse scores.
+    gs = (C @ CC.T) / (Cnorm[:, None] * CCnorm[None, :])
+    grp = np.argmax(np.round(gs, 12), axis=1)
+    members = {int(g): np.where(grp == g)[0].astype(np.int32)
+               for g in np.unique(grp)}
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _probe2(se: pd.Series) -> pd.Series:
+        A = np.stack(se.to_numpy()).astype(np.float64)
+        An = np.linalg.norm(A, axis=1)
+        S1 = (A @ CC.T) / (An[:, None] * CCnorm[None, :])
+        topg = np.argsort(-S1, axis=1, kind="stable")[:, :wprobe]
+        b = len(A)
+        row_scores: list[list] = [[] for _ in range(b)]
+        row_ids: list[list] = [[] for _ in range(b)]
+        for g in np.unique(topg):
+            mem = members.get(int(g))
+            if mem is None or not len(mem):
+                continue
+            rows = np.nonzero((topg == g).any(axis=1))[0]
+            M = C[mem]
+            S = (A[rows] @ M.T) / (An[rows, None]
+                                   * Cnorm[mem][None, :])
+            for pos, r in enumerate(rows):
+                row_scores[r].append(S[pos])
+                row_ids[r].append(mem)
+        out = []
+        for r in range(b):
+            sc = np.concatenate(row_scores[r])
+            ids = np.concatenate(row_ids[r])
+            order = np.lexsort((ids, -sc))[:nprobe]
+            out.append(ids[order].astype("int32"))
+        return pd.Series(out)
+
+    return embeddings.select(
+        "vec_id", "embedding",
+        F.explode(_probe2(col("embedding"))).alias("_cell"))

@@ -492,3 +492,41 @@ def test_incremental_verdict_matches_duckdb_oracle(spark, cat):
     want = {tuple(r) for r in con.sql(
         D.incremental_verdict_oracle_sql("doc_id % 5 = 0")).fetchall()}
     assert got == want and got
+
+
+def test_ivf2_probe_recall_and_determinism(spark):
+    """Two-level IVF probe: same output contract as the flat probe,
+    deterministic across runs, and pair recall vs the flat probe stays
+    high on clustered data while scoring only O(sqrt(nlist)) centroids
+    per vector.  Precision needs no gate — both paths end in the exact
+    cosine verify."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 2048, 16, 32
+    centers = rng.randn(k, dim) * 4
+    vecs = centers[rng.randint(0, k, n)] + 0.05 * rng.randn(n, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    flat = {(r.vec_a, r.vec_b) for r in S.ivf_candidate_pairs(
+        emb, tau=0.9, nprobe=2, cell=32).collect()}
+    asg = S.ivf2_probe_assignments(emb, nprobe=2, cell=32, wprobe=4)
+    two = {(r.vec_a, r.vec_b) for r in S.ivf_candidate_pairs(
+        emb, tau=0.9, nprobe=2, cell=32, assignments=asg).collect()}
+    assert flat, "degenerate fixture: no near-dup pairs"
+    recall = len(two & flat) / len(flat)
+    assert recall >= 0.8, f"two-level probe recall {recall:.3f}"
+    # No spuriousness to gate: any extra two-level pair passed the
+    # exact cosine >= tau verify, i.e. it is a TRUE pair the flat
+    # probe's cell routing happened to miss.
+
+    a1 = sorted(tuple(r) for r in asg.select("vec_id", "_cell").collect())
+    a2 = sorted(tuple(r) for r in
+                S.ivf2_probe_assignments(emb, nprobe=2, cell=32,
+                                         wprobe=4)
+                .select("vec_id", "_cell").collect())
+    assert a1 == a2
