@@ -15,6 +15,12 @@ Round-5 additions:
   watermarked hourly rollup, memory sink) — the reference is an
   ingestion service, so ingest rate is a headline number, not just
   query latency.
+- "admission_docs_per_sec": the document-admission pipeline end to
+  end (intra-batch dedup, corpus screen, exactly-once txn commit,
+  posting/sizes/log maintenance) over the documents table staged as
+  two jsonl drops — the reference's ingestion loop with dedup
+  screening as one headline rate.  Throughput RISES with SF (fixed
+  per-batch cost amortizes): ~23 docs/s at sf0.01, ~144 at sf0.1.
 - the two posting-table dedups are timed against the MATERIALIZED
   bucketed posting table (Engine.materialize_postings) — the layout a
   cluster deployment would maintain — instead of rebuilding the
@@ -211,6 +217,67 @@ def _streaming_ingest(spark, sf_dir: str, n_files: int = 8):
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _admission_ingest(spark, sf_dir: str):
+    """End-to-end document-admission throughput: stage the documents
+    table as jsonl drops, drain them through the full admission
+    pipeline (intra-batch dedup → corpus screen → exactly-once txn
+    commit → posting/sizes/log maintenance) and report docs/s plus
+    the admitted fraction.  This is the reference's ingestion loop
+    with dedup screening — a headline rate, not just query latency."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        run_document_admission,
+    )
+
+    root = tempfile.mkdtemp(prefix="admission_bench_")
+    dirs = {k: os.path.join(root, k)
+            for k in ("watch", "table", "postings", "log", "sizes",
+                      "ckpt")}
+    try:
+        docs = (spark.read
+                .parquet(os.path.join(sf_dir, "documents.parquet"))
+                .select("doc_id", "text", "lang", "source"))
+        n_docs = docs.count()
+        # Two drops drained by two run_document_admission calls: the
+        # second drains against the first's corpus, so the number
+        # includes the corpus-screen path, while each drain is one
+        # large micro-batch (throughput amortizes per-batch fixed
+        # cost — the production shape; tiny batches measure trigger
+        # overhead, not the pipeline).
+        half = docs.where(F.col("doc_id") % 2 == 0)
+        rest = docs.where(F.col("doc_id") % 2 == 1)
+        half.repartition(8).write.mode("overwrite").json(dirs["watch"])
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            # Time the two drains SEPARATELY — the staging json
+            # write between them is harness I/O, not pipeline work,
+            # and it grows with SF (would skew the cross-SF story).
+            t0 = time.perf_counter()
+            run_document_admission(
+                spark, dirs["watch"], dirs["table"], dirs["postings"],
+                dirs["log"], dirs["ckpt"], sizes_dir=dirs["sizes"])
+            elapsed = time.perf_counter() - t0
+            (rest.repartition(8).write.mode("append")
+             .json(dirs["watch"]))
+            t1 = time.perf_counter()
+            table = run_document_admission(
+                spark, dirs["watch"], dirs["table"], dirs["postings"],
+                dirs["log"], dirs["ckpt"], sizes_dir=dirs["sizes"])
+            elapsed += time.perf_counter() - t1
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        admitted = table.read().count()
+        return (round(n_docs / elapsed, 1) if elapsed > 0 else None,
+                round(admitted / n_docs, 4) if n_docs else None)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -276,6 +343,11 @@ def main() -> None:
     except Exception:
         ingest_rps = ingest_p50_ms = n_batches = None
 
+    try:
+        admission_dps, admission_kept = _admission_ingest(spark, sf_dir)
+    except Exception:
+        admission_dps = admission_kept = None
+
     (p50_ms, p99_ms), (sql_p50_ms, sql_p99_ms) = \
         _point_lookup_latency(spark, sf_dir)
 
@@ -290,6 +362,8 @@ def main() -> None:
         "streaming_ingest_rows_per_sec": ingest_rps,
         "streaming_ingest_batch_p50_ms": ingest_p50_ms,
         "streaming_ingest_n_batches": n_batches,
+        "admission_docs_per_sec": admission_dps,
+        "admission_kept_fraction": admission_kept,
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,
         "point_lookup_sql_p50_ms": sql_p50_ms,

@@ -433,6 +433,27 @@ def _cached_count(df: DataFrame) -> int:
     return n
 
 
+def _ivf_seeds(embeddings: DataFrame, nprobe: int, cell: int,
+               nlist: int | None):
+    """Shared seeding of the IVF centroid matrix: nlist =
+    max(16, ceil(n·nprobe/cell)) (the ASSIGNMENT-count sizing — see
+    _ivf_probe_assignments), seeds = the nlist lowest vec_ids.
+    ONE implementation feeds the flat probe, the two-level probe and
+    (by formula) ivf_candidate_cte's DuckDB replay — the three must
+    never diverge or the Spark/DuckDB probe sets split.
+    Returns (C, Cnorm, nlist)."""
+    import math
+
+    n = _cached_count(embeddings)
+    if nlist is None:
+        nlist = max(16, math.ceil(n * nprobe / cell))
+    seeds = (embeddings.where(col("vec_id") < nlist)
+             .select("vec_id", "embedding").collect())
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sorted(seeds, key=lambda r: r["vec_id"])])
+    return C, np.linalg.norm(C, axis=1), nlist
+
+
 def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
                            cell: int = 128,
                            nlist: int | None = None) -> DataFrame:
@@ -444,16 +465,7 @@ def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     count, not the vector count — sizing off n alone leaves each cell
     at nprobe·cell occupancy and inflates the pair fan-out by
     nprobe² (measured 4× wall time on the sf0.1 terminal)."""
-    import math
-
-    n = _cached_count(embeddings)
-    if nlist is None:
-        nlist = max(16, math.ceil(n * nprobe / cell))
-    seeds = (embeddings.where(col("vec_id") < nlist)
-             .select("vec_id", "embedding").collect())
-    C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in sorted(seeds, key=lambda r: r["vec_id"])])
-    Cnorm = np.linalg.norm(C, axis=1)
+    C, Cnorm, nlist = _ivf_seeds(embeddings, nprobe, cell, nlist)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -702,17 +714,18 @@ def ivf2_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     group): recall against the flat probe is gated in tests, and the
     downstream exact-cosine verify keeps pair precision at 1
     regardless.  Deterministic: stable score ordering with centroid-id
-    tie-breaks at both levels."""
+    tie-breaks at both levels.
+
+    Honesty note on the constant factor: the grouped scoring runs a
+    small Python loop per Arrow batch where the flat probe is one
+    gemm, so at bench-scale nlist (hundreds) the flat probe is
+    typically FASTER wall-clock — the asymptotic win needs
+    nlist ≫ 10³, which is exactly the regime a 100 TB corpus forces
+    (nlist ∝ n).  Use flat below that; this path exists so the index
+    build does not hit a wall there."""
     import math
 
-    n = _cached_count(embeddings)
-    if nlist is None:
-        nlist = max(16, math.ceil(n * nprobe / cell))
-    seeds = (embeddings.where(col("vec_id") < nlist)
-             .select("vec_id", "embedding").collect())
-    C = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in sorted(seeds, key=lambda r: r["vec_id"])])
-    Cnorm = np.linalg.norm(C, axis=1)
+    C, Cnorm, nlist = _ivf_seeds(embeddings, nprobe, cell, nlist)
     if ncoarse is None:
         ncoarse = max(4, int(math.ceil(math.sqrt(nlist))))
     ncoarse = min(ncoarse, len(C))
@@ -725,6 +738,14 @@ def ivf2_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     grp = np.argmax(np.round(gs, 12), axis=1)
     members = {int(g): np.where(grp == g)[0].astype(np.int32)
                for g in np.unique(grp)}
+    # Probe only MEMBER-BEARING coarse groups: near-duplicate seed
+    # centroids collapse under one group and leave others empty —
+    # probing an empty group would both waste a wprobe slot (recall
+    # loss exactly on duplicate-dense corpora) and, if ALL of a
+    # row's groups were empty, crash the concatenate below.
+    valid = np.array(sorted(members), dtype=np.int64)
+    CCv = CC[valid]
+    CCvnorm = CCnorm[valid]
 
     from pyspark.sql.functions import pandas_udf
 
@@ -732,8 +753,8 @@ def ivf2_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     def _probe2(se: pd.Series) -> pd.Series:
         A = np.stack(se.to_numpy()).astype(np.float64)
         An = np.linalg.norm(A, axis=1)
-        S1 = (A @ CC.T) / (An[:, None] * CCnorm[None, :])
-        topg = np.argsort(-S1, axis=1, kind="stable")[:, :wprobe]
+        S1 = (A @ CCv.T) / (An[:, None] * CCvnorm[None, :])
+        topg = valid[np.argsort(-S1, axis=1, kind="stable")[:, :wprobe]]
         b = len(A)
         row_scores: list[list] = [[] for _ in range(b)]
         row_ids: list[list] = [[] for _ in range(b)]

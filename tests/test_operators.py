@@ -530,3 +530,27 @@ def test_ivf2_probe_recall_and_determinism(spark):
                                          wprobe=4)
                 .select("vec_id", "_cell").collect())
     assert a1 == a2
+
+
+def test_ivf2_duplicate_seed_centroids(spark):
+    """Near-duplicate seed centroids collapse coarse groups, leaving
+    some groups empty — exactly the duplicate-dense corpora this
+    pipeline targets.  The probe must visit only member-bearing
+    groups: every vector still gets its nprobe assignments and no
+    empty-concatenate crash."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators import similarity as S
+
+    rng = np.random.RandomState(3)
+    n, dim = 512, 8
+    base = rng.randn(dim)
+    vecs = np.vstack([np.tile(base, (40, 1)),
+                      rng.randn(n - 40, dim)])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    asg = S.ivf2_probe_assignments(emb, nprobe=2, cell=16, wprobe=4)
+    per_vec = (asg.groupBy("vec_id").count().toPandas())
+    assert len(per_vec) == n
+    assert (per_vec["count"] == 2).all()
