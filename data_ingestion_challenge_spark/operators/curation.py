@@ -201,3 +201,105 @@ def oracle_chunk_windows(table: str, chunk_tokens: int = 64,
                AS chunk_text
     FROM s WHERE start_token < n
     """
+
+
+# ------------------------------------------------------------ snapshot diff
+
+def snapshot_diff(snap_a: DataFrame, snap_b: DataFrame,
+                  key: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-snapshot diff: per key, whether the doc was added,
+    removed, changed (content hash differs) or unchanged between two
+    snapshots — the first artifact a re-crawl review reads, and the
+    input to incremental downstream recompute (only added/changed
+    docs need re-processing).
+
+    One full outer join on the key, comparing md5(text) — both sides
+    hash map-side, the join shuffles (key, 32-byte hash) only, never
+    the text payload.  Linear at 100 TB.
+    """
+    a = snap_a.select(col(key), F.md5(col(text_col)).alias("_ha"))
+    b = snap_b.select(col(key), F.md5(col(text_col)).alias("_hb"))
+    status = (F.when(col("_ha").isNull(), "added")
+              .when(col("_hb").isNull(), "removed")
+              .when(col("_ha") == col("_hb"), "unchanged")
+              .otherwise("changed"))
+    return (a.join(b, key, "full_outer")
+            .select(col(key), status.alias("status"))
+            .orderBy(key))
+
+
+def oracle_snapshot_diff(table_a: str, table_b: str,
+                         key: str = "doc_id") -> str:
+    """DuckDB twin of snapshot_diff."""
+    return f"""
+    SELECT coalesce(a.{key}, b.{key}) AS {key},
+           CASE WHEN a.{key} IS NULL THEN 'added'
+                WHEN b.{key} IS NULL THEN 'removed'
+                WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM {table_a} a FULL OUTER JOIN {table_b} b
+      ON a.{key} = b.{key}
+    ORDER BY {key}
+    """
+
+
+# ------------------------------------------------------------- novelty
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's distinct word
+    n-grams that appear in NO other document — the inverse-duplication
+    signal a curation pass uses to up-weight genuinely novel content
+    (near-dups and boilerplate score ~0).
+
+    Shares the dedup family's posting formulation: postings → global
+    document frequency (groupBy+join, map-side combined and skew-safe
+    exactly as build_prefix's df stage) → per-doc aggregate.  Docs
+    shorter than n words have no shingles and emit n_grams = 0 with
+    NULL novelty.  Linear; one shuffle on the shingle, one on doc_id.
+    """
+    from data_ingestion_challenge_spark.operators.dedup import _postings
+
+    posting = _postings(docs, n)
+    dfreq = posting.groupBy("s").agg(F.count("*").alias("_df"))
+    per_doc = (posting.join(dfreq, "s")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum((col("_df") == 1).cast("long"))
+                    .alias("n_novel")))
+    out = (docs.select("doc_id")
+           .join(per_doc, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                   F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+                   F.round(col("n_novel") / col("n_grams"), 4)
+                   .alias("novelty"))
+           .orderBy("doc_id"))
+    posting.unpersist()
+    return out
+
+
+def oracle_ngram_novelty(table: str = "documents", n: int = 3) -> str:
+    """DuckDB twin of ngram_novelty (distinct word n-grams, df=1 ⇒
+    novel)."""
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM {table}),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      range(1, greatest(len(w) - {n - 2}, 1)),
+                      i -> array_to_string(w[i:i+{n - 1}], ' '))))
+                      AS s
+           FROM d),
+    df AS (SELECT s, count(*) AS _df FROM sh GROUP BY s),
+    per_doc AS (SELECT sh.doc_id, count(*) AS n_grams,
+                       CAST(sum(CASE WHEN _df = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_novel
+                FROM sh JOIN df ON sh.s = df.s
+                GROUP BY sh.doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+           round(n_novel / n_grams, 4) AS novelty
+    FROM {table} t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
+    ORDER BY t.doc_id
+    """

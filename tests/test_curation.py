@@ -11,6 +11,7 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from data_ingestion_challenge_spark.operators import curation as C
 
@@ -136,3 +137,44 @@ def test_engine_facade_bindings(spark):
     assert {"a_share", "b_share", "share_delta"} <= set(drift.columns)
     chunks = eng.chunk_corpus(chunk_tokens=32)
     assert chunks.count() >= docs.count()
+
+
+def test_snapshot_diff_matches_oracle(spark, cat, duck):
+    docs = cat.documents
+    # snapshot b: drop doc_ids % 7 == 0 (removed), mutate % 5 == 0
+    # (changed), add two new docs
+    base = docs.where(docs.doc_id % 7 != 0)
+    changed = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" mutated")))
+        .otherwise(F.col("text")))
+    extra = spark.createDataFrame(
+        [(900001, "brand new doc", "en", "web", 13),
+         (900002, "another new doc", "en", "web", 15)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    snap_b = changed.unionByName(extra)
+    duck.sql("CREATE OR REPLACE VIEW diff_a AS SELECT * FROM documents")
+    snap_b.toPandas().to_parquet("/tmp/_diff_b.parquet")
+    duck.sql("CREATE OR REPLACE VIEW diff_b AS SELECT * FROM "
+             "read_parquet('/tmp/_diff_b.parquet')")
+    sdf = C.snapshot_diff(docs, snap_b)
+    _compare(sdf, duck, C.oracle_snapshot_diff("diff_a", "diff_b"))
+    got = {r.doc_id: r.status for r in sdf.collect()}
+    assert got[900001] == "added"
+    assert got[7] == "removed"
+    assert all(got[i] == "changed" for i in got
+               if i % 5 == 0 and i % 7 != 0 and i < 900000)
+
+
+def test_ngram_novelty_matches_oracle(spark, cat, duck):
+    sdf = C.ngram_novelty(cat.documents, 3)
+    _compare(sdf, duck, C.oracle_ngram_novelty("documents", 3))
+    rows = {r.doc_id: r for r in sdf.collect()}
+    # planted near-dups exist → some docs share most shingles
+    assert any(r.novelty is not None and r.novelty < 0.5
+               for r in rows.values())
+    # ...and the signal spreads (not all-constant) on this corpus.
+    vals = {r.novelty for r in rows.values() if r.novelty is not None}
+    assert len(vals) > 10 and max(vals) > 0.5
