@@ -353,6 +353,25 @@ class Engine:
         )
         return token_share_drift(snap_a, snap_b)
 
+    def corpus_snapshot_diff(self, snap_a: DataFrame,
+                             snap_b: DataFrame) -> DataFrame:
+        """Per-doc added/removed/changed/unchanged between two corpus
+        snapshots (operators/curation.snapshot_diff) — hash-only
+        shuffle; feeds incremental recompute of downstream tables."""
+        from data_ingestion_challenge_spark.operators.curation import (
+            snapshot_diff,
+        )
+        return snapshot_diff(snap_a, snap_b)
+
+    def corpus_novelty(self, n: int = 3) -> DataFrame:
+        """Per-doc n-gram novelty over the documents table
+        (operators/curation.ngram_novelty) — the inverse-duplication
+        curation signal."""
+        from data_ingestion_challenge_spark.operators.curation import (
+            ngram_novelty,
+        )
+        return ngram_novelty(self.catalog.documents, n)
+
     def chunk_corpus(self, chunk_tokens: int = 1024,
                      stride: int | None = None) -> DataFrame:
         """Overlapping fixed-size token windows over the documents

@@ -470,3 +470,34 @@ def test_incremental_dedup_equals_naive_cross_pairs(spark, docs, seed):
             if A and B and len(A & B) / len(A | B) >= 0.8:
                 expect.add((b, c))
     assert got == expect
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_doc, st.integers(min_value=1, max_value=6),
+       st.integers(min_value=1, max_value=6))
+def test_chunk_windows_reconstruction(spark, words, chunk, stride):
+    """For ANY doc and chunk/stride: every token is covered, windows
+    respect bounds, and at stride == chunk the chunks concatenate back
+    to the exact token sequence."""
+    from data_ingestion_challenge_spark.operators.curation import (
+        chunk_windows,
+    )
+
+    stride = min(stride, chunk)  # stride > chunk would skip tokens
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    out = sorted(chunk_windows(df, chunk, stride).collect(),
+                 key=lambda r: r.start_token)
+    n = len(words)
+    covered = set()
+    for r in out:
+        assert 1 <= r.n_tokens <= chunk
+        toks = r.chunk_text.split(" ")
+        assert toks == words[r.start_token:r.start_token + r.n_tokens]
+        covered.update(range(r.start_token,
+                             r.start_token + r.n_tokens))
+    assert covered == set(range(n))
+    if stride == chunk:
+        rebuilt = " ".join(r.chunk_text for r in out)
+        assert rebuilt == " ".join(words)

@@ -430,3 +430,55 @@ def test_merge_base_snapshot_closes_lost_update_window(spark, tmp_path):
     t.merge_into(stale, _rebuild=rebuild, _base=lambda: base["snap"])
     assert rebuilds, "interleave went undetected (lost update)"
     assert _rows(t.read()) == {(1, 1010)}
+
+
+def test_threaded_accumulators_conserve_sums(spark, tmp_path):
+    """REAL concurrency: three threads sum-accumulate into the same
+    table (distinct apps, overlapping keys) with genuinely interleaved
+    claims.  Sum-accumulation commutes, so whatever serialization the
+    optimistic protocol produces, the final per-key totals must equal
+    base + all increments — any lost update, torn record, or
+    double-apply breaks the conservation."""
+    import threading
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "mt"),
+        spark.createDataFrame([(k, 0) for k in range(8)],
+                              "k long, n long"),
+        key="k", n_buckets=4)
+
+    increments = {
+        "app_a": [(0, 1), (1, 2), (2, 3)],
+        "app_b": [(1, 10), (2, 20), (3, 30)],
+        "app_c": [(2, 100), (3, 200), (0, 300)],
+    }
+    errors = []
+
+    def worker(app, rows):
+        try:
+            for bid in range(3):
+                inc = spark.createDataFrame(
+                    [(k, v) for k, v in rows], "k long, n long")
+                t.accumulate_batch(inc, bid, ["n"], app=app)
+        except Exception as exc:  # pragma: no cover
+            errors.append((app, exc))
+
+    threads = [threading.Thread(target=worker, args=(a, r))
+               for a, r in increments.items()]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    want = {k: 0 for k in range(8)}
+    for rows in increments.values():
+        for k, v in rows:
+            want[k] += v * 3  # three batches per app
+    got = {r.k: r.n for r in t.read().collect()}
+    assert got == want
+    # every (app, batch) is marked committed exactly once
+    for app in increments:
+        assert t.last_txn(app) == 2
