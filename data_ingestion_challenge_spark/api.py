@@ -492,6 +492,32 @@ class Engine:
             "oracle_rows": len(drows),
         }
 
+    def check_all(self, names: list[str] | None = None) -> dict:
+        """check() across many queries in one call: returns
+        {"passed": [...], "failed": [...], "skipped": [...],
+        "results": {name: check-dict}} — the full external gate as a
+        user API (the driver's round check, runnable locally).
+        ``names`` defaults to EVERY registered query; queries without
+        a SQL oracle are listed under "skipped".  Heavy at large SF —
+        each name is a full Spark + DuckDB execution."""
+        out = {"passed": [], "failed": [], "skipped": [],
+               "results": {}}
+        for name in (names if names is not None else self.names()):
+            if self.oracle(name) is None:
+                out["skipped"].append(name)
+                continue
+            try:
+                r = self.check(name)
+            except Exception as exc:
+                out["results"][name] = {"error": repr(exc)}
+                out["failed"].append(name)
+                continue
+            out["results"][name] = r
+            ok = (r["rows_match"] and r["schema_match"]
+                  and r["values_match"])
+            (out["passed"] if ok else out["failed"]).append(name)
+        return out
+
     # ------------------------------------------------------- lifecycle
     def close(self) -> None:
         """Release executor storage held on THIS engine's behalf: only

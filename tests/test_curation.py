@@ -178,3 +178,14 @@ def test_ngram_novelty_matches_oracle(spark, cat, duck):
     # ...and the signal spreads (not all-constant) on this corpus.
     vals = {r.novelty for r in rows.values() if r.novelty is not None}
     assert len(vals) > 10 and max(vals) > 0.5
+
+
+def test_engine_check_all(spark):
+    from data_ingestion_challenge_spark.api import Engine
+    eng = Engine(SF_DIR, spark=spark)
+    out = eng.check_all(["q1_pricing_summary", "token_counts",
+                         "dedup_exact"])
+    assert out["passed"] == ["q1_pricing_summary", "token_counts",
+                             "dedup_exact"]
+    assert not out["failed"] and not out["skipped"]
+    assert all(v["values_match"] for v in out["results"].values())
