@@ -503,8 +503,13 @@ class Engine:
         out = {"passed": [], "failed": [], "skipped": [],
                "results": {}}
         for name in (names if names is not None else self.names()):
-            if self.oracle(name) is None:
-                out["skipped"].append(name)
+            try:
+                if self.oracle(name) is None:
+                    out["skipped"].append(name)
+                    continue
+            except KeyError:
+                out["results"][name] = {"error": "unknown query"}
+                out["failed"].append(name)
                 continue
             try:
                 r = self.check(name)

@@ -217,11 +217,19 @@ def snapshot_diff(snap_a: DataFrame, snap_b: DataFrame,
     One full outer join on the key, comparing md5(text) — both sides
     hash map-side, the join shuffles (key, 32-byte hash) only, never
     the text payload.  Linear at 100 TB.
+
+    Presence rides explicit flags, NOT hash nullness: a doc present
+    with NULL text must read changed/unchanged, never added/removed.
+    NULL text hashes as '' on both engines so the comparison is
+    total (two NULL texts are 'unchanged').
     """
-    a = snap_a.select(col(key), F.md5(col(text_col)).alias("_ha"))
-    b = snap_b.select(col(key), F.md5(col(text_col)).alias("_hb"))
-    status = (F.when(col("_ha").isNull(), "added")
-              .when(col("_hb").isNull(), "removed")
+    h = F.coalesce(F.md5(col(text_col)), F.lit(""))
+    a = snap_a.select(col(key), h.alias("_ha"),
+                      F.lit(True).alias("_ina"))
+    b = snap_b.select(col(key), h.alias("_hb"),
+                      F.lit(True).alias("_inb"))
+    status = (F.when(col("_ina").isNull(), "added")
+              .when(col("_inb").isNull(), "removed")
               .when(col("_ha") == col("_hb"), "unchanged")
               .otherwise("changed"))
     return (a.join(b, key, "full_outer")
@@ -236,7 +244,8 @@ def oracle_snapshot_diff(table_a: str, table_b: str,
     SELECT coalesce(a.{key}, b.{key}) AS {key},
            CASE WHEN a.{key} IS NULL THEN 'added'
                 WHEN b.{key} IS NULL THEN 'removed'
-                WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+                WHEN coalesce(md5(a.text), '')
+                     = coalesce(md5(b.text), '') THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM {table_a} a FULL OUTER JOIN {table_b} b
       ON a.{key} = b.{key}
@@ -275,7 +284,10 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
                    F.round(col("n_novel") / col("n_grams"), 4)
                    .alias("novelty"))
            .orderBy("doc_id"))
-    posting.unpersist()
+    # posting stays persisted while `out` is alive (df agg + per-doc
+    # join both read it; unpersisting before execution would double
+    # the shingle pipeline) — same LRU lifetime contract as
+    # ngram_jaccard_pairs' inline posting.
     return out
 
 

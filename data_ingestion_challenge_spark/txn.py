@@ -367,7 +367,8 @@ class TxnTable:
 
     def accumulate_batch(self, batch_agg: DataFrame, batch_id: int,
                          sum_cols: list[str],
-                         app: str = "stream") -> int | None:
+                         app: str = "stream",
+                         max_retries: int = 5) -> int | None:
         """One micro-batch of keyed SUM-accumulation (t.col += s.col
         per key), exactly-once under crash-replay via the (app,
         batch_id) txn tag.  Returns the committed version, or None
@@ -402,6 +403,7 @@ class TxnTable:
                 .agg(*[F.sum(c).alias(c) for c in sum_cols]))
 
         return self.merge_into(_derive(),
+                               max_retries=max_retries,
                                _txn={"app": app, "batch_id": batch_id},
                                _rebuild=_derive,
                                _base=lambda: base["snap"])

@@ -139,7 +139,7 @@ def test_engine_facade_bindings(spark):
     assert chunks.count() >= docs.count()
 
 
-def test_snapshot_diff_matches_oracle(spark, cat, duck):
+def test_snapshot_diff_matches_oracle(spark, cat, duck, tmp_path):
     docs = cat.documents
     # snapshot b: drop doc_ids % 7 == 0 (removed), mutate % 5 == 0
     # (changed), add two new docs
@@ -156,9 +156,10 @@ def test_snapshot_diff_matches_oracle(spark, cat, duck):
         "n_chars long")
     snap_b = changed.unionByName(extra)
     duck.sql("CREATE OR REPLACE VIEW diff_a AS SELECT * FROM documents")
-    snap_b.toPandas().to_parquet("/tmp/_diff_b.parquet")
-    duck.sql("CREATE OR REPLACE VIEW diff_b AS SELECT * FROM "
-             "read_parquet('/tmp/_diff_b.parquet')")
+    bpath = str(tmp_path / "diff_b.parquet")
+    snap_b.toPandas().to_parquet(bpath)
+    duck.sql(f"CREATE OR REPLACE VIEW diff_b AS SELECT * FROM "
+             f"read_parquet('{bpath}')")
     sdf = C.snapshot_diff(docs, snap_b)
     _compare(sdf, duck, C.oracle_snapshot_diff("diff_a", "diff_b"))
     got = {r.doc_id: r.status for r in sdf.collect()}
@@ -166,6 +167,33 @@ def test_snapshot_diff_matches_oracle(spark, cat, duck):
     assert got[7] == "removed"
     assert all(got[i] == "changed" for i in got
                if i % 5 == 0 and i % 7 != 0 and i < 900000)
+
+
+def test_snapshot_diff_null_text(spark, duck, tmp_path):
+    """A doc PRESENT with NULL text must read changed/unchanged —
+    never added/removed (presence rides flags, not hash nullness) —
+    and match the oracle on the same rows."""
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    a = spark.createDataFrame(
+        [(1, None, "en", "web", 0), (2, "same", "en", "web", 4),
+         (3, None, "en", "web", 0)], schema)
+    b = spark.createDataFrame(
+        [(1, "now has text", "en", "web", 12),
+         (2, "same", "en", "web", 4),
+         (3, None, "en", "web", 0)], schema)
+    got = {r.doc_id: r.status
+           for r in C.snapshot_diff(a, b).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "unchanged"}
+    pa_, pb_ = str(tmp_path / "na.parquet"), str(tmp_path / "nb.parquet")
+    a.toPandas().to_parquet(pa_)
+    b.toPandas().to_parquet(pb_)
+    duck.sql(f"CREATE OR REPLACE VIEW null_a AS SELECT * FROM "
+             f"read_parquet('{pa_}')")
+    duck.sql(f"CREATE OR REPLACE VIEW null_b AS SELECT * FROM "
+             f"read_parquet('{pb_}')")
+    _compare(C.snapshot_diff(a, b), duck,
+             C.oracle_snapshot_diff("null_a", "null_b"))
 
 
 def test_ngram_novelty_matches_oracle(spark, cat, duck):

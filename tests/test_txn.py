@@ -461,7 +461,13 @@ def test_threaded_accumulators_conserve_sums(spark, tmp_path):
             for bid in range(3):
                 inc = spark.createDataFrame(
                     [(k, v) for k, v in rows], "k long, n long")
-                t.accumulate_batch(inc, bid, ["n"], app=app)
+                # Generous retry budget: under adverse scheduling a
+                # thread can lose many consecutive claims; exhausting
+                # the default 5 raises CommitConflictError, which is
+                # back-pressure, not a protocol violation — this test
+                # asserts CONSERVATION, so it must not flake on it.
+                t.accumulate_batch(inc, bid, ["n"], app=app,
+                                   max_retries=60)
         except Exception as exc:  # pragma: no cover
             errors.append((app, exc))
 
