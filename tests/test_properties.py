@@ -501,3 +501,34 @@ def test_chunk_windows_reconstruction(spark, words, chunk, stride):
     if stride == chunk:
         rebuilt = " ".join(r.chunk_text for r in out)
         assert rebuilt == " ".join(words)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 15),
+                          st.sampled_from(["x", "y", "z", None])),
+                min_size=0, max_size=12, unique_by=lambda t: t[0]),
+       st.lists(st.tuples(st.integers(0, 15),
+                          st.sampled_from(["x", "y", "z", None])),
+                min_size=0, max_size=12, unique_by=lambda t: t[0]))
+def test_snapshot_diff_equals_dict_model(spark, rows_a, rows_b):
+    """snapshot_diff against the obvious python-dict model for ANY
+    pair of snapshots, including NULL texts."""
+    from data_ingestion_challenge_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    schema = "doc_id long, text string"
+    a = spark.createDataFrame(rows_a or [], schema)
+    b = spark.createDataFrame(rows_b or [], schema)
+    got = {r.doc_id: r.status for r in snapshot_diff(a, b).collect()}
+    da, db = dict(rows_a), dict(rows_b)
+    want = {}
+    for k in set(da) | set(db):
+        if k not in da:
+            want[k] = "added"
+        elif k not in db:
+            want[k] = "removed"
+        else:
+            want[k] = "unchanged" if da[k] == db[k] else "changed"
+    assert got == want
