@@ -1,0 +1,198 @@
+"""Corpus-curation + ingest-screen queries (SURVEY.md §2C, round-6
+registration of the operators built in round 5):
+
+- the five curation operators (operators/curation.py): deterministic
+  reservoir sampling, token-share drift between snapshots, overlapping
+  chunk windows, per-doc snapshot diff, n-gram novelty;
+- the ingest-time admission screen's verdict
+  (operators/dedup.incremental_dedup_verdict) on the standard
+  doc_id%5 batch/corpus split;
+- the two-level (coarse-quantized) IVF probe's recall gate
+  (operators/similarity.ivf2_probe_assignments) — the 100 TB
+  index-BUILD path, gated like ann_ivf_trained_topk (recall
+  threshold, not value-exact: the probe is approximate by design).
+
+Each query is a thin registration shim — semantics, scale notes, and
+the oracle builders live with the operators; parity for the first six
+was already locked by tests/test_curation.py and
+tests/test_operators.py before registration.
+
+Snapshot derivation convention (the driver provides ONE documents
+table): snapshots are deterministic doc_id-arithmetic splits/mutations
+of it, expressed identically in the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from data_ingestion_challenge_spark.catalog import Catalog
+from data_ingestion_challenge_spark.operators import curation as C
+from data_ingestion_challenge_spark.operators import similarity as S
+from data_ingestion_challenge_spark.operators.dedup import (
+    incremental_verdict_oracle_sql,
+)
+from data_ingestion_challenge_spark.plans.registry import query
+
+# ------------------------------------------------------------- sample
+
+@query(
+    "reservoir_sample",
+    # Deterministic fixed-size uniform sample: salted-md5 rank top-n.
+    # Identical rank expression + tie-break both engines.
+    oracle=C.oracle_reservoir_sample(
+        "documents", "doc_id", 100,
+        cols="doc_id, text, lang, source, n_chars"),
+)
+def reservoir_sample(cat: Catalog) -> DataFrame:
+    """Plan = TakeOrderedAndProject: per-task partial top-n (O(rows)
+    work, O(n) memory), one n·n_tasks driver merge — no global sort,
+    no data shuffle; linear at 100 TB (operators/curation.py)."""
+    return C.reservoir_sample(cat.documents, "doc_id", 100)
+
+
+# -------------------------------------------------------------- drift
+
+@query(
+    "token_share_drift",
+    # Snapshots = even/odd doc_id halves of the corpus; whitespace
+    # token count matches the registered token_counts op.
+    oracle=C.oracle_token_share_drift(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0) AS ta",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1) AS tb"),
+)
+def token_share_drift(cat: Catalog) -> DataFrame:
+    """Two map-side-combined aggregations on the low-cardinality
+    source key + one broadcast-sized full outer join — two linear
+    scans at 100 TB, constant-size output."""
+    docs = cat.documents
+    return C.token_share_drift(docs.where(docs.doc_id % 2 == 0),
+                               docs.where(docs.doc_id % 2 == 1))
+
+
+# ----------------------------------------------------------- chunking
+
+@query(
+    "chunk_windows",
+    oracle=C.oracle_chunk_windows("documents", 32, 16),
+)
+def chunk_windows(cat: Catalog) -> DataFrame:
+    """Long-context training chunking: 32-token windows, stride 16
+    (2× overlap).  Pure Catalyst explode (split→sequence→explode→
+    slice→array_join): zero shuffle, whole-stage codegen; output
+    scales by tokens/stride — the data the trainer consumes."""
+    return C.chunk_windows(cat.documents, chunk_tokens=32, stride=16)
+
+
+# ------------------------------------------------------ snapshot diff
+
+_DIFF_B_SQL = ("(SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+               "THEN text || ' mutated' ELSE text END AS text "
+               "FROM documents WHERE doc_id % 7 <> 0)")
+
+
+@query(
+    "snapshot_diff",
+    # Snapshot b = re-crawl simulation: docs with doc_id%7=0 removed,
+    # docs with doc_id%5=0 mutated, rest unchanged — the same
+    # arithmetic both engines.
+    oracle=C.oracle_snapshot_diff("documents", _DIFF_B_SQL),
+)
+def snapshot_diff(cat: Catalog) -> DataFrame:
+    """One full outer join on doc_id comparing md5(text): both sides
+    hash map-side, the join shuffles (key, 32-byte hash) only — never
+    the text payload.  Linear at 100 TB; the added/changed rows feed
+    incremental downstream recompute."""
+    docs = cat.documents
+    snap_b = (docs.where(docs.doc_id % 7 != 0)
+              .select("doc_id",
+                      F.when(col("doc_id") % 5 == 0,
+                             F.concat(col("text"), F.lit(" mutated")))
+                      .otherwise(col("text")).alias("text")))
+    return C.snapshot_diff(docs, snap_b)
+
+
+# ------------------------------------------------------------ novelty
+
+@query(
+    "ngram_novelty",
+    oracle=C.oracle_ngram_novelty("documents", 3),
+)
+def ngram_novelty(cat: Catalog) -> DataFrame:
+    """Per-doc share of distinct 3-grams with global df = 1 — the
+    inverse-duplication curation signal.  Shares the dedup family's
+    posting formulation (skew-safe groupBy+join df stage); one
+    shuffle on the shingle, one on doc_id."""
+    return C.ngram_novelty(cat.documents, 3)
+
+
+# ----------------------------------------------- ingest-time verdict
+
+@query(
+    "incremental_dedup_verdict",
+    # The admission screen's per-doc verdict on the standard
+    # batch/corpus split (batch = doc_id%5=0): is_dup, best corpus
+    # match (highest rounded jaccard, ties → lowest corpus_doc_id).
+    # Oracle builder lives with the operator (parity-tested there
+    # pre-registration: tests/test_operators.py).
+    oracle=incremental_verdict_oracle_sql("doc_id % 5 = 0"),
+)
+def incremental_dedup_verdict(cat: Catalog) -> DataFrame:
+    """INGEST-TIME dedup (the production arrival screen): everything
+    batch-sized except the corpus-posting equi-join; one-sided prefix
+    filter (rarest-in-corpus shingles) bounds candidates, exact
+    verification decides — never a corpus self-join
+    (operators/dedup.incremental_jaccard_pairs' cost model)."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        _postings,
+    )
+    from data_ingestion_challenge_spark.operators.dedup import (
+        incremental_dedup_verdict as _verdict,
+    )
+    docs = cat.documents
+    corpus = docs.where(docs.doc_id % 5 != 0)
+    batch = docs.where(docs.doc_id % 5 == 0)
+    posting = _postings(corpus, 3)
+    out = _verdict(batch, posting, n=3, tau=0.8)
+    # posting stays persisted for the plan's lifetime (df agg +
+    # candidate + verify all read it); LRU-evicted once unreferenced
+    # — same contract as ngram_novelty's inline posting.
+    return out
+
+
+# ------------------------------------------------- ivf2 recall gate
+
+@query(
+    "ivf2_keep_list_recall",
+    # The two-level probe is APPROXIMATE (a true nearest cell can
+    # hide in an unprobed coarse group) → recall-threshold gate, the
+    # ann_ivf_trained_topk pattern: the oracle pins the exact flat
+    # candidate-pair count (ivf_candidate_cte replays the flat index
+    # bit-for-bit) and asserts the gate literal TRUE; the Spark side
+    # computes the real recall and fails the hash if it dips below
+    # the floor.  Floor 0.6: measured 0.77-1.0 across sf0.001-0.1
+    # (1.0 at the driver's sf0.01 gate).
+    oracle=f"""
+    WITH {S.ivf_candidate_cte(tau=0.4)}
+    SELECT count(*) AS n_pairs_flat, TRUE AS recall_ok FROM pairs
+    """,
+)
+def ivf2_keep_list_recall(cat: Catalog) -> DataFrame:
+    """Gate for the 100 TB index-BUILD path: candidate pairs from the
+    two-level coarse-quantized probe (O(√nlist) centroid scores per
+    vector) must recover ≥60% of the flat probe's exact-verified
+    pairs — the keep-list's input.  Extra two-level pairs need no
+    gate: both paths end in the exact cosine ≥ τ verify, so any
+    extra pair is a TRUE pair the flat cell routing missed."""
+    emb = cat.embeddings
+    flat = S.ivf_candidate_pairs(emb, tau=0.4).select("vec_a", "vec_b")
+    two = (S.ivf_candidate_pairs(
+        emb, tau=0.4,
+        assignments=S.ivf2_probe_assignments(emb, nprobe=4, cell=128))
+        .select("vec_a", "vec_b").withColumn("_hit", F.lit(1)))
+    return (flat.join(two, ["vec_a", "vec_b"], "left")
+            .agg(F.count("*").alias("n_pairs_flat"),
+                 (F.count("_hit") >= 0.6 * F.count("*"))
+                 .alias("recall_ok")))
