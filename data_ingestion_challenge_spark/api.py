@@ -111,7 +111,8 @@ class Engine:
                                    n_files: int = 8,
                                    table_path: str | None = None,
                                    sizes_dir: str | None = None,
-                                   sizes_out: str | None = None
+                                   sizes_out: str | None = None,
+                                   allow_uncommitted: bool = False
                                    ) -> None:
         """Maintenance for the admission pipeline's posting store:
         fold all per-batch increments under ``postings_dir`` into one
@@ -127,16 +128,19 @@ class Engine:
         can never collide with a real micro-batch id, so the sink's
         replay guard keeps working unchanged.
 
-        Pass ``table_path`` (the corpus TxnTable) to restrict the
-        fold to COMMITTED docs: a batch that crashed between its
-        posting write and its commit leaves postings with no commit,
-        and folding those into the base would make the crashed
-        batch's replay self-match its own survivors (jaccard 1.0)
-        and silently drop them — the exact window the sink's
-        same-tag exclusion protects, which compaction would
-        otherwise erase.  Pass ``sizes_dir``/``sizes_out`` to compact
-        the sizes store alongside (required for the screen's
-        coverage check to keep accepting it)."""
+        ``table_path`` (the corpus TxnTable) restricts the fold to
+        COMMITTED docs and is REQUIRED by default: a batch that
+        crashed between its posting write and its commit leaves
+        postings with no commit, and folding those into the base
+        would make the crashed batch's replay self-match its own
+        survivors (jaccard 1.0) and silently drop them — the exact
+        window the sink's same-tag exclusion protects, which an
+        unfiltered compaction would erase.  Only a QUIESCED store
+        with no possible crashed batch may skip the filter, via the
+        explicit ``allow_uncommitted=True`` opt-in.  Pass
+        ``sizes_dir``/``sizes_out`` to compact the sizes store
+        alongside (required for the screen's coverage check to keep
+        accepting it)."""
         import shutil
 
         from pyspark.sql import functions as F
@@ -146,6 +150,14 @@ class Engine:
             _META, store_bucket_mod,
         )
 
+        if table_path is None and not allow_uncommitted:
+            raise ValueError(
+                "compact_admission_postings: pass table_path (the "
+                "corpus TxnTable) so only COMMITTED docs fold into "
+                "the base — an unfiltered fold re-opens the "
+                "crashed-batch replay data-loss window.  For a "
+                "quiesced store with no in-flight batch, opt in "
+                "explicitly with allow_uncommitted=True.")
         committed = None
         if table_path is not None:
             from data_ingestion_challenge_spark.txn import TxnTable
@@ -154,6 +166,17 @@ class Engine:
                          .read().select("doc_id"))
 
         mod = store_bucket_mod(postings_dir)
+        # Meta BEFORE the fold: a crash mid-fold leaves out_dir with
+        # s_bucket subdirs inside ingest_batch=-1; without the meta,
+        # store_bucket_mod would stamp that half-written store FLAT
+        # and later flat per-batch writes would mix partition depths
+        # (discovery failure).  The modulus is a property of the
+        # stored values, so carrying it first is always correct —
+        # recompaction of a half-written out_dir overwrites the data,
+        # not the meta.
+        os.makedirs(out_dir, exist_ok=True)
+        shutil.copyfile(os.path.join(postings_dir, _META),
+                        os.path.join(out_dir, _META))
         raw = (self.spark.read
                .option("basePath", postings_dir)
                .parquet(postings_dir))
@@ -177,11 +200,6 @@ class Engine:
              .sortWithinPartitions("s")
              .write.mode("overwrite")
              .parquet(base))
-        # The modulus is a property of the stored values: the new
-        # generation must carry the same meta.
-        os.makedirs(out_dir, exist_ok=True)
-        shutil.copyfile(os.path.join(postings_dir, _META),
-                        os.path.join(out_dir, _META))
         if sizes_dir is not None and sizes_out is not None:
             sz = (self.spark.read.option("basePath", sizes_dir)
                   .parquet(sizes_dir).select("doc_id", "n"))

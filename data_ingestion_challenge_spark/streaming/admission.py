@@ -47,6 +47,75 @@ _APP = "doc_admission"
 
 _META = "_admission_meta.json"
 
+_LEASE = "_admission_lease"
+
+
+class ConcurrentAdmissionError(RuntimeError):
+    """A second admission stream tried to screen into a posting store
+    that another LIVE stream is already screening into."""
+
+
+def _acquire_admission_lease(postings_dir: str) -> str:
+    """Enforce the single-admission-stream contract: the corpus
+    screen is not serializable across two concurrent streams (each
+    would screen against a corpus missing the other's in-flight
+    admissions and both copies of a pair could admit), so a second
+    stream must fail LOUDLY instead of silently double-admitting.
+
+    O_EXCL lease file (pid inside) in the posting store — the store
+    is the resource the screen reads, so the lease travels with it.
+    A crashed holder leaves a stale lease: if its pid is dead ON THIS
+    HOST the lease is stolen; liveness across hosts is not checkable
+    this way, so multi-host deployments must route admission through
+    one scheduler (the txn log still makes double-COMMITS impossible;
+    the lease is about double-SCREENING).  Returns the lease path for
+    release_admission_lease()."""
+    os.makedirs(postings_dir, exist_ok=True)
+    lease = os.path.join(postings_dir, _LEASE)
+    for _ in range(3):
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(str(os.getpid()))
+            return lease
+        except FileExistsError:
+            try:
+                with open(lease) as fh:
+                    pid = int(fh.read().strip())
+            except (FileNotFoundError, ValueError):
+                continue  # holder mid-release or torn write: retry
+            alive = True
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                pass  # exists under another uid: alive
+            if alive:
+                raise ConcurrentAdmissionError(
+                    f"{postings_dir}: admission stream already live "
+                    f"(pid {pid}).  Two concurrent screens would "
+                    f"each miss the other's in-flight admissions "
+                    f"and could both admit copies of a duplicate.  "
+                    f"If the holder crashed on another host, remove "
+                    f"{lease} by hand.")
+            # Dead holder: steal.  Two stealers race on the unlink +
+            # O_EXCL; the loser loops and sees the winner alive.
+            try:
+                os.unlink(lease)
+            except FileNotFoundError:
+                pass
+    raise ConcurrentAdmissionError(
+        f"{postings_dir}: could not acquire the admission lease "
+        f"(persistent contention)")
+
+
+def release_admission_lease(lease: str) -> None:
+    try:
+        os.unlink(lease)
+    except FileNotFoundError:
+        pass
+
 
 def _batch_tags(d: str) -> set[str]:
     """Partition-dir tag values under a store dir (empty if absent)."""
@@ -65,14 +134,33 @@ def store_bucket_mod(postings_dir: str) -> int | None:
     be admitted), so it must never be re-derived from the current
     constant.  Returns None for a flat (pre-bucketing / legacy)
     store; a meta-less dir that already has batch partitions is
-    treated as flat and stamped so."""
+    treated as flat and stamped so — UNLESS those partitions contain
+    s_bucket= subdirs, which proves the store was written bucketed
+    and its meta was lost (e.g. deleted by hand): stamping THAT flat
+    would make later flat per-batch writes mix partition depths and
+    break Spark partition discovery, so it raises instead."""
     meta = os.path.join(postings_dir, _META)
     try:
         with open(meta) as fh:
             return json.load(fh)["s_bucket_mod"]
     except (FileNotFoundError, KeyError, ValueError):
         pass
-    mod = None if _batch_tags(postings_dir) else N_SHINGLE_BUCKETS
+    tags = _batch_tags(postings_dir)
+    for tag in tags:
+        batch_dir = os.path.join(postings_dir, f"ingest_batch={tag}")
+        try:
+            bucketed = any(e.name.startswith("s_bucket=")
+                           for e in os.scandir(batch_dir))
+        except OSError:
+            continue
+        if bucketed:
+            raise ValueError(
+                f"{postings_dir}: store has s_bucket= partitions but "
+                f"no {_META} — the bucket modulus is unrecoverable "
+                f"(pruning with a guessed one silently admits "
+                f"duplicates).  Restore the meta file or recompact "
+                f"from a store that has one.")
+    mod = None if tags else N_SHINGLE_BUCKETS
     os.makedirs(postings_dir, exist_ok=True)
     tmp = meta + ".tmp"
     with open(tmp, "w") as fh:
@@ -81,37 +169,107 @@ def store_bucket_mod(postings_dir: str) -> int | None:
     return mod
 
 
-def _dedup_within_batch(batch: DataFrame, n: int, tau: float
-                        ) -> tuple[DataFrame, list[DataFrame]]:
-    """Exact + near-dup dedup INSIDE one batch: collapse repeated
-    doc_ids (transport redelivery) deterministically, keep the min
-    doc_id of every exact-hash group, then drop the LARGER doc of
-    every near-dup pair.  Pair-drop keeps every doc that is not the
-    larger of any pair — kept docs are pairwise non-near-dup (if two
-    kept docs were a pair, the larger would have been dropped); docs
-    linked only through a dropped middleman both stay, which is
-    deliberately more conservative than a full connected-components
-    collapse.
-
-    Returns (survivors, cache_handles): the caller must unpersist the
-    handles once its derived frames are materialized — a long-running
-    stream would otherwise accumulate one cached posting frame per
-    micro-batch."""
-    from data_ingestion_challenge_spark.operators.dedup import (
-        _postings, ngram_jaccard_pairs,
-    )
-
+def _collapse_exact(batch: DataFrame) -> DataFrame:
+    """Exact dedup INSIDE one batch: collapse repeated doc_ids
+    (transport redelivery) deterministically, then keep the min
+    doc_id of every exact-text-hash group."""
     wid = Window.partitionBy("doc_id").orderBy(F.md5(col("text")))
     batch = (batch.withColumn("_r", F.row_number().over(wid))
              .where(col("_r") == 1).drop("_r"))
     w = Window.partitionBy(F.md5(col("text"))).orderBy("doc_id")
-    exact = (batch.withColumn("_r", F.row_number().over(w))
-             .where(col("_r") == 1).drop("_r"))
-    bp = _postings(exact, n)
-    near = ngram_jaccard_pairs(exact, n=n, tau=tau, posting=bp)
-    drop = near.select(
-        F.greatest("doc_a", "doc_b").alias("doc_id")).distinct()
-    return exact.join(drop, "doc_id", "left_anti"), [bp]
+    return (batch.withColumn("_r", F.row_number().over(w))
+            .where(col("_r") == 1).drop("_r"))
+
+
+def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
+                  corpus_post: DataFrame | None,
+                  corpus_sizes: DataFrame | None,
+                  tau: float) -> DataFrame:
+    """ONE candidate+verify pass for BOTH screens a micro-batch needs:
+    batch-vs-batch near-dup pairs AND batch-vs-corpus matches —
+    (doc_id, corpus_doc_id, _corp, jaccard), where _corp marks a
+    corpus-side match.
+
+    The r5 pipeline ran these as two separate pipelines (an in-batch
+    PPJoin, then operators/dedup.incremental_jaccard_pairs against the
+    corpus) — ~26 batch-sized shuffle stages per micro-batch, the
+    measured throughput floor.  They fuse exactly because the
+    ONE-SIDED prefix bound is order-free: for ANY subset S of A with
+    |S| = |A| − ⌈τ·|A|⌉ + 1, J(A,B) ≥ τ forces S ∩ (A∩B) ≠ ∅ (else
+    A∩B fits in the remaining ⌈τ|A|⌉ − 1 elements), so indexing each
+    batch doc's prefix once against corpus ∪ batch postings admits
+    every true pair of BOTH kinds; the exact verify decides
+    membership, making the fused screen value-identical to the two
+    pipelines it replaces (pinned by tests/test_admission.py).
+    Rarity ordering (corpus+batch document frequency) remains a pure
+    fan-out heuristic.
+
+    The ``_corp`` marker rides the union so a corpus doc and a batch
+    doc SHARING an id stay distinct sets: the re-ingested-id case
+    must still surface as a corpus match, while a batch doc never
+    matches its own postings.  Cost model unchanged from the
+    incremental screen: everything batch-sized except the pruned
+    corpus-posting equi-joins."""
+    eps = 1e-9
+    bpost = new_post.select("doc_id", "s", F.lit(False).alias("_corp"))
+    if corpus_post is not None:
+        all_post = corpus_post.select(
+            "doc_id", "s", F.lit(True).alias("_corp")
+        ).unionByName(bpost)
+        all_sizes = corpus_sizes.select(
+            "doc_id", "n", F.lit(True).alias("_corp")
+        ).unionByName(batch_sizes.select(
+            "doc_id", "n", F.lit(False).alias("_corp")))
+    else:
+        all_post = bpost
+        all_sizes = batch_sizes.select(
+            "doc_id", "n", F.lit(False).alias("_corp"))
+    dfreq = all_post.groupBy("s").agg(F.count("*").alias("_df"))
+    wspec = Window.partitionBy("doc_id").orderBy("_df", "s")
+    ranked = (
+        new_post.join(dfreq, "s", "left").fillna({"_df": 0})
+        .withColumn("n", F.count("*").over(
+            wspec.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+        .withColumn("_pos", F.row_number().over(wspec)))
+    prefix = ranked.where(
+        col("_pos") <= F.floor((1 - tau) * col("n") + eps) + 1)
+    # Batch-batch candidates keep ONE direction only (_nid < _cid):
+    # the one-sided bound holds from EACH side of a true pair, so
+    # both directions always surface and keeping one is complete —
+    # and halves the batch-pair verify work.  Corpus candidates keep
+    # every (_nid, _cid), including equal ids (the re-ingested-id
+    # case); a batch doc never pairs with its own batch postings.
+    cand = (
+        prefix.select(col("doc_id").alias("_nid"), "s")
+        .join(all_post.select(col("doc_id").alias("_cid"), "s",
+                              col("_corp").alias("_ccorp")), "s")
+        .where(col("_ccorp") | (col("_nid") < col("_cid")))
+        .select("_nid", "_cid", "_ccorp").distinct())
+    pa = (new_post.join(cand, new_post["doc_id"] == cand["_nid"])
+          .select("_nid", "_cid", "_ccorp", "s"))
+    pb = all_post.select(col("doc_id").alias("_pb"),
+                         col("s").alias("_sb"),
+                         col("_corp").alias("_pbc"))
+    inter = (
+        pa.join(pb, (col("_cid") == col("_pb"))
+                & (col("s") == col("_sb"))
+                & (col("_ccorp") == col("_pbc")))
+        .groupBy("_nid", "_cid", "_ccorp")
+        .agg(F.count("*").alias("ic")))
+    sz_new = batch_sizes.select(col("doc_id").alias("_nid"),
+                                col("n").alias("_na"))
+    sz_other = all_sizes.select(col("doc_id").alias("_cid"),
+                                col("_corp").alias("_ccorp"),
+                                col("n").alias("_nb"))
+    jac = col("ic") / (col("_na") + col("_nb") - col("ic"))
+    return (
+        inter.join(sz_new, "_nid").join(sz_other, ["_cid", "_ccorp"])
+        .where(jac >= tau)
+        .select(col("_nid").alias("doc_id"),
+                col("_cid").alias("corpus_doc_id"),
+                col("_ccorp").alias("_corp"),
+                F.round(jac, 4).alias("jaccard")))
 
 
 def document_admission_sink(spark: SparkSession, table_path: str,
@@ -119,7 +277,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                             n_buckets: int = 32, n: int = 3,
                             tau: float = 0.8,
                             sizes_dir: str | None = None,
-                            run_id: str | None = None):
+                            run_id: str | None = None,
+                            adaptive: bool = False):
     """Build the foreachBatch admission callback.  Returns
     (admit_fn, table): admit_fn(batch_df, batch_id) runs one
     micro-batch through screen→commit→maintain; `table` is the
@@ -139,10 +298,17 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     genuinely new documents — and their maintenance partitions would
     overwrite the old run's.  run_document_admission derives it from a
     marker persisted in the checkpoint dir; direct callers that manage
-    their own batch-id monotonicity may leave it None."""
-    from data_ingestion_challenge_spark.operators.dedup import (
-        incremental_dedup_verdict,
-    )
+    their own batch-id monotonicity may leave it None.
+
+    ``adaptive`` (default False) scopes spark.sql.adaptive.enabled
+    around each batch: the admission pipeline is ~25 batch-sized
+    shuffle stages per micro-batch, and AQE re-plans EVERY one of
+    them — measured 2.3× end-to-end overhead at bench scale (9.9 s →
+    4.2 s per batch) for zero benefit, since every intermediate is
+    batch-bounded (the corpus is only touched through pruned
+    bucket-equi-joins against batch-sized sets).  Pass True when the
+    corpus side needs runtime skew handling (very hot shingles at
+    very large corpus scale)."""
     from data_ingestion_challenge_spark.txn import TxnTable
 
     table = TxnTable(spark, table_path, key="doc_id",
@@ -159,14 +325,37 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             else f"{run_id}-{batch_id}"
         if batch_id <= table.last_txn(app):
             return  # crash-replayed batch: already committed whole
+        _AQE = "spark.sql.adaptive.enabled"
+        prev_aqe = spark.conf.get(_AQE, "true")
+        if not adaptive:
+            spark.conf.set(_AQE, "false")
+        try:
+            _admit_body(batch_df, batch_id, tag)
+        finally:
+            spark.conf.set(_AQE, prev_aqe)
+
+    def _admit_body(batch_df: DataFrame, batch_id: int,
+                    tag: str) -> None:
+        from data_ingestion_challenge_spark.operators.dedup import (
+            _postings,
+        )
+
         # The store's layout (bucketed with which modulus, or flat) is
         # read from its persisted meta, NOT the current constant — a
         # raised N_SHINGLE_BUCKETS or a legacy flat store must neither
         # mis-prune nor mix partition depths.
         mod = store_bucket_mod(postings_dir)
         batch = batch_df.localCheckpoint()
-        survivors, handles = _dedup_within_batch(batch, n, tau)
+        exact = _collapse_exact(batch)
+        # Batch postings built ONCE (persisted): the fused screen,
+        # the posting/sizes maintenance writes, and the batch-bucket
+        # collect all read this same cache.
+        new_post = _postings(exact, n)
+        handles = [new_post]
+        batch_sizes = new_post.groupBy("doc_id").agg(
+            F.count("*").alias("n"))
         have_corpus = bool(_batch_tags(postings_dir))
+        corpus_posting = corpus_sizes = None
         if have_corpus:
             # basePath surfaces the ingest_batch partition column;
             # excluding THIS batch's partition makes the screen
@@ -182,40 +371,72 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                    .where(col("ingest_batch").cast("string")
                           != F.lit(tag)))
             pruned = mod is not None and "s_bucket" in raw.columns
-            corpus_posting = raw.select(
-                "doc_id", "s",
-                *(["s_bucket"] if pruned else []))
+            corpus_posting = raw.select("doc_id", "s")
+            if pruned:
+                # Shingle-bucket pruning (PartitionFilters): all
+                # corpus occurrences of any batch shingle live in the
+                # batch's buckets; other shingles can never join.
+                # Bounded collect: ≤ mod ids.
+                buckets = [r[0] for r in new_post.select(
+                    F.pmod(F.hash("s"), F.lit(mod)).alias("b"))
+                    .distinct().collect()]
+                corpus_posting = (raw
+                                  .where(col("s_bucket").isin(buckets))
+                                  .select("doc_id", "s"))
             # The sizes store is only SOUND if it covers every
             # posting increment: the size join is what ratifies a
             # candidate, so a corpus doc missing from it could never
             # be flagged as a dup target.  Coverage = every posting
             # batch tag has a sizes tag (a store enabled mid-life
             # fails this and falls back to the full aggregation
-            # until compaction produces a covered store).
-            sizes = None
+            # until compaction produces a covered store).  Corpus
+            # sizes must be FULL counts either way — a pruned
+            # aggregate would undercount |B| and inflate jaccard.
             if (sizes_dir is not None
                     and _batch_tags(postings_dir) - {tag}
                     <= _batch_tags(sizes_dir)):
-                sizes = (spark.read.option("basePath", sizes_dir)
-                         .parquet(sizes_dir)
-                         .where(col("ingest_batch").cast("string")
-                                != F.lit(tag))
-                         .select("doc_id", "n"))
-            # Survivor postings = a filter of the already-cached
-            # batch postings (survivors ⊆ exact) — no re-tokenize.
-            sp = (handles[0]
-                  .join(survivors.select("doc_id"), "doc_id",
-                        "left_semi"))
-            verdict = incremental_dedup_verdict(
-                survivors, corpus_posting, n=n, tau=tau,
-                sizes=sizes,
-                prune_mod=mod if pruned else None,
-                new_post=sp)
-        else:  # empty corpus: everything is novel
-            verdict = survivors.select(
-                "doc_id", F.lit(False).alias("is_dup"),
-                F.lit(None).cast("long").alias("dup_of"),
-                F.lit(None).cast("double").alias("jaccard"))
+                corpus_sizes = (spark.read
+                                .option("basePath", sizes_dir)
+                                .parquet(sizes_dir)
+                                .where(col("ingest_batch")
+                                       .cast("string") != F.lit(tag))
+                                .select("doc_id", "n"))
+            else:
+                corpus_sizes = (raw.groupBy("doc_id")
+                                .agg(F.count("*").alias("n")))
+        # ONE fused candidate+verify pass for both screens; the pair
+        # table is near-dup-sized — pin it, every downstream frame
+        # (drop set, verdict, log) is then a cheap join of caches.
+        pairs = _screen_pairs(new_post, batch_sizes, corpus_posting,
+                              corpus_sizes, tau).localCheckpoint()
+        # In-batch rule: drop the LARGER doc of every batch-batch
+        # pair.  Kept docs are pairwise non-near-dup (if two kept
+        # docs were a pair, the larger would have been dropped); docs
+        # linked only through a dropped middleman both stay —
+        # deliberately more conservative than a full
+        # connected-components collapse.
+        drop = (pairs.where(~col("_corp"))
+                .select(F.greatest("doc_id", "corpus_doc_id")
+                        .alias("doc_id")).distinct())
+        survivors = (exact.join(drop, "doc_id", "left_anti")
+                     .localCheckpoint())
+        # Corpus verdict for SURVIVORS only (a doc dropped in-batch
+        # is logged with its in-batch witness, dup_of NULL): best
+        # corpus match = highest rounded jaccard, ties → lowest
+        # corpus_doc_id — same contract as the registered
+        # incremental_dedup_verdict query.
+        wbest = Window.partitionBy("doc_id").orderBy(
+            col("jaccard").desc(), col("corpus_doc_id"))
+        best = (pairs.where(col("_corp"))
+                .withColumn("_r", F.row_number().over(wbest))
+                .where(col("_r") == 1)
+                .select("doc_id", col("corpus_doc_id").alias("dup_of"),
+                        "jaccard"))
+        verdict = (survivors.select("doc_id")
+                   .join(best, "doc_id", "left")
+                   .select("doc_id",
+                           col("dup_of").isNotNull().alias("is_dup"),
+                           "dup_of", "jaccard"))
         # The admission log covers EVERY arriving doc: batch-dropped
         # rows appear with dup_of NULL and kept=false (their witness
         # is in-batch), screened rows carry the corpus dup target.
@@ -227,37 +448,76 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                .withColumn("kept", F.coalesce(~col("is_dup"),
                                               F.lit(False)))
                .select("doc_id", "kept", "dup_of", "jaccard"))
-        log.write.mode("overwrite").parquet(
-            os.path.join(log_dir, f"ingest_batch={tag}"))
-        # Postings BEFORE the txn commit: if we crash between the
-        # two, the replay overwrites this same dir (no duplicate
-        # rows) and then commits — never a committed doc without
-        # postings, so no admitted dup can slip past a crash.
+        # Maintenance writes (log, postings, sizes) are mutually
+        # independent and ALL precede the txn commit: if we crash
+        # between any of them and the commit, the replay overwrites
+        # the same per-batch dirs (no duplicate rows) and then
+        # commits — never a committed doc without postings, so no
+        # admitted dup can slip past a crash.  They run CONCURRENTLY
+        # (independent Spark jobs over already-cached frames; the
+        # executor has idle cores at micro-batch size) and are all
+        # joined — with failures re-raised — before the commit, so
+        # the write-before-commit invariant is unchanged.
         # Admitted docs' postings are a filter of the already-built
         # batch postings — no recompute.  A batch with nothing to
         # admit (or only sub-n-gram docs) writes NO partition: a
         # partitionBy write of an empty frame leaves a file-less dir
         # that breaks schema inference for every later read.
-        new_post = handles[0].join(admitted.select("doc_id"),
+        from concurrent.futures import ThreadPoolExecutor
+
+        adm_post = handles[0].join(admitted.select("doc_id"),
                                    "doc_id", "left_semi")
-        if not new_post.isEmpty():
-            writer = new_post
+        have_postings = not adm_post.isEmpty()
+
+        def _write_log():
+            # One file: the per-batch log is verdict-row-sized, and
+            # a long-lived store otherwise accretes
+            # shuffle-partition-many tiny files per batch.
+            log.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(log_dir, f"ingest_batch={tag}"))
+
+        def _write_postings():
+            writer = adm_post
             if mod is not None:
+                # Repartition ON the bucket first: a direct
+                # partitionBy write splits every task's rows across
+                # all `mod` bucket dirs (tasks × mod tiny files per
+                # batch — measured 1026 files and 5 s per batch at
+                # bench scale); clustered, each bucket is one file
+                # and every later corpus scan pays tasks× fewer
+                # opens.
                 writer = (writer.withColumn(
                     "s_bucket", F.pmod(F.hash("s"), F.lit(mod)))
+                    .repartition(col("s_bucket"))
                     .write.mode("overwrite").partitionBy("s_bucket"))
             else:
                 writer = writer.write.mode("overwrite")
             writer.parquet(os.path.join(postings_dir,
                                         f"ingest_batch={tag}"))
+
+        def _write_sizes():
+            # One file: batch-doc-count rows.
+            (adm_post.groupBy("doc_id")
+             .agg(F.count("*").alias("n"))
+             .coalesce(1)
+             .write.mode("overwrite")
+             .parquet(os.path.join(sizes_dir,
+                                   f"ingest_batch={tag}")))
+
+        jobs = [_write_log]
+        if have_postings:
+            jobs.append(_write_postings)
             if sizes_dir is not None:
-                (new_post.groupBy("doc_id")
-                 .agg(F.count("*").alias("n"))
-                 .write.mode("overwrite")
-                 .parquet(os.path.join(sizes_dir,
-                                       f"ingest_batch={tag}")))
+                jobs.append(_write_sizes)
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = [pool.submit(j) for j in jobs]
+            for fut in futures:
+                fut.result()  # re-raise before the commit
+        # _source_unique: admitted flows out of the keep-first-per-
+        # doc_id exact-dedup window — uniqueness is structural.
         table.merge_into(admitted,
-                         _txn={"app": app, "batch_id": batch_id})
+                         _txn={"app": app, "batch_id": batch_id},
+                         _source_unique=True)
         # All derived frames are materialized (log/postings written,
         # admitted checkpointed, commit done): release the per-batch
         # posting caches — a long-running stream must not accumulate
@@ -273,7 +533,8 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
                            log_dir: str, checkpoint: str,
                            n_buckets: int = 32, n: int = 3,
                            tau: float = 0.8,
-                           sizes_dir: str | None = None):
+                           sizes_dir: str | None = None,
+                           adaptive: bool = False):
     """Drain jsonl document drops from watch_dir through the admission
     sink (availableNow; re-call to pick up new drops).  Returns the
     corpus TxnTable.
@@ -308,16 +569,24 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
         os.replace(tmp, marker)
         run_id = _read_marker()
 
-    admit, table = document_admission_sink(
-        spark, table_path, postings_dir, log_dir,
-        n_buckets=n_buckets, n=n, tau=tau, sizes_dir=sizes_dir,
-        run_id=run_id)
-    q = (spark.readStream.schema(DOCS_SCHEMA)
-         .option("maxFilesPerTrigger", 16)
-         .json(watch_dir)
-         .writeStream.foreachBatch(admit)
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    # The lease spans the whole drain: screening is the part that is
+    # not serializable across concurrent streams (see
+    # _acquire_admission_lease) — a second run_document_admission on
+    # the same posting store raises instead of double-admitting.
+    lease = _acquire_admission_lease(postings_dir)
+    try:
+        admit, table = document_admission_sink(
+            spark, table_path, postings_dir, log_dir,
+            n_buckets=n_buckets, n=n, tau=tau, sizes_dir=sizes_dir,
+            run_id=run_id, adaptive=adaptive)
+        q = (spark.readStream.schema(DOCS_SCHEMA)
+             .option("maxFilesPerTrigger", 16)
+             .json(watch_dir)
+             .writeStream.foreachBatch(admit)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        release_admission_lease(lease)
     return table

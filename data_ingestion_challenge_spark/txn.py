@@ -158,9 +158,13 @@ class TxnTable:
         return head
 
     def _latest_checkpoint(self, upto: int):
-        """(version, active, txns, schema_json) of the newest
-        checkpoint ≤ upto, or None.  txns/schema default for
-        checkpoints written before they were carried forward."""
+        """(version, active, txns, schema_json, carried_marks) of the
+        newest checkpoint ≤ upto, or None.  txns/schema default for
+        checkpoints written before they were carried forward;
+        carried_marks records whether the file ACTUALLY held a txns
+        key — expire_log() must distinguish "no marks recorded"
+        (legacy; expiring would lose them) from "marks recorded,
+        happens to be empty"."""
         try:
             names = os.listdir(_log_dir(self.path))
         except FileNotFoundError:
@@ -175,7 +179,8 @@ class TxnTable:
                                f"ckpt-v{best:010d}.json")) as fh:
             data = json.load(fh)
         return (best, dict(data["active"]),
-                dict(data.get("txns", {})), data.get("schema"))
+                dict(data.get("txns", {})), data.get("schema"),
+                "txns" in data)
 
     def _snapshot(self, version: int | None = None):
         """(version, {relative file path: bucket}): replay from the
@@ -415,6 +420,7 @@ class TxnTable:
                    _txn: dict | None = None,
                    _rebuild=None,
                    _base=None,
+                   _source_unique: bool = False,
                    _test_pre_claim=None) -> int:
         """Optimistic MERGE: upsert `updates` (full-row schema), drop
         `deletes` (one-column keys).  Returns the committed version.
@@ -432,15 +438,20 @@ class TxnTable:
         of taking a fresh snapshot, closing the lost-update window
         where a commit lands between the derivation read and the
         merge's own snapshot (accumulate_batch passes it);
-        `_test_pre_claim` runs between staging and the claim so tests
-        can interleave a competing writer deterministically."""
-        dup = (updates.groupBy(self.key).count()
-               .where(col("count") > 1).take(1))
-        if dup:
-            raise ValueError(
-                f"merge_into: updates has >1 row for key "
-                f"{dup[0][0]!r}; MERGE requires at most one source "
-                f"row per key")
+        `_source_unique=True` skips the one-row-per-key source check
+        for callers that structurally guarantee it (e.g. the
+        admission sink, whose updates flow out of a keep-first-per-key
+        window) — one fewer Spark job on a latency-sensitive commit
+        path; `_test_pre_claim` runs between staging and the claim so
+        tests can interleave a competing writer deterministically."""
+        if not _source_unique:
+            dup = (updates.groupBy(self.key).count()
+                   .where(col("count") > 1).take(1))
+            if dup:
+                raise ValueError(
+                    f"merge_into: updates has >1 row for key "
+                    f"{dup[0][0]!r}; MERGE requires at most one "
+                    f"source row per key")
         bcol = F.pmod(F.hash(col(self.key)), F.lit(self.n_buckets))
         changed = updates.select(bcol.alias("b"))
         drop_keys = updates.select(self.key)
@@ -480,14 +491,26 @@ class TxnTable:
             # Lost the claim: fold in the interleaved commits.
             new_v, new_active = self._snapshot()
             interleaved_buckets: set[int] = set()
+            expired_mid_scan = False
             for v in range(base_v + 1, new_v + 1):
-                rec = self._commit_record(v)
+                try:
+                    rec = self._commit_record(v)
+                except KeyError:
+                    # A concurrent checkpoint()+expire_log() removed
+                    # this record mid-retry.  We can no longer prove
+                    # the interleave was disjoint from our buckets, so
+                    # treat it as an OVERLAPPING conflict: discard the
+                    # staged files (they must not leak as orphans) and
+                    # rebuild from the fresh snapshot — a retryable
+                    # outcome, not a crash.
+                    expired_mid_scan = True
+                    break
                 interleaved_buckets |= set(rec["add"].values())
                 interleaved_buckets |= {active.get(f)
                                         for f in rec["remove"]
                                         if f in active}
             base_v, active = new_v, new_active
-            if interleaved_buckets & touched:
+            if expired_mid_scan or (interleaved_buckets & touched):
                 # Conflict: a competing writer rewrote a bucket we
                 # read — our staged merge is stale.  Recompute.
                 self._discard(staged)
@@ -518,10 +541,22 @@ class TxnTable:
         half): snapshots at or above the checkpoint replay from it
         and never touch the expired records; time travel below it
         raises a clear KeyError (Delta's log-retention trade).
+        A checkpoint written before txn marks / schema were carried
+        (legacy) is REWRITTEN with freshly computed ones first:
+        expiring below a mark-less checkpoint would silently discard
+        every (app, batch_id) idempotence mark beneath it, letting a
+        crash-replayed streaming batch pass the exactly-once gate
+        (double-count).  The rewrite folds from the newest
+        marks-carrying checkpoint below it plus the still-present
+        records; if those records are themselves already expired the
+        marks are genuinely unrecoverable and expire_log refuses.
+
         No-op without a checkpoint.  Returns count deleted."""
         ckpt = self._latest_checkpoint(self.version())
         if ckpt is None:
             return 0
+        if not ckpt[4] or ckpt[3] is None:
+            self._rewrite_checkpoint_with_marks(ckpt)
         n = 0
         for v in range(1, ckpt[0] + 1):
             try:
@@ -530,6 +565,57 @@ class TxnTable:
             except FileNotFoundError:
                 pass
         return n
+
+    def _rewrite_checkpoint_with_marks(self, ckpt) -> None:
+        """Upgrade a legacy checkpoint in place (atomic tmp+replace)
+        with the txn marks and schema as of its version, computed
+        from the newest marks-CARRYING checkpoint below it plus the
+        commit records between the two.  Raises if any needed record
+        is already expired — the marks would then be unrecoverable
+        and expiry must not proceed."""
+        best, active, _, schema, _ = ckpt
+        # Newest checkpoint strictly below `best` that carried marks.
+        base_v, marks = 0, {}
+        try:
+            names = os.listdir(_log_dir(self.path))
+        except FileNotFoundError:
+            names = []
+        lower = sorted((int(n[6:16]) for n in names
+                        if n.startswith("ckpt-v")
+                        and n.endswith(".json")
+                        and int(n[6:16]) < best), reverse=True)
+        for v in lower:
+            with open(os.path.join(_log_dir(self.path),
+                                   f"ckpt-v{v:010d}.json")) as fh:
+                data = json.load(fh)
+            if "txns" in data:
+                base_v, marks = v, dict(data["txns"])
+                if schema is None:
+                    schema = data.get("schema")
+                break
+        for v in range(base_v + 1, best + 1):
+            try:
+                rec = self._commit_record(v)
+            except KeyError:
+                raise ValueError(
+                    f"{self.path}: checkpoint v{best} carries no txn "
+                    f"marks and record v{v} needed to rebuild them "
+                    f"is already expired — refusing expire_log(); "
+                    f"the marks below this checkpoint are the only "
+                    f"defense against streaming double-counts")
+            t = rec.get("txn")
+            if t:
+                marks[t["app"]] = max(marks.get(t["app"], -1),
+                                      int(t["batch_id"]))
+            if schema is None and rec.get("schema"):
+                schema = rec["schema"]
+        path = os.path.join(_log_dir(self.path),
+                            f"ckpt-v{best:010d}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": best, "active": active,
+                       "txns": marks, "schema": schema}, fh)
+        os.replace(tmp, path)
 
     # ------------------------------------------------------- vacuum
     def vacuum(self, retain_versions: int = 0,

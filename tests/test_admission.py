@@ -147,8 +147,19 @@ def test_compacted_postings_generation_swap(spark, dirs, tmp_path):
         DOCS_SCHEMA), 0)
     eng = Engine(SF_DIR, spark=spark)
     gen2 = str(tmp_path / "postings_gen2")
-    eng.compact_admission_postings(dirs["postings"], gen2)
+    # Committed filtering is the DEFAULT: an unfiltered fold needs an
+    # explicit quiesced-store opt-in.
+    with pytest.raises(ValueError, match="allow_uncommitted"):
+        eng.compact_admission_postings(dirs["postings"], gen2)
+    eng.compact_admission_postings(dirs["postings"], gen2,
+                                   table_path=dirs["table"])
     assert os.path.isdir(os.path.join(gen2, "ingest_batch=-1"))
+    # The meta (bucket modulus) landed in the new generation too.
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _META, N_SHINGLE_BUCKETS, store_bucket_mod,
+    )
+    assert os.path.exists(os.path.join(gen2, _META))
+    assert store_bucket_mod(gen2) == N_SHINGLE_BUCKETS
 
     admit2, table2 = document_admission_sink(
         spark, dirs["table"], gen2, dirs["log"])
@@ -358,6 +369,31 @@ def test_compaction_excludes_uncommitted_batch(spark, dirs, tmp_path):
     assert {r.doc_id for r in table2.read().collect()} == {1, 5}
 
 
+def test_meta_less_bucketed_store_refused(spark, dirs):
+    """A store whose partitions carry s_bucket= subdirs but whose
+    meta file is gone must RAISE, not be stamped flat: the modulus is
+    unrecoverable, and a flat stamp would mix partition depths on the
+    next batch write."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.operators.dedup import _postings
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _META, N_SHINGLE_BUCKETS, store_bucket_mod,
+    )
+
+    docs = spark.createDataFrame([(1, LONG_A, "en", "web")],
+                                 DOCS_SCHEMA)
+    p = _postings(docs, 3)
+    (p.withColumn("s_bucket",
+                  F.pmod(F.hash("s"), F.lit(N_SHINGLE_BUCKETS)))
+     .write.mode("overwrite").partitionBy("s_bucket")
+     .parquet(os.path.join(dirs["postings"], "ingest_batch=0")))
+    p.unpersist()
+    assert not os.path.exists(os.path.join(dirs["postings"], _META))
+    with pytest.raises(ValueError, match="s_bucket"):
+        store_bucket_mod(dirs["postings"])
+
+
 def test_store_modulus_pinned_against_constant_change(spark, dirs,
                                                       monkeypatch):
     """The stored s_bucket modulus, not the current constant, drives
@@ -376,3 +412,42 @@ def test_store_modulus_pinned_against_constant_change(spark, dirs,
     admit2(spark.createDataFrame([(9, LONG_A, "en", "web")],
                                  DOCS_SCHEMA), 1)
     assert {r.doc_id for r in table2.read().collect()} == {1}
+
+
+def test_admission_lease_blocks_second_stream(spark, dirs, tmp_path):
+    """Two concurrent admission streams over one posting store: the
+    second must raise ConcurrentAdmissionError (a live screen cannot
+    see the other's in-flight admissions — silently double-admitting
+    duplicates is the failure the lease exists to prevent), and the
+    corpus must hold no duplicate.  A released lease admits again; a
+    STALE lease (dead holder pid) is stolen."""
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _LEASE, ConcurrentAdmissionError, _acquire_admission_lease,
+        release_admission_lease, run_document_admission,
+    )
+
+    _drop(os.path.join(dirs["watch"], "d1.jsonl"), [_doc(1, LONG_A)])
+    # Simulate stream A holding the lease mid-drain.
+    lease = _acquire_admission_lease(dirs["postings"])
+    with pytest.raises(ConcurrentAdmissionError, match="already live"):
+        run_document_admission(
+            spark, dirs["watch"], dirs["table"], dirs["postings"],
+            dirs["log"], dirs["ckpt"])
+    release_admission_lease(lease)
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"])
+    assert {r.doc_id for r in table.read().collect()} == {1}
+    # The drain released its lease on exit...
+    assert not os.path.exists(os.path.join(dirs["postings"], _LEASE))
+    # ...and a stale lease from a DEAD holder is stolen, not fatal.
+    import subprocess
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(os.path.join(dirs["postings"], _LEASE), "w") as fh:
+        fh.write(str(dead.pid))
+    _drop(os.path.join(dirs["watch"], "d2.jsonl"), [_doc(2, NOVEL)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"])
+    assert {r.doc_id for r in table.read().collect()} == {1, 2}

@@ -488,3 +488,99 @@ def test_threaded_accumulators_conserve_sums(spark, tmp_path):
     # every (app, batch) is marked committed exactly once
     for app in increments:
         assert t.last_txn(app) == 2
+
+
+def test_expire_log_upgrades_markless_checkpoint(spark, table):
+    """A LEGACY checkpoint (written before txn marks / schema were
+    carried) must not let expire_log() discard the only copy of the
+    idempotence marks: expiry first rewrites the checkpoint with
+    marks rebuilt from the records, so a crash-replayed streaming
+    batch still skips (no double-count)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.txn import _log_dir
+
+    agg = spark.createDataFrame([(1, 5)], "k long, v long") \
+        .groupBy("k").agg(F.sum("v").alias("v"))
+    assert table.accumulate_batch(agg, 3, sum_cols=["v"],
+                                  app="legacy") is not None
+    ck = table.checkpoint()
+    # Strip the checkpoint down to the legacy shape (no txns/schema).
+    ckpath = os.path.join(_log_dir(table.path),
+                          f"ckpt-v{ck:010d}.json")
+    with open(ckpath) as fh:
+        data = _json.load(fh)
+    assert data.pop("txns") == {"legacy": 3}
+    data.pop("schema")
+    with open(ckpath, "w") as fh:
+        _json.dump(data, fh)
+    assert table.expire_log() > 0
+    # The marks survived the expiry via the rewrite...
+    assert table.last_txn("legacy") == 3
+    with open(ckpath) as fh:
+        upgraded = _json.load(fh)
+    assert upgraded["txns"] == {"legacy": 3}
+    assert upgraded.get("schema")
+    # ...and the replay gate still holds.
+    assert table.accumulate_batch(agg, 3, sum_cols=["v"],
+                                  app="legacy") is None
+
+
+def test_expire_refused_when_marks_unrecoverable(spark, table):
+    """If a mark-less checkpoint's underlying records are ALREADY
+    gone (hand-deleted / prior buggy maintenance), expire_log must
+    refuse rather than silently lose the marks."""
+    import json as _json
+
+    from data_ingestion_challenge_spark.txn import (
+        _log_dir, _version_file,
+    )
+
+    table.merge_into(spark.createDataFrame([(5, 999)],
+                                           "k long, v long"))
+    ck = table.checkpoint()
+    ckpath = os.path.join(_log_dir(table.path),
+                          f"ckpt-v{ck:010d}.json")
+    with open(ckpath) as fh:
+        data = _json.load(fh)
+    data.pop("txns")
+    data.pop("schema", None)
+    with open(ckpath, "w") as fh:
+        _json.dump(data, fh)
+    os.remove(_version_file(table.path, 1))  # the record is gone
+    with pytest.raises(ValueError, match="refusing expire_log"):
+        table.expire_log()
+
+
+def test_concurrent_expiry_mid_merge_is_retryable(spark, table):
+    """A checkpoint()+expire_log() racing a merge's lost-claim scan:
+    the expired interleaved record must read as an OVERLAPPING
+    conflict (recompute from the fresh snapshot), not a KeyError
+    crash — and the staged files must not leak as orphans."""
+
+    def compete():
+        # A competing writer lands v2, then maintenance checkpoints
+        # and expires the log — our in-flight merge loses its v2
+        # claim AND finds record v2 already expired.
+        table.merge_into(spark.createDataFrame(
+            [(3, -3)], "k long, v long"))
+        table.checkpoint()
+        table.expire_log()
+
+    v = table.merge_into(
+        spark.createDataFrame([(4, -4)], "k long, v long"),
+        _test_pre_claim=compete)
+    assert v == 3
+    now = _rows(table.read())
+    assert (3, -3) in now and (4, -4) in now
+    # No leaked staged orphans: after a zero-retention vacuum (files
+    # removed by later versions are legitimately still on disk until
+    # then), every remaining data file is referenced by the current
+    # snapshot — the conflict path discarded its stale staging.
+    table.vacuum(retain_versions=0, retain_orphans_s=0.0)
+    _, active = table._snapshot()
+    on_disk = set(os.listdir(os.path.join(table.path, "data")))
+    referenced = {os.path.basename(f) for f in active}
+    assert on_disk == referenced
