@@ -21,6 +21,16 @@ Round-5 additions:
   two jsonl drops — the reference's ingestion loop with dedup
   screening as one headline rate.  Throughput RISES with SF (fixed
   per-batch cost amortizes): ~23 docs/s at sf0.01, ~144 at sf0.1.
+Round-6 additions:
+- the "scaling" block gains a THIRD point one decade UP: a synthetic
+  structure-preserving 10× documents/embeddings staging (replica-
+  salted vocab, circularly-shifted vectors — workload scales
+  linearly by construction, so an exponent jump is a plan problem);
+  "exponent3" is the 3-point least-squares slope for the
+  doc/embedding queries.
+- "ivf_probe_crossover": flat vs two-level IVF probe wall time at
+  nlist ∈ {64, 256, 1024} — the measured constant-factor story
+  behind similarity.ivf2_probe_assignments.
 - the two posting-table dedups are timed against the MATERIALIZED
   bucketed posting table (Engine.materialize_postings) — the layout a
   cluster deployment would maintain — instead of rebuilding the
@@ -127,6 +137,97 @@ def _bench_queries(spark):
     qs["dedup_keep_list"] = lambda spark, d: llm3.dedup_keep_list(
         Catalog(spark, d), assignments=_ivf_for(spark, d))
     return qs
+
+
+def _stage_sf10x(spark, sf_dir: str):
+    """Stage a SYNTHETIC 10× corpus (documents + embeddings only)
+    derived from sf_dir, for the third scaling point — the r5 verdict
+    asked for a decade above sf0.1, and the driver provides no sf1.
+
+    Construction preserves workload STRUCTURE while scaling it
+    linearly (so a measured exponent > 1 means a real plan problem,
+    not a construction artifact): replica 0 is the original; replica
+    k > 0 suffixes every token with a replica tag (disjoint vocab →
+    intra-replica shingle/dup structure identical to the original,
+    zero cross-replica overlap — exact-dup group count measured to
+    scale exactly ×10) and circularly shifts embeddings by k
+    positions (norms and intra-replica geometry preserved,
+    cross-replica cosines decorrelated).  Returns the staged dir."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="bench_sf10x_")
+    reps = spark.range(10).select(F.col("id").cast("int").alias("_k"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    (docs.crossJoin(reps)
+     .select((F.col("doc_id") + F.col("_k") * F.lit(10_000_000))
+             .alias("doc_id"),
+             F.when(F.col("_k") == 0, F.col("text")).otherwise(
+                 F.array_join(F.expr(
+                     "transform(split(text, ' '), "
+                     "t -> concat(t, 'x', _k))"), " ")).alias("text"),
+             "lang", "source", "n_chars")
+     .repartition(16)
+     .write.mode("overwrite")
+     .parquet(os.path.join(out, "documents.parquet")))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    d = len(emb.select("embedding").head()[0])
+    (emb.crossJoin(reps)
+     .select((F.col("vec_id") + F.col("_k") * F.lit(10_000_000))
+             .alias("vec_id"),
+             F.when(F.col("_k") == 0, F.col("embedding")).otherwise(
+                 F.expr(f"concat(slice(embedding, _k+1, {d}-_k), "
+                        f"slice(embedding, 1, _k))")).alias("embedding"),
+             "label")
+     .repartition(8)
+     .write.mode("overwrite")
+     .parquet(os.path.join(out, "embeddings.parquet")))
+    return out
+
+
+# Bench queries that read ONLY documents/embeddings — the subset the
+# synthetic 10× dir can serve (events/TPC-H tables are not staged).
+_DOC_EMB_QUERIES = (
+    "decontaminate_overlap", "dedup_keep_list", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "ann_bruteforce_topk", "token_counts",
+    "ann_pq_topk",
+)
+
+
+def _ivf_probe_crossover(spark, sf_dir: str):
+    """Flat vs two-level IVF probe wall time across nlist — the
+    measured crossover behind similarity.ivf2_probe_assignments'
+    constant-factor note.  Returns {nlist: {"flat_s", "two_level_s"}}."""
+    from data_ingestion_challenge_spark.operators.similarity import (
+        _cached_count, _ivf_probe_assignments, ivf2_probe_assignments,
+    )
+
+    emb = (spark.read
+           .parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .localCheckpoint())
+    n = _cached_count(emb)
+    out = {}
+    for nlist in (64, 256, 1024):
+        if nlist > n:
+            continue
+        cell = max(1, n * 4 // nlist)
+
+        def _med(fn, n_runs=3):
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - t0)
+            return round(sorted(runs)[len(runs) // 2], 3)
+
+        out[str(nlist)] = {
+            "flat_s": _med(lambda: _ivf_probe_assignments(
+                emb, nprobe=4, cell=cell, nlist=nlist).count()),
+            "two_level_s": _med(lambda: ivf2_probe_assignments(
+                emb, nprobe=4, cell=cell, nlist=nlist).count()),
+        }
+    return out
 
 
 def _time_suite(spark, bench_queries, sf_dir: str, n_runs: int = 3):
@@ -336,6 +437,45 @@ def main() -> None:
             per_q[name] = {"t_small": ts, "t_big": tb, "exponent": exp}
         scaling = {"sf_small": sf_small, "sf_big": sf, "queries": per_q}
 
+        # Third point, one decade UP: synthetic 10× documents/
+        # embeddings (see _stage_sf10x — structure-preserving, so an
+        # exponent jump is a plan problem, not an artifact).  Only
+        # the doc/embedding queries run there; the exponent3 is the
+        # least-squares slope of log10(t) over log10(sf) across all
+        # three points — the two-point fit below sf0.1 is overhead-
+        # dominated (most exponents ≈ 0), this is the decade where
+        # data cost starts to show.
+        try:
+            import shutil
+
+            big_dir = _stage_sf10x(spark, sf_dir)
+            try:
+                _posting_for(spark, big_dir)
+                _ivf_for(spark, big_dir)
+            except Exception:
+                pass
+            sub = {k: v for k, v in bench_queries.items()
+                   if k in _DOC_EMB_QUERIES}
+            t10, _ = _time_suite(spark, sub, big_dir, n_runs=2)
+            shutil.rmtree(big_dir, ignore_errors=True)
+            xs = [math.log10(sf_small), math.log10(sf),
+                  math.log10(sf * 10)]
+            for name, t_b in t10.items():
+                pts = [small.get(name), timings.get(name), t_b]
+                if not all(p and p > 0 for p in pts):
+                    continue
+                ys = [math.log10(p) for p in pts]
+                mx = sum(xs) / 3
+                my = sum(ys) / 3
+                slope = (sum((x - mx) * (y - my)
+                             for x, y in zip(xs, ys))
+                         / sum((x - mx) ** 2 for x in xs))
+                per_q[name]["t_10x_synth"] = t_b
+                per_q[name]["exponent3"] = round(slope, 2)
+            scaling["sf_10x_synthetic"] = round(sf * 10, 4)
+        except Exception:
+            pass  # the 3rd point is evidence, never a bench killer
+
     # ---- streaming ingest throughput -------------------------------
     try:
         ingest_rps, ingest_p50_ms, n_batches = _streaming_ingest(
@@ -347,6 +487,11 @@ def main() -> None:
         admission_dps, admission_kept = _admission_ingest(spark, sf_dir)
     except Exception:
         admission_dps = admission_kept = None
+
+    try:
+        probe_xover = _ivf_probe_crossover(spark, sf_dir)
+    except Exception:
+        probe_xover = None
 
     (p50_ms, p99_ms), (sql_p50_ms, sql_p99_ms) = \
         _point_lookup_latency(spark, sf_dir)
@@ -364,6 +509,7 @@ def main() -> None:
         "streaming_ingest_n_batches": n_batches,
         "admission_docs_per_sec": admission_dps,
         "admission_kept_fraction": admission_kept,
+        "ivf_probe_crossover": probe_xover,
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,
         "point_lookup_sql_p50_ms": sql_p50_ms,
