@@ -390,6 +390,17 @@ class Engine:
         )
         return ngram_novelty(self.catalog.documents, n)
 
+    def retrieve(self, queries: list[tuple[str, str]],
+                 k: int = 10) -> DataFrame:
+        """BM25 top-k docs per query over the documents table
+        (operators/retrieval.bm25_topk) — the query-based curation
+        read ("pull the docs most about X"); queries =
+        [(query_id, query_text)]."""
+        from data_ingestion_challenge_spark.operators.retrieval import (
+            bm25_topk,
+        )
+        return bm25_topk(self.catalog.documents, queries, k=k)
+
     def chunk_corpus(self, chunk_tokens: int = 1024,
                      stride: int | None = None) -> DataFrame:
         """Overlapping fixed-size token windows over the documents

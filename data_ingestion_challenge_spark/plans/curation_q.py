@@ -10,7 +10,10 @@ registration of the operators built in round 5):
 - the two-level (coarse-quantized) IVF probe's recall gate
   (operators/similarity.ivf2_probe_assignments) — the 100 TB
   index-BUILD path, gated like ann_ivf_trained_topk (recall
-  threshold, not value-exact: the probe is approximate by design).
+  threshold, not value-exact: the probe is approximate by design);
+- BM25 lexical retrieval (operators/retrieval.py) — query-based
+  curation over the documents table, decimal-exact scoring so the
+  top-k rank is deterministic cross-engine.
 
 Each query is a thin registration shim — semantics, scale notes, and
 the oracle builders live with the operators; parity for the first six
@@ -33,6 +36,9 @@ from data_ingestion_challenge_spark.operators import curation as C
 from data_ingestion_challenge_spark.operators import similarity as S
 from data_ingestion_challenge_spark.operators.dedup import (
     incremental_verdict_oracle_sql,
+)
+from data_ingestion_challenge_spark.operators.retrieval import (
+    oracle_bm25_topk,
 )
 from data_ingestion_challenge_spark.plans.registry import query
 
@@ -196,3 +202,28 @@ def ivf2_keep_list_recall(cat: Catalog) -> DataFrame:
             .agg(F.count("*").alias("n_pairs_flat"),
                  (F.count("_hit") >= 0.6 * F.count("*"))
                  .alias("recall_ok")))
+
+
+# ------------------------------------------------------------ retrieval
+
+_BM25_QUERIES = [("q_join", "hash join merge"),
+                 ("q_scan", "scan filter batch"),
+                 ("q_cust", "customer order query")]
+
+
+@query(
+    "bm25_topk",
+    # Lexical retrieval for targeted curation: top-10 docs per fixed
+    # query by BM25 (Lucene idf variant).  Per-term contributions sum
+    # as DECIMAL(20,9) after a 1e-9 round (the msum() trick), so the
+    # rank (score DESC, doc_id) is exact and identical cross-engine.
+    oracle=oracle_bm25_topk("documents", _BM25_QUERIES, k=10),
+)
+def bm25_topk(cat: Catalog) -> DataFrame:
+    """One tokenize pass feeds tf/dl/df; query-side stats broadcast
+    to the corpus tf table; only docs containing ≥1 query term reach
+    scoring.  Linear at 100 TB — operators/retrieval.py."""
+    from data_ingestion_challenge_spark.operators.retrieval import (
+        bm25_topk as _bm25,
+    )
+    return _bm25(cat.documents, _BM25_QUERIES, k=10)

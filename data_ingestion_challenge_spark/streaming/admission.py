@@ -311,12 +311,16 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     very large corpus scale)."""
     from data_ingestion_challenge_spark.txn import TxnTable
 
+    # checkpoint_every: one commit per micro-batch means the log
+    # grows with stream lifetime; the cadence keeps the per-batch
+    # snapshot/last_txn replay O(16) instead of O(batches).
     table = TxnTable(spark, table_path, key="doc_id",
-                     n_buckets=n_buckets)
+                     n_buckets=n_buckets, checkpoint_every=16)
     if table.version() == 0:
         table = TxnTable.create(
             spark, table_path, spark.createDataFrame([], DOCS_SCHEMA),
             key="doc_id", n_buckets=n_buckets)
+        table.checkpoint_every = 16
 
     app = _APP if run_id is None else f"{_APP}:{run_id}"
 

@@ -78,11 +78,18 @@ class TxnTable:
     upsert (the update wins)."""
 
     def __init__(self, spark: SparkSession, path: str, key: str,
-                 n_buckets: int = 32):
+                 n_buckets: int = 32, checkpoint_every: int = 0):
         self.spark = spark
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
+        # > 0: after winning a commit whose version is a multiple of
+        # this, write a log checkpoint (Delta writes one every 10) —
+        # snapshot replay and txn-mark lookups then stay O(commits
+        # since checkpoint) on long-running streams instead of O(all
+        # history).  Commit records are KEPT (time travel intact);
+        # expire_log() remains an explicit maintenance call.
+        self.checkpoint_every = checkpoint_every
 
     # ------------------------------------------------------ creation
     @classmethod
@@ -487,6 +494,12 @@ class TxnTable:
             if _txn is not None:
                 record["txn"] = _txn
             if self._claim(next_v, record):
+                if (self.checkpoint_every
+                        and next_v % self.checkpoint_every == 0):
+                    try:
+                        self.checkpoint()
+                    except Exception:
+                        pass  # maintenance must never fail a commit
                 return next_v
             # Lost the claim: fold in the interleaved commits.
             new_v, new_active = self._snapshot()

@@ -451,3 +451,72 @@ def test_admission_lease_blocks_second_stream(spark, dirs, tmp_path):
         spark, dirs["watch"], dirs["table"], dirs["postings"],
         dirs["log"], dirs["ckpt"])
     assert {r.doc_id for r in table.read().collect()} == {1, 2}
+
+
+def test_fused_screen_equals_separate_pipelines(spark):
+    """_screen_pairs (one fused candidate+verify pass) must produce
+    EXACTLY the pairs of the two pipelines it replaced: the in-batch
+    PPJoin (ngram_jaccard_pairs on the batch alone) and the
+    vs-corpus incremental screen (incremental_jaccard_pairs) — on a
+    randomized corpus with planted near-dups, exact dups, short docs
+    and a same-id batch/corpus collision."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.operators.dedup import (
+        _postings, incremental_jaccard_pairs, ngram_jaccard_pairs,
+    )
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _screen_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    corpus_rows, batch_rows = [], []
+    for i in range(40):
+        corpus_rows.append((i, doc(rng.randint(8, 30))))
+    for j in range(40, 70):
+        base = rng.choice(corpus_rows)[1]
+        r = rng.random()
+        if r < 0.3:      # near/exact dup of a corpus doc
+            batch_rows.append((j, base + (" extra" if r < 0.15 else "")))
+        elif r < 0.45:   # short doc (< n words: no shingles)
+            batch_rows.append((j, "one two"))
+        else:
+            batch_rows.append((j, doc(rng.randint(8, 30))))
+    # intra-batch near-dup pair + same-id collision with the corpus
+    batch_rows.append((70, batch_rows[0][1] + " tail"))
+    batch_rows.append((0, corpus_rows[0][1]))  # same id AND same text
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    tau = 0.8
+    cp = _postings(corpus, 3)
+    bp = _postings(batch, 3)
+    try:
+        bs = bp.groupBy("doc_id").agg(F.count("*").alias("n"))
+        cs = cp.groupBy("doc_id").agg(F.count("*").alias("n"))
+        fused = _screen_pairs(bp, bs, cp.select("doc_id", "s"), cs,
+                              tau).collect()
+        got_batch = {(r.doc_id, r.corpus_doc_id, r.jaccard)
+                     for r in fused if not r._corp}
+        got_corpus = {(r.doc_id, r.corpus_doc_id, r.jaccard)
+                      for r in fused if r._corp}
+        want_batch = {(r.doc_a, r.doc_b, r.jaccard)
+                      for r in ngram_jaccard_pairs(
+                          batch, n=3, tau=tau, posting=bp).collect()}
+        want_corpus = {tuple(r) for r in incremental_jaccard_pairs(
+            batch, cp.select("doc_id", "s"), n=3, tau=tau,
+            sizes=cs, new_post=bp).collect()}
+    finally:
+        cp.unpersist()
+        bp.unpersist()
+    assert got_batch == want_batch and want_batch  # planted pair found
+    assert got_corpus == want_corpus and want_corpus
+    # the same-id same-text collision surfaces as a corpus self-match
+    assert (0, 0, 1.0) in got_corpus

@@ -217,3 +217,45 @@ def test_engine_check_all(spark):
                              "dedup_exact"]
     assert not out["failed"] and not out["skipped"]
     assert all(v["values_match"] for v in out["results"].values())
+
+
+def test_bm25_semantics_and_plan(spark):
+    """BM25 on a hand-checkable corpus: the doc with more query-term
+    occurrences (tf) ranks first; a doc with none never appears; and
+    the query-side stats reach the corpus tf table as a BROADCAST
+    join (the scale contract — no corpus-side shuffle on token)."""
+    from data_ingestion_challenge_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hash join hash join hash"),          # tf-heavy
+         (2, "hash join and a filter scan"),       # one each
+         (3, "sort spill window frame")],          # no query terms
+        "doc_id long, text string")
+    out = bm25_topk(docs, [("q", "hash join")], k=10)
+    rows = out.orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].bm25 > rows[1].bm25 > 0
+    assert [r.rank for r in rows] == [1, 2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_matches_oracle(spark, cat, duck):
+    from data_ingestion_challenge_spark.operators.retrieval import (
+        bm25_topk, oracle_bm25_topk,
+    )
+    qs = [("qa", "hash join merge"), ("qb", "scan filter batch")]
+    _compare(bm25_topk(cat.documents, qs, k=10), duck,
+             oracle_bm25_topk("documents", qs, k=10))
+
+
+def test_engine_retrieve(spark):
+    from data_ingestion_challenge_spark.api import Engine
+    eng = Engine(SF_DIR, spark=spark)
+    out = eng.retrieve([("q", "hash join")], k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == \
+        [1, 2, 3, 4, 5]

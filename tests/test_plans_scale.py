@@ -75,6 +75,7 @@ NON_EQUI_OK = {
     "range_join_value_bands",                        # 4-row band dim
     "customer_rfm_segments",                         # 1-row max-date scalar
     "tfidf_top_terms",                               # 1-row corpus-N scalar
+    "bm25_topk",                          # 1-row (N, avgdl) scalar
 }
 
 STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",

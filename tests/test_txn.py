@@ -584,3 +584,26 @@ def test_concurrent_expiry_mid_merge_is_retryable(spark, table):
     on_disk = set(os.listdir(os.path.join(table.path, "data")))
     referenced = {os.path.basename(f) for f in active}
     assert on_disk == referenced
+
+
+def test_auto_checkpoint_cadence(spark, tmp_path):
+    """checkpoint_every=N writes a log checkpoint after every Nth
+    committed version: snapshots and txn marks replay from it, time
+    travel below it still works (records are kept), and reads equal
+    the no-cadence table."""
+    from data_ingestion_challenge_spark.txn import _log_dir
+
+    base = spark.createDataFrame([(i, i) for i in range(10)],
+                                 "k long, v long")
+    t = TxnTable.create(spark, str(tmp_path / "auto"), base, key="k",
+                        n_buckets=4)
+    t.checkpoint_every = 3
+    for i in range(5):  # versions 2..6 → ckpts at v3 and v6
+        t.merge_into(spark.createDataFrame([(i, 100 + i)],
+                                           "k long, v long"))
+    names = set(os.listdir(_log_dir(t.path)))
+    assert "ckpt-v0000000003.json" in names
+    assert "ckpt-v0000000006.json" in names
+    got = {r.k: r.v for r in t.read().collect()}
+    assert all(got[i] == 100 + i for i in range(5))
+    assert (1, 1) in _rows(t.read(version=2))  # pre-ckpt time travel
