@@ -445,6 +445,7 @@ def main() -> None:
         # three points — the two-point fit below sf0.1 is overhead-
         # dominated (most exponents ≈ 0), this is the decade where
         # data cost starts to show.
+        big_dir = None
         try:
             import shutil
 
@@ -457,7 +458,6 @@ def main() -> None:
             sub = {k: v for k, v in bench_queries.items()
                    if k in _DOC_EMB_QUERIES}
             t10, _ = _time_suite(spark, sub, big_dir, n_runs=2)
-            shutil.rmtree(big_dir, ignore_errors=True)
             xs = [math.log10(sf_small), math.log10(sf),
                   math.log10(sf * 10)]
             for name, t_b in t10.items():
@@ -473,8 +473,18 @@ def main() -> None:
                 per_q[name]["t_10x_synth"] = t_b
                 per_q[name]["exponent3"] = round(slope, 2)
             scaling["sf_10x_synthetic"] = round(sf * 10, 4)
-        except Exception:
-            pass  # the 3rd point is evidence, never a bench killer
+        except Exception as exc:
+            # The 3rd point is evidence, never a bench killer — but
+            # a silent skip reads as "measured and fine": flag it on
+            # stderr (stdout stays the one JSON line).
+            print(f"bench: 10x scaling point skipped: {exc!r}",
+                  file=sys.stderr)
+        finally:
+            if big_dir is not None:
+                import shutil
+
+                # Multi-GB staging must not accumulate across runs.
+                shutil.rmtree(big_dir, ignore_errors=True)
 
     # ---- streaming ingest throughput -------------------------------
     try:

@@ -595,3 +595,179 @@ def incremental_verdict_oracle_sql(batch_pred: str, n: int = 3,
            best.jaccard
     FROM b LEFT JOIN best ON best.doc_id = b.doc_id AND best.r = 1
     """
+
+
+# ------------------------------------------------- LSH band planning
+
+def lsh_collision_prob(tau: float, bands: int, rows: int) -> float:
+    """S-curve: P(candidate | J = tau) = 1 − (1 − tau^rows)^bands —
+    the banded-LSH collision probability both the Spark plan and the
+    DuckDB oracle emit as the SAME Python-computed literal (no
+    cross-engine pow drift possible)."""
+    return round(1.0 - (1.0 - tau ** rows) ** bands, 6)
+
+
+def lsh_band_planner(documents: DataFrame | None = None, k: int = 16,
+                     bandings: tuple[int, ...] = (16, 8, 4, 2),
+                     taus: tuple[float, ...] = (0.5, 0.6, 0.7,
+                                                0.8, 0.9),
+                     n: int = 3,
+                     posting: DataFrame | None = None,
+                     sig: DataFrame | None = None) -> DataFrame:
+    """The LSH TUNING artifact: one row per candidate banding of a
+    k-hash MinHash signature — (bands, rows, n_candidates,
+    p_at_<tau>…) — combining the THEORETICAL S-curve (what collision
+    probability each banding gives at each jaccard level) with the
+    MEASURED candidate-pair count on the actual corpus signatures
+    (what each banding would cost to verify).  This is the table a
+    deployment reads before picking (bands, rows) for a 100 TB dedup
+    run: the S-curve bounds the false-negative rate at the target τ,
+    the measured count bounds the verify bill.
+
+    Scale shape: the signature table is ~100 B/doc (maintained via
+    Engine.materialize_signatures — pass ``sig=``); per banding the
+    candidate count is one explode + equi-self-join + distinct-count
+    over band keys, the identical join the production pipeline runs.
+    The |bandings| variants share one signature scan each; everything
+    is signature-sized, never corpus-sized."""
+    from functools import reduce
+
+    if sig is None:
+        if posting is None:
+            posting = _postings(documents, n)
+        sig = build_signatures(posting, k)
+    outs = []
+    for b in bandings:
+        if k % b:
+            raise ValueError(f"bands={b} does not divide k={k}")
+        r = k // b
+        band_cols = [
+            F.concat_ws(":", F.lit(str(i)),
+                        *[col(f"m{i * r + j}").cast("string")
+                          for j in range(r)])
+            for i in range(b)]
+        bandrows = sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bkey"))
+        cand = (bandrows.alias("x").join(bandrows.alias("y"), "bkey")
+                .where(col("x.doc_id") < col("y.doc_id"))
+                .select(col("x.doc_id").alias("a"),
+                        col("y.doc_id").alias("bb"))
+                .distinct())
+        row = cand.agg(F.count("*").alias("n_candidates")).select(
+            F.lit(b).alias("bands"), F.lit(r).alias("rows"),
+            col("n_candidates"),
+            *[F.lit(lsh_collision_prob(t, b, r))
+              .alias(f"p_at_{str(t).replace('.', '')}")
+              for t in taus])
+        outs.append(row)
+    return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+def lsh_band_planner_oracle_sql(sh_cte: str, mh_values: str,
+                                k: int = 16,
+                                bandings: tuple[int, ...] = (16, 8,
+                                                             4, 2),
+                                taus: tuple[float, ...] = (0.5, 0.6,
+                                                           0.7, 0.8,
+                                                           0.9),
+                                minhash_p: int | None = None) -> str:
+    """DuckDB twin: replays the md5-arithmetic signatures (the same
+    ``sh_cte``/``mh_values`` fragments the registered minhash oracle
+    uses), counts candidates per banding, and emits the IDENTICAL
+    Python-computed S-curve literals."""
+    p = minhash_p if minhash_p is not None else H.MINHASH_P
+    selects = []
+    for b in bandings:
+        r = k // b
+        # CAST: a bare decimal literal comes back as DECIMAL, which
+        # the driver's value compare treats as a distinct type from
+        # the Spark side's double.
+        pcols = ", ".join(
+            f"CAST({lsh_collision_prob(t, b, r)} AS DOUBLE) AS "
+            f"p_at_{str(t).replace('.', '')}" for t in taus)
+        selects.append(f"""
+        SELECT {b} AS bands, {r} AS rows,
+               (SELECT count(*) FROM (
+                   SELECT DISTINCT x.doc_id, y.doc_id
+                   FROM (SELECT doc_id, i // {r} AS bi,
+                                string_agg(m, ':' ORDER BY i) AS bkey
+                         FROM sig GROUP BY doc_id, i // {r}) x
+                   JOIN (SELECT doc_id, i // {r} AS bi,
+                                string_agg(m, ':' ORDER BY i) AS bkey
+                         FROM sig GROUP BY doc_id, i // {r}) y
+                     ON x.bi = y.bi AND x.bkey = y.bkey
+                    AND x.doc_id < y.doc_id)) AS n_candidates,
+               {pcols}""")
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH {sh_cte},
+    hs AS (SELECT doc_id, s,
+                  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+           FROM sh),
+    params(i, a, b) AS (VALUES {mh_values}),
+    sig AS (SELECT doc_id, p.i,
+                   min((p.a * h + p.b) % {p}) AS m
+            FROM hs CROSS JOIN params p GROUP BY doc_id, p.i)
+    {body}
+    """
+
+
+# --------------------------------------------- cross-doc boilerplate
+
+def boilerplate_sentences(documents: DataFrame,
+                          min_docs: int = 2,
+                          top: int = 50) -> DataFrame:
+    """Cross-document BOILERPLATE detector: '. '-split sentences (the
+    registered intra_doc_dedup / doc_sentences_udtf semantics —
+    empties dropped) that appear in ≥ ``min_docs`` DISTINCT docs,
+    ranked by spread — the removal list a C4-style cleaning pass
+    subtracts (nav bars, cookie banners, SSG footers).  Emits
+    (sentence, n_docs, n_occurrences, doc_share); top-``top`` by
+    (n_docs DESC, sentence ASC) for a deterministic artifact.
+
+    Distinct from intra_doc_dedup (WITHIN one doc) and
+    corpus_repeated_substrings (per-DOC char-gram ratio): this is the
+    corpus-level removal table itself.  One shuffle on the sentence
+    (map-side combined counts + distinct doc counts); the corpus-N
+    scalar rides a 1-row broadcast."""
+    sent = (documents
+            .select("doc_id",
+                    F.explode(F.split(col("text"), r"\. "))
+                    .alias("sentence"))
+            .where(col("sentence") != ""))
+    n_docs_total = documents.agg(
+        F.count("*").cast("double").alias("_nd"))
+    agg = (sent.groupBy("sentence")
+           .agg(F.countDistinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_occurrences"))
+           .where(col("n_docs") >= min_docs))
+    return (agg.crossJoin(F.broadcast(n_docs_total))
+            .select("sentence", "n_docs", "n_occurrences",
+                    F.round(col("n_docs") / col("_nd"), 4)
+                    .alias("doc_share"))
+            .orderBy(col("n_docs").desc(), "sentence")
+            .limit(top))
+
+
+def oracle_boilerplate_sentences(table: str = "documents",
+                                 min_docs: int = 2,
+                                 top: int = 50) -> str:
+    """DuckDB twin of boilerplate_sentences."""
+    return f"""
+    WITH sent AS (
+        SELECT doc_id, s AS sentence FROM (
+            SELECT doc_id, unnest(string_split(text, '. ')) AS s
+            FROM {table})
+        WHERE s <> ''
+    ),
+    agg AS (SELECT sentence,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM sent GROUP BY sentence
+            HAVING count(DISTINCT doc_id) >= {min_docs})
+    SELECT sentence, n_docs, n_occurrences,
+           round(n_docs / (SELECT count(*)::DOUBLE FROM {table}), 4)
+               AS doc_share
+    FROM agg
+    ORDER BY n_docs DESC, sentence LIMIT {top}
+    """

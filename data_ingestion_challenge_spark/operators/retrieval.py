@@ -43,6 +43,8 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]],
     whitespace-tokenized, duplicate terms deduped (binary query-term
     frequency — the common simplification).  idf is the Lucene
     variant ln(1 + (N − df + ½)/(df + ½)), non-negative for any df."""
+    if not queries:
+        raise ValueError("bm25_topk: queries must be non-empty")
     spark = docs.sparkSession
     tok = docs.select(
         "doc_id", F.explode(F.split(col("text"), " ")).alias("token"))
@@ -81,10 +83,19 @@ def oracle_bm25_topk(table: str, queries: list[tuple[str, str]],
                      k: int = 10, k1: float = K1,
                      b: float = B) -> str:
     """DuckDB twin of bm25_topk — same tokenization, same Lucene idf,
-    same decimal-exact contribution sum, same tie-break."""
+    same decimal-exact contribution sum, same tie-break.  Query ids
+    and terms are quote-escaped: natural-language terms contain
+    apostrophes, and an unescaped interpolation is both a syntax
+    error and an injection vector."""
+    if not queries:
+        raise ValueError("oracle_bm25_topk: queries must be non-empty")
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
     terms = sorted({(qid, t) for qid, q in queries
                     for t in q.split(" ")})
-    values = ", ".join(f"('{qid}', '{t}')" for qid, t in terms)
+    values = ", ".join(f"('{_q(qid)}', '{_q(t)}')" for qid, t in terms)
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
                             AS token

@@ -227,3 +227,82 @@ def bm25_topk(cat: Catalog) -> DataFrame:
         bm25_topk as _bm25,
     )
     return _bm25(cat.documents, _BM25_QUERIES, k=10)
+
+
+# ---------------------------------------------------- LSH band tuning
+
+@query(
+    "lsh_band_planner",
+    # One row per banding of the k=16 MinHash signature: measured
+    # candidate-pair count on the corpus + the S-curve collision
+    # probabilities as Python-computed literals (identical on both
+    # sides by construction — see operators/dedup.lsh_collision_prob).
+    oracle=None,  # set below: reuses llm.py's signature CTE fragments
+)
+def lsh_band_planner(cat: Catalog) -> DataFrame:
+    """The (bands, rows) tuning table a deployment reads before a
+    100 TB dedup run: S-curve false-negative bound at each τ plus the
+    measured verify bill per banding — signature-sized work
+    (operators/dedup.lsh_band_planner)."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        lsh_band_planner as _planner,
+    )
+    return _planner(cat.documents, k=16)
+
+
+def _set_planner_oracle() -> None:
+    """The oracle reuses the registered minhash oracle's shingle +
+    param CTE fragments (plans/llm.py) so the two can never drift;
+    imported lazily here to keep module import order flexible."""
+    from dataclasses import replace
+
+    from data_ingestion_challenge_spark.operators.dedup import (
+        lsh_band_planner_oracle_sql,
+    )
+    from data_ingestion_challenge_spark.plans.llm import (
+        _MH_VALUES, _SH_CTE,
+    )
+    from data_ingestion_challenge_spark.plans.registry import QUERIES
+    QUERIES["lsh_band_planner"] = replace(
+        QUERIES["lsh_band_planner"],
+        oracle=lsh_band_planner_oracle_sql(_SH_CTE, _MH_VALUES, k=16))
+
+
+_set_planner_oracle()
+
+
+# ------------------------------------------------ boilerplate removal
+
+# The synthetic corpus carries no sentence delimiters, so the gate
+# runs over a DERIVED snapshot with deterministically planted
+# banners (the snapshot_diff derivation convention): every doc_id%3
+# group gets its group's boilerplate sentence prefixed — the
+# detector must surface exactly those three, each at ~1/3 doc share,
+# at every SF.
+_BP_SQL = ("(SELECT doc_id, "
+           "'banner ' || (doc_id % 3)::VARCHAR || ' accept terms. ' "
+           "|| text AS text FROM documents)")
+
+
+@query(
+    "boilerplate_sentences",
+    oracle=__import__(
+        "data_ingestion_challenge_spark.operators.dedup",
+        fromlist=["oracle_boilerplate_sentences"],
+    ).oracle_boilerplate_sentences(_BP_SQL),
+)
+def boilerplate_sentences(cat: Catalog) -> DataFrame:
+    """Corpus-level boilerplate removal table: '. '-split sentences in
+    ≥2 distinct docs ranked by spread (C4-style cleaning subtracts
+    these).  One sentence shuffle, map-side combined; top-50
+    deterministic (operators/dedup.boilerplate_sentences)."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        boilerplate_sentences as _bp,
+    )
+    docs = cat.documents.select(
+        "doc_id",
+        F.concat(F.lit("banner "),
+                 (col("doc_id") % 3).cast("string"),
+                 F.lit(" accept terms. "),
+                 col("text")).alias("text"))
+    return _bp(docs)

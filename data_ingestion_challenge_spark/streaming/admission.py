@@ -69,10 +69,51 @@ def _acquire_admission_lease(postings_dir: str) -> str:
     this way, so multi-host deployments must route admission through
     one scheduler (the txn log still makes double-COMMITS impossible;
     the lease is about double-SCREENING).  Returns the lease path for
-    release_admission_lease()."""
+    release_admission_lease().
+
+    Steal protocol: the read-verify-unlink of a dead holder's lease
+    is serialized by a sibling ``.steal`` O_EXCL lock, and the pid is
+    RE-CHECKED inside it before the unlink — without that, two
+    stealers race (A unlinks, re-creates with its live pid; B's
+    queued unlink then deletes A's fresh lease) and BOTH acquire,
+    silently defeating the single-stream guarantee.  A holder that
+    died between creating the lease and writing its pid leaves an
+    unparsable file: treated as transient for 60 s (the write is ms
+    away from the create), stale after."""
+    import time as _time
+
     os.makedirs(postings_dir, exist_ok=True)
     lease = os.path.join(postings_dir, _LEASE)
-    for _ in range(3):
+    slock = lease + ".steal"
+
+    def _steal_if_still(dead_repr: str) -> None:
+        """Unlink the lease iff its content still reads dead_repr,
+        under the steal lock.  A steal lock abandoned by a crash
+        mid-steal (ms window) ages out after 30 s."""
+        try:
+            fd = os.open(slock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(slock) > 30:
+                    os.unlink(slock)
+            except OSError:
+                pass
+            return  # another stealer is mid-steal: retry the loop
+        try:
+            try:
+                with open(lease) as fh:
+                    if fh.read().strip() == dead_repr:
+                        os.unlink(lease)
+            except (FileNotFoundError, OSError):
+                pass
+        finally:
+            try:
+                os.unlink(slock)
+            except OSError:
+                pass
+
+    for _ in range(6):
         try:
             fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as fh:
@@ -81,9 +122,24 @@ def _acquire_admission_lease(postings_dir: str) -> str:
         except FileExistsError:
             try:
                 with open(lease) as fh:
-                    pid = int(fh.read().strip())
-            except (FileNotFoundError, ValueError):
-                continue  # holder mid-release or torn write: retry
+                    raw = fh.read().strip()
+                pid = int(raw)
+            except FileNotFoundError:
+                continue  # holder mid-release: retry
+            except ValueError:
+                # Unparsable: holder died between create and write,
+                # or we read mid-write.  Fresh → transient; old →
+                # dead holder's torn lease, steal whatever content
+                # it has.
+                try:
+                    age = _time.time() - os.path.getmtime(lease)
+                except OSError:
+                    continue
+                if age > 60:
+                    _steal_if_still(raw)
+                else:
+                    _time.sleep(0.2)
+                continue
             alive = True
             try:
                 os.kill(pid, 0)
@@ -99,12 +155,7 @@ def _acquire_admission_lease(postings_dir: str) -> str:
                     f"and could both admit copies of a duplicate.  "
                     f"If the holder crashed on another host, remove "
                     f"{lease} by hand.")
-            # Dead holder: steal.  Two stealers race on the unlink +
-            # O_EXCL; the loser loops and sees the winner alive.
-            try:
-                os.unlink(lease)
-            except FileNotFoundError:
-                pass
+            _steal_if_still(raw)
     raise ConcurrentAdmissionError(
         f"{postings_dir}: could not acquire the admission lease "
         f"(persistent contention)")
@@ -308,7 +359,12 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     batch-bounded (the corpus is only touched through pruned
     bucket-equi-joins against batch-sized sets).  Pass True when the
     corpus side needs runtime skew handling (very hot shingles at
-    very large corpus scale)."""
+    very large corpus scale).  CAVEAT: spark.conf is SESSION-scoped,
+    so unrelated queries planned on this SparkSession from other
+    threads during a micro-batch also plan with AQE off for that
+    window — run the admission driver on its own SparkSession (the
+    deployment shape) or pass adaptive=True when sharing one with
+    concurrent analytical work."""
     from data_ingestion_challenge_spark.txn import TxnTable
 
     # checkpoint_every: one commit per micro-batch means the log
@@ -396,9 +452,20 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # until compaction produces a covered store).  Corpus
             # sizes must be FULL counts either way — a pruned
             # aggregate would undercount |B| and inflate jaccard.
-            if (sizes_dir is not None
+            # The store must also be NON-EMPTY: on the replay of a
+            # first-ever batch that crashed after its posting write
+            # but before its sizes write, the needed-tag set is
+            # empty ({own tag} − {own tag} ⊆ ∅ holds) while
+            # sizes_dir may not even exist — reading it would raise
+            # PATH_NOT_FOUND on every retry, permanently wedging the
+            # stream.  An empty/absent store falls back to the raw
+            # aggregation (itself empty-correct when the only
+            # partition is the excluded own tag).
+            sizes_tags = (_batch_tags(sizes_dir)
+                          if sizes_dir is not None else set())
+            if (sizes_tags
                     and _batch_tags(postings_dir) - {tag}
-                    <= _batch_tags(sizes_dir)):
+                    <= sizes_tags):
                 corpus_sizes = (spark.read
                                 .option("basePath", sizes_dir)
                                 .parquet(sizes_dir)

@@ -568,7 +568,15 @@ class TxnTable:
         ckpt = self._latest_checkpoint(self.version())
         if ckpt is None:
             return 0
-        if not ckpt[4] or ckpt[3] is None:
+        # Rewrite ONLY when the marks are missing: a vintage table
+        # whose schema was never recorded anywhere keeps schema=None
+        # even after a rewrite, and gating on it would re-run the
+        # record-reading rebuild on every later expire_log — which
+        # crashes once the records it reads are themselves expired.
+        # Schema is harvested opportunistically inside the same
+        # rewrite; a marks-carrying schema-less checkpoint expires
+        # fine (the vintage empty-read trade, documented in read()).
+        if not ckpt[4]:
             self._rewrite_checkpoint_with_marks(ckpt)
         n = 0
         for v in range(1, ckpt[0] + 1):

@@ -520,3 +520,60 @@ def test_fused_screen_equals_separate_pipelines(spark):
     assert got_corpus == want_corpus and want_corpus
     # the same-id same-text collision surfaces as a corpus self-match
     assert (0, 0, 1.0) in got_corpus
+
+
+def test_stale_empty_lease_ages_out(spark, dirs):
+    """A lease left EMPTY by a holder that died between create and
+    pid-write: treated as transient while fresh (another stream
+    raises), stolen once older than the 60 s write window."""
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _LEASE, ConcurrentAdmissionError, _acquire_admission_lease,
+        release_admission_lease,
+    )
+
+    os.makedirs(dirs["postings"], exist_ok=True)
+    lease = os.path.join(dirs["postings"], _LEASE)
+    open(lease, "w").close()  # torn: exists, no pid
+    with pytest.raises(ConcurrentAdmissionError,
+                       match="persistent contention"):
+        _acquire_admission_lease(dirs["postings"])
+    # Age it past the torn-write window: now stolen.
+    old = os.path.getmtime(lease) - 120
+    os.utime(lease, (old, old))
+    got = _acquire_admission_lease(dirs["postings"])
+    assert got == lease
+    with open(lease) as fh:
+        assert int(fh.read()) == os.getpid()
+    release_admission_lease(got)
+
+
+def test_replay_with_missing_sizes_store_not_wedged(spark, dirs,
+                                                    tmp_path):
+    """Crash window: batch 0 wrote its postings but died before the
+    sizes write and the commit.  The replay sees a posting store
+    whose ONLY tag is its own and a sizes_dir that does not exist —
+    it must fall back (not read the absent store) and admit."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.operators.dedup import _postings
+    from data_ingestion_challenge_spark.streaming.admission import (
+        N_SHINGLE_BUCKETS, store_bucket_mod,
+    )
+
+    sizes_dir = str(tmp_path / "sizes_never_created")
+    mod = store_bucket_mod(dirs["postings"]) or N_SHINGLE_BUCKETS
+    crashed = spark.createDataFrame([(5, LONG_A, "en", "web")],
+                                    DOCS_SCHEMA)
+    p = _postings(crashed, 3)
+    (p.withColumn("s_bucket", F.pmod(F.hash("s"), F.lit(mod)))
+     .write.mode("overwrite").partitionBy("s_bucket")
+     .parquet(os.path.join(dirs["postings"], "ingest_batch=0")))
+    p.unpersist()
+    assert not os.path.exists(sizes_dir)
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"],
+        sizes_dir=sizes_dir)
+    admit(crashed, 0)  # the replay — must not raise
+    assert {r.doc_id for r in table.read().collect()} == {5}
+    # and the sizes store exists now (written by the replay)
+    assert os.path.isdir(os.path.join(sizes_dir, "ingest_batch=0"))

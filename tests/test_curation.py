@@ -259,3 +259,28 @@ def test_engine_retrieve(spark):
     assert len(rows) == 5
     assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == \
         [1, 2, 3, 4, 5]
+
+
+def test_bm25_oracle_escapes_quotes(spark, duck):
+    """Query terms with apostrophes must render as valid SQL (and
+    match the Spark side) — unescaped interpolation was both a parse
+    error and an injection vector."""
+    from data_ingestion_challenge_spark.operators.retrieval import (
+        bm25_topk, oracle_bm25_topk,
+    )
+    docs = spark.createDataFrame(
+        [(1, "don't stop the hash join"), (2, "plain scan filter")],
+        "doc_id long, text string")
+    duck.sql("CREATE OR REPLACE VIEW esc_docs AS "
+             "SELECT 1::BIGINT AS doc_id, "
+             "'don''t stop the hash join' AS text "
+             "UNION ALL SELECT 2, 'plain scan filter'")
+    qs = [("q'1", "don't hash")]
+    sql = oracle_bm25_topk("esc_docs", qs, k=5)
+    drows = sorted(tuple(r) for r in duck.sql(sql).fetchall())
+    srows = sorted(tuple(r) for r in bm25_topk(docs, qs, k=5).collect())
+    assert srows == drows and len(srows) == 1
+    assert srows[0][1] == 1  # doc 1 matches both terms
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, [])

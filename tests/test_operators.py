@@ -554,3 +554,73 @@ def test_ivf2_duplicate_seed_centroids(spark):
     per_vec = (asg.groupBy("vec_id").count().toPandas())
     assert len(per_vec) == n
     assert (per_vec["count"] == 2).all()
+
+
+def test_lsh_band_planner_matches_oracle(spark, cat):
+    """r7 registration candidate: the banding tuner's measured
+    candidate counts + Python-literal S-curve vs the DuckDB replay of
+    the identical md5-arithmetic signatures."""
+    import duckdb
+
+    from data_ingestion_challenge_spark.operators import dedup as D
+    from data_ingestion_challenge_spark.plans.llm import (
+        _MH_VALUES, _SH_CTE,
+    )
+    from tests.conftest import SF_DIR
+
+    got = sorted(tuple(r) for r in
+                 D.lsh_band_planner(cat.documents, k=16, n=3).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(
+        D.lsh_band_planner_oracle_sql(_SH_CTE, _MH_VALUES,
+                                      k=16)).fetchall())
+    assert got == want and len(got) == 4
+    # sanity: more bands (shorter rows) => more candidates, higher
+    # collision probability at every tau
+    by_bands = {r[0]: r for r in got}
+    assert by_bands[16][2] >= by_bands[8][2] >= by_bands[4][2] \
+        >= by_bands[2][2]
+    assert by_bands[16][3] >= by_bands[2][3]  # p_at_05
+
+
+def test_lsh_band_planner_bad_banding_raises(spark, cat):
+    import pytest
+
+    from data_ingestion_challenge_spark.operators import dedup as D
+    with pytest.raises(ValueError, match="does not divide"):
+        D.lsh_band_planner(cat.documents, k=16, bandings=(3,))
+
+
+def test_boilerplate_sentences_matches_oracle(spark, cat):
+    import duckdb
+
+    from data_ingestion_challenge_spark.operators import dedup as D
+    from tests.conftest import SF_DIR
+
+    sdf = D.boilerplate_sentences(cat.documents)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    got = sorted(tuple(r) for r in sdf.collect())
+    want = sorted(tuple(r) for r in con.sql(
+        D.oracle_boilerplate_sentences("documents")).fetchall())
+    assert got == want
+
+
+def test_boilerplate_sentences_semantics(spark):
+    from data_ingestion_challenge_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "cookie banner. unique alpha"),
+         (2, "cookie banner. unique beta"),
+         (3, "cookie banner. cookie banner. unique gamma"),
+         (4, "nothing shared here")],
+        "doc_id long, text string")
+    rows = {r.sentence: r for r in
+            D.boilerplate_sentences(docs).collect()}
+    assert set(rows) == {"cookie banner"}
+    r = rows["cookie banner"]
+    assert r.n_docs == 3 and r.n_occurrences == 4
+    assert r.doc_share == 0.75

@@ -607,3 +607,33 @@ def test_auto_checkpoint_cadence(spark, tmp_path):
     got = {r.k: r.v for r in t.read().collect()}
     assert all(got[i] == 100 + i for i in range(5))
     assert (1, 1) in _rows(t.read(version=2))  # pre-ckpt time travel
+
+
+def test_expire_log_vintage_schemaless_table(spark, table):
+    """A table whose checkpoints carry marks but NO schema (vintage:
+    schema was never recorded anywhere) must expire repeatedly —
+    the rewrite only triggers on missing MARKS, so routine
+    maintenance never rereads already-expired records."""
+    import json as _json
+
+    from data_ingestion_challenge_spark.txn import _log_dir
+
+    def strip_schema(ck):
+        p = os.path.join(_log_dir(table.path),
+                         f"ckpt-v{ck:010d}.json")
+        with open(p) as fh:
+            d = _json.load(fh)
+        d.pop("schema", None)
+        with open(p, "w") as fh:
+            _json.dump(d, fh)
+
+    table.merge_into(spark.createDataFrame([(5, 1)], "k long, v long"))
+    ck = table.checkpoint()
+    strip_schema(ck)
+    assert table.expire_log() > 0           # first expiry: fine
+    table.merge_into(spark.createDataFrame([(6, 2)], "k long, v long"))
+    ck2 = table.checkpoint()
+    strip_schema(ck2)
+    assert table.expire_log() > 0           # second: must NOT refuse
+    got = _rows(table.read())
+    assert (5, 1) in got and (6, 2) in got
