@@ -390,6 +390,29 @@ class Engine:
         )
         return ngram_novelty(self.catalog.documents, n)
 
+    def recommend_banding(self, target_tau: float = 0.8,
+                          max_fn_rate: float = 0.05,
+                          k: int = 16) -> dict:
+        """Pick the CHEAPEST MinHash-LSH banding of a k-hash
+        signature whose S-curve collision probability at
+        ``target_tau`` is ≥ 1 − ``max_fn_rate`` (the false-negative
+        budget).  Fewer bands ⇒ longer rows ⇒ fewer candidate pairs
+        to verify, so the first satisfying banding in ascending-bands
+        order is the cost-optimal one; pure driver-side math over the
+        same lsh_collision_prob the registered lsh_band_planner
+        emits.  Raises if no banding of this k meets the budget
+        (raise k)."""
+        from data_ingestion_challenge_spark.operators.dedup import (
+            lsh_collision_prob,
+        )
+        for b in sorted(d for d in range(1, k + 1) if k % d == 0):
+            p = lsh_collision_prob(target_tau, b, k // b)
+            if p >= 1 - max_fn_rate:
+                return {"bands": b, "rows": k // b, "p_collision": p}
+        raise ValueError(
+            f"no banding of k={k} reaches p ≥ {1 - max_fn_rate} at "
+            f"tau={target_tau}; increase k")
+
     def retrieve(self, queries: list[tuple[str, str]],
                  k: int = 10) -> DataFrame:
         """BM25 top-k docs per query over the documents table

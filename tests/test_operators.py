@@ -624,3 +624,29 @@ def test_boilerplate_sentences_semantics(spark):
     r = rows["cookie banner"]
     assert r.n_docs == 3 and r.n_occurrences == 4
     assert r.doc_share == 0.75
+
+
+def test_recommend_banding(spark):
+    """Cost-optimal banding: the fewest-bands option meeting the
+    false-negative budget, consistent with the S-curve the planner
+    emits; an unreachable budget raises with the raise-k hint."""
+    import pytest
+
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.operators.dedup import (
+        lsh_collision_prob,
+    )
+    from tests.conftest import SF_DIR
+
+    eng = Engine(SF_DIR, spark=spark)
+    rec = eng.recommend_banding(target_tau=0.8, max_fn_rate=0.35,
+                                k=16)
+    assert rec["bands"] * rec["rows"] == 16
+    assert rec["p_collision"] >= 0.65
+    # optimality: every smaller-bands divisor fails the budget
+    for b in range(1, rec["bands"]):
+        if 16 % b == 0:
+            assert lsh_collision_prob(0.8, b, 16 // b) < 0.65
+    with pytest.raises(ValueError, match="increase k"):
+        eng.recommend_banding(target_tau=0.2, max_fn_rate=0.0001,
+                              k=16)

@@ -76,6 +76,7 @@ NON_EQUI_OK = {
     "customer_rfm_segments",                         # 1-row max-date scalar
     "tfidf_top_terms",                               # 1-row corpus-N scalar
     "bm25_topk",                          # 1-row (N, avgdl) scalar
+    "boilerplate_sentences",              # 1-row corpus-N scalar
 }
 
 STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",
