@@ -23,11 +23,11 @@ Round-5 additions:
   per-batch cost amortizes): ~23 docs/s at sf0.01, ~144 at sf0.1.
 Round-6 additions:
 - the "scaling" block gains a THIRD point one decade UP: a synthetic
-  structure-preserving 10× documents/embeddings staging (replica-
-  salted vocab, circularly-shifted vectors — workload scales
+  structure-preserving 10× staging of EVERY table (replica-salted
+  doc vocab, circularly-shifted vectors, key-offset join-closed
+  TPC-H/events replicas, shared nation/region dims — workload scales
   linearly by construction, so an exponent jump is a plan problem);
-  "exponent3" is the 3-point least-squares slope for the
-  doc/embedding queries.
+  "exponent3" is the 3-point least-squares slope, whole suite.
 - "ivf_probe_crossover": flat vs two-level IVF probe wall time at
   nlist ∈ {64, 256, 1024} — the measured constant-factor story
   behind similarity.ivf2_probe_assignments.
@@ -140,29 +140,45 @@ def _bench_queries(spark):
 
 
 def _stage_sf10x(spark, sf_dir: str):
-    """Stage a SYNTHETIC 10× corpus (documents + embeddings only)
-    derived from sf_dir, for the third scaling point — the r5 verdict
-    asked for a decade above sf0.1, and the driver provides no sf1.
+    """Stage a SYNTHETIC 10× snapshot of EVERY table derived from
+    sf_dir, for the third scaling point — the r5 verdict asked for a
+    decade above sf0.1, and the driver provides no sf1.
 
     Construction preserves workload STRUCTURE while scaling it
     linearly (so a measured exponent > 1 means a real plan problem,
-    not a construction artifact): replica 0 is the original; replica
-    k > 0 suffixes every token with a replica tag (disjoint vocab →
-    intra-replica shingle/dup structure identical to the original,
-    zero cross-replica overlap — exact-dup group count measured to
-    scale exactly ×10) and circularly shifts embeddings by k
-    positions (norms and intra-replica geometry preserved,
-    cross-replica cosines decorrelated).  Returns the staged dir."""
+    not a construction artifact), replica 0 being the original:
+
+    - documents: replica k suffixes every token with a replica tag
+      (disjoint vocab → intra-replica shingle/dup structure identical
+      to the original, zero cross-replica overlap — exact-dup group
+      count measured to scale exactly ×10);
+    - embeddings: replica k circularly shifts vectors by k positions
+      (norms and intra-replica geometry preserved, cross-replica
+      cosines decorrelated);
+    - events: replica k offsets event_id/user_id — ×10 users, each
+      with the original's per-user history (rollups, sessions and
+      distinct counts scale linearly; the time axis is left alone);
+    - TPC-H facts/dims: every synthetic KEY (order/part/supp/cust)
+      offsets by the same replica stride on BOTH sides of each join,
+      so replicas are join-closed; nation/region stay shared dims —
+      per-nation/region shares are preserved, volumes ×10.
+
+    Returns the staged dir."""
+    import shutil as _sh
     import tempfile
 
     from pyspark.sql import functions as F
 
+    OFF = 10_000_000
     out = tempfile.mkdtemp(prefix="bench_sf10x_")
     reps = spark.range(10).select(F.col("id").cast("int").alias("_k"))
+
+    def _off(c):
+        return (F.col(c) + F.col("_k").cast("long") * OFF).alias(c)
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     (docs.crossJoin(reps)
-     .select((F.col("doc_id") + F.col("_k") * F.lit(10_000_000))
-             .alias("doc_id"),
+     .select(_off("doc_id"),
              F.when(F.col("_k") == 0, F.col("text")).otherwise(
                  F.array_join(F.expr(
                      "transform(split(text, ' '), "
@@ -174,8 +190,7 @@ def _stage_sf10x(spark, sf_dir: str):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     d = len(emb.select("embedding").head()[0])
     (emb.crossJoin(reps)
-     .select((F.col("vec_id") + F.col("_k") * F.lit(10_000_000))
-             .alias("vec_id"),
+     .select(_off("vec_id"),
              F.when(F.col("_k") == 0, F.col("embedding")).otherwise(
                  F.expr(f"concat(slice(embedding, _k+1, {d}-_k), "
                         f"slice(embedding, 1, _k))")).alias("embedding"),
@@ -183,16 +198,29 @@ def _stage_sf10x(spark, sf_dir: str):
      .repartition(8)
      .write.mode("overwrite")
      .parquet(os.path.join(out, "embeddings.parquet")))
+
+    keyed = {
+        "events": ("event_id", "user_id"),
+        "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+        "orders": ("o_orderkey", "o_custkey"),
+        "customer": ("c_custkey",),
+        "supplier": ("s_suppkey",),
+        "part": ("p_partkey",),
+    }
+    for t, keys in keyed.items():
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        cols = [_off(c) if c in keys else c for c in df.columns]
+        (df.crossJoin(reps).select(*cols).repartition(16)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out, f"{t}.parquet")))
+    for t in ("nation", "region"):  # shared dims: verbatim copy
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.isdir(src):
+            _sh.copytree(src, dst)
+        else:
+            _sh.copy(src, dst)
     return out
-
-
-# Bench queries that read ONLY documents/embeddings — the subset the
-# synthetic 10× dir can serve (events/TPC-H tables are not staged).
-_DOC_EMB_QUERIES = (
-    "decontaminate_overlap", "dedup_keep_list", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "ann_bruteforce_topk", "token_counts",
-    "ann_pq_topk",
-)
 
 
 def _ivf_probe_crossover(spark, sf_dir: str):
@@ -437,14 +465,14 @@ def main() -> None:
             per_q[name] = {"t_small": ts, "t_big": tb, "exponent": exp}
         scaling = {"sf_small": sf_small, "sf_big": sf, "queries": per_q}
 
-        # Third point, one decade UP: synthetic 10× documents/
-        # embeddings (see _stage_sf10x — structure-preserving, so an
-        # exponent jump is a plan problem, not an artifact).  Only
-        # the doc/embedding queries run there; the exponent3 is the
-        # least-squares slope of log10(t) over log10(sf) across all
-        # three points — the two-point fit below sf0.1 is overhead-
-        # dominated (most exponents ≈ 0), this is the decade where
-        # data cost starts to show.
+        # Third point, one decade UP: a synthetic 10× staging of
+        # EVERY table (see _stage_sf10x — structure-preserving, so
+        # an exponent jump is a plan problem, not an artifact).  The
+        # WHOLE suite runs there; exponent3 is the least-squares
+        # slope of log10(t) over log10(sf) across all three points —
+        # the two-point fit below sf0.1 is overhead-dominated (most
+        # exponents ≈ 0), this is the decade where data cost starts
+        # to show.
         big_dir = None
         try:
             import shutil
@@ -455,9 +483,8 @@ def main() -> None:
                 _ivf_for(spark, big_dir)
             except Exception:
                 pass
-            sub = {k: v for k, v in bench_queries.items()
-                   if k in _DOC_EMB_QUERIES}
-            t10, _ = _time_suite(spark, sub, big_dir, n_runs=2)
+            t10, _ = _time_suite(spark, bench_queries, big_dir,
+                                 n_runs=2)
             xs = [math.log10(sf_small), math.log10(sf),
                   math.log10(sf * 10)]
             for name, t_b in t10.items():
