@@ -678,6 +678,11 @@ def lsh_band_planner_oracle_sql(sh_cte: str, mh_values: str,
     p = minhash_p if minhash_p is not None else H.MINHASH_P
     selects = []
     for b in bandings:
+        if k % b:
+            # Mirror the Spark side: floor division would silently
+            # build a DIFFERENT band structure and the two engines
+            # would disagree without a clear error.
+            raise ValueError(f"bands={b} does not divide k={k}")
         r = k // b
         # CAST: a bare decimal literal comes back as DECIMAL, which
         # the driver's value compare treats as a distinct type from

@@ -45,16 +45,23 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]],
     variant ln(1 + (N − df + ½)/(df + ½)), non-negative for any df."""
     if not queries:
         raise ValueError("bm25_topk: queries must be non-empty")
+    blank = [qid for qid, q in queries if not q.split()]
+    if blank:
+        raise ValueError(f"bm25_topk: blank query text for {blank}")
     spark = docs.sparkSession
-    tok = docs.select(
+    # Empty tokens (consecutive/leading spaces) are dropped: they
+    # would inflate dl and make '' a scorable term.
+    tok = (docs.select(
         "doc_id", F.explode(F.split(col("text"), " ")).alias("token"))
+        .where(col("token") != ""))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").cast("double").alias("N"),
                    F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     qt = spark.createDataFrame(
-        sorted({(qid, t) for qid, q in queries for t in q.split(" ")}),
+        sorted({(qid, t) for qid, q in queries
+                for t in q.split(" ") if t}),
         "query_id string, token string")
     # (df, token) stats restricted to query terms FIRST — the result
     # is query-sized, so the corpus-side tf join is a broadcast.
@@ -89,17 +96,22 @@ def oracle_bm25_topk(table: str, queries: list[tuple[str, str]],
     error and an injection vector."""
     if not queries:
         raise ValueError("oracle_bm25_topk: queries must be non-empty")
+    blank = [qid for qid, q in queries if not q.split()]
+    if blank:
+        raise ValueError(
+            f"oracle_bm25_topk: blank query text for {blank}")
 
     def _q(s: str) -> str:
         return s.replace("'", "''")
 
     terms = sorted({(qid, t) for qid, q in queries
-                    for t in q.split(" ")})
+                    for t in q.split(" ") if t})
     values = ", ".join(f"('{_q(qid)}', '{_q(t)}')" for qid, t in terms)
     return f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
-                            AS token
-                 FROM {table}),
+    WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' '))
+                             AS token
+                  FROM {table}),
+    tok AS (SELECT doc_id, token FROM tok0 WHERE token <> ''),
     tf AS (SELECT doc_id, token, count(*) AS tf
            FROM tok GROUP BY doc_id, token),
     dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),

@@ -125,7 +125,12 @@ def _acquire_admission_lease(postings_dir: str) -> str:
                     raw = fh.read().strip()
                 pid = int(raw)
             except FileNotFoundError:
-                continue  # holder mid-release: retry
+                # Holder mid-release: the unlink-then-reacquire window
+                # is milliseconds, but without a sleep 6 retries can
+                # burn through it and raise "persistent contention"
+                # spuriously.
+                _time.sleep(0.1)
+                continue
             except ValueError:
                 # Unparsable: holder died between create and write,
                 # or we read mid-write.  Fresh → transient; old →
@@ -137,6 +142,10 @@ def _acquire_admission_lease(postings_dir: str) -> str:
                     continue
                 if age > 60:
                     _steal_if_still(raw)
+                    # If the steal lock was contended the lease may
+                    # still exist; pace the retry like the other
+                    # transient paths.
+                    _time.sleep(0.1)
                 else:
                     _time.sleep(0.2)
                 continue
@@ -156,15 +165,24 @@ def _acquire_admission_lease(postings_dir: str) -> str:
                     f"If the holder crashed on another host, remove "
                     f"{lease} by hand.")
             _steal_if_still(raw)
+            _time.sleep(0.1)  # steal-lock contention: pace the retry
     raise ConcurrentAdmissionError(
         f"{postings_dir}: could not acquire the admission lease "
         f"(persistent contention)")
 
 
 def release_admission_lease(lease: str) -> None:
+    """Release only a lease WE hold: after a manual lease removal
+    plus a second stream's acquisition, an unconditional unlink here
+    would delete the second stream's LIVE lease on our exit and
+    silently re-open the double-screen window — so the content is
+    checked against our pid first."""
     try:
+        with open(lease) as fh:
+            if fh.read().strip() != str(os.getpid()):
+                return
         os.unlink(lease)
-    except FileNotFoundError:
+    except (FileNotFoundError, OSError):
         pass
 
 

@@ -547,6 +547,29 @@ def test_stale_empty_lease_ages_out(spark, dirs):
     release_admission_lease(got)
 
 
+def test_release_only_unlinks_own_lease(spark, dirs):
+    """release_admission_lease must be ownership-checked: after a
+    manual lease removal plus a second stream's acquisition, the
+    first stream's exit must NOT delete the second stream's live
+    lease (that would silently re-open the double-screen window)."""
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _LEASE, _acquire_admission_lease, release_admission_lease,
+    )
+
+    os.makedirs(dirs["postings"], exist_ok=True)
+    lease = os.path.join(dirs["postings"], _LEASE)
+    # Another live stream's lease (pid != ours): release is a no-op.
+    with open(lease, "w") as fh:
+        fh.write(str(os.getpid() + 1))
+    release_admission_lease(lease)
+    assert os.path.exists(lease)
+    os.unlink(lease)
+    # Our own lease: release removes it.
+    got = _acquire_admission_lease(dirs["postings"])
+    release_admission_lease(got)
+    assert not os.path.exists(lease)
+
+
 def test_replay_with_missing_sizes_store_not_wedged(spark, dirs,
                                                     tmp_path):
     """Crash window: batch 0 wrote its postings but died before the

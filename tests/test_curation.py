@@ -284,3 +284,35 @@ def test_bm25_oracle_escapes_quotes(spark, duck):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         bm25_topk(docs, [])
+
+
+def test_bm25_drops_empty_tokens(spark, duck):
+    """Messy whitespace: consecutive/leading spaces must not inflate
+    doc length or introduce a scorable '' term, on BOTH engines; a
+    blank query text is rejected outright."""
+    from data_ingestion_challenge_spark.operators.retrieval import (
+        bm25_topk, oracle_bm25_topk,
+    )
+    docs = spark.createDataFrame(
+        [(1, "  hash  join   hash"), (2, "hash join")],
+        "doc_id long, text string")
+    clean = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "hash join")],
+        "doc_id long, text string")
+    qs = [("q", "hash  join ")]
+    got = sorted(tuple(r) for r in bm25_topk(docs, qs, k=5).collect())
+    want = sorted(tuple(r) for r in
+                  bm25_topk(clean, [("q", "hash join")], k=5).collect())
+    assert got == want and len(got) == 2
+    duck.sql("CREATE OR REPLACE VIEW messy_docs AS "
+             "SELECT 1::BIGINT AS doc_id, "
+             "'  hash  join   hash' AS text "
+             "UNION ALL SELECT 2, 'hash join'")
+    drows = sorted(tuple(r) for r in duck.sql(
+        oracle_bm25_topk("messy_docs", qs, k=5)).fetchall())
+    assert drows == got
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="blank"):
+        bm25_topk(docs, [("q", "   ")])
+    with _pytest.raises(ValueError, match="blank"):
+        oracle_bm25_topk("messy_docs", [("q", " ")])

@@ -591,6 +591,12 @@ def test_lsh_band_planner_bad_banding_raises(spark, cat):
     from data_ingestion_challenge_spark.operators import dedup as D
     with pytest.raises(ValueError, match="does not divide"):
         D.lsh_band_planner(cat.documents, k=16, bandings=(3,))
+    # The oracle twin mirrors the check — floor division would build
+    # a silently DIFFERENT band structure and the engines would
+    # disagree without a clear error.
+    with pytest.raises(ValueError, match="does not divide"):
+        D.lsh_band_planner_oracle_sql("sh AS (SELECT 1)", "(0, 1, 1)",
+                                      k=16, bandings=(3,))
 
 
 def test_boilerplate_sentences_matches_oracle(spark, cat):
