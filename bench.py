@@ -21,6 +21,12 @@ Round-5 additions:
   two jsonl drops — the reference's ingestion loop with dedup
   screening as one headline rate.  Throughput RISES with SF (fixed
   per-batch cost amortizes): ~23 docs/s at sf0.01, ~144 at sf0.1.
+Round-7 additions:
+- "admission_compact_s": wall time of compact_store_in_place folding
+  the two committed batch increments (postings + sizes) into the
+  ingest_batch=-1 base IN PLACE after the timed drains — the
+  compact_every maintenance cadence priced separately so docs/s stays
+  like-for-like across rounds.
 Round-6 additions:
 - the "scaling" block gains a THIRD point one decade UP: a synthetic
   structure-preserving 10× staging of EVERY table (replica-salted
@@ -401,8 +407,20 @@ def _admission_ingest(spark, sf_dir: str):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         admitted = table.read().count()
+        # Maintenance cost, measured separately so docs/s stays
+        # like-for-like across rounds: fold the two committed batch
+        # increments into the base IN PLACE (the compact_every path)
+        # and report the fold's wall time.
+        from data_ingestion_challenge_spark.streaming.admission import (
+            compact_store_in_place,
+        )
+        t2 = time.perf_counter()
+        n_folded = compact_store_in_place(
+            spark, dirs["postings"], table, sizes_dir=dirs["sizes"])
+        compact_s = time.perf_counter() - t2
         return (round(n_docs / elapsed, 1) if elapsed > 0 else None,
-                round(admitted / n_docs, 4) if n_docs else None)
+                round(admitted / n_docs, 4) if n_docs else None,
+                round(compact_s, 3) if n_folded else None)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -521,9 +539,10 @@ def main() -> None:
         ingest_rps = ingest_p50_ms = n_batches = None
 
     try:
-        admission_dps, admission_kept = _admission_ingest(spark, sf_dir)
+        admission_dps, admission_kept, admission_compact_s = \
+            _admission_ingest(spark, sf_dir)
     except Exception:
-        admission_dps = admission_kept = None
+        admission_dps = admission_kept = admission_compact_s = None
 
     try:
         probe_xover = _ivf_probe_crossover(spark, sf_dir)
@@ -546,6 +565,7 @@ def main() -> None:
         "streaming_ingest_n_batches": n_batches,
         "admission_docs_per_sec": admission_dps,
         "admission_kept_fraction": admission_kept,
+        "admission_compact_s": admission_compact_s,
         "ivf_probe_crossover": probe_xover,
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,

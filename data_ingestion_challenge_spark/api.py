@@ -92,19 +92,23 @@ class Engine:
     def ingest_documents(self, watch_dir: str, table_path: str,
                          postings_dir: str, log_dir: str,
                          checkpoint: str, tau: float = 0.8,
-                         sizes_dir: str | None = None):
+                         sizes_dir: str | None = None,
+                         compact_every: int | None = None):
         """Dedup-screened document ingestion: drain jsonl doc drops
         through the streaming admission pipeline (intra-batch +
         vs-corpus dedup, exactly-once commit into a transactional
         corpus table, incremental posting maintenance, per-doc
         admission log) — streaming/admission.py.  Returns the corpus
-        TxnTable; re-call to pick up new drops."""
+        TxnTable; re-call to pick up new drops.  ``compact_every``
+        auto-folds the posting/sizes increments into their base
+        partition in place whenever that many have accumulated."""
         from data_ingestion_challenge_spark.streaming.admission import (
             run_document_admission,
         )
         return run_document_admission(
             self.spark, watch_dir, table_path, postings_dir, log_dir,
-            checkpoint, tau=tau, sizes_dir=sizes_dir)
+            checkpoint, tau=tau, sizes_dir=sizes_dir,
+            compact_every=compact_every)
 
     def compact_admission_postings(self, postings_dir: str,
                                    out_dir: str,

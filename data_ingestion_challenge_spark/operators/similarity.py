@@ -794,3 +794,109 @@ def ivf2_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     return embeddings.select(
         "vec_id", "embedding",
         F.explode(_probe2(col("embedding"))).alias("_cell"))
+
+
+# ------------------------------------------------ semantic pruning
+
+def semdedup_prune(embeddings: DataFrame, tau: float = 0.4,
+                   bits: int = 4, dim: int = 64) -> DataFrame:
+    """SemDeDup-shaped semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into cells, and
+    inside each cell prune every vector that has a near-identical
+    LOWER-id cell-mate (cosine ≥ tau) — the corpus-level "keep one
+    representative per semantic clump" pass a training-data pipeline
+    runs between exact dedup and quality filtering.  Returns one row
+    per vector: (vec_id, kept, pruned_by, witness_cos) where pruned_by
+    is the LOWEST dominating cell-mate id and witness_cos the cosine
+    to it (NULL when kept; named so the nullable column sorts AFTER
+    the unique id in any column-alphabetical row comparator).
+
+    Two deliberate deviations from the paper, both for cross-engine
+    determinism: cells are seeded random-hyperplane sign buckets (the
+    same ``_hyperplanes`` constants the LSH family embeds in its
+    oracles) instead of trained k-means cells — the trained variant
+    is ``ivf_candidate_pairs`` + this verdict rule — and the keep
+    choice is lowest-id instead of farthest-from-centroid (any
+    deterministic representative works; id order is replayable in
+    SQL).
+
+    Scale shape: one projection pass computes the 2^bits sign buckets
+    (JVM-side expression); ``applyInPandas`` scores each cell with
+    ONE numpy gemm over its members.  At 100 TB, ``bits`` rises so
+    cells stay bounded (the paper's k ≈ √n heuristic) and skewed
+    cells split on an id-range salt; nothing is ever corpus×corpus —
+    compute is Σ|cell|², the SemDeDup contract."""
+    planes = _hyperplanes(dim, bits)
+    sig = embeddings.select(
+        "vec_id", "embedding",
+        _bucket(col("embedding"), planes).alias("_bkt"))
+
+    def _prune(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf["embedding"].to_numpy())[order].astype(
+            np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0] = 1.0
+        S = (X @ X.T) / np.outer(nrm, nrm)
+        pby = np.full(len(ids), -1, dtype=np.int64)
+        cs = np.full(len(ids), np.nan)
+        for j in range(1, len(ids)):
+            dom = np.nonzero(S[j, :j] >= tau)[0]
+            if len(dom):
+                i = dom[0]          # ids sorted → first hit = lowest
+                pby[j] = ids[i]
+                cs[j] = S[j, i]
+        return pd.DataFrame({"vec_id": ids, "_pby": pby, "_cs": cs})
+
+    out = (sig.groupBy("_bkt")
+           .applyInPandas(_prune,
+                          "vec_id long, _pby long, _cs double"))
+    return out.select(
+        "vec_id", (col("_pby") < 0).alias("kept"),
+        F.when(col("_pby") >= 0, col("_pby")).alias("pruned_by"),
+        # Explicit NULL for kept rows: the kept sentinel is NaN in
+        # the Arrow batch, and relying on the serializer's NaN→null
+        # masking is version-dependent.
+        F.when(col("_pby") >= 0,
+               F.round(col("_cs"), 4)).alias("witness_cos"))
+
+
+def semdedup_oracle_sql(tau: float = 0.4, bits: int = 4,
+                        dim: int = 64) -> str:
+    """DuckDB twin of semdedup_prune: the seeded hyperplanes embed as
+    literals (model constants), cells replay as the same sign
+    signature, and the verdict is a window rank over dominating
+    lower-id cell-mates."""
+    planes = _hyperplanes(dim, bits)
+    vals = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in p))
+        for i, p in enumerate(planes))
+    return f"""
+    WITH planes(i, p) AS (VALUES {vals}),
+    sig AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                   pl.p) > 0
+                        THEN (1::BIGINT << pl.i) ELSE 0 END)
+                    AS BIGINT) AS bkt
+        FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id
+    ),
+    dom AS (
+        SELECT sb.vec_id, sa.vec_id AS pby,
+               {_dk_cos('a', 'b')} AS cs,
+               row_number() OVER (PARTITION BY sb.vec_id
+                                  ORDER BY sa.vec_id) AS rn
+        FROM sig sa
+        JOIN sig sb ON sa.bkt = sb.bkt AND sa.vec_id < sb.vec_id
+        JOIN embeddings a ON a.vec_id = sa.vec_id
+        JOIN embeddings b ON b.vec_id = sb.vec_id
+        WHERE {_dk_cos('a', 'b')} >= {tau}
+    )
+    SELECT e.vec_id, d.pby IS NULL AS kept, d.pby AS pruned_by,
+           round(d.cs, 4) AS witness_cos
+    FROM embeddings e
+    LEFT JOIN (SELECT vec_id, pby, cs FROM dom WHERE rn = 1) d
+      ON d.vec_id = e.vec_id
+    """

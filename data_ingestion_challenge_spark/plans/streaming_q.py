@@ -403,3 +403,49 @@ def streaming_txn_upsert(cat: Catalog) -> DataFrame:
                              out, ck, n_buckets=8)
     return (t.read()
             .select("user_id", "n_events", "value_sum_micros"))
+
+
+from data_ingestion_challenge_spark.streaming.admission import (  # noqa: E402
+    admission_e2e_oracle_sql,
+)
+
+
+@query(
+    "streaming_admission_e2e",
+    # The WHOLE admission pipeline, driver-gated: the oracle replays
+    # the three-batch sequential screen as pure SQL set algebra over
+    # one jaccard-pair table, so any divergence in exact collapse,
+    # in-batch dominance, corpus screening, txn replay, or the
+    # IN-PLACE AUTO-COMPACTION that runs between batches
+    # (compact_every=2) changes a verdict and hash-mismatches.
+    oracle=admission_e2e_oracle_sql(n_batches=3, tau=0.8),
+)
+def streaming_admission_e2e(cat: Catalog) -> DataFrame:
+    """Runs the REAL document-admission sink (streaming/admission.py)
+    over three sequential batches of the documents table
+    (doc_id % 3), with sizes store maintained and in-place posting
+    compaction triggered mid-stream, and returns the full admission
+    log — one verdict row per arriving doc.  Single caller holds the
+    implicit exclusivity the compaction contract needs (the
+    production path takes the admission lease)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.functions import col
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        document_admission_sink,
+    )
+
+    base = tempfile.mkdtemp(prefix="adm_e2e_")
+    dirs = {k: os.path.join(base, k)
+            for k in ("table", "postings", "log", "sizes")}
+    admit, _table = document_admission_sink(
+        cat.spark, dirs["table"], dirs["postings"], dirs["log"],
+        sizes_dir=dirs["sizes"], compact_every=2)
+    docs = cat.documents.select("doc_id", "text", "lang", "source")
+    for b in range(3):
+        admit(docs.where(col("doc_id") % 3 == b), b)
+    return (cat.spark.read.option("basePath", dirs["log"])
+            .parquet(dirs["log"])
+            .select("doc_id", "kept", "dup_of", "jaccard"))

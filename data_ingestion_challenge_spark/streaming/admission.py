@@ -186,6 +186,183 @@ def release_admission_lease(lease: str) -> None:
         pass
 
 
+_COMPACTING = "_compacting"
+
+_COMPACT_MANIFEST = "_compact_manifest.json"
+
+
+def _tag_committed(marks: dict[str, int], tag: str) -> bool:
+    """Whether an ``ingest_batch=<tag>`` increment belongs to a batch
+    whose txn COMMITTED, given the table's txn_marks().  Tag formats
+    are the sink's own: ``-1`` (a compacted base — built from
+    committed tags only, so always committed), ``<run_id>-<bid>``
+    (run-scoped, app ``doc_admission:<run_id>``), or a bare ``<bid>``
+    (direct sink callers, app ``doc_admission``).  Anything
+    unparsable is conservatively NOT committed (never folded)."""
+    if tag == "-1":
+        return True
+    if "-" in tag:
+        rid, _, bid = tag.rpartition("-")
+        app = f"{_APP}:{rid}"
+    else:
+        bid, app = tag, _APP
+    try:
+        return int(bid) <= marks.get(app, -1)
+    except ValueError:
+        return False
+
+
+def _finish_swap(store_dir: str, tags: list[str]) -> None:
+    """Complete (or re-complete) the publish step of an in-place
+    compaction: delete the folded increment partitions, then move the
+    new base from the Spark-invisible ``_compacting/`` staging dir
+    into place.  Every step is idempotent, so a crash anywhere is
+    healed by re-running: already-deleted tags are skipped, and the
+    old base (``-1``) is only removed immediately before the rename —
+    if the staged base is gone, a previous attempt already renamed
+    it, and the live base must NOT be touched."""
+    import shutil
+
+    src = os.path.join(store_dir, _COMPACTING, "ingest_batch=-1")
+    base = os.path.join(store_dir, "ingest_batch=-1")
+    for t in tags:
+        if t == "-1":
+            continue
+        d = os.path.join(store_dir, f"ingest_batch={t}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    if os.path.isdir(src):
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+        os.rename(src, base)
+    staging = os.path.join(store_dir, _COMPACTING)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_compaction(postings_dir: str,
+                       sizes_dir: str | None = None) -> bool:
+    """Heal a crashed in-place compaction BEFORE any screen reads the
+    store.  Once the manifest is published the swap must complete —
+    the store may transiently hold folded tags deleted but the new
+    base not yet visible (missed dups) or both (double-counted
+    intersections), and the ONLY thing that makes those windows
+    unobservable is that this runs, under the admission lease, before
+    the next screen.  document_admission_sink calls it at build time;
+    compact_store_in_place calls it before starting a new fold.
+    Returns True if a crashed swap was completed."""
+    import shutil
+
+    manifest = os.path.join(postings_dir, _COMPACT_MANIFEST)
+    if not os.path.exists(manifest):
+        # No swap in flight: a pre-manifest crash may still have left
+        # staging junk; a later fold overwrites it, but clear it so
+        # the store dir stays inspectable.
+        for d in (postings_dir, sizes_dir):
+            if d is None:
+                continue
+            staging = os.path.join(d, _COMPACTING)
+            if os.path.isdir(staging):
+                shutil.rmtree(staging, ignore_errors=True)
+        return False
+    with open(manifest) as fh:
+        plan = json.load(fh)
+    _finish_swap(postings_dir, plan["postings"])
+    sdir = sizes_dir if sizes_dir is not None else plan.get("sizes_dir")
+    if plan.get("sizes") and sdir:
+        _finish_swap(sdir, plan["sizes"])
+    os.unlink(manifest)
+    return True
+
+
+def compact_store_in_place(spark: SparkSession, postings_dir: str,
+                           table, sizes_dir: str | None = None,
+                           n_files: int = 8) -> int:
+    """Fold the admission posting store's per-batch increments into
+    one base partition ``ingest_batch=-1`` IN PLACE — the maintenance
+    a long-lived ingest stream needs so its corpus reads stop paying
+    one tiny file per historical micro-batch.  Unlike
+    Engine.compact_admission_postings (generation swap: new store
+    beside the old, caller repoints), this rewrites the store the
+    stream is already using, so the sink can invoke it on a cadence
+    with no path changes.
+
+    MUST run under the admission lease (the sink holds it for the
+    whole drain): the swap is only safe because no concurrent screen
+    can read the store mid-publish.
+
+    Only COMMITTED tags fold (tag → (app, batch_id) → table txn mark):
+    a batch that crashed between its posting write and its commit
+    keeps its increment untouched, preserving the sink's same-tag
+    replay exclusion exactly — folding it into the base would make
+    the replay self-match its own survivors and silently drop them.
+
+    Crash protocol: the new base (and, when ``sizes_dir`` is given, a
+    sizes base RECOMPUTED from the folded postings — covering by
+    construction, even for tags that predate the sizes store) is
+    staged under ``_compacting/`` (underscore: invisible to Spark's
+    listing), then a manifest naming the folded tags is published
+    atomically, then tags are deleted and the base renamed in.  A
+    crash before the manifest changes nothing; after it,
+    recover_compaction() completes the swap before the next screen.
+
+    Returns the number of folded increments (0 = nothing to do)."""
+    from pyspark.sql.functions import col
+
+    recover_compaction(postings_dir, sizes_dir)
+    marks = table.txn_marks()
+    tags = _batch_tags(postings_dir)
+    folded = sorted(t for t in tags if _tag_committed(marks, t))
+    n_inc = sum(1 for t in folded if t != "-1")
+    if n_inc < 2:
+        return 0
+    mod = store_bucket_mod(postings_dir)
+    paths = [os.path.join(postings_dir, f"ingest_batch={t}")
+             for t in folded]
+    post = (spark.read.option("basePath", postings_dir)
+            .parquet(*paths).select("doc_id", "s"))
+    dst = os.path.join(postings_dir, _COMPACTING, "ingest_batch=-1")
+    if mod is not None:
+        # Preserve the bucketed layout the screen prunes on: one file
+        # per shingle bucket, s-sorted inside.
+        (post.withColumn("s_bucket", F.pmod(F.hash("s"), F.lit(mod)))
+         .repartition(col("s_bucket"))
+         .sortWithinPartitions("s_bucket", "s")
+         .write.mode("overwrite").partitionBy("s_bucket")
+         .parquet(dst))
+    else:
+        (post.repartition(n_files, col("s"))
+         .sortWithinPartitions("s")
+         .write.mode("overwrite").parquet(dst))
+    sfolded: list[str] = []
+    if sizes_dir is not None:
+        # The sizes base comes from the folded POSTINGS, not a union
+        # of sizes tags: n is by definition the doc's posting count,
+        # and deriving it from the data being folded covers every
+        # folded doc even when some folded tag predates the sizes
+        # store (a union of sizes tags would silently UNDER-cover,
+        # and an under-covering store admits missed dups).
+        sfolded = sorted(t for t in _batch_tags(sizes_dir)
+                         if t in set(folded))
+        (post.groupBy("doc_id").agg(F.count("*").alias("n"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(sizes_dir, _COMPACTING,
+                               "ingest_batch=-1")))
+        if "-1" not in sfolded:
+            sfolded.append("-1")
+    manifest = os.path.join(postings_dir, _COMPACT_MANIFEST)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"postings": folded, "sizes": sfolded,
+                   "sizes_dir": sizes_dir}, fh)
+    os.replace(tmp, manifest)
+    _finish_swap(postings_dir, folded)
+    if sizes_dir is not None:
+        _finish_swap(sizes_dir, sfolded)
+    os.unlink(manifest)
+    return n_inc
+
+
 def _batch_tags(d: str) -> set[str]:
     """Partition-dir tag values under a store dir (empty if absent)."""
     if not os.path.isdir(d):
@@ -347,7 +524,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                             tau: float = 0.8,
                             sizes_dir: str | None = None,
                             run_id: str | None = None,
-                            adaptive: bool = False):
+                            adaptive: bool = False,
+                            compact_every: int | None = None):
     """Build the foreachBatch admission callback.  Returns
     (admit_fn, table): admit_fn(batch_df, batch_id) runs one
     micro-batch through screen→commit→maintain; `table` is the
@@ -382,8 +560,22 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     threads during a micro-batch also plan with AQE off for that
     window — run the admission driver on its own SparkSession (the
     deployment shape) or pass adaptive=True when sharing one with
-    concurrent analytical work."""
+    concurrent analytical work.
+
+    ``compact_every`` auto-folds the posting store (and sizes store)
+    whenever the number of per-batch increments reaches it, via
+    compact_store_in_place — the maintenance cadence a long-lived
+    stream needs so corpus reads stop accreting one file per
+    historical micro-batch.  The fold runs after the batch's commit
+    and relies on the admission lease for exclusivity:
+    run_document_admission holds it across the drain; direct sink
+    callers passing compact_every must do the same."""
     from data_ingestion_challenge_spark.txn import TxnTable
+
+    # Heal any crashed compaction swap BEFORE the first screen can
+    # read the store: a published-but-unfinished manifest means the
+    # store may transiently miss (or double-count) folded postings.
+    recover_compaction(postings_dir, sizes_dir)
 
     # checkpoint_every: one commit per micro-batch means the log
     # grows with stream lifetime; the cadence keeps the per-batch
@@ -409,6 +601,12 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             spark.conf.set(_AQE, "false")
         try:
             _admit_body(batch_df, batch_id, tag)
+            if compact_every:
+                n_inc = sum(1 for t in _batch_tags(postings_dir)
+                            if t != "-1")
+                if n_inc >= compact_every:
+                    compact_store_in_place(spark, postings_dir,
+                                           table, sizes_dir=sizes_dir)
         finally:
             spark.conf.set(_AQE, prev_aqe)
 
@@ -623,7 +821,8 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
                            n_buckets: int = 32, n: int = 3,
                            tau: float = 0.8,
                            sizes_dir: str | None = None,
-                           adaptive: bool = False):
+                           adaptive: bool = False,
+                           compact_every: int | None = None):
     """Drain jsonl document drops from watch_dir through the admission
     sink (availableNow; re-call to pick up new drops).  Returns the
     corpus TxnTable.
@@ -667,7 +866,8 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
         admit, table = document_admission_sink(
             spark, table_path, postings_dir, log_dir,
             n_buckets=n_buckets, n=n, tau=tau, sizes_dir=sizes_dir,
-            run_id=run_id, adaptive=adaptive)
+            run_id=run_id, adaptive=adaptive,
+            compact_every=compact_every)
         q = (spark.readStream.schema(DOCS_SCHEMA)
              .option("maxFilesPerTrigger", 16)
              .json(watch_dir)
@@ -679,3 +879,89 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
     finally:
         release_admission_lease(lease)
     return table
+
+
+def admission_e2e_oracle_sql(n_batches: int = 3, n: int = 3,
+                             tau: float = 0.8) -> str:
+    """DuckDB twin of the WHOLE admission pipeline run sequentially
+    over ``doc_id % n_batches`` batches of the documents table — the
+    oracle for the registered ``streaming_admission_e2e`` query, which
+    drives the real sink (exact collapse → fused near-dup screen →
+    txn commit → posting maintenance → in-place auto-compaction
+    between batches) and returns the admission log.
+
+    The replay is pure set algebra over ONE undirected jaccard-pair
+    table (raw-ratio ≥ τ filter, rounded report — exactly
+    _screen_pairs' contract): per batch, exact survivors keep the
+    lowest doc_id per text; the in-batch rule drops the HIGHER id of
+    every survivor pair; corpus dups are survivors with any pair into
+    the accumulated admitted set, best match = highest rounded
+    jaccard then lowest corpus id.  Because the oracle never sees the
+    posting store, a compaction bug that changed ANY verdict would
+    hash-mismatch this query."""
+    shingle = (f"list_transform(range(1, greatest(len(w) - {n - 2},"
+               f" 1)), i -> array_to_string(w[i:i+{n - 1}], ' '))")
+    parts = [f"""
+    d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+          FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({shingle})) AS s
+           FROM d),
+    sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    pr AS (SELECT a.doc_id AS lo, b.doc_id AS hi, count(*) AS ic
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT lo, hi,
+                     round(ic / (sa.nsh + sb.nsh - ic), 4) AS jaccard
+              FROM pr
+              JOIN sz sa ON sa.doc_id = pr.lo
+              JOIN sz sb ON sb.doc_id = pr.hi
+              WHERE ic / (sa.nsh + sb.nsh - ic) >= {tau})"""]
+    corpus_union = "SELECT doc_id FROM a0"
+    for b in range(n_batches):
+        corpus = f"c{b}" if b else None
+        if b:
+            parts.append(f"""
+    c{b} AS ({corpus_union})""")
+        parts.append(f"""
+    b{b} AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % {n_batches} = {b}),
+    e{b} AS (SELECT min(doc_id) AS doc_id FROM b{b} GROUP BY text),
+    s{b} AS (SELECT doc_id FROM e{b}
+             WHERE doc_id NOT IN (
+                 SELECT p.hi FROM pairs p
+                 JOIN e{b} x ON x.doc_id = p.lo
+                 JOIN e{b} y ON y.doc_id = p.hi))""")
+        if b:
+            parts.append(f"""
+    m{b} AS (SELECT s.doc_id,
+                    CASE WHEN p.lo = s.doc_id THEN p.hi
+                         ELSE p.lo END AS cid,
+                    p.jaccard
+             FROM s{b} s
+             JOIN pairs p ON p.lo = s.doc_id OR p.hi = s.doc_id
+             JOIN c{b} c ON c.doc_id = CASE WHEN p.lo = s.doc_id
+                                            THEN p.hi ELSE p.lo END),
+    best{b} AS (SELECT doc_id, cid, jaccard FROM (
+                    SELECT doc_id, cid, jaccard,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, cid) AS rn
+                    FROM m{b}) WHERE rn = 1),
+    a{b} AS (SELECT doc_id FROM s{b}
+             WHERE doc_id NOT IN (SELECT doc_id FROM m{b})),
+    log{b} AS (SELECT b.doc_id,
+                      b.doc_id IN (SELECT doc_id FROM a{b}) AS kept,
+                      best{b}.cid AS dup_of, best{b}.jaccard
+               FROM b{b} b
+               LEFT JOIN best{b} ON best{b}.doc_id = b.doc_id)""")
+            corpus_union += f" UNION SELECT doc_id FROM a{b}"
+        else:
+            parts.append(f"""
+    a0 AS (SELECT doc_id FROM s0),
+    log0 AS (SELECT b.doc_id,
+                    b.doc_id IN (SELECT doc_id FROM a0) AS kept,
+                    CAST(NULL AS BIGINT) AS dup_of,
+                    CAST(NULL AS DOUBLE) AS jaccard
+             FROM b0 b)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM log{b}" for b in range(n_batches))
+    return "WITH " + ",".join(parts) + f"\n    {union}"

@@ -377,6 +377,14 @@ class TxnTable:
         carry the marks forward."""
         return self._txn_marks(self.version()).get(app, -1)
 
+    def txn_marks(self) -> dict[str, int]:
+        """All streaming idempotence marks at the current version:
+        {app: highest committed batch_id}.  One log read — callers
+        that must classify MANY (app, batch_id) pairs (e.g. the
+        admission store's committed-tag fold) use this instead of a
+        last_txn() call per pair."""
+        return self._txn_marks(self.version())
+
     def accumulate_batch(self, batch_agg: DataFrame, batch_id: int,
                          sum_cols: list[str],
                          app: str = "stream",

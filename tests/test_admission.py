@@ -600,3 +600,191 @@ def test_replay_with_missing_sizes_store_not_wedged(spark, dirs,
     assert {r.doc_id for r in table.read().collect()} == {5}
     # and the sizes store exists now (written by the replay)
     assert os.path.isdir(os.path.join(sizes_dir, "ingest_batch=0"))
+
+
+FRESH_3 = ("entirely new prose describing vectorized execution and "
+           "columnar storage layouts for analytical workloads")
+FRESH_4 = ("yet another novel passage on watermarking late events "
+           "inside structured streaming state stores")
+
+
+def test_auto_compaction_stream_length(spark, dirs, tmp_path):
+    """compact_every: a long-lived stream folds its per-batch posting
+    and sizes increments into the base partition in place, and the
+    screen keeps rejecting duplicates across the fold (base postings
+    are read exactly like increments)."""
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _batch_tags, run_document_admission,
+    )
+
+    sizes = str(tmp_path / "sizes")
+    kw = dict(sizes_dir=sizes, compact_every=2)
+    _drop(os.path.join(dirs["watch"], "d1.jsonl"),
+          [_doc(1, LONG_A), _doc(2, NOVEL)])
+    run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], **kw)
+    assert "-1" not in _batch_tags(dirs["postings"])  # 1 inc: no fold
+    _drop(os.path.join(dirs["watch"], "d2.jsonl"), [_doc(3, FRESH_3)])
+    run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], **kw)
+    # 2 increments reached → folded to the base, increments gone.
+    assert _batch_tags(dirs["postings"]) == {"-1"}
+    assert _batch_tags(sizes) == {"-1"}
+    # Dups of pre-fold corpus docs still reject; novel still admits.
+    _drop(os.path.join(dirs["watch"], "d3.jsonl"),
+          [_doc(20, LONG_A_NEAR), _doc(21, NOVEL), _doc(22, FRESH_4)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], **kw)
+    assert {r.doc_id for r in table.read().collect()} == {1, 2, 3, 22}
+    log = {r.doc_id: r for r in
+           spark.read.option("basePath", dirs["log"])
+           .parquet(dirs["log"]).collect()}
+    assert log[20].kept is False and log[20].dup_of == 1
+    assert log[21].kept is False and log[21].dup_of == 2
+    # The base holds exactly the folded docs' postings, bucketed.
+    base = os.path.join(dirs["postings"], "ingest_batch=-1")
+    assert any(e.name.startswith("s_bucket=") for e in os.scandir(base))
+    post = (spark.read.option("basePath", dirs["postings"])
+            .parquet(dirs["postings"]))
+    assert {r.doc_id for r in
+            post.select("doc_id").distinct().collect()} == {1, 2, 3, 22}
+
+
+def test_compaction_skips_uncommitted_tag(spark, dirs, tmp_path):
+    """A tag whose batch never COMMITTED (crash between posting write
+    and commit) must survive the fold untouched: folding it into the
+    base would erase the same-tag replay exclusion and the replay
+    would self-match its own survivors."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.operators.dedup import _postings
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _batch_tags, compact_store_in_place, store_bucket_mod,
+        run_document_admission,
+    )
+
+    sizes = str(tmp_path / "sizes")
+    _drop(os.path.join(dirs["watch"], "d1.jsonl"),
+          [_doc(1, LONG_A), _doc(2, NOVEL)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], sizes_dir=sizes)
+    _drop(os.path.join(dirs["watch"], "d2.jsonl"), [_doc(3, FRESH_3)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], sizes_dir=sizes)
+    # Hand-write an orphan increment: postings exist, no txn mark.
+    mod = store_bucket_mod(dirs["postings"])
+    orphan = _postings(
+        spark.createDataFrame([(99, FRESH_4, "en", "web")],
+                              DOCS_SCHEMA), 3)
+    (orphan.withColumn("s_bucket", F.pmod(F.hash("s"), F.lit(mod)))
+     .write.mode("overwrite").partitionBy("s_bucket")
+     .parquet(os.path.join(dirs["postings"],
+                           "ingest_batch=deadrun-7")))
+    orphan.unpersist()
+    n = compact_store_in_place(spark, dirs["postings"], table,
+                               sizes_dir=sizes)
+    assert n == 2
+    assert _batch_tags(dirs["postings"]) == {"-1", "deadrun-7"}
+    # Folded base covers the committed docs; the orphan's rows stayed
+    # in its own partition only.
+    base_docs = {r.doc_id for r in spark.read.parquet(
+        os.path.join(dirs["postings"], "ingest_batch=-1"))
+        .select("doc_id").distinct().collect()}
+    assert base_docs == {1, 2, 3}
+
+
+def test_compaction_crash_recovery(spark, dirs, tmp_path,
+                                   monkeypatch):
+    """Crash AFTER the manifest publish but before the swap: the
+    store still holds every increment plus the staged base.  The
+    next sink build must complete the swap (recover_compaction)
+    before any screen — afterwards the store is exactly the folded
+    state and duplicates still reject."""
+    from data_ingestion_challenge_spark.streaming import admission as A
+
+    sizes = str(tmp_path / "sizes")
+    _drop(os.path.join(dirs["watch"], "d1.jsonl"),
+          [_doc(1, LONG_A), _doc(2, NOVEL)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], sizes_dir=sizes)
+    _drop(os.path.join(dirs["watch"], "d2.jsonl"), [_doc(3, FRESH_3)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], sizes_dir=sizes)
+
+    crashed = RuntimeError("simulated crash mid-swap")
+
+    def _boom(*a, **kw):
+        raise crashed
+
+    monkeypatch.setattr(A, "_finish_swap", _boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        A.compact_store_in_place(spark, dirs["postings"], table,
+                                 sizes_dir=sizes)
+    monkeypatch.undo()
+    # Manifest published, swap unexecuted: increments + staged base.
+    assert os.path.exists(os.path.join(dirs["postings"],
+                                       A._COMPACT_MANIFEST))
+    assert "-1" not in A._batch_tags(dirs["postings"])
+    # The next drain heals it at sink build, before screening...
+    _drop(os.path.join(dirs["watch"], "d3.jsonl"),
+          [_doc(20, LONG_A_NEAR), _doc(22, FRESH_4)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], sizes_dir=sizes)
+    assert not os.path.exists(os.path.join(dirs["postings"],
+                                           A._COMPACT_MANIFEST))
+    assert "-1" in A._batch_tags(dirs["postings"])
+    # ...so the near-dup of a FOLDED corpus doc still rejects.
+    assert {r.doc_id for r in table.read().collect()} == {1, 2, 3, 22}
+
+
+def test_compaction_equivalence_with_uncompacted(spark, dirs,
+                                                 tmp_path):
+    """Same drops through two sinks — one compacting after every
+    batch, one never — must produce byte-identical admission verdicts
+    and corpora: compaction is pure maintenance, invisible to
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _batch_tags, document_admission_sink,
+    )
+
+    docs = [(1, LONG_A), (2, NOVEL), (3, FRESH_3),
+            (10, LONG_A_NEAR),          # near-dup of 1 (cross-batch)
+            (11, NOVEL), (12, FRESH_4),  # exact dup of 2 + novel
+            (20, FRESH_3), (21, LONG_A)]  # exact dups across batches
+    batches = [docs[:3], docs[3:6], docs[6:]]
+
+    def _run(base, compact_every):
+        d = {k: str(base / k)
+             for k in ("table", "postings", "log", "sizes")}
+        admit, table = document_admission_sink(
+            spark, d["table"], d["postings"], d["log"],
+            sizes_dir=d["sizes"], compact_every=compact_every)
+        for b, rows in enumerate(batches):
+            admit(spark.createDataFrame(
+                [(i, t, "en", "web") for i, t in rows], DOCS_SCHEMA),
+                b)
+        log = (spark.read.option("basePath", d["log"])
+               .parquet(d["log"])
+               .select("doc_id", "kept", "dup_of", "jaccard"))
+        return (d, sorted(tuple(r) for r in log.collect()),
+                {r.doc_id for r in table.read().collect()})
+
+    d1, log1, corpus1 = _run(tmp_path / "compacted", 1)
+    d2, log2, corpus2 = _run(tmp_path / "plain", None)
+    assert log1 == log2
+    assert corpus1 == corpus2 == {1, 2, 3, 12}
+    # The compacting sink actually folded (batch 2 admits nothing —
+    # both docs are exact corpus dups — so it writes no increment):
+    # only the base remains, vs the plain sink's two increments.
+    assert _batch_tags(d1["postings"]) == {"-1"}
+    assert len(_batch_tags(d2["postings"])) == 2
