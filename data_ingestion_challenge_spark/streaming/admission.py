@@ -182,7 +182,11 @@ def release_admission_lease(lease: str) -> None:
             if fh.read().strip() != str(os.getpid()):
                 return
         os.unlink(lease)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
+        # Already gone (manual cleanup) — fine.  Any OTHER I/O error
+        # must surface: silently leaving our own lease behind forces
+        # the next stream through the stale/steal protocol with no
+        # record of why.
         pass
 
 
@@ -191,15 +195,54 @@ _COMPACTING = "_compacting"
 _COMPACT_MANIFEST = "_compact_manifest.json"
 
 
+def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
+                           n_files: int | None = None,
+                           sort: bool = True) -> None:
+    """The posting store's on-disk layout contract in ONE place —
+    bucket key ``pmod(hash(s), mod)``, repartition ON the bucket
+    before partitionBy (one file per bucket instead of tasks×mod),
+    optional secondary s-sort.  Every posting write (per-batch
+    increments and compacted bases alike) must route through here:
+    two writers disagreeing on the bucket function would silently
+    break the screen's PartitionFilters pruning and admit true
+    duplicates.  Flat (legacy) stores: ``n_files`` set → an s-sorted
+    n-file rewrite (compacted base); unset → a plain write (batch
+    increment)."""
+    from pyspark.sql.functions import col
+
+    if mod is not None:
+        w = (df.withColumn("s_bucket", F.pmod(F.hash("s"),
+                                              F.lit(mod)))
+             .repartition(col("s_bucket")))
+        if sort:
+            w = w.sortWithinPartitions("s_bucket", "s")
+        (w.write.mode("overwrite").partitionBy("s_bucket")
+         .parquet(dst))
+    elif n_files:
+        (df.repartition(n_files, col("s"))
+         .sortWithinPartitions("s")
+         .write.mode("overwrite").parquet(dst))
+    else:
+        df.write.mode("overwrite").parquet(dst)
+
+
+# Base partitions of a compacted store, LSM-style: "-1" is the MAJOR
+# base (the bulk of the corpus, rewritten rarely), "-2" the MINOR base
+# (recent increments folded cheaply, promoted into the major base when
+# it grows to a fraction of it).  Negative tags can never collide with
+# a real micro-batch id, so the sink's replay guard is unaffected.
+_BASE_TAGS = ("-1", "-2")
+
+
 def _tag_committed(marks: dict[str, int], tag: str) -> bool:
     """Whether an ``ingest_batch=<tag>`` increment belongs to a batch
     whose txn COMMITTED, given the table's txn_marks().  Tag formats
-    are the sink's own: ``-1`` (a compacted base — built from
+    are the sink's own: ``-1``/``-2`` (compacted bases — built from
     committed tags only, so always committed), ``<run_id>-<bid>``
     (run-scoped, app ``doc_admission:<run_id>``), or a bare ``<bid>``
     (direct sink callers, app ``doc_admission``).  Anything
     unparsable is conservatively NOT committed (never folded)."""
-    if tag == "-1":
+    if tag in _BASE_TAGS:
         return True
     if "-" in tag:
         rid, _, bid = tag.rpartition("-")
@@ -212,21 +255,24 @@ def _tag_committed(marks: dict[str, int], tag: str) -> bool:
         return False
 
 
-def _finish_swap(store_dir: str, tags: list[str]) -> None:
+def _finish_swap(store_dir: str, tags: list[str],
+                 base_tag: str = "-1") -> None:
     """Complete (or re-complete) the publish step of an in-place
     compaction: delete the folded increment partitions, then move the
-    new base from the Spark-invisible ``_compacting/`` staging dir
-    into place.  Every step is idempotent, so a crash anywhere is
-    healed by re-running: already-deleted tags are skipped, and the
-    old base (``-1``) is only removed immediately before the rename —
-    if the staged base is gone, a previous attempt already renamed
-    it, and the live base must NOT be touched."""
+    new base (``ingest_batch=<base_tag>``) from the Spark-invisible
+    ``_compacting/`` staging dir into place.  Every step is
+    idempotent, so a crash anywhere is healed by re-running:
+    already-deleted tags are skipped, and the old base is only
+    removed immediately before the rename — if the staged base is
+    gone, a previous attempt already renamed it, and the live base
+    must NOT be touched."""
     import shutil
 
-    src = os.path.join(store_dir, _COMPACTING, "ingest_batch=-1")
-    base = os.path.join(store_dir, "ingest_batch=-1")
+    src = os.path.join(store_dir, _COMPACTING,
+                       f"ingest_batch={base_tag}")
+    base = os.path.join(store_dir, f"ingest_batch={base_tag}")
     for t in tags:
-        if t == "-1":
+        if t == base_tag:
             continue
         d = os.path.join(store_dir, f"ingest_batch={t}")
         if os.path.isdir(d):
@@ -267,25 +313,56 @@ def recover_compaction(postings_dir: str,
         return False
     with open(manifest) as fh:
         plan = json.load(fh)
-    _finish_swap(postings_dir, plan["postings"])
+    base_tag = plan.get("base_tag", "-1")
+    _finish_swap(postings_dir, plan["postings"], base_tag)
     sdir = sizes_dir if sizes_dir is not None else plan.get("sizes_dir")
     if plan.get("sizes") and sdir:
-        _finish_swap(sdir, plan["sizes"])
+        _finish_swap(sdir, plan["sizes"], base_tag)
     os.unlink(manifest)
     return True
 
 
+def _dir_bytes(d: str) -> int:
+    """Total file bytes under a dir (0 if absent) — the cheap signal
+    the auto compaction level reads."""
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def compact_store_in_place(spark: SparkSession, postings_dir: str,
                            table, sizes_dir: str | None = None,
-                           n_files: int = 8) -> int:
-    """Fold the admission posting store's per-batch increments into
-    one base partition ``ingest_batch=-1`` IN PLACE — the maintenance
-    a long-lived ingest stream needs so its corpus reads stop paying
-    one tiny file per historical micro-batch.  Unlike
-    Engine.compact_admission_postings (generation swap: new store
-    beside the old, caller repoints), this rewrites the store the
-    stream is already using, so the sink can invoke it on a cadence
-    with no path changes.
+                           n_files: int = 8,
+                           level: str = "major",
+                           major_ratio: float = 0.5) -> int:
+    """Fold the admission posting store's per-batch increments into a
+    base partition IN PLACE — the maintenance a long-lived ingest
+    stream needs so its corpus reads stop paying one tiny file per
+    historical micro-batch.  Unlike Engine.compact_admission_postings
+    (generation swap: new store beside the old, caller repoints),
+    this rewrites the store the stream is already using, so the sink
+    can invoke it on a cadence with no path changes.
+
+    ``level`` is the LSM tier (at 100 TB the major base is
+    corpus-sized, so rewriting ALL of it every N batches would be
+    O(corpus) per fold — the tiering bounds maintenance I/O exactly
+    like an LSM tree's):
+    - ``"major"``: fold EVERYTHING committed (both bases + increments)
+      into the major base ``ingest_batch=-1``;
+    - ``"minor"``: fold only the increments + the minor base into
+      ``ingest_batch=-2``, leaving the major base untouched — cost is
+      O(recent increments), not O(corpus);
+    - ``"auto"``: minor, unless the minor base has grown to
+      ``major_ratio`` of the major base (or no major base exists), in
+      which case promote with a major fold — the classic size-tiered
+      trigger, derived from file sizes so no counter state is needed.
+    The screen reads every ``ingest_batch=`` partition identically,
+    so the tier split never changes a verdict (equivalence-tested).
 
     MUST run under the admission lease (the sink holds it for the
     whole drain): the swap is only safe because no concurrent screen
@@ -301,39 +378,47 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
     sizes base RECOMPUTED from the folded postings — covering by
     construction, even for tags that predate the sizes store) is
     staged under ``_compacting/`` (underscore: invisible to Spark's
-    listing), then a manifest naming the folded tags is published
-    atomically, then tags are deleted and the base renamed in.  A
-    crash before the manifest changes nothing; after it,
-    recover_compaction() completes the swap before the next screen.
+    listing), then a manifest naming the folded tags AND the target
+    base tag is published atomically, then tags are deleted and the
+    base renamed in.  A crash before the manifest changes nothing;
+    after it, recover_compaction() completes the swap before the
+    next screen.
 
     Returns the number of folded increments (0 = nothing to do)."""
-    from pyspark.sql.functions import col
-
+    if level not in ("major", "minor", "auto"):
+        raise ValueError(f"level must be major|minor|auto, got {level!r}")
     recover_compaction(postings_dir, sizes_dir)
     marks = table.txn_marks()
     tags = _batch_tags(postings_dir)
-    folded = sorted(t for t in tags if _tag_committed(marks, t))
-    n_inc = sum(1 for t in folded if t != "-1")
-    if n_inc < 2:
+    committed = sorted(t for t in tags if _tag_committed(marks, t))
+    n_inc = sum(1 for t in committed if t not in _BASE_TAGS)
+    # < 1, not < 2: the sink's compact_every trigger counts committed
+    # increments with the SAME rule, so any cadence — including
+    # compact_every=1 — folds exactly when it says it will.
+    if n_inc < 1:
         return 0
+    if level == "auto":
+        major = os.path.join(postings_dir, "ingest_batch=-1")
+        if not os.path.isdir(major):
+            level = "major"
+        else:
+            minor_b = _dir_bytes(
+                os.path.join(postings_dir, "ingest_batch=-2"))
+            level = ("major" if minor_b
+                     >= major_ratio * _dir_bytes(major) else "minor")
+    base_tag = "-1" if level == "major" else "-2"
+    folded = (committed if level == "major"
+              else [t for t in committed if t != "-1"])
     mod = store_bucket_mod(postings_dir)
     paths = [os.path.join(postings_dir, f"ingest_batch={t}")
              for t in folded]
+    dst = os.path.join(postings_dir, _COMPACTING,
+                       f"ingest_batch={base_tag}")
     post = (spark.read.option("basePath", postings_dir)
             .parquet(*paths).select("doc_id", "s"))
-    dst = os.path.join(postings_dir, _COMPACTING, "ingest_batch=-1")
-    if mod is not None:
-        # Preserve the bucketed layout the screen prunes on: one file
-        # per shingle bucket, s-sorted inside.
-        (post.withColumn("s_bucket", F.pmod(F.hash("s"), F.lit(mod)))
-         .repartition(col("s_bucket"))
-         .sortWithinPartitions("s_bucket", "s")
-         .write.mode("overwrite").partitionBy("s_bucket")
-         .parquet(dst))
-    else:
-        (post.repartition(n_files, col("s"))
-         .sortWithinPartitions("s")
-         .write.mode("overwrite").parquet(dst))
+    # Bucketed: one s-sorted file per shingle bucket.  Flat: n_files
+    # s-sorted files.
+    _write_postings_layout(post, dst, mod, n_files=n_files)
     sfolded: list[str] = []
     if sizes_dir is not None:
         # The sizes base comes from the folded POSTINGS, not a union
@@ -341,24 +426,27 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         # and deriving it from the data being folded covers every
         # folded doc even when some folded tag predates the sizes
         # store (a union of sizes tags would silently UNDER-cover,
-        # and an under-covering store admits missed dups).
+        # and an under-covering store admits missed dups).  Read back
+        # the STAGED base rather than re-scanning every increment —
+        # one compacted pass instead of a second full-store read.
         sfolded = sorted(t for t in _batch_tags(sizes_dir)
                          if t in set(folded))
-        (post.groupBy("doc_id").agg(F.count("*").alias("n"))
+        (spark.read.parquet(dst).groupBy("doc_id")
+         .agg(F.count("*").alias("n"))
          .coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(sizes_dir, _COMPACTING,
-                               "ingest_batch=-1")))
-        if "-1" not in sfolded:
-            sfolded.append("-1")
+                               f"ingest_batch={base_tag}")))
+        if base_tag not in sfolded:
+            sfolded.append(base_tag)
     manifest = os.path.join(postings_dir, _COMPACT_MANIFEST)
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"postings": folded, "sizes": sfolded,
-                   "sizes_dir": sizes_dir}, fh)
+                   "sizes_dir": sizes_dir, "base_tag": base_tag}, fh)
     os.replace(tmp, manifest)
-    _finish_swap(postings_dir, folded)
+    _finish_swap(postings_dir, folded, base_tag)
     if sizes_dir is not None:
-        _finish_swap(sizes_dir, sfolded)
+        _finish_swap(sizes_dir, sfolded, base_tag)
     os.unlink(manifest)
     return n_inc
 
@@ -602,11 +690,24 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         try:
             _admit_body(batch_df, batch_id, tag)
             if compact_every:
+                # Count COMMITTED increments — the same rule the fold
+                # applies — so the cadence is honored exactly and a
+                # crashed run's orphan tag (never committed, never
+                # folded) cannot inflate the trigger into permanent
+                # per-batch no-op compaction calls.
+                marks = table.txn_marks()
                 n_inc = sum(1 for t in _batch_tags(postings_dir)
-                            if t != "-1")
+                            if t not in _BASE_TAGS
+                            and _tag_committed(marks, t))
                 if n_inc >= compact_every:
+                    # auto = size-tiered: cheap minor folds at the
+                    # cadence, a major promote only when the minor
+                    # base grows to a fraction of the major —
+                    # maintenance I/O stays O(recent), never
+                    # O(corpus) per cadence tick.
                     compact_store_in_place(spark, postings_dir,
-                                           table, sizes_dir=sizes_dir)
+                                           table, sizes_dir=sizes_dir,
+                                           level="auto")
         finally:
             spark.conf.set(_AQE, prev_aqe)
 
@@ -764,23 +865,17 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                 os.path.join(log_dir, f"ingest_batch={tag}"))
 
         def _write_postings():
-            writer = adm_post
-            if mod is not None:
-                # Repartition ON the bucket first: a direct
-                # partitionBy write splits every task's rows across
-                # all `mod` bucket dirs (tasks × mod tiny files per
-                # batch — measured 1026 files and 5 s per batch at
-                # bench scale); clustered, each bucket is one file
-                # and every later corpus scan pays tasks× fewer
-                # opens.
-                writer = (writer.withColumn(
-                    "s_bucket", F.pmod(F.hash("s"), F.lit(mod)))
-                    .repartition(col("s_bucket"))
-                    .write.mode("overwrite").partitionBy("s_bucket"))
-            else:
-                writer = writer.write.mode("overwrite")
-            writer.parquet(os.path.join(postings_dir,
-                                        f"ingest_batch={tag}"))
+            # Shared layout contract (_write_postings_layout):
+            # repartition ON the bucket first — a direct partitionBy
+            # write splits every task's rows across all `mod` bucket
+            # dirs (tasks × mod tiny files per batch — measured 1026
+            # files and 5 s per batch at bench scale).  Increments
+            # skip the secondary s-sort (batch-sized; the compacted
+            # base restores the clustering).
+            _write_postings_layout(
+                adm_post,
+                os.path.join(postings_dir, f"ingest_batch={tag}"),
+                mod, sort=False)
 
         def _write_sizes():
             # One file: batch-doc-count rows.

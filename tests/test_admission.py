@@ -785,6 +785,155 @@ def test_compaction_equivalence_with_uncompacted(spark, dirs,
     assert corpus1 == corpus2 == {1, 2, 3, 12}
     # The compacting sink actually folded (batch 2 admits nothing —
     # both docs are exact corpus dups — so it writes no increment):
-    # only the base remains, vs the plain sink's two increments.
-    assert _batch_tags(d1["postings"]) == {"-1"}
+    # batch 0's fold is a MAJOR (no major base yet) and batch 1's is
+    # a size-tiered MINOR, so only the two bases remain, vs the plain
+    # sink's two increments.
+    assert _batch_tags(d1["postings"]) == {"-1", "-2"}
     assert len(_batch_tags(d2["postings"])) == 2
+
+
+def test_tiered_compaction_minor_then_major(spark, dirs, tmp_path):
+    """LSM tiering: a minor fold collapses increments into the -2
+    minor base WITHOUT touching a byte of the major base (that is the
+    whole point — O(recent) maintenance, not O(corpus)); a major fold
+    then merges both bases; screens stay correct across every tier
+    state."""
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _batch_tags, compact_store_in_place, document_admission_sink,
+    )
+
+    sizes = str(tmp_path / "sizes")
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"],
+        sizes_dir=sizes)
+    admit(spark.createDataFrame(
+        [(1, LONG_A, "en", "web"), (2, NOVEL, "en", "web")],
+        DOCS_SCHEMA), 0)
+    assert compact_store_in_place(spark, dirs["postings"], table,
+                                  sizes_dir=sizes,
+                                  level="major") == 1
+    base = os.path.join(dirs["postings"], "ingest_batch=-1")
+
+    def _inventory(d):
+        return sorted((os.path.relpath(os.path.join(r, f), d),
+                       os.path.getsize(os.path.join(r, f)))
+                      for r, _, fs in os.walk(d) for f in fs)
+
+    before = _inventory(base)
+    admit(spark.createDataFrame(
+        [(3, FRESH_3, "en", "web")], DOCS_SCHEMA), 1)
+    assert compact_store_in_place(spark, dirs["postings"], table,
+                                  sizes_dir=sizes,
+                                  level="minor") == 1
+    assert _batch_tags(dirs["postings"]) == {"-1", "-2"}
+    assert _batch_tags(sizes) == {"-1", "-2"}
+    assert _inventory(base) == before  # major base untouched
+    # Screen across the tiered store: dups of docs in EITHER base
+    # reject, novel admits.
+    admit(spark.createDataFrame(
+        [(10, LONG_A, "en", "web"),    # dup of major-base doc 1
+         (11, FRESH_3, "en", "web"),   # dup of minor-base doc 3
+         (12, FRESH_4, "en", "web")], DOCS_SCHEMA), 2)
+    assert {r.doc_id for r in table.read().collect()} == {1, 2, 3, 12}
+    # Major fold merges both bases + the new increment.
+    assert compact_store_in_place(spark, dirs["postings"], table,
+                                  sizes_dir=sizes,
+                                  level="major") == 1
+    assert _batch_tags(dirs["postings"]) == {"-1"}
+    base_docs = {r.doc_id for r in spark.read.parquet(base)
+                 .select("doc_id").distinct().collect()}
+    assert base_docs == {1, 2, 3, 12}
+    # And the merged store still screens correctly.
+    admit(spark.createDataFrame(
+        [(20, NOVEL, "en", "web")], DOCS_SCHEMA), 3)
+    assert {r.doc_id for r in table.read().collect()} == {1, 2, 3, 12}
+
+
+def test_swap_crash_point_enumeration(tmp_path):
+    """Exhaustive crash-window check for the compaction swap, pure
+    filesystem (no Spark): simulate a crash after EVERY prefix of the
+    publish sequence (manifest → delete tag A → delete tag B → rename
+    base → unlink manifest) and assert recover_compaction always
+    converges to the identical fully-folded layout with no data dir
+    lost or duplicated."""
+    import shutil
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _COMPACT_MANIFEST, _COMPACTING, recover_compaction,
+    )
+
+    def _mk(base_tag="-2"):
+        """Store with a major base, two folded increments, one orphan,
+        plus the staged minor base and a published manifest."""
+        store = tmp_path / f"store_{_mk.n}"
+        _mk.n += 1
+        for tag, payload in [("-1", "major"), ("a-1", "inc1"),
+                             ("a-2", "inc2"), ("orph-9", "orphan")]:
+            d = store / f"ingest_batch={tag}"
+            d.mkdir(parents=True)
+            (d / "part-0.parquet").write_text(payload)
+        staged = store / _COMPACTING / f"ingest_batch={base_tag}"
+        staged.mkdir(parents=True)
+        (staged / "part-0.parquet").write_text("folded")
+        (store / _COMPACT_MANIFEST).write_text(json.dumps(
+            {"postings": ["a-1", "a-2"], "sizes": [],
+             "sizes_dir": None, "base_tag": base_tag}))
+        return store
+
+    _mk.n = 0
+
+    def _layout(store):
+        return sorted(
+            str(p.relative_to(store)) + ":" + p.read_text()
+            for p in store.rglob("part-0.parquet"))
+
+    # Ground truth: recovery straight from the published manifest.
+    ref = _mk()
+    assert recover_compaction(str(ref))
+    want = _layout(ref)
+    assert want == sorted([
+        "ingest_batch=-1/part-0.parquet:major",
+        "ingest_batch=-2/part-0.parquet:folded",
+        "ingest_batch=orph-9/part-0.parquet:orphan"])
+
+    # Crash after each additional publish step.
+    def _steps(store):
+        yield  # crash right after manifest publish
+        shutil.rmtree(store / "ingest_batch=a-1")
+        yield
+        shutil.rmtree(store / "ingest_batch=a-2")
+        yield
+        os.rename(store / _COMPACTING / "ingest_batch=-2",
+                  store / "ingest_batch=-2")
+        yield
+
+    n_points = 0
+    for k in range(4):
+        store = _mk()
+        it = _steps(store)
+        for _ in range(k + 1):
+            next(it)
+        recover_compaction(str(store))
+        assert _layout(store) == want, f"crash point {k}"
+        assert not (store / _COMPACT_MANIFEST).exists()
+        n_points += 1
+    assert n_points == 4
+
+    # Major-fold variant: old bases deleted, promoted base replaces
+    # the major; the orphan still survives.
+    store = tmp_path / "store_major"
+    for tag, payload in [("-1", "major"), ("-2", "minor"),
+                         ("b-1", "inc"), ("orph-9", "orphan")]:
+        d = store / f"ingest_batch={tag}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_text(payload)
+    staged = store / _COMPACTING / "ingest_batch=-1"
+    staged.mkdir(parents=True)
+    (staged / "part-0.parquet").write_text("merged")
+    (store / _COMPACT_MANIFEST).write_text(json.dumps(
+        {"postings": ["-1", "-2", "b-1"], "sizes": [],
+         "sizes_dir": None, "base_tag": "-1"}))
+    assert recover_compaction(str(store))
+    assert _layout(store) == sorted([
+        "ingest_batch=-1/part-0.parquet:merged",
+        "ingest_batch=orph-9/part-0.parquet:orphan"])
