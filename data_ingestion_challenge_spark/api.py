@@ -110,6 +110,32 @@ class Engine:
             checkpoint, tau=tau, sizes_dir=sizes_dir,
             compact_every=compact_every)
 
+    def compact_admission_in_place(self, postings_dir: str,
+                                   table_path: str,
+                                   sizes_dir: str | None = None,
+                                   level: str = "auto") -> int:
+        """In-place stepped-merge maintenance of an admission posting
+        store (streaming/admission.compact_store_in_place): folds
+        committed increments into compacted runs and cascades merges
+        up the geometric size ladder.  MUST be called while no
+        admission stream is live on the store (the sink runs this
+        itself via ``compact_every``; a manual call takes the same
+        exclusivity contract).  Returns folded-increment count."""
+        from data_ingestion_challenge_spark.streaming.admission import (
+            _acquire_admission_lease, compact_store_in_place,
+            release_admission_lease,
+        )
+        from data_ingestion_challenge_spark.txn import TxnTable
+
+        lease = _acquire_admission_lease(postings_dir)
+        try:
+            return compact_store_in_place(
+                self.spark, postings_dir,
+                TxnTable(self.spark, table_path, key="doc_id"),
+                sizes_dir=sizes_dir, level=level)
+        finally:
+            release_admission_lease(lease)
+
     def compact_admission_postings(self, postings_dir: str,
                                    out_dir: str,
                                    n_files: int = 8,
@@ -188,22 +214,14 @@ class Engine:
         if committed is not None:
             post = post.join(committed, "doc_id", "left_semi")
         base = os.path.join(out_dir, "ingest_batch=-1")
-        if mod is not None:
-            # Preserve the shingle-bucket layout the screen prunes
-            # on: one compacted file per bucket, rows s-sorted inside
-            # (secondary sort key — partitionBy alone re-sorts by the
-            # partition column only and would lose the s clustering).
-            (post.withColumn("s_bucket",
-                             F.pmod(F.hash("s"), F.lit(mod)))
-             .repartition(col("s_bucket"))
-             .sortWithinPartitions("s_bucket", "s")
-             .write.mode("overwrite").partitionBy("s_bucket")
-             .parquet(base))
-        else:
-            (post.repartition(n_files, col("s"))
-             .sortWithinPartitions("s")
-             .write.mode("overwrite")
-             .parquet(base))
+        # Shared layout contract (_write_postings_layout): bucketed
+        # stores keep one s-sorted file per shingle bucket — the
+        # pruning-critical bucket function must come from the ONE
+        # helper every posting writer routes through.
+        from data_ingestion_challenge_spark.streaming.admission import (
+            _write_postings_layout,
+        )
+        _write_postings_layout(post, base, mod, n_files=n_files)
         if sizes_dir is not None and sizes_out is not None:
             sz = (self.spark.read.option("basePath", sizes_dir)
                   .parquet(sizes_dir).select("doc_id", "n"))

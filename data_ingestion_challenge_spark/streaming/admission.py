@@ -183,11 +183,16 @@ def release_admission_lease(lease: str) -> None:
                 return
         os.unlink(lease)
     except FileNotFoundError:
-        # Already gone (manual cleanup) — fine.  Any OTHER I/O error
-        # must surface: silently leaving our own lease behind forces
-        # the next stream through the stale/steal protocol with no
-        # record of why.
-        pass
+        pass  # already gone (manual cleanup) — fine
+    except OSError as exc:
+        # Release runs in `finally` blocks: raising here would REPLACE
+        # an in-flight drain exception with a lease-file I/O error and
+        # misdirect debugging — but silence would leave our own lease
+        # behind with no record of why (the next stream then pays the
+        # stale/steal protocol).  Warn: visible, never masking.
+        import warnings
+        warnings.warn(f"could not release admission lease {lease}: "
+                      f"{exc}", RuntimeWarning, stacklevel=2)
 
 
 _COMPACTING = "_compacting"
@@ -226,23 +231,27 @@ def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
         df.write.mode("overwrite").parquet(dst)
 
 
-# Base partitions of a compacted store, LSM-style: "-1" is the MAJOR
-# base (the bulk of the corpus, rewritten rarely), "-2" the MINOR base
-# (recent increments folded cheaply, promoted into the major base when
-# it grows to a fraction of it).  Negative tags can never collide with
-# a real micro-batch id, so the sink's replay guard is unaffected.
-_BASE_TAGS = ("-1", "-2")
+def _is_base(tag: str) -> bool:
+    """Compacted-run tags are NEGATIVE integers ("-1", "-2", …):
+    micro-batch tags are non-negative ints or run-scoped strings, so
+    a negative tag can only have been written by a fold — which folds
+    committed data only — and can never collide with a real batch id
+    (the sink's replay guard is unaffected)."""
+    try:
+        return int(tag) < 0
+    except ValueError:
+        return False
 
 
 def _tag_committed(marks: dict[str, int], tag: str) -> bool:
     """Whether an ``ingest_batch=<tag>`` increment belongs to a batch
     whose txn COMMITTED, given the table's txn_marks().  Tag formats
-    are the sink's own: ``-1``/``-2`` (compacted bases — built from
+    are the sink's own: negative ints (compacted runs — built from
     committed tags only, so always committed), ``<run_id>-<bid>``
     (run-scoped, app ``doc_admission:<run_id>``), or a bare ``<bid>``
     (direct sink callers, app ``doc_admission``).  Anything
     unparsable is conservatively NOT committed (never folded)."""
-    if tag in _BASE_TAGS:
+    if _is_base(tag):
         return True
     if "-" in tag:
         rid, _, bid = tag.rpartition("-")
@@ -348,21 +357,26 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
     this rewrites the store the stream is already using, so the sink
     can invoke it on a cadence with no path changes.
 
-    ``level`` is the LSM tier (at 100 TB the major base is
-    corpus-sized, so rewriting ALL of it every N batches would be
-    O(corpus) per fold — the tiering bounds maintenance I/O exactly
-    like an LSM tree's):
-    - ``"major"``: fold EVERYTHING committed (both bases + increments)
-      into the major base ``ingest_batch=-1``;
-    - ``"minor"``: fold only the increments + the minor base into
-      ``ingest_batch=-2``, leaving the major base untouched — cost is
-      O(recent increments), not O(corpus);
-    - ``"auto"``: minor, unless the minor base has grown to
-      ``major_ratio`` of the major base (or no major base exists), in
-      which case promote with a major fold — the classic size-tiered
-      trigger, derived from file sizes so no counter state is needed.
+    ``level`` is the LSM maintenance policy (at 100 TB the corpus run
+    is huge, so rewriting ALL of it every N batches would be
+    O(corpus) per fold):
+    - ``"major"``: fold EVERYTHING committed (all runs + increments)
+      into one run ``ingest_batch=-1`` — maximum read efficiency,
+      O(corpus) fold cost;
+    - ``"minor"``: fold only the increments + the ``-2`` run into
+      ``ingest_batch=-2``, leaving ``-1`` untouched — the fixed
+      two-tier variant;
+    - ``"auto"``: STEPPED MERGE (the Lucene/LSM size-tiered scheme):
+      the increments fold into a NEW small run, then any run whose
+      size has reached ``major_ratio`` of the next-larger run merges
+      into it, cascading.  The invariant — every run < major_ratio ×
+      the next — bounds the run count by log_{1/major_ratio}(C/(N·b))
+      and the total maintenance write amplification by
+      O(major_ratio⁻¹ · log(C/(N·b))) per ingested byte: the classic
+      LSM bound, vs Θ(C/(N·b)) for always-major.  Derived from file
+      sizes; no counter state.
     The screen reads every ``ingest_batch=`` partition identically,
-    so the tier split never changes a verdict (equivalence-tested).
+    so the run split never changes a verdict (equivalence-tested).
 
     MUST run under the admission lease (the sink holds it for the
     whole drain): the swap is only safe because no concurrent screen
@@ -373,82 +387,141 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
     keeps its increment untouched, preserving the sink's same-tag
     replay exclusion exactly — folding it into the base would make
     the replay self-match its own survivors and silently drop them.
+    Compacted runs (negative tags) are always committed data.
 
-    Crash protocol: the new base (and, when ``sizes_dir`` is given, a
-    sizes base RECOMPUTED from the folded postings — covering by
-    construction, even for tags that predate the sizes store) is
+    Crash protocol, per fold: the new run (and, when ``sizes_dir`` is
+    given, a sizes run RECOMPUTED from the folded postings — covering
+    by construction, even for tags that predate the sizes store) is
     staged under ``_compacting/`` (underscore: invisible to Spark's
     listing), then a manifest naming the folded tags AND the target
-    base tag is published atomically, then tags are deleted and the
-    base renamed in.  A crash before the manifest changes nothing;
-    after it, recover_compaction() completes the swap before the
-    next screen.
+    run tag is published atomically, then tags are deleted and the
+    run renamed in.  A crash before the manifest changes nothing;
+    after it, recover_compaction() completes the swap before the next
+    screen; a crash between cascade steps simply leaves a legal run
+    set for the next cadence tick to continue from.  When
+    ``sizes_dir`` is given, any pre-existing run missing its sizes
+    twin is BACKFILLED (staged + atomic rename) so sizes coverage
+    heals instead of forcing the screen's full-aggregation fallback
+    forever.
 
     Returns the number of folded increments (0 = nothing to do)."""
     if level not in ("major", "minor", "auto"):
         raise ValueError(f"level must be major|minor|auto, got {level!r}")
     recover_compaction(postings_dir, sizes_dir)
     marks = table.txn_marks()
-    tags = _batch_tags(postings_dir)
-    committed = sorted(t for t in tags if _tag_committed(marks, t))
-    n_inc = sum(1 for t in committed if t not in _BASE_TAGS)
+    committed = sorted(t for t in _batch_tags(postings_dir)
+                       if _tag_committed(marks, t))
+    n_inc = sum(1 for t in committed if not _is_base(t))
     # < 1, not < 2: the sink's compact_every trigger counts committed
     # increments with the SAME rule, so any cadence — including
     # compact_every=1 — folds exactly when it says it will.
     if n_inc < 1:
         return 0
-    if level == "auto":
-        major = os.path.join(postings_dir, "ingest_batch=-1")
-        if not os.path.isdir(major):
-            level = "major"
-        else:
-            minor_b = _dir_bytes(
-                os.path.join(postings_dir, "ingest_batch=-2"))
-            level = ("major" if minor_b
-                     >= major_ratio * _dir_bytes(major) else "minor")
-    base_tag = "-1" if level == "major" else "-2"
-    folded = (committed if level == "major"
-              else [t for t in committed if t != "-1"])
     mod = store_bucket_mod(postings_dir)
-    paths = [os.path.join(postings_dir, f"ingest_batch={t}")
-             for t in folded]
-    dst = os.path.join(postings_dir, _COMPACTING,
-                       f"ingest_batch={base_tag}")
-    post = (spark.read.option("basePath", postings_dir)
-            .parquet(*paths).select("doc_id", "s"))
-    # Bucketed: one s-sorted file per shingle bucket.  Flat: n_files
-    # s-sorted files.
-    _write_postings_layout(post, dst, mod, n_files=n_files)
-    sfolded: list[str] = []
+
+    def _fold(folded: list[str], base_tag: str) -> None:
+        """One atomic fold: read the folded partitions, stage the new
+        run (+ recomputed sizes run), publish the manifest, swap."""
+        paths = [os.path.join(postings_dir, f"ingest_batch={t}")
+                 for t in folded]
+        dst = os.path.join(postings_dir, _COMPACTING,
+                           f"ingest_batch={base_tag}")
+        post = (spark.read.option("basePath", postings_dir)
+                .parquet(*paths).select("doc_id", "s"))
+        # Bucketed: one s-sorted file per shingle bucket.  Flat:
+        # n_files s-sorted files.
+        _write_postings_layout(post, dst, mod, n_files=n_files)
+        sfolded: list[str] = []
+        if sizes_dir is not None:
+            # The sizes run comes from the folded POSTINGS, not a
+            # union of sizes tags: n is by definition the doc's
+            # posting count, and deriving it from the data being
+            # folded covers every folded doc even when some folded
+            # tag predates the sizes store (a union of sizes tags
+            # would silently UNDER-cover, and an under-covering store
+            # admits missed dups).  Read back the STAGED run rather
+            # than re-scanning every increment.
+            sfolded = sorted(t for t in _batch_tags(sizes_dir)
+                             if t in set(folded))
+            (spark.read.parquet(dst).groupBy("doc_id")
+             .agg(F.count("*").alias("n"))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(sizes_dir, _COMPACTING,
+                                   f"ingest_batch={base_tag}")))
+            if base_tag not in sfolded:
+                sfolded.append(base_tag)
+        manifest = os.path.join(postings_dir, _COMPACT_MANIFEST)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"postings": folded, "sizes": sfolded,
+                       "sizes_dir": sizes_dir,
+                       "base_tag": base_tag}, fh)
+        os.replace(tmp, manifest)
+        _finish_swap(postings_dir, folded, base_tag)
+        if sizes_dir is not None:
+            _finish_swap(sizes_dir, sfolded, base_tag)
+        os.unlink(manifest)
+
+    def _run_bytes() -> dict[str, int]:
+        return {t: _dir_bytes(os.path.join(postings_dir,
+                                           f"ingest_batch={t}"))
+                for t in _batch_tags(postings_dir) if _is_base(t)}
+
+    if level == "major":
+        _fold(committed, "-1")
+    elif level == "minor":
+        _fold([t for t in committed if t != "-1"], "-2")
+    else:
+        # Stepped merge.  1) Fold the increments into a fresh run tag
+        # (next unused negative int) — O(N·b) work.
+        runs = _run_bytes()
+        nxt = str(min([int(t) for t in runs] or [0]) - 1)
+        _fold([t for t in committed if not _is_base(t)], nxt)
+        # 2) Cascade: while the smallest run has reached major_ratio
+        # of the next-larger one, merge the two — each byte climbs a
+        # geometric ladder, so amortized maintenance I/O per ingested
+        # byte is O(major_ratio⁻¹ · log(corpus / fold_size)).
+        while True:
+            runs = _run_bytes()
+            if len(runs) < 2:
+                break
+            order = sorted(runs, key=runs.get)
+            small, nxt_big = order[0], order[1]
+            if runs[small] < major_ratio * runs[nxt_big]:
+                break
+            _fold([small, nxt_big], nxt_big)
     if sizes_dir is not None:
-        # The sizes base comes from the folded POSTINGS, not a union
-        # of sizes tags: n is by definition the doc's posting count,
-        # and deriving it from the data being folded covers every
-        # folded doc even when some folded tag predates the sizes
-        # store (a union of sizes tags would silently UNDER-cover,
-        # and an under-covering store admits missed dups).  Read back
-        # the STAGED base rather than re-scanning every increment —
-        # one compacted pass instead of a second full-store read.
-        sfolded = sorted(t for t in _batch_tags(sizes_dir)
-                         if t in set(folded))
-        (spark.read.parquet(dst).groupBy("doc_id")
-         .agg(F.count("*").alias("n"))
-         .coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(sizes_dir, _COMPACTING,
-                               f"ingest_batch={base_tag}")))
-        if base_tag not in sfolded:
-            sfolded.append(base_tag)
-    manifest = os.path.join(postings_dir, _COMPACT_MANIFEST)
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"postings": folded, "sizes": sfolded,
-                   "sizes_dir": sizes_dir, "base_tag": base_tag}, fh)
-    os.replace(tmp, manifest)
-    _finish_swap(postings_dir, folded, base_tag)
-    if sizes_dir is not None:
-        _finish_swap(sizes_dir, sfolded, base_tag)
-    os.unlink(manifest)
+        _backfill_sizes(spark, postings_dir, sizes_dir)
     return n_inc
+
+
+def _backfill_sizes(spark: SparkSession, postings_dir: str,
+                    sizes_dir: str) -> None:
+    """Heal sizes coverage for compacted RUNS that predate the sizes
+    store (e.g. a store compacted before sizes_dir was enabled):
+    recompute each missing run's (doc_id, n) from its own postings,
+    staged then atomically renamed — a crash mid-write can never
+    publish a partial (under-covering) sizes partition.  Without
+    this, the screen's coverage check fails every batch and falls
+    back to a full posting-store aggregation indefinitely."""
+    have = _batch_tags(sizes_dir)
+    for t in sorted(_batch_tags(postings_dir)):
+        if not _is_base(t) or t in have:
+            continue
+        src = os.path.join(postings_dir, f"ingest_batch={t}")
+        staged = os.path.join(sizes_dir, _COMPACTING,
+                              f"backfill_{t}")
+        (spark.read.parquet(src).groupBy("doc_id")
+         .agg(F.count("*").alias("n"))
+         .coalesce(1).write.mode("overwrite").parquet(staged))
+        os.makedirs(sizes_dir, exist_ok=True)
+        final = os.path.join(sizes_dir, f"ingest_batch={t}")
+        if not os.path.isdir(final):
+            os.rename(staged, final)
+    staging = os.path.join(sizes_dir, _COMPACTING)
+    if os.path.isdir(staging):
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _batch_tags(d: str) -> set[str]:
@@ -697,14 +770,14 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                 # per-batch no-op compaction calls.
                 marks = table.txn_marks()
                 n_inc = sum(1 for t in _batch_tags(postings_dir)
-                            if t not in _BASE_TAGS
+                            if not _is_base(t)
                             and _tag_committed(marks, t))
                 if n_inc >= compact_every:
-                    # auto = size-tiered: cheap minor folds at the
-                    # cadence, a major promote only when the minor
-                    # base grows to a fraction of the major —
-                    # maintenance I/O stays O(recent), never
-                    # O(corpus) per cadence tick.
+                    # auto = stepped merge: increments fold into a
+                    # fresh small run, runs merge up a geometric
+                    # size ladder — maintenance I/O per ingested
+                    # byte is O(log corpus), never O(corpus) per
+                    # cadence tick.
                     compact_store_in_place(spark, postings_dir,
                                            table, sizes_dir=sizes_dir,
                                            level="auto")

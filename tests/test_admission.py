@@ -785,10 +785,15 @@ def test_compaction_equivalence_with_uncompacted(spark, dirs,
     assert corpus1 == corpus2 == {1, 2, 3, 12}
     # The compacting sink actually folded (batch 2 admits nothing —
     # both docs are exact corpus dups — so it writes no increment):
-    # batch 0's fold is a MAJOR (no major base yet) and batch 1's is
-    # a size-tiered MINOR, so only the two bases remain, vs the plain
-    # sink's two increments.
-    assert _batch_tags(d1["postings"]) == {"-1", "-2"}
+    # only compacted RUNS (negative tags, count bounded by the
+    # stepped-merge geometric invariant) remain, vs the plain sink's
+    # two increments.
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _is_base,
+    )
+    tags1 = _batch_tags(d1["postings"])
+    assert tags1 and all(_is_base(t) for t in tags1)
+    assert len(tags1) <= 2
     assert len(_batch_tags(d2["postings"])) == 2
 
 
@@ -937,3 +942,142 @@ def test_swap_crash_point_enumeration(tmp_path):
     assert _layout(store) == sorted([
         "ingest_batch=-1/part-0.parquet:merged",
         "ingest_batch=orph-9/part-0.parquet:orphan"])
+
+
+def test_swap_crash_points_with_sizes_store(tmp_path):
+    """Crash-prefix enumeration for a fold whose manifest also names
+    a SIZES swap: every prefix of (manifest → postings deletes →
+    postings rename → sizes deletes → sizes rename) must recover to
+    the identical folded layout in BOTH stores — a sizes store left
+    half-swapped under-covers and silently admits missed dups."""
+    import shutil
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _COMPACT_MANIFEST, _COMPACTING, recover_compaction,
+    )
+
+    def _mk(i):
+        post = tmp_path / f"p{i}"
+        sizes = tmp_path / f"s{i}"
+        for store, payload in ((post, "post"), (sizes, "size")):
+            for tag in ("-1", "a-1", "a-2"):
+                d = store / f"ingest_batch={tag}"
+                d.mkdir(parents=True)
+                (d / "part-0.parquet").write_text(f"{payload}:{tag}")
+            staged = store / _COMPACTING / "ingest_batch=-2"
+            staged.mkdir(parents=True)
+            (staged / "part-0.parquet").write_text(f"{payload}:folded")
+        (post / _COMPACT_MANIFEST).write_text(json.dumps(
+            {"postings": ["a-1", "a-2"], "sizes": ["a-1", "a-2", "-2"],
+             "sizes_dir": str(sizes), "base_tag": "-2"}))
+        return post, sizes
+
+    def _layout(store):
+        return sorted(str(p.relative_to(store)) + ":" + p.read_text()
+                      for p in store.rglob("part-0.parquet"))
+
+    ref_p, ref_s = _mk("ref")
+    assert recover_compaction(str(ref_p), str(ref_s))
+    want_p, want_s = _layout(ref_p), _layout(ref_s)
+    assert "ingest_batch=-2/part-0.parquet:post:folded" in want_p
+    assert "ingest_batch=-2/part-0.parquet:size:folded" in want_s
+    assert not any("a-1" in x or "a-2" in x for x in want_p + want_s)
+
+    def _steps(post, sizes):
+        yield
+        shutil.rmtree(post / "ingest_batch=a-1")
+        yield
+        shutil.rmtree(post / "ingest_batch=a-2")
+        yield
+        os.rename(post / _COMPACTING / "ingest_batch=-2",
+                  post / "ingest_batch=-2")
+        yield
+        shutil.rmtree(sizes / "ingest_batch=a-1")
+        yield
+        shutil.rmtree(sizes / "ingest_batch=a-2")
+        yield
+        # No pre-existing sizes -2 run: the swap's final step is the
+        # bare rename (matching _finish_swap's conditional delete).
+        os.rename(sizes / _COMPACTING / "ingest_batch=-2",
+                  sizes / "ingest_batch=-2")
+        yield
+
+    for k in range(7):
+        post, sizes = _mk(k)
+        it = _steps(post, sizes)
+        for _ in range(k + 1):
+            next(it)
+        # Recovery must work from the manifest alone even when the
+        # caller cannot supply sizes_dir (sink restart with changed
+        # config): pass None for odd crash points.
+        recover_compaction(str(post),
+                           str(sizes) if k % 2 == 0 else None)
+        assert _layout(post) == want_p, f"crash point {k} (postings)"
+        assert _layout(sizes) == want_s, f"crash point {k} (sizes)"
+        assert not (post / _COMPACT_MANIFEST).exists()
+
+
+def test_stepped_merge_run_invariant(spark, dirs, tmp_path):
+    """Stepped merge keeps the store as a SMALL set of compacted runs
+    as batches keep arriving (the geometric invariant: every run <
+    major_ratio × the next-larger), instead of one increment per
+    batch or one O(corpus) rewrite per batch — and the screen stays
+    correct over the multi-run store."""
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _batch_tags, _is_base, document_admission_sink,
+    )
+
+    sizes = str(tmp_path / "sizes")
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"],
+        sizes_dir=sizes, compact_every=1)
+    texts = [LONG_A, NOVEL, FRESH_3, FRESH_4,
+             "a fifth entirely distinct passage about broadcast "
+             "joins and partition pruning in query planners"]
+    for b, t in enumerate(texts):
+        admit(spark.createDataFrame([(b, t, "en", "web")],
+                                    DOCS_SCHEMA), b)
+        tags = _batch_tags(dirs["postings"])
+        assert all(_is_base(t_) for t_ in tags), tags
+        assert len(tags) <= 3, tags  # log-bounded, never 5 increments
+    # sizes store mirrors the run set (coverage invariant).
+    assert _batch_tags(sizes) >= _batch_tags(dirs["postings"])
+    # Screen across the multi-run store: dup rejects, novel admits.
+    admit(spark.createDataFrame(
+        [(10, LONG_A_NEAR, "en", "web"),
+         (11, "and one final genuinely novel body of words to "
+              "admit over the merged run set", "en", "web")],
+        DOCS_SCHEMA), 5)
+    assert {r.doc_id for r in table.read().collect()} \
+        == {0, 1, 2, 3, 4, 11}
+
+
+def test_engine_compact_admission_in_place(spark, dirs, tmp_path):
+    """Facade binding: Engine.compact_admission_in_place takes the
+    admission lease around the fold (a live stream's lease blocks
+    it), folds committed increments, and the store still screens."""
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _acquire_admission_lease, _batch_tags, _is_base,
+        ConcurrentAdmissionError, release_admission_lease,
+    )
+    from tests.conftest import SF_DIR
+
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"])
+    admit(spark.createDataFrame(
+        [(1, LONG_A, "en", "web"), (2, NOVEL, "en", "web")],
+        DOCS_SCHEMA), 0)
+    eng = Engine(SF_DIR, spark=spark)
+    lease = _acquire_admission_lease(dirs["postings"])
+    with pytest.raises(ConcurrentAdmissionError):
+        eng.compact_admission_in_place(dirs["postings"],
+                                       dirs["table"])
+    release_admission_lease(lease)
+    assert eng.compact_admission_in_place(dirs["postings"],
+                                          dirs["table"]) == 1
+    tags = _batch_tags(dirs["postings"])
+    assert tags and all(_is_base(t) for t in tags)
+    admit(spark.createDataFrame(
+        [(9, LONG_A, "en", "web")], DOCS_SCHEMA), 1)
+    assert {r.doc_id for r in table.read().collect()} == {1, 2}
