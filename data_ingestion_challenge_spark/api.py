@@ -127,11 +127,20 @@ class Engine:
         )
         from data_ingestion_challenge_spark.txn import TxnTable
 
+        table = TxnTable(self.spark, table_path, key="doc_id")
+        if table.version() == 0:
+            # Fail LOUDLY: an absent/typo'd table path yields empty
+            # txn marks, every increment classifies as uncommitted,
+            # and the fold silently does nothing forever — a
+            # misconfiguration indistinguishable from "nothing to do".
+            raise ValueError(
+                f"compact_admission_in_place: no commit log at "
+                f"{table_path!r} — pass the corpus TxnTable path the "
+                f"admission sink commits into.")
         lease = _acquire_admission_lease(postings_dir)
         try:
             return compact_store_in_place(
-                self.spark, postings_dir,
-                TxnTable(self.spark, table_path, key="doc_id"),
+                self.spark, postings_dir, table,
                 sizes_dir=sizes_dir, level=level)
         finally:
             release_admission_lease(lease)

@@ -315,3 +315,69 @@ def oracle_ngram_novelty(table: str = "documents", n: int = 3) -> str:
     FROM {table} t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
     ORDER BY t.doc_id
     """
+
+
+# ------------------------------------------------------ dataset card
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Per-source "data card" summary — the one-page table a dataset
+    release ships (datasheet/data-statement practice): doc and token
+    counts, language spread with the dominant language, exact-dup
+    share, and mean doc length.  One row per source.
+
+    All aggregates are exact integer arithmetic plus single rounded
+    divisions, so the DuckDB twin matches value-exactly; top_lang
+    ties break alphabetically in both engines.
+
+    Scale shape: two map-side-combined aggregations over one narrow
+    scan (per-source, per-(source, lang)) — result is
+    |sources|-sized; nothing shuffles more than once."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    base = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(col("text"), " "))).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5(col("text"))).alias("_uniq"),
+        F.sum("n_chars").alias("_chars"))
+    w = Window.partitionBy("source").orderBy(
+        col("_lc").desc(), col("lang"))
+    top = (documents.groupBy("source", "lang")
+           .agg(F.count("*").alias("_lc"))
+           .withColumn("_rk", F.row_number().over(w))
+           .where(col("_rk") == 1)
+           .select("source", col("lang").alias("top_lang")))
+    return (base.join(top, "source")
+            .select("source", "n_docs", "n_tokens", "n_langs",
+                    "top_lang",
+                    F.round((col("n_docs") - col("_uniq"))
+                            / col("n_docs").cast("double"), 4)
+                    .alias("dup_ratio"),
+                    F.round(col("_chars")
+                            / col("n_docs").cast("double"), 2)
+                    .alias("avg_chars")))
+
+
+ORACLE_DATASET_CARD = """
+WITH base AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT md5(text)) AS uniq,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source),
+top AS (
+    SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY count(*) DESC, lang) AS rk
+        FROM documents GROUP BY source, lang)
+    WHERE rk = 1)
+SELECT base.source, n_docs, n_tokens, n_langs, top_lang,
+       round((n_docs - uniq) / CAST(n_docs AS DOUBLE), 4) AS dup_ratio,
+       round(chars / CAST(n_docs AS DOUBLE), 2) AS avg_chars
+FROM base JOIN top USING (source)
+"""

@@ -900,3 +900,44 @@ def semdedup_oracle_sql(tau: float = 0.4, bits: int = 4,
     LEFT JOIN (SELECT vec_id, pby, cs FROM dom WHERE rn = 1) d
       ON d.vec_id = e.vec_id
     """
+
+
+def hard_negative_pairs(embeddings: DataFrame,
+                        tau: float = 0.35) -> DataFrame:
+    """Contrastive-training hard-negative mining: pairs of vectors
+    that are SEMANTICALLY CLOSE (cosine ≥ tau) but carry DIFFERENT
+    labels — exactly the pairs a contrastive/metric-learning recipe
+    wants as negatives, and the label-noise audit a curation pass
+    reads (near-identical embeddings with conflicting labels are
+    often mislabeled rows).  Returns (vec_a, vec_b, label_a, label_b,
+    cos_sim), a < b.
+
+    Scale shape: candidate generation is embedding_cosine_pairs'
+    blocked gemm (one shuffle, bounded task memory, no BNLJ); the
+    label join adds two broadcast-sized probes of the (vec_id, label)
+    projection."""
+    from pyspark.sql.functions import broadcast
+
+    pairs = embedding_cosine_pairs(embeddings, tau=tau)
+    lab = embeddings.select("vec_id", "label")
+    la = lab.select(col("vec_id").alias("vec_a"),
+                    col("label").alias("label_a"))
+    lb = lab.select(col("vec_id").alias("vec_b"),
+                    col("label").alias("label_b"))
+    return (pairs.join(broadcast(la), "vec_a")
+            .join(broadcast(lb), "vec_b")
+            .where(col("label_a") != col("label_b"))
+            .select("vec_a", "vec_b", "label_a", "label_b", "cos_sim"))
+
+
+def hard_negative_oracle_sql(tau: float = 0.35) -> str:
+    """DuckDB twin of hard_negative_pairs (same cosine formula as the
+    dedup_embedding_cosine oracle, plus the label-mismatch filter)."""
+    cos = _dk_cos("a", "b")
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round({cos}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {cos} >= {tau} AND a.label <> b.label
+    """

@@ -12,7 +12,9 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
 
 # Tiny fixed char-bigram profiles per language.  Real deployments learn
 # these from labeled corpora; fixed profiles keep the op deterministic.
@@ -135,3 +137,132 @@ def split_sentences_udtf(spark, documents: DataFrame) -> DataFrame:
     return spark.sql(
         "SELECT s.doc_id, s.sent_idx, s.sentence "
         "FROM _docs_for_udtf d, LATERAL split_sentences_udtf(d.doc_id, d.text) s")
+
+
+# ---------------------------------------------- source outlier score
+
+def source_outlier_score(documents: DataFrame,
+                         round_dp: int = 4) -> DataFrame:
+    """Naive-Bayes mislabel/outlier signal per document — the cheap
+    stand-in for the fastText-style quality/domain classifier a
+    training-data pipeline runs before mixing sources: train unigram
+    NB over (source → token) counts with add-1 smoothing, score every
+    doc under EVERY source, and report
+    (doc_id, source, pred_source, margin) where margin = the doc's
+    log-likelihood under its OWN source minus the best other source
+    (4dp).  Strongly negative margin = the doc reads like a different
+    source (mislabeled scrape, template leak, contamination).
+
+    Cross-engine determinism is exact, not approximate: per-token log
+    probabilities are rounded to 1e-9 and summed as DECIMAL(30,9)
+    (the BM25 msum trick), so scores are identical under ANY
+    partitioning and in the DuckDB twin; pred_source ties break
+    alphabetically on the exact decimal score.
+
+    Scale shape (100 TB): the model is one map-side-combined
+    groupBy(source, token) — vocabulary×sources-sized, broadcast back
+    to the token stream; the scored stream is tokens×|sources| rows
+    (|sources| is small) with partial aggregation onto (doc, source);
+    the vocab size is a bounded driver scalar."""
+    from pyspark.sql.functions import broadcast
+
+    docs = documents.select("doc_id", "source", "text")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(col("text"), " ")).alias("t")
+    ).where(col("t") != "")
+    V = tok.select("t").distinct().count()   # bounded driver scalar
+    cstats = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    # NB: the per-source total is "_tot", not "T" — Spark resolves
+    # identifiers case-insensitively, so a "T" alias would make the
+    # token column `t` ambiguous in the cstats⋈tot self-join.
+    tot = cstats.groupBy("source").agg(F.sum("c").alias("_tot"))
+    logp = (cstats.join(tot, "source")
+            .select(col("source").alias("_ms"),
+                    col("t").alias("_mt"),
+                    F.round(F.log((col("c") + 1)
+                                  / (col("_tot") + F.lit(V))), 9)
+                    .alias("_lp")))
+    dflt = tot.select(col("source").alias("_ds"),
+                      F.round(F.log(F.lit(1.0)
+                                    / (col("_tot") + F.lit(V))), 9)
+                      .alias("_dlp"))
+    # Both sides derive from the same `tok` plan (self-join lineage):
+    # explicit aliases keep the analyzer from seeing tok's `t`
+    # attribute on both inputs.
+    stream = (tok.select("doc_id", "t")
+              .crossJoin(broadcast(dflt)).alias("L"))
+    scored = (
+        stream.join(broadcast(logp.alias("R")),
+                    (col("L._ds") == col("R._ms"))
+                    & (col("L.t") == col("R._mt")), "left")
+        .groupBy("L.doc_id", col("L._ds").alias("_src"))
+        .agg(F.sum(F.coalesce(col("R._lp"), col("L._dlp"))
+                   .cast("decimal(30,9)")).alias("_ll")))
+    w = Window.partitionBy("doc_id").orderBy(col("_ll").desc(), "_src")
+    best = scored.withColumn("_rk", F.row_number().over(w))
+    lab = docs.select("doc_id", "source")
+    own = (best.join(lab, "doc_id")
+           .where(col("_src") == col("source"))
+           .select("doc_id", "source", col("_ll").alias("_own")))
+    other = (best.join(lab, "doc_id")
+             .where(col("_src") != col("source"))
+             .groupBy("doc_id").agg(F.max("_ll").alias("_best_other")))
+    pred = best.where(col("_rk") == 1).select(
+        "doc_id", col("_src").alias("pred_source"))
+    return (own.join(pred, "doc_id").join(other, "doc_id")
+            .select("doc_id", "source", "pred_source",
+                    F.round((col("_own") - col("_best_other"))
+                            .cast("double"), round_dp).alias("margin")))
+
+
+def source_outlier_oracle_sql(table: str = "documents",
+                              round_dp: int = 4) -> str:
+    """DuckDB twin of source_outlier_score — same tokenization, same
+    add-1 smoothing, same 1e-9 round + DECIMAL(30,9) exact sums, same
+    alphabetical tie-break."""
+    return f"""
+    WITH tok0 AS (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS t
+                  FROM {table}),
+    tok AS (SELECT * FROM tok0 WHERE t <> ''),
+    vsz AS (SELECT count(DISTINCT t) AS V FROM tok),
+    cstats AS (SELECT source, t, count(*) AS c
+               FROM tok GROUP BY source, t),
+    -- "tc", not "T": DuckDB (like Spark) resolves identifiers
+    -- case-insensitively, and "T" would collide with the token
+    -- column t in the cstats join.
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tc
+            FROM cstats GROUP BY source),
+    logp AS (SELECT source, t,
+                    round(ln((c + 1) / CAST(tc + (SELECT V FROM vsz)
+                                            AS DOUBLE)), 9) AS lp
+             FROM cstats JOIN tot USING (source)),
+    dflt AS (SELECT source,
+                    round(ln(1.0 / CAST(tc + (SELECT V FROM vsz)
+                                        AS DOUBLE)), 9) AS dlp
+             FROM tot),
+    scored AS (
+        SELECT k.doc_id, d.source AS src,
+               sum(CAST(coalesce(lp.lp, d.dlp) AS DECIMAL(30,9)))
+                   AS ll
+        FROM (SELECT doc_id, t FROM tok) k
+        CROSS JOIN dflt d
+        LEFT JOIN logp lp ON lp.source = d.source AND lp.t = k.t
+        GROUP BY k.doc_id, d.source),
+    pred AS (SELECT doc_id, src AS pred_source FROM (
+                 SELECT doc_id, src,
+                        row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ll DESC, src) AS rk
+                 FROM scored) WHERE rk = 1),
+    own AS (SELECT s.doc_id, d.source, s.ll AS own_ll
+            FROM scored s JOIN {table} d
+              ON d.doc_id = s.doc_id AND d.source = s.src),
+    other AS (SELECT s.doc_id, max(s.ll) AS best_other
+              FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+              WHERE s.src <> d.source GROUP BY s.doc_id)
+    SELECT own.doc_id, own.source, pred.pred_source,
+           round(CAST(own.own_ll - other.best_other AS DOUBLE),
+                 {round_dp}) AS margin
+    FROM own JOIN pred USING (doc_id) JOIN other USING (doc_id)
+    """

@@ -404,19 +404,18 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
     heals instead of forcing the screen's full-aggregation fallback
     forever.
 
-    Returns the number of folded increments (0 = nothing to do)."""
+    Returns the number of folded increments.  A 0 return does NOT
+    mean nothing ran: the auto cascade and the sizes backfill execute
+    regardless, so a call on a quiesced store still heals a crashed
+    mid-cascade run set or missing sizes coverage."""
     if level not in ("major", "minor", "auto"):
         raise ValueError(f"level must be major|minor|auto, got {level!r}")
     recover_compaction(postings_dir, sizes_dir)
     marks = table.txn_marks()
     committed = sorted(t for t in _batch_tags(postings_dir)
                        if _tag_committed(marks, t))
-    n_inc = sum(1 for t in committed if not _is_base(t))
-    # < 1, not < 2: the sink's compact_every trigger counts committed
-    # increments with the SAME rule, so any cadence — including
-    # compact_every=1 — folds exactly when it says it will.
-    if n_inc < 1:
-        return 0
+    incs = [t for t in committed if not _is_base(t)]
+    n_inc = len(incs)
     mod = store_bucket_mod(postings_dir)
 
     def _fold(folded: list[str], base_tag: str) -> None:
@@ -443,11 +442,9 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
             # than re-scanning every increment.
             sfolded = sorted(t for t in _batch_tags(sizes_dir)
                              if t in set(folded))
-            (spark.read.parquet(dst).groupBy("doc_id")
-             .agg(F.count("*").alias("n"))
-             .coalesce(1).write.mode("overwrite")
-             .parquet(os.path.join(sizes_dir, _COMPACTING,
-                                   f"ingest_batch={base_tag}")))
+            _write_sizes_run(spark, dst,
+                             os.path.join(sizes_dir, _COMPACTING,
+                                          f"ingest_batch={base_tag}"))
             if base_tag not in sfolded:
                 sfolded.append(base_tag)
         manifest = os.path.join(postings_dir, _COMPACT_MANIFEST)
@@ -468,31 +465,56 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
                 for t in _batch_tags(postings_dir) if _is_base(t)}
 
     if level == "major":
-        _fold(committed, "-1")
+        # Meaningful whenever anything can collapse: ≥1 increment, or
+        # ≥2 runs to merge into one.
+        if n_inc >= 1 or len(committed) >= 2:
+            _fold(committed, "-1")
     elif level == "minor":
-        _fold([t for t in committed if t != "-1"], "-2")
+        # The documented bounded-cost tier: ONLY the increments plus
+        # the -2 run — auto-created deeper runs (-3, -4, …) are the
+        # cascade's business, and sweeping them in here would turn
+        # the cheap tier into an O(corpus) job.
+        sub = [t for t in committed if not _is_base(t) or t == "-2"]
+        if n_inc >= 1:
+            _fold(sub, "-2")
     else:
         # Stepped merge.  1) Fold the increments into a fresh run tag
-        # (next unused negative int) — O(N·b) work.
-        runs = _run_bytes()
-        nxt = str(min([int(t) for t in runs] or [0]) - 1)
-        _fold([t for t in committed if not _is_base(t)], nxt)
-        # 2) Cascade: while the smallest run has reached major_ratio
-        # of the next-larger one, merge the two — each byte climbs a
-        # geometric ladder, so amortized maintenance I/O per ingested
-        # byte is O(major_ratio⁻¹ · log(corpus / fold_size)).
+        # (next unused negative int) — O(N·b) work.  Runs even with
+        # n_inc == 0: a crash mid-cascade leaves ratio-violating runs
+        # that the NEXT call (this one) must still merge.
+        if n_inc >= 1:
+            runs = _run_bytes()
+            nxt = str(min([int(t) for t in runs] or [0]) - 1)
+            _fold(incs, nxt)
+        # 2) Cascade until the FULL invariant holds — every run <
+        # major_ratio × the next larger, checked across ALL adjacent
+        # pairs (only checking the smallest pair would let a
+        # violating middle pair accrete runs forever).  Each byte
+        # climbs a geometric ladder, so amortized maintenance I/O per
+        # ingested byte is O(major_ratio⁻¹ · log(corpus/fold_size)).
         while True:
             runs = _run_bytes()
-            if len(runs) < 2:
+            order = sorted(runs, key=lambda t: (runs[t], int(t)))
+            for a, b in zip(order, order[1:]):
+                if runs[a] >= major_ratio * runs[b]:
+                    _fold([a, b], b)
+                    break
+            else:
                 break
-            order = sorted(runs, key=runs.get)
-            small, nxt_big = order[0], order[1]
-            if runs[small] < major_ratio * runs[nxt_big]:
-                break
-            _fold([small, nxt_big], nxt_big)
     if sizes_dir is not None:
         _backfill_sizes(spark, postings_dir, sizes_dir)
     return n_inc
+
+
+def _write_sizes_run(spark: SparkSession, postings_path: str,
+                     dst: str) -> None:
+    """The sizes-run layout contract in ONE place: (doc_id, n) with
+    n = the doc's posting count in ``postings_path``, one file.  Both
+    fold staging and coverage backfill derive sizes through here so
+    the layout/count rule cannot diverge between the two writers."""
+    (spark.read.parquet(postings_path).groupBy("doc_id")
+     .agg(F.count("*").alias("n"))
+     .coalesce(1).write.mode("overwrite").parquet(dst))
 
 
 def _backfill_sizes(spark: SparkSession, postings_dir: str,
@@ -511,9 +533,7 @@ def _backfill_sizes(spark: SparkSession, postings_dir: str,
         src = os.path.join(postings_dir, f"ingest_batch={t}")
         staged = os.path.join(sizes_dir, _COMPACTING,
                               f"backfill_{t}")
-        (spark.read.parquet(src).groupBy("doc_id")
-         .agg(F.count("*").alias("n"))
-         .coalesce(1).write.mode("overwrite").parquet(staged))
+        _write_sizes_run(spark, src, staged)
         os.makedirs(sizes_dir, exist_ok=True)
         final = os.path.join(sizes_dir, f"ingest_batch={t}")
         if not os.path.isdir(final):

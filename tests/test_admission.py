@@ -1081,3 +1081,38 @@ def test_engine_compact_admission_in_place(spark, dirs, tmp_path):
     admit(spark.createDataFrame(
         [(9, LONG_A, "en", "web")], DOCS_SCHEMA), 1)
     assert {r.doc_id for r in table.read().collect()} == {1, 2}
+
+
+def test_cascade_merges_violating_middle_pair(spark, dirs):
+    """The stepped-merge cascade must establish the FULL geometric
+    invariant: a ratio-violating pair in the MIDDLE of the size order
+    (small run fine, mid ≥ ratio × big) gets merged even though the
+    smallest pair is compliant — and the cascade runs even with ZERO
+    new increments (healing a crashed mid-cascade run set)."""
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _batch_tags, compact_store_in_place,
+    )
+    from data_ingestion_challenge_spark.txn import TxnTable
+
+    table = TxnTable.create(
+        spark, dirs["table"],
+        spark.createDataFrame([], DOCS_SCHEMA), key="doc_id")
+
+    def _run(tag, lo, n):
+        (spark.createDataFrame(
+            [(i, f"shingle-{i}") for i in range(lo, lo + n)],
+            "doc_id long, s string")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(dirs["postings"],
+                               f"ingest_batch={tag}")))
+
+    _run("-2", 0, 8000)        # big
+    _run("-3", 10000, 5000)    # mid: ≥ 0.5 × big → violates
+    _run("-4", 20000, 5)       # small: < 0.5 × mid → compliant
+    n = compact_store_in_place(spark, dirs["postings"], table,
+                               level="auto")
+    assert n == 0  # no increments — pure maintenance
+    assert _batch_tags(dirs["postings"]) == {"-2", "-4"}
+    merged = spark.read.parquet(
+        os.path.join(dirs["postings"], "ingest_batch=-2"))
+    assert merged.count() == 13000

@@ -532,3 +532,45 @@ def test_snapshot_diff_equals_dict_model(spark, rows_a, rows_b):
         else:
             want[k] = "unchanged" if da[k] == db[k] else "changed"
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.integers(min_value=-3, max_value=3),
+             min_size=8, max_size=8),
+    min_size=2, max_size=10))
+def test_semdedup_prune_equals_bruteforce(spark, vecs):
+    """semdedup_prune == the brute-force model: bucket by the SAME
+    seeded hyperplane signs, prune any vector with a lower-index
+    bucket-mate at cosine ≥ τ, witness = lowest such index — on
+    arbitrary small integer vectors (including zero vectors, whose
+    norm-guard must not divide by zero)."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.similarity import (
+        _hyperplanes, semdedup_prune,
+    )
+
+    dim, bits, tau = 8, 2, 0.9
+    X = np.array(vecs, dtype=np.float64)
+    planes = np.array(_hyperplanes(dim, bits))
+    sig = ((X @ planes.T) > 0) @ (1 << np.arange(bits))
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+    S = (X @ X.T) / np.outer(nrm, nrm)
+    want = {}
+    for j in range(len(vecs)):
+        dom = [i for i in range(j)
+               if sig[i] == sig[j] and S[j, i] >= tau]
+        want[j] = min(dom) if dom else None
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           semdedup_prune(emb, tau=tau, bits=bits, dim=dim).collect()}
+    assert set(got) == set(range(len(vecs)))
+    for j, w in want.items():
+        assert got[j].pruned_by == w, (j, w, got[j])
+        assert got[j].kept == (w is None)
