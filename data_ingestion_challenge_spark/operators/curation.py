@@ -342,8 +342,11 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct(F.md5(col("text"))).alias("_uniq"),
         F.sum("n_chars").alias("_chars"))
+    # asc_nulls_last: Spark ASC puts NULLs first, DuckDB puts them
+    # last — a NULL lang tied with a real one would pick different
+    # winners per engine without the explicit ordering.
     w = Window.partitionBy("source").orderBy(
-        col("_lc").desc(), col("lang"))
+        col("_lc").desc(), col("lang").asc_nulls_last())
     top = (documents.groupBy("source", "lang")
            .agg(F.count("*").alias("_lc"))
            .withColumn("_rk", F.row_number().over(w))

@@ -914,18 +914,19 @@ def hard_negative_pairs(embeddings: DataFrame,
 
     Scale shape: candidate generation is embedding_cosine_pairs'
     blocked gemm (one shuffle, bounded task memory, no BNLJ); the
-    label join adds two broadcast-sized probes of the (vec_id, label)
-    projection."""
-    from pyspark.sql.functions import broadcast
-
+    label attach is two plain equi-joins of the pair table (near-dup-
+    sized) against the (vec_id, label) projection — NO broadcast
+    hint: the projection is corpus-sized, and forcing it through the
+    driver would hit the broadcast cap at scale.  AQE picks broadcast
+    itself when the corpus is actually small."""
     pairs = embedding_cosine_pairs(embeddings, tau=tau)
     lab = embeddings.select("vec_id", "label")
     la = lab.select(col("vec_id").alias("vec_a"),
                     col("label").alias("label_a"))
     lb = lab.select(col("vec_id").alias("vec_b"),
                     col("label").alias("label_b"))
-    return (pairs.join(broadcast(la), "vec_a")
-            .join(broadcast(lb), "vec_b")
+    return (pairs.join(la, "vec_a")
+            .join(lb, "vec_b")
             .where(col("label_a") != col("label_b"))
             .select("vec_a", "vec_b", "label_a", "label_b", "cos_sim"))
 

@@ -192,25 +192,37 @@ def source_outlier_score(documents: DataFrame,
     # attribute on both inputs.
     stream = (tok.select("doc_id", "t")
               .crossJoin(broadcast(dflt)).alias("L"))
-    scored = (
+    tokscore = (
         stream.join(broadcast(logp.alias("R")),
                     (col("L._ds") == col("R._ms"))
                     & (col("L.t") == col("R._mt")), "left")
         .groupBy("L.doc_id", col("L._ds").alias("_src"))
         .agg(F.sum(F.coalesce(col("R._lp"), col("L._dlp"))
                    .cast("decimal(30,9)")).alias("_ll")))
+    # Complete per-doc grid: a token-less doc has an empty sum under
+    # EVERY source (log-likelihood 0), not a vanished row — the op's
+    # contract is one row per input doc.
+    grid = docs.select("doc_id", "source").crossJoin(
+        broadcast(dflt.select(col("_ds"))))
+    scored = (grid.join(tokscore,
+                        (grid["doc_id"] == tokscore["doc_id"])
+                        & (grid["_ds"] == tokscore["_src"]), "left")
+              .select(grid["doc_id"], grid["source"],
+                      grid["_ds"].alias("_src"),
+                      F.coalesce(col("_ll"),
+                                 F.lit(0).cast("decimal(30,9)"))
+                      .alias("_ll")))
     w = Window.partitionBy("doc_id").orderBy(col("_ll").desc(), "_src")
     best = scored.withColumn("_rk", F.row_number().over(w))
-    lab = docs.select("doc_id", "source")
-    own = (best.join(lab, "doc_id")
-           .where(col("_src") == col("source"))
+    own = (best.where(col("_src") == col("source"))
            .select("doc_id", "source", col("_ll").alias("_own")))
-    other = (best.join(lab, "doc_id")
-             .where(col("_src") != col("source"))
+    # LEFT join on best_other: a single-source corpus has no "other
+    # source" — margin is NULL (no signal), never a dropped row.
+    other = (best.where(col("_src") != col("source"))
              .groupBy("doc_id").agg(F.max("_ll").alias("_best_other")))
     pred = best.where(col("_rk") == 1).select(
         "doc_id", col("_src").alias("pred_source"))
-    return (own.join(pred, "doc_id").join(other, "doc_id")
+    return (own.join(pred, "doc_id").join(other, "doc_id", "left")
             .select("doc_id", "source", "pred_source",
                     F.round((col("_own") - col("_best_other"))
                             .cast("double"), round_dp).alias("margin")))
@@ -242,7 +254,7 @@ def source_outlier_oracle_sql(table: str = "documents",
                     round(ln(1.0 / CAST(tc + (SELECT V FROM vsz)
                                         AS DOUBLE)), 9) AS dlp
              FROM tot),
-    scored AS (
+    scored0 AS (
         SELECT k.doc_id, d.source AS src,
                sum(CAST(coalesce(lp.lp, d.dlp) AS DECIMAL(30,9)))
                    AS ll
@@ -250,19 +262,28 @@ def source_outlier_oracle_sql(table: str = "documents",
         CROSS JOIN dflt d
         LEFT JOIN logp lp ON lp.source = d.source AND lp.t = k.t
         GROUP BY k.doc_id, d.source),
+    -- Complete per-doc grid: token-less docs keep a row (empty sum =
+    -- 0 log-likelihood under every source), never vanish.
+    scored AS (
+        SELECT g.doc_id, g.source, g.src,
+               coalesce(s0.ll, CAST(0 AS DECIMAL(30,9))) AS ll
+        FROM (SELECT d.doc_id, d.source, f.source AS src
+              FROM {table} d CROSS JOIN dflt f) g
+        LEFT JOIN scored0 s0
+          ON s0.doc_id = g.doc_id AND s0.src = g.src),
     pred AS (SELECT doc_id, src AS pred_source FROM (
                  SELECT doc_id, src,
                         row_number() OVER (PARTITION BY doc_id
                             ORDER BY ll DESC, src) AS rk
                  FROM scored) WHERE rk = 1),
-    own AS (SELECT s.doc_id, d.source, s.ll AS own_ll
-            FROM scored s JOIN {table} d
-              ON d.doc_id = s.doc_id AND d.source = s.src),
-    other AS (SELECT s.doc_id, max(s.ll) AS best_other
-              FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
-              WHERE s.src <> d.source GROUP BY s.doc_id)
+    own AS (SELECT doc_id, source, ll AS own_ll
+            FROM scored WHERE src = source),
+    other AS (SELECT doc_id, max(ll) AS best_other
+              FROM scored WHERE src <> source GROUP BY doc_id)
+    -- LEFT JOIN other: a single-source corpus has no other source —
+    -- margin NULL, never a dropped row.
     SELECT own.doc_id, own.source, pred.pred_source,
            round(CAST(own.own_ll - other.best_other AS DOUBLE),
                  {round_dp}) AS margin
-    FROM own JOIN pred USING (doc_id) JOIN other USING (doc_id)
+    FROM own JOIN pred USING (doc_id) LEFT JOIN other USING (doc_id)
     """

@@ -23,10 +23,19 @@ def duck():
 
 
 def _compare(sdf, duck, sql):
-    got = sorted((tuple(r) for r in sdf.collect()), key=repr)
-    want = sorted((tuple(r) for r in duck.sql(sql).fetchall()),
-                  key=repr)
-    assert sorted(sdf.columns) == sorted(duck.sql(sql).columns)
+    """Order-insensitive row compare with fields aligned by COLUMN
+    NAME (the driver's rule) — positional tuples would silently
+    compare mismatched fields when select orders differ."""
+    rel = duck.sql(sql)
+    dcols, drows = rel.columns, rel.fetchall()
+    scols = sdf.columns
+    assert sorted(scols) == sorted(dcols)
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    got = sorted((tuple(r[i] for i in sorder)
+                  for r in sdf.collect()), key=repr)
+    want = sorted((tuple(r[i] for i in dorder)
+                   for r in drows), key=repr)
     assert got == want
     return got
 
@@ -35,12 +44,12 @@ def test_source_outlier_matches_oracle(spark, cat, duck):
     from data_ingestion_challenge_spark.operators.textstats import (
         source_outlier_oracle_sql, source_outlier_score,
     )
-    rows = _compare(source_outlier_score(cat.documents), duck,
-                    source_outlier_oracle_sql())
+    sdf = source_outlier_score(cat.documents)
+    rows = _compare(sdf, duck, source_outlier_oracle_sql())
     assert len(rows) == 500
     # margin is a real signal: some docs score clearly below their
     # own source's model (outliers), most near zero.
-    margins = [r[3] for r in rows]
+    margins = [r.margin for r in sdf.collect()]
     assert min(margins) < -0.5 < 0.5 < max(margins)
 
 
@@ -68,11 +77,12 @@ def test_hard_negative_pairs(spark, cat, duck):
     from data_ingestion_challenge_spark.operators.similarity import (
         hard_negative_oracle_sql, hard_negative_pairs,
     )
-    rows = _compare(hard_negative_pairs(cat.embeddings), duck,
-                    hard_negative_oracle_sql())
+    sdf = hard_negative_pairs(cat.embeddings)
+    rows = _compare(sdf, duck, hard_negative_oracle_sql())
     assert rows  # planted near-dups with differing labels exist
-    for a, b, la, lb, cs in rows:
-        assert a < b and la != lb and cs >= 0.35
+    for r in sdf.collect():
+        assert r.vec_a < r.vec_b and r.label_a != r.label_b
+        assert r.cos_sim >= 0.35
 
 
 def test_dataset_card(spark, cat, duck):
@@ -85,3 +95,61 @@ def test_dataset_card(spark, cat, duck):
     for r in out.values():
         assert 0 <= r.dup_ratio <= 1 and r.avg_chars > 0
         assert r.n_langs >= 1 and r.top_lang
+
+
+def test_source_outlier_edge_cases(spark, duck):
+    """Per-doc contract survives the edges: a token-less doc keeps
+    its row (0 log-likelihood under every source), and a
+    single-source corpus returns every doc with margin NULL instead
+    of zero rows — on BOTH engines."""
+    from data_ingestion_challenge_spark.operators.textstats import (
+        source_outlier_oracle_sql, source_outlier_score,
+    )
+    docs = spark.createDataFrame(
+        [(1, "web", "hash join scan"), (2, "web", ""),
+         (3, "arxiv", "theorem proof")],
+        "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in source_outlier_score(docs).collect()}
+    assert set(out) == {1, 2, 3}  # the empty-text doc keeps its row
+    duck.sql("CREATE OR REPLACE VIEW edge_docs AS "
+             "SELECT 1::BIGINT AS doc_id, 'web' AS source, "
+             "'hash join scan' AS text "
+             "UNION ALL SELECT 2, 'web', '' "
+             "UNION ALL SELECT 3, 'arxiv', 'theorem proof'")
+    drows = {r[0]: r for r in duck.sql(
+        source_outlier_oracle_sql("edge_docs")).fetchall()}
+    assert set(drows) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert (out[i].source, out[i].pred_source, out[i].margin) \
+            == (drows[i][1], drows[i][2], drows[i][3])
+
+    one = spark.createDataFrame(
+        [(1, "web", "hash join"), (2, "web", "scan filter")],
+        "doc_id long, source string, text string")
+    rows = source_outlier_score(one).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.margin is None and r.pred_source == "web"
+               for r in rows)
+
+
+def test_dataset_card_null_lang_tiebreak(spark, duck):
+    """NULL langs: Spark ASC is NULLS FIRST, DuckDB ASC is NULLS
+    LAST — the explicit asc_nulls_last keeps the top_lang tie-break
+    identical cross-engine."""
+    from data_ingestion_challenge_spark.operators.curation import (
+        ORACLE_DATASET_CARD, dataset_card,
+    )
+    docs = spark.createDataFrame(
+        [(1, "w", None, "a b", 3), (2, "w", "en", "c d", 3)],
+        "doc_id long, source string, lang string, text string, "
+        "n_chars long")
+    got = dataset_card(docs).collect()[0]
+    duck.sql("CREATE OR REPLACE VIEW documents AS "
+             "SELECT 1::BIGINT AS doc_id, 'w' AS source, "
+             "NULL AS lang, 'a b' AS text, 3::BIGINT AS n_chars "
+             "UNION ALL SELECT 2, 'w', 'en', 'c d', 3")
+    want = duck.sql(ORACLE_DATASET_CARD).fetchall()[0]
+    assert got.top_lang == "en" == want[4]
+    duck.sql("DROP VIEW documents")
+    duck.sql(f"CREATE VIEW documents AS SELECT * "
+             f"FROM '{SF_DIR}/documents.parquet'")
