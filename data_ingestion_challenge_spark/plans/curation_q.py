@@ -306,3 +306,18 @@ def boilerplate_sentences(cat: Catalog) -> DataFrame:
                  F.lit(" accept terms. "),
                  col("text")).alias("text"))
     return _bp(docs)
+
+
+@query(
+    "dataset_card",
+    # Per-source "data card" release summary (datasheet practice):
+    # docs, tokens, language spread + dominant language, exact-dup
+    # share, mean length — exact integer sums, single rounded
+    # divisions, NULL-safe alphabetical top_lang tie-break
+    # (operators/curation.py:dataset_card).
+    oracle=C.ORACLE_DATASET_CARD,
+)
+def dataset_card(cat: Catalog) -> DataFrame:
+    """Two map-side-combined aggs over one narrow scan; result is
+    |sources|-sized."""
+    return C.dataset_card(cat.documents)
