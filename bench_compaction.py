@@ -48,11 +48,10 @@ def main() -> None:
         for b in range(n_batches):
             # Distinct text per batch: every doc admits, the store
             # grows monotonically (the worst case for maintenance).
-            # Batches are LARGE enough (100 docs × 300 tokens) that
-            # real posting data dominates the bucketed layout's
-            # fixed per-file overhead — at toy sizes the overhead
-            # floor makes every run "similar-sized" and the ratio
-            # policy degenerates to always-merge.
+            # The ratio policy reads parquet ROW counts (logical
+            # size), so batch size only affects fold wall time, not
+            # the ladder's correctness; 100 docs × 300 tokens keeps
+            # per-fold work realistic.
             rows = [(b * 1000 + i,
                      " ".join(f"tok{b}x{i}x{j}" for j in range(300)),
                      "en", "web") for i in range(100)]

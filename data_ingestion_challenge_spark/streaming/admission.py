@@ -331,14 +331,24 @@ def recover_compaction(postings_dir: str,
     return True
 
 
-def _dir_bytes(d: str) -> int:
-    """Total file bytes under a dir (0 if absent) — the cheap signal
-    the auto compaction level reads."""
+def _dir_rows(d: str) -> int:
+    """Total parquet ROWS under a run dir (0 if absent), read from
+    file footers — the auto compaction policy's size signal.  Row
+    counts are the LOGICAL run size: file bytes would fold the
+    bucketed layout's fixed per-file overhead (~64 files × ~1 KB per
+    run) into the signal, which at small store sizes makes every run
+    look similar-sized and degenerates the geometric ladder into
+    always-merge.  Footer reads are metadata-only (no data I/O)."""
+    import pyarrow.parquet as pq
+
     total = 0
     for root, _dirs, files in os.walk(d):
         for f in files:
+            if not f.endswith(".parquet"):
+                continue
             try:
-                total += os.path.getsize(os.path.join(root, f))
+                total += pq.read_metadata(
+                    os.path.join(root, f)).num_rows
             except OSError:
                 pass
     return total
@@ -373,8 +383,10 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
       the next — bounds the run count by log_{1/major_ratio}(C/(N·b))
       and the total maintenance write amplification by
       O(major_ratio⁻¹ · log(C/(N·b))) per ingested byte: the classic
-      LSM bound, vs Θ(C/(N·b)) for always-major.  Derived from file
-      sizes; no counter state.
+      LSM bound, vs Θ(C/(N·b)) for always-major.  Run size = parquet
+      ROW counts from footers (logical size — file bytes would fold
+      the per-file layout overhead into the signal and degenerate the
+      ladder at small stores); no counter state.
     The screen reads every ``ingest_batch=`` partition identically,
     so the run split never changes a verdict (equivalence-tested).
 
@@ -459,9 +471,9 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
             _finish_swap(sizes_dir, sfolded, base_tag)
         os.unlink(manifest)
 
-    def _run_bytes() -> dict[str, int]:
-        return {t: _dir_bytes(os.path.join(postings_dir,
-                                           f"ingest_batch={t}"))
+    def _run_rows() -> dict[str, int]:
+        return {t: _dir_rows(os.path.join(postings_dir,
+                                          f"ingest_batch={t}"))
                 for t in _batch_tags(postings_dir) if _is_base(t)}
 
     if level == "major":
@@ -483,7 +495,7 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         # n_inc == 0: a crash mid-cascade leaves ratio-violating runs
         # that the NEXT call (this one) must still merge.
         if n_inc >= 1:
-            runs = _run_bytes()
+            runs = _run_rows()
             nxt = str(min([int(t) for t in runs] or [0]) - 1)
             _fold(incs, nxt)
         # 2) Cascade until the FULL invariant holds — every run <
@@ -493,7 +505,7 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         # climbs a geometric ladder, so amortized maintenance I/O per
         # ingested byte is O(major_ratio⁻¹ · log(corpus/fold_size)).
         while True:
-            runs = _run_bytes()
+            runs = _run_rows()
             order = sorted(runs, key=lambda t: (runs[t], int(t)))
             for a, b in zip(order, order[1:]):
                 if runs[a] >= major_ratio * runs[b]:
