@@ -2,10 +2,13 @@
 posting store over a longer batch stream (not part of bench.py's
 headline JSON — run by hand like bench_skew.py).
 
-Drives N single-doc admission batches through the sink with
-``compact_every=1`` (fold every batch — the worst-case cadence) and
-records, per batch: live run count, total store bytes, and the fold's
-wall time.  The claims this verifies empirically:
+Drives N 100-doc admission batches through the sink, then runs the
+in-place fold EXPLICITLY after each batch (same effect as
+``compact_every=1``, but the fold is timed in isolation — timing the
+whole admit() would conflate screen + maintenance + commit with the
+fold and could hide growth).  Records, per batch: live run count,
+total store bytes, and the ISOLATED fold wall time.  The claims this
+verifies empirically:
 
 - run count stays LOG-BOUNDED (the geometric invariant), never one
   increment per batch;
@@ -32,7 +35,8 @@ def main() -> None:
 
     from data_ingestion_challenge_spark.session import get_spark
     from data_ingestion_challenge_spark.streaming.admission import (
-        DOCS_SCHEMA, _batch_tags, _is_base, document_admission_sink,
+        DOCS_SCHEMA, _batch_tags, _is_base, compact_store_in_place,
+        document_admission_sink,
     )
 
     spark = get_spark("bench-compaction")
@@ -41,9 +45,9 @@ def main() -> None:
     d = {k: os.path.join(root, k)
          for k in ("table", "postings", "log", "sizes")}
     try:
-        admit, _table = document_admission_sink(
+        admit, table = document_admission_sink(
             spark, d["table"], d["postings"], d["log"],
-            sizes_dir=d["sizes"], compact_every=1)
+            sizes_dir=d["sizes"])
         runs_per_batch, fold_s, store_kb = [], [], []
         for b in range(n_batches):
             # Distinct text per batch: every doc admits, the store
@@ -55,8 +59,10 @@ def main() -> None:
             rows = [(b * 1000 + i,
                      " ".join(f"tok{b}x{i}x{j}" for j in range(300)),
                      "en", "web") for i in range(100)]
-            t0 = time.perf_counter()
             admit(spark.createDataFrame(rows, DOCS_SCHEMA), b)
+            t0 = time.perf_counter()
+            compact_store_in_place(spark, d["postings"], table,
+                                   sizes_dir=d["sizes"], level="auto")
             fold_s.append(round(time.perf_counter() - t0, 3))
             tags = _batch_tags(d["postings"])
             assert all(_is_base(t) for t in tags), tags

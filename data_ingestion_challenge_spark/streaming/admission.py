@@ -349,7 +349,12 @@ def _dir_rows(d: str) -> int:
             try:
                 total += pq.read_metadata(
                     os.path.join(root, f)).num_rows
-            except OSError:
+            except (OSError, ValueError):
+                # ArrowInvalid (a ValueError) on a truncated/corrupt
+                # footer: under-count and keep going — the policy
+                # must degrade gracefully, never wedge the stream on
+                # a damaged file the way a raised exception from the
+                # per-batch maintenance path would.
                 pass
     return total
 
@@ -495,8 +500,11 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         # n_inc == 0: a crash mid-cascade leaves ratio-violating runs
         # that the NEXT call (this one) must still merge.
         if n_inc >= 1:
-            runs = _run_rows()
-            nxt = str(min([int(t) for t in runs] or [0]) - 1)
+            # Tag allocation needs only the NAMES (zero file I/O) —
+            # footer row counts are read once, below, for the ladder.
+            base_ids = [int(t) for t in _batch_tags(postings_dir)
+                        if _is_base(t)]
+            nxt = str(min(base_ids or [0]) - 1)
             _fold(incs, nxt)
         # 2) Cascade until the FULL invariant holds — every run <
         # major_ratio × the next larger, checked across ALL adjacent
@@ -504,12 +512,17 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         # violating middle pair accrete runs forever).  Each byte
         # climbs a geometric ladder, so amortized maintenance I/O per
         # ingested byte is O(major_ratio⁻¹ · log(corpus/fold_size)).
-        while True:
-            runs = _run_rows()
+        # Row counts are read from footers ONCE; fold counts are
+        # exactly additive (rows(b') = rows(a) + rows(b)), so the
+        # cascade updates the map instead of re-parsing every
+        # unchanged run's footers per iteration.
+        runs = _run_rows()
+        while len(runs) >= 2:
             order = sorted(runs, key=lambda t: (runs[t], int(t)))
             for a, b in zip(order, order[1:]):
                 if runs[a] >= major_ratio * runs[b]:
                     _fold([a, b], b)
+                    runs[b] = runs.pop(a) + runs[b]
                     break
             else:
                 break
