@@ -57,3 +57,56 @@ GINI_ORACLE = """
            count(*) AS n_users
     FROM ranked GROUP BY event_type
 """
+
+
+def event_path_3step(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k ordered 3-step user journeys — the (e1 → e2 → e3)
+    event-type sequences that occur most often across user timelines
+    (funnel DISCOVERY, vs the fixed-funnel operators that verify a
+    known path).  Sliding window over each user's ts-ordered stream:
+    every consecutive triple counts once.
+
+    Determinism: per-user order is (ts, event_id) — event_id breaks
+    same-timestamp ties identically in both engines; top-k rank is
+    (n desc, e1, e2, e3).
+
+    Scale shape: one shuffle on user_id for the lead() window (the
+    same partitioning every sessionize/funnel op reuses), then a
+    map-side-combined count over a |types|³-bounded key space —
+    result is tiny regardless of corpus size."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import col
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    paths = (seq.where(col("e2").isNotNull() & col("e3").isNotNull())
+             .groupBy("e1", "e2", "e3")
+             .agg(F.count("*").alias("n")))
+    wk = Window.orderBy(col("n").desc(), "e1", "e2", "e3")
+    return (paths.withColumn("rank", F.row_number().over(wk))
+            .where(col("rank") <= k)
+            .select("rank", "e1", "e2", "e3", "n"))
+
+
+def oracle_event_path_3step(k: int = 20) -> str:
+    """DuckDB twin of event_path_3step — identical (ts, event_id)
+    per-user order and (n desc, path) rank."""
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+              GROUP BY e1, e2, e3)
+    SELECT rank, e1, e2, e3, n FROM (
+        SELECT *, row_number() OVER (ORDER BY n DESC, e1, e2, e3)
+                   AS rank
+        FROM paths)
+    WHERE rank <= {k}
+    """

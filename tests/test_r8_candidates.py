@@ -153,3 +153,37 @@ def test_dataset_card_null_lang_tiebreak(spark, duck):
     duck.sql("DROP VIEW documents")
     duck.sql(f"CREATE VIEW documents AS SELECT * "
              f"FROM '{SF_DIR}/documents.parquet'")
+
+
+def test_event_path_3step(spark, cat):
+    """Top-k 3-step journey mining matches the DuckDB replay on the
+    events table (ts+event_id per-user order, n desc path-asc rank)
+    and the hand case: a planted dominant path ranks first."""
+    import duckdb as _duckdb
+
+    from data_ingestion_challenge_spark.operators.stats import (
+        event_path_3step, oracle_event_path_3step,
+    )
+    con = _duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM '{SF_DIR}/events.parquet'")
+    got = _compare(event_path_3step(cat.events, k=20), con,
+                   oracle_event_path_3step(20))
+    assert len(got) == 20
+
+    import datetime as dt
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for u in range(5):
+        for i, et in enumerate(["signup", "click", "purchase"]):
+            rows.append((u * 10 + i, base + dt.timedelta(minutes=i),
+                         u, et))
+    rows.append((99, base, 9, "view"))  # lone event: no triple
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    out = event_path_3step(ev, k=5).collect()
+    assert out[0].rank == 1
+    assert (out[0].e1, out[0].e2, out[0].e3) == \
+        ("signup", "click", "purchase")
+    assert out[0].n == 5
