@@ -197,6 +197,24 @@ class Engine:
                 "crashed-batch replay data-loss window.  For a "
                 "quiesced store with no in-flight batch, opt in "
                 "explicitly with allow_uncommitted=True.")
+        # Heal any crashed IN-PLACE compaction before reading: a
+        # crash after compact_store_in_place published its manifest
+        # can leave folded increments deleted while the new base is
+        # still staged under _compacting/ (underscore: invisible to
+        # Spark's listing) — reading the store in that window would
+        # silently bake the missing postings out of the new
+        # generation and the screen would admit true duplicates.
+        # Same lease the sink holds: the swap completion is only
+        # safe because no concurrent screen can read mid-publish.
+        from data_ingestion_challenge_spark.streaming.admission import (
+            _acquire_admission_lease, recover_compaction,
+            release_admission_lease,
+        )
+        lease = _acquire_admission_lease(postings_dir)
+        try:
+            recover_compaction(postings_dir, sizes_dir)
+        finally:
+            release_admission_lease(lease)
         committed = None
         if table_path is not None:
             from data_ingestion_challenge_spark.txn import TxnTable

@@ -12,6 +12,7 @@ from data_ingestion_challenge_spark.plans import llm4      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm5      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm6      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm7      # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import llm8      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import curation_q  # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events6   # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events4   # noqa: F401,E402

@@ -74,15 +74,21 @@ def hourly_anomaly_zscore(cat: Catalog) -> DataFrame:
 )
 def customer_rfm_segments(cat: Catalog) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary plus
-    exact quartile labels (ntile with deterministic custkey
+    exact quartile labels (ntile semantics with deterministic custkey
     tie-break).
 
-    Scale note: exact ntile needs a total order → single-reducer sort
-    of the CUSTOMER rollup (≪ orders; fine to ~1e9 customers).  At
-    larger scale swap the ntile for approx_percentile(25/50/75)
-    cutpoints — mergeable, no global sort — at the cost of boundary
-    fuzz.  Monetary uses the msum() decimal discipline so quartile
-    boundaries are engine-exact."""
+    Scale note: each quartile label runs through
+    operators/ranking.global_ntile — range repartition +
+    per-partition rank + broadcast offsets — so no metric ever takes
+    a single-reducer global sort; three range shuffles of the
+    CUSTOMER rollup (≪ orders), each sorted locally in balanced
+    partitions, exact at any customer count.  Monetary uses the
+    msum() decimal discipline so quartile boundaries are
+    engine-exact; the oracle keeps the plain ntile spelling."""
+    from data_ingestion_challenge_spark.operators.ranking import (
+        global_ntile,
+    )
+
     maxd = cat.orders.agg(
         F.max(col("o_orderdate").cast("date")).alias("d0"))
     rfm = (cat.orders
@@ -95,13 +101,11 @@ def customer_rfm_segments(cat: Catalog) -> DataFrame:
            .select("o_custkey",
                    F.datediff(col("d0"), col("last_d")).alias("recency_days"),
                    "frequency", "monetary"))
-    def q(metric):
-        return F.ntile(4).over(Window.orderBy(metric, "o_custkey"))
-    return rfm.select(
-        "o_custkey", "recency_days", "frequency", "monetary",
-        q("recency_days").alias("r_q"),
-        q("frequency").alias("f_q"),
-        q("monetary").alias("m_q"))
+    out = global_ntile(rfm, 4, ["recency_days", "o_custkey"], "r_q")
+    out = global_ntile(out, 4, ["frequency", "o_custkey"], "f_q")
+    out = global_ntile(out, 4, ["monetary", "o_custkey"], "m_q")
+    return out.select("o_custkey", "recency_days", "frequency",
+                      "monetary", "r_q", "f_q", "m_q")
 
 
 @query(

@@ -127,3 +127,26 @@ def hourly_topk_movers(cat: Catalog) -> DataFrame:
     return (ranked.where(col("rk") <= 10)
             .select("event_type", "hour_ts", "cnt", "prev_cnt",
                     "delta", "rk"))
+
+
+# ------------------------------------------------ journey discovery
+
+@query(
+    "event_path_3step",
+    # Top-20 ordered 3-step user journeys — funnel DISCOVERY (which
+    # paths dominate), vs the fixed funnels above that verify a known
+    # path.  Per-user order is (ts, event_id); rank (n desc, path).
+    oracle=__import__(
+        "data_ingestion_challenge_spark.operators.stats",
+        fromlist=["oracle_event_path_3step"],
+    ).oracle_event_path_3step(20),
+)
+def event_path_3step(cat: Catalog) -> DataFrame:
+    """Sliding lead() window per user (the sessionize partitioning),
+    then a map-side-combined count over a |types|³-bounded key space
+    (operators/stats.py:event_path_3step) — the final top-k window
+    runs over that tiny aggregate only."""
+    from data_ingestion_challenge_spark.operators.stats import (
+        event_path_3step as _paths,
+    )
+    return _paths(cat.events, k=20)

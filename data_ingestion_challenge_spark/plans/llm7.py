@@ -4,10 +4,11 @@ per-language tokenizer fertility.
 
 Parity notes: the semantic-prune cells replay in SQL from the seeded
 hyperplane literals (model constants, same pattern as the LSH family);
-the perplexity buckets use ntile over a (rounded xent, doc_id) order so
-the decile boundaries are deterministic in both engines; per-bucket and
-per-language averages divide EXACT integer/decimal sums so no
-cross-engine float accumulation exists before the final rounded ratio.
+the perplexity buckets use exact distributed ntile (operators/ranking)
+over a (decimal-exact xent, doc_id) total order so decile membership is
+deterministic in both engines; per-bucket and per-language averages
+divide EXACT integer/decimal sums so no cross-engine float
+accumulation exists before the final rounded ratio.
 """
 
 from __future__ import annotations
@@ -54,8 +55,10 @@ def semdedup_prune(cat: Catalog) -> DataFrame:
     n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f),
     xent AS (SELECT doc_id,
                     CAST(count(*) AS BIGINT) AS n_tokens,
-                    round(avg(-log2(c / (SELECT total FROM n))), 4)
-                        AS xent_bits
+                    round(CAST(sum(CAST(round(-log2(
+                              c / (SELECT total FROM n)), 9)
+                          AS DECIMAL(30,9))) AS DOUBLE)
+                          / count(*), 4) AS xent_bits
              FROM t JOIN f USING (t) GROUP BY doc_id),
     b AS (SELECT doc_id, n_tokens, xent_bits,
                  ntile(10) OVER (ORDER BY xent_bits, doc_id) AS bucket
@@ -75,14 +78,24 @@ def mixture_ppl_buckets(cat: Catalog) -> DataFrame:
 
     Scale shape: the frequency model is one map-side-combined
     groupBy(token) (vocabulary-sized → broadcast back); the corpus
-    token total is a bounded driver scalar; the decile assignment is
-    the one genuinely global step — a single ntile window over
-    doc-level rows (corpus-doc-count sized, each row ~3 values), the
-    same all-to-one sort any engine pays for exact global quantile
-    *assignment*.  A 100 TB deployment with trillions of DOCS would
-    swap ntile for approx-percentile cut-points and a broadcast
-    range-join; at doc-row scale (docs ≪ tokens) the exact window is
-    the better plan and keeps the oracle value-exact."""
+    token total is a bounded driver scalar; the decile assignment
+    runs through operators/ranking.global_ntile — exact SQL ntile
+    semantics via range repartition + per-partition rank + broadcast
+    offsets, so even a trillion-doc corpus never funnels through a
+    single-task sort (the oracle keeps the plain ntile spelling:
+    value-exact parity is the test that the distributed plan IS
+    ntile).
+
+    Determinism: per-doc xent_bits rounds each token's -log2(p) to
+    1e-9 and sums as DECIMAL(30,9) (the source_outlier_score
+    pattern), so the value — and therefore decile membership — is
+    independent of Spark-vs-DuckDB summation order; a float avg
+    rounded at 4dp could flip at a rounding boundary and shift a
+    whole block of ntile assignments."""
+    from data_ingestion_challenge_spark.operators.ranking import (
+        global_ntile,
+    )
+
     toks = cat.documents.select(
         "doc_id", F.explode(T.words(col("text"))).alias("t"))
     freq = toks.groupBy("t").agg(F.count("*").alias("c"))
@@ -90,11 +103,12 @@ def mixture_ppl_buckets(cat: Catalog) -> DataFrame:
     xent = (toks.join(F.broadcast(freq), "t")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
-                 F.round(F.avg(-F.log2(col("c") / F.lit(float(total)))),
-                         4).alias("xent_bits")))
-    b = xent.withColumn(
-        "bucket", F.ntile(10).over(
-            Window.orderBy("xent_bits", "doc_id")))
+                 F.round(
+                     F.sum(F.round(-F.log2(col("c")
+                                           / F.lit(float(total))), 9)
+                           .cast("decimal(30,9)")).cast("double")
+                     / F.count("*"), 4).alias("xent_bits")))
+    b = global_ntile(xent, 10, ["xent_bits", "doc_id"], out="bucket")
     return (b.groupBy("bucket")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),

@@ -187,3 +187,23 @@ def test_event_path_3step(spark, cat):
     assert (out[0].e1, out[0].e2, out[0].e3) == \
         ("signup", "click", "purchase")
     assert out[0].n == 5
+
+
+def test_recommend_banding_query_matches_engine(spark, duck):
+    """The registered recommend_banding row must be exactly the dict
+    Engine.recommend_banding returns for the same constants — and
+    must match the oracle, which recomputes the S-curve with DuckDB's
+    own power() (math-level cross-engine gate, not literal echo)."""
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    q = QUERIES["recommend_banding"]
+    row = _compare(q(spark, SF_DIR), duck, q.oracle)[0]
+    want = Engine(SF_DIR, spark=spark).recommend_banding(
+        target_tau=0.8, max_fn_rate=0.05, k=16)
+    got = dict(zip(sorted(["bands", "rows_per_band", "p_collision"]),
+                   row))
+    assert got["bands"] == want["bands"]
+    assert got["rows_per_band"] == want["rows"]
+    assert got["p_collision"] == round(want["p_collision"], 6)
