@@ -27,6 +27,12 @@ Round-7 additions:
   ingest_batch=-1 base IN PLACE after the timed drains — the
   compact_every maintenance cadence priced separately so docs/s stays
   like-for-like across rounds.
+Round-8 additions:
+- "admission_multi_drop_docs_per_sec": six drops staged up front and
+  drained by ONE availableNow call (one micro-batch per drop) with the
+  stepped-merge cadence on (compact_every=2) — multi-batch steady
+  state, where the per-drain fixed cost amortizes and maintenance
+  folds are inside the measured loop.
 Round-6 additions:
 - the "scaling" block gains a THIRD point one decade UP: a synthetic
   structure-preserving 10× staging of EVERY table (replica-salted
@@ -425,6 +431,55 @@ def _admission_ingest(spark, sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _admission_multi_drop(spark, sf_dir: str, n_drops: int = 6):
+    """Multi-batch STEADY-STATE admission rate: all ``n_drops`` jsonl
+    drops are staged before ONE availableNow drain (each drop written
+    as 16 files, so the sink's maxFilesPerTrigger=16 makes each drop
+    one micro-batch), with the stepped-merge cadence ON
+    (compact_every=2).  This is the long-lived production shape —
+    per-drain fixed cost (stream start/stop, checkpoint setup)
+    amortizes across the whole batch train and the in-place
+    maintenance folds land INSIDE the measured loop, unlike
+    admission_docs_per_sec, where two drains each pay the fixed cost
+    and the fold is priced separately.  Returns docs/s over the
+    drain."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        run_document_admission,
+    )
+
+    root = tempfile.mkdtemp(prefix="admission_multi_")
+    dirs = {k: os.path.join(root, k)
+            for k in ("watch", "table", "postings", "log", "sizes",
+                      "ckpt")}
+    try:
+        docs = (spark.read
+                .parquet(os.path.join(sf_dir, "documents.parquet"))
+                .select("doc_id", "text", "lang", "source"))
+        n_docs = docs.count()
+        for i in range(n_drops):
+            (docs.where(F.col("doc_id") % n_drops == i)
+             .repartition(16).write.mode("append").json(dirs["watch"]))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            t0 = time.perf_counter()
+            run_document_admission(
+                spark, dirs["watch"], dirs["table"], dirs["postings"],
+                dirs["log"], dirs["ckpt"], sizes_dir=dirs["sizes"],
+                compact_every=2)
+            elapsed = time.perf_counter() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return round(n_docs / elapsed, 1) if elapsed > 0 else None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -545,6 +600,11 @@ def main() -> None:
         admission_dps = admission_kept = admission_compact_s = None
 
     try:
+        admission_multi_dps = _admission_multi_drop(spark, sf_dir)
+    except Exception:
+        admission_multi_dps = None
+
+    try:
         probe_xover = _ivf_probe_crossover(spark, sf_dir)
     except Exception:
         probe_xover = None
@@ -566,6 +626,7 @@ def main() -> None:
         "admission_docs_per_sec": admission_dps,
         "admission_kept_fraction": admission_kept,
         "admission_compact_s": admission_compact_s,
+        "admission_multi_drop_docs_per_sec": admission_multi_dps,
         "ivf_probe_crossover": probe_xover,
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,

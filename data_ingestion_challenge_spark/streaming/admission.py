@@ -349,13 +349,22 @@ def _dir_rows(d: str) -> int:
             try:
                 total += pq.read_metadata(
                     os.path.join(root, f)).num_rows
-            except (OSError, ValueError):
+            except (OSError, ValueError) as ex:
                 # ArrowInvalid (a ValueError) on a truncated/corrupt
                 # footer: under-count and keep going — the policy
                 # must degrade gracefully, never wedge the stream on
                 # a damaged file the way a raised exception from the
-                # per-batch maintenance path would.
-                pass
+                # per-batch maintenance path would.  But say so: a
+                # PERSISTENTLY damaged file silently skews the merge
+                # ladder (the run looks smaller than it is) on every
+                # cadence tick, and the operator should hear about it.
+                import warnings
+
+                warnings.warn(
+                    "admission compaction: unreadable parquet footer "
+                    f"{os.path.join(root, f)} ({ex}); run size will "
+                    "under-count until the file is repaired",
+                    RuntimeWarning, stacklevel=2)
     return total
 
 

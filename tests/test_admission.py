@@ -369,6 +369,70 @@ def test_compaction_excludes_uncommitted_batch(spark, dirs, tmp_path):
     assert {r.doc_id for r in table2.read().collect()} == {1, 5}
 
 
+def test_generation_compaction_heals_crashed_in_place_swap(
+        spark, dirs, tmp_path, monkeypatch):
+    """A crash MID in-place swap (manifest published, folded
+    increments already deleted, new base still staged invisibly
+    under _compacting/) must be healed by the GENERATION-swap
+    compactor before it reads: without recover_compaction first, the
+    new generation silently bakes the missing postings out of the
+    store and the screen admits true duplicates."""
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.streaming import admission as A
+    from tests.conftest import SF_DIR
+
+    sizes = str(tmp_path / "sz")
+    _drop(os.path.join(dirs["watch"], "d1.jsonl"),
+          [_doc(1, LONG_A), _doc(2, NOVEL)])
+    table = run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], sizes_dir=sizes)
+    _drop(os.path.join(dirs["watch"], "d2.jsonl"),
+          [_doc(3, FRESH_3)])
+    run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"], sizes_dir=sizes)
+
+    # Crash INSIDE the swap: folded tags deleted, base not renamed —
+    # the exact window where a naive reader sees a store missing all
+    # folded postings.
+    import shutil as sh
+
+    def _half_swap(store_dir, tags, base_tag):
+        for t in tags:
+            d = os.path.join(store_dir, f"ingest_batch={t}")
+            if os.path.isdir(d):
+                sh.rmtree(d)
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(A, "_finish_swap", _half_swap)
+    with pytest.raises(RuntimeError, match="simulated"):
+        A.compact_store_in_place(spark, dirs["postings"], table,
+                                 sizes_dir=sizes)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(dirs["postings"],
+                                       A._COMPACT_MANIFEST))
+    # The generation compactor must heal first, then fold ALL docs.
+    eng = Engine(SF_DIR, spark=spark)
+    gen2 = str(tmp_path / "gen2")
+    sizes2 = str(tmp_path / "sz2")
+    eng.compact_admission_postings(
+        dirs["postings"], gen2, table_path=dirs["table"],
+        sizes_dir=sizes, sizes_out=sizes2)
+    assert not os.path.exists(os.path.join(dirs["postings"],
+                                           A._COMPACT_MANIFEST))
+    docs = {r.doc_id for r in
+            spark.read.option("basePath", gen2).parquet(gen2)
+            .select("doc_id").distinct().collect()}
+    assert docs == {1, 2, 3}
+    # A near-dup of a folded doc still rejects against gen2.
+    admit2, table2 = document_admission_sink(
+        spark, dirs["table"], gen2, dirs["log"], sizes_dir=sizes2)
+    admit2(spark.createDataFrame([(20, LONG_A_NEAR, "en", "web")],
+                                 DOCS_SCHEMA), 7)
+    assert {r.doc_id for r in table2.read().collect()} == {1, 2, 3}
+
+
 def test_meta_less_bucketed_store_refused(spark, dirs):
     """A store whose partitions carry s_bucket= subdirs but whose
     meta file is gone must RAISE, not be stamped flat: the modulus is
@@ -1116,3 +1180,31 @@ def test_cascade_merges_violating_middle_pair(spark, dirs):
     merged = spark.read.parquet(
         os.path.join(dirs["postings"], "ingest_batch=-2"))
     assert merged.count() == 13000
+
+
+def test_dir_rows_warns_on_corrupt_footer(tmp_path):
+    """A truncated parquet footer must under-count GRACEFULLY (the
+    cadence tick can never wedge the stream) but NOT silently: the
+    warning names the damaged file so a persistently-skewed merge
+    ladder is diagnosable from the logs."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _dir_rows,
+    )
+
+    d = tmp_path / "run"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": [1, 2, 3]}),
+                   str(d / "good.parquet"))
+    (d / "bad.parquet").write_bytes(b"PAR1 this is not a footer")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _dir_rows(str(d)) == 3
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("bad.parquet" in m and "under-count" in m
+               for m in msgs), msgs
