@@ -307,6 +307,22 @@ def eventlog_source_hourly_counts(cat: Catalog) -> DataFrame:
     return _hourly_rollup(df)
 
 
+@query("xml_source_hourly_counts", oracle=_HOURLY_ORACLE)
+def xml_source_hourly_counts(cat: Catalog) -> DataFrame:
+    """Gates Spark 4's NATIVE xml source (sources/files.read_xml —
+    spark-xml merged upstream, no external jar): events round-trip
+    through real <event> elements and the rollup must equal the
+    parquet ground truth — a bent double in the text encoding, a
+    dropped element, or a mis-nested tag diverges."""
+    from data_ingestion_challenge_spark.sources.files import (
+        read_xml, write_xml)
+
+    path = _format_dir_for(
+        cat, "xml", lambda out: write_xml(_wire_events(cat), out))
+    return _hourly_rollup(read_xml(cat.spark, path,
+                                   schema=_WIRE_SCHEMA))
+
+
 @query("avro_source_hourly_counts", oracle=_HOURLY_ORACLE)
 def avro_source_hourly_counts(cat: Catalog) -> DataFrame:
     """Gates the Avro wire format END-TO-END: events are written as

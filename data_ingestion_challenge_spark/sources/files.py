@@ -65,6 +65,26 @@ def read_jsonl(spark: SparkSession, path: str,
             .json(path))
 
 
+def read_xml(spark: SparkSession, path: str,
+             schema: str | StructType = EVENTS_SCHEMA,
+             row_tag: str = "event") -> DataFrame:
+    """XML reader via Spark 4's NATIVE xml source (the spark-xml
+    package was merged upstream in 4.0 — no external jar).  Explicit
+    schema for the same reason as jsonl: inference is a full extra
+    pass at 100 TB, and a typed schema null-safes corrupt elements."""
+    return (spark.read.format("xml")
+            .option("rowTag", row_tag)
+            .schema(schema)
+            .load(path))
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "event",
+              root_tag: str = "events") -> None:
+    (df.write.mode("overwrite").format("xml")
+     .option("rowTag", row_tag).option("rootTag", root_tag)
+     .save(path))
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC reader — same vectorized/pushdown properties as parquet;
     some lakes standardize on it, so the engine accepts both."""

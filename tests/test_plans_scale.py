@@ -77,6 +77,7 @@ NON_EQUI_OK = {
     "tfidf_top_terms",                               # 1-row corpus-N scalar
     "bm25_topk",                          # 1-row (N, avgdl) scalar
     "boilerplate_sentences",              # 1-row corpus-N scalar
+    "source_outlier_score",   # |sources|-row broadcast score grid
 }
 
 STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",
