@@ -227,6 +227,80 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 16,
     return _verify_candidates(cand, posting, sizes, tau)
 
 
+def source_minhash_overlap(documents: DataFrame, n: int = 3,
+                           k: int = 16,
+                           sig: DataFrame | None = None,
+                           posting: DataFrame | None = None
+                           ) -> DataFrame:
+    """Per source-PAIR MinHash-estimated Jaccard of the sources'
+    UNION shingle sets — the mixture-design audit that answers "which
+    sources are re-crawls / mirrors of each other" BEFORE any per-doc
+    dedup runs (dup_ratio_by_source tells you a source duplicates the
+    corpus; this tells you which other source it duplicates).
+
+    The estimator rides the per-DOC signature table: min over a
+    source's docs of each per-doc minimum IS the MinHash of the
+    source's shingle union (min is associative; duplicated shingles
+    collapse), so with materialized signatures
+    (Engine.materialize_signatures) the whole audit is one
+    signature-table pass + a |sources|-row self-comparison — it never
+    re-hashes the corpus.  est_jaccard = (#agreeing minima)/k, an
+    exact multiple of 1/k (binary-exact, no rounding surface).
+
+    Docs with < n words contribute no shingles hence no signature (the
+    oracle's shingle CTE drops them identically); a source whose docs
+    are ALL sub-n-gram has no row and appears in no pair."""
+    if sig is None:
+        if posting is None:
+            posting = _postings(documents, n)
+        sig = build_signatures(posting, k)
+    src_sig = (sig.join(documents.select("doc_id", "source"), "doc_id")
+               .groupBy("source")
+               .agg(*[F.min(f"m{i}").alias(f"m{i}")
+                      for i in range(k)]))
+    from functools import reduce
+
+    a, b = src_sig.alias("a"), src_sig.alias("b")
+    n_agree = reduce(
+        lambda x, y: x + y,
+        [F.when(col(f"a.m{i}") == col(f"b.m{i}"), 1).otherwise(0)
+         for i in range(k)])
+    # |sources|² comparison of a |sources|-row aggregate — broadcast
+    # nested loop on a model-sized table, never corpus-scale.
+    return (a.join(F.broadcast(b), col("a.source") < col("b.source"))
+            .select(col("a.source").alias("source_a"),
+                    col("b.source").alias("source_b"),
+                    n_agree.cast("bigint").alias("n_agree"),
+                    F.round(n_agree / F.lit(float(k)), 6)
+                    .alias("est_jaccard")))
+
+
+def source_overlap_oracle_sql(sh_cte: str, mh_values: str,
+                              k: int = 16,
+                              minhash_p: int | None = None) -> str:
+    """DuckDB twin of source_minhash_overlap: same md5-arithmetic
+    minima grouped by SOURCE (min over all (doc, shingle) rows of a
+    source equals min over the union set — duplicates collapse under
+    min), same agree-count / k estimate."""
+    p = minhash_p if minhash_p is not None else H.MINHASH_P
+    return f"""
+    WITH {sh_cte},
+    hs AS (SELECT d2.source,
+                  ('0x' || substr(md5(sh.s), 1, 8))::BIGINT AS h
+           FROM sh JOIN documents d2 USING (doc_id)),
+    params(i, a, b) AS (VALUES {mh_values}),
+    sig AS (SELECT source, p.i, min((p.a * h + p.b) % {p}) AS m
+            FROM hs CROSS JOIN params p GROUP BY source, p.i)
+    SELECT x.source AS source_a, y.source AS source_b,
+           CAST(sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           round(sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END)
+                 / {float(k)}, 6) AS est_jaccard
+    FROM sig x JOIN sig y ON x.i = y.i AND x.source < y.source
+    GROUP BY x.source, y.source
+    """
+
+
 def simhash_pairs(documents: DataFrame, n: int = 3,
                   max_hamming: int = 3,
                   posting: DataFrame | None = None) -> DataFrame:

@@ -52,7 +52,15 @@ def global_ntile(df: DataFrame, n_buckets: int,
     hash shuffle for the per-partition window, plus a P-row offsets
     aggregate broadcast back — every sort is partition-local over
     ~N/P rows.  Catalyst's ReuseExchange serves the ranked branch and
-    the counts branch from the same range-shuffle files."""
+    the counts branch from the same range-shuffle files
+    (test-asserted): both branches therefore see the SAME row→_pid
+    assignment even though _pid comes from spark_partition_id().
+    Two independent executions would also agree — RangePartitioner's
+    sampling is seeded per input-partition index (byteswap32),
+    deterministic over the same input — and AQE's post-shuffle
+    coalescing merges ADJACENT range partitions with a deterministic
+    rule over identical stats, so both reads coalesce identically and
+    merged ranges stay ordered."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     cols = df.columns

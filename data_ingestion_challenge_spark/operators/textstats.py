@@ -287,3 +287,142 @@ def source_outlier_oracle_sql(table: str = "documents",
                  {round_dp}) AS margin
     FROM own JOIN pred USING (doc_id) LEFT JOIN other USING (doc_id)
     """
+
+
+def length_vocab_corr(documents: DataFrame) -> DataFrame:
+    """Per-source Pearson correlation between document length (tokens)
+    and vocabulary size (distinct tokens) — the Heaps'-law audit: a
+    source whose type-token relationship is an outlier (near-1.0 =
+    no repetition = likely templated/synthetic; unusually low =
+    heavy boilerplate) gets flagged before it enters the mixture.
+
+    Parity discipline: x and y are exact integers per doc, all five
+    sufficient statistics are exact BIGINT sums, and the correlation
+    is ONE double expression over them (spelled token-for-token in the
+    SQL twin), rounded at 6dp — zero cross-engine accumulation
+    surface.  Zero-variance / single-doc sources return NULL via the
+    same CASE guard in both engines.
+
+    Scale shape: one narrow map over documents, one map-side-combined
+    groupBy(source) — linear, |sources|-row output."""
+    from pyspark.sql.functions import col
+
+    from data_ingestion_challenge_spark.functions import text as T
+
+    w = T.words(col("text"))
+    per_doc = documents.select(
+        "source",
+        F.size(w).cast("bigint").alias("x"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("y"))
+    s = (per_doc.groupBy("source")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(col("x") * col("x")).alias("sxx"),
+              F.sum(col("y") * col("y")).alias("syy"),
+              F.sum(col("x") * col("y")).alias("sxy")))
+    vx = 1.0 * col("n") * col("sxx") - 1.0 * col("sx") * col("sx")
+    vy = 1.0 * col("n") * col("syy") - 1.0 * col("sy") * col("sy")
+    r = ((1.0 * col("n") * col("sxy") - 1.0 * col("sx") * col("sy"))
+         / F.sqrt(vx * vy))
+    return s.select(
+        "source", col("n").alias("n_docs"),
+        F.when((vx > 0) & (vy > 0), F.round(r, 6))
+        .otherwise(F.lit(None).cast("double")).alias("corr_len_vocab"))
+
+
+LENGTH_VOCAB_CORR_ORACLE = """
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS y
+        FROM documents),
+    s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM per_doc GROUP BY source)
+    SELECT source, n AS n_docs,
+           CASE WHEN (1.0 * n * sxx - 1.0 * sx * sx) > 0
+                 AND (1.0 * n * syy - 1.0 * sy * sy) > 0
+                THEN round((1.0 * n * sxy - 1.0 * sx * sy)
+                           / sqrt((1.0 * n * sxx - 1.0 * sx * sx)
+                                  * (1.0 * n * syy - 1.0 * sy * sy)),
+                           6)
+                ELSE NULL END AS corr_len_vocab
+    FROM s
+"""
+
+
+def source_token_kl(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence (bits) of the source's unigram token
+    distribution from the corpus distribution — the mixture-design
+    "how idiosyncratic is this source" number: ~0 means the source
+    reads like the corpus average; a large value flags a domain all
+    its own (code, legalese, another register) that deserves its own
+    mixture weight rather than being averaged away.
+
+    KL(P_s ‖ P) = Σ_t (c_st/N_s) · (log2(c_st/N_s) − log2(c_t/N))
+    with every count exact BIGINT.  Terms with c_st = 0 contribute 0
+    and P_s ≪ P by construction (a source's token is in the corpus),
+    so the sum is always finite.  Parity discipline: each term is one
+    double expression over exact integers, rounded to 1e-9 and summed
+    as DECIMAL(30,9) (the repo's exact-sum pattern — summation-order
+    independent in both engines); final value rounds at 6dp.  The
+    only cross-engine surface is IEEE log2 on identical doubles (the
+    accepted lang_id risk class).
+
+    Scale shape: one map-side-combined groupBy(source, token)
+    (vocab×|sources| rows); corpus counts DERIVE from it (never a
+    second corpus pass); the per-source and corpus totals are
+    |sources|-row and 1-row broadcast aggregates; the term stream is
+    vocab×|sources|-sized with partial aggregation onto source."""
+    from pyspark.sql.functions import col
+
+    tok = (documents.select(
+        "source", F.explode(F.split(col("text"), " ")).alias("t"))
+        .where(col("t") != ""))
+    cs = tok.groupBy("source", "t").agg(
+        F.count("*").cast("bigint").alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("nsum"))
+    ct = cs.groupBy("t").agg(F.sum("c").alias("ctot"))
+    nn = ns.agg(F.sum("nsum").alias("ntot"))
+    term = F.round(
+        (col("c") / col("nsum"))
+        * (F.log2(col("c") / col("nsum"))
+           - F.log2(col("ctot") / col("ntot"))),
+        9).cast("decimal(30,9)")
+    return (cs.join(F.broadcast(ns), "source").join(ct, "t")
+            .crossJoin(F.broadcast(nn))
+            .groupBy("source", "nsum")
+            .agg(F.sum(term).alias("_kl"))
+            .select("source", col("nsum").alias("n_tokens"),
+                    F.round(col("_kl").cast("double"), 6)
+                    .alias("kl_bits")))
+
+
+SOURCE_TOKEN_KL_ORACLE = """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    tk AS (SELECT source, t FROM tok WHERE t <> ''),
+    cs AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY source, t),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS nsum
+           FROM cs GROUP BY source),
+    ct AS (SELECT t, CAST(sum(c) AS BIGINT) AS ctot
+           FROM cs GROUP BY t),
+    nn AS (SELECT CAST(sum(nsum) AS BIGINT) AS ntot FROM ns),
+    terms AS (
+        SELECT cs.source, ns.nsum,
+               CAST(round((cs.c / ns.nsum)
+                          * (log2(cs.c / ns.nsum)
+                             - log2(ct.ctot / nn.ntot)), 9)
+                    AS DECIMAL(30,9)) AS term
+        FROM cs JOIN ns USING (source) JOIN ct USING (t)
+        CROSS JOIN nn)
+    SELECT source, nsum AS n_tokens,
+           round(CAST(sum(term) AS DOUBLE), 6) AS kl_bits
+    FROM terms GROUP BY source, nsum
+"""

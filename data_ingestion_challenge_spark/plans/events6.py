@@ -108,9 +108,11 @@ def funnel_3step_strict(cat: Catalog) -> DataFrame:
 )
 def hourly_topk_movers(cat: Catalog) -> DataFrame:
     """The rollup shrinks the stream to |types|·|hours| rows before
-    any window runs — the lag and the global top-10 rank both operate
-    on the tiny aggregate, so the only corpus-sized cost is the first
-    map-side-combined groupBy."""
+    any window runs; the top-10 selection is a distributed TakeOrdered
+    (orderBy + limit — per-partition top-k, no global sort: the hours
+    axis grows without bound on a long-lived stream, so even the
+    aggregate should never funnel through one sort task), and the rank
+    window runs over the 10 survivors only."""
     h = (cat.events
          .groupBy("event_type",
                   F.date_trunc("hour", col("ts")).alias("hour_ts"))
@@ -118,15 +120,16 @@ def hourly_topk_movers(cat: Catalog) -> DataFrame:
     d = h.withColumn(
         "prev_cnt", F.lag("cnt").over(
             Window.partitionBy("event_type").orderBy("hour_ts")))
-    ranked = (d.where(col("prev_cnt").isNotNull())
-              .withColumn("delta", col("cnt") - col("prev_cnt"))
-              .withColumn("rk", F.row_number().over(
-                  Window.orderBy(F.abs(col("cnt") - col("prev_cnt"))
-                                 .desc(),
-                                 "event_type", "hour_ts"))))
-    return (ranked.where(col("rk") <= 10)
-            .select("event_type", "hour_ts", "cnt", "prev_cnt",
-                    "delta", "rk"))
+    top = (d.where(col("prev_cnt").isNotNull())
+           .withColumn("delta", col("cnt") - col("prev_cnt"))
+           .orderBy(F.abs(col("delta")).desc(), "event_type",
+                    "hour_ts")
+           .limit(10))
+    ranked = top.withColumn("rk", F.row_number().over(
+        Window.orderBy(F.abs(col("delta")).desc(),
+                       "event_type", "hour_ts")))
+    return (ranked.select("event_type", "hour_ts", "cnt", "prev_cnt",
+                          "delta", "rk"))
 
 
 # ------------------------------------------------ journey discovery

@@ -70,3 +70,18 @@ def test_rejects_existing_out_and_bad_k(spark):
         global_ntile(df, 2, ["v"], out="b")
     with pytest.raises(ValueError, match="n_buckets"):
         global_ntile(df, 0, ["v"])
+
+
+def test_range_exchange_reused_across_branches(spark):
+    """Correctness leans on both branches (local ranks; per-partition
+    counts) reading the SAME row→partition assignment: the executed
+    plan must serve the counts branch from a ReusedExchange of the one
+    range shuffle, not a second independent (resampled) exchange."""
+    df = spark.range(5000).select(
+        (F.col("id") % 31).cast("int").alias("v"),
+        F.col("id").cast("int").alias("id"))
+    out = global_ntile(df, 7, ["v", "id"], out="b")
+    out.collect()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, \
+        "counts branch re-executed the range shuffle"
