@@ -13,8 +13,10 @@ from data_ingestion_challenge_spark.plans import llm5      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm6      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm7      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import llm8      # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import llm9      # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import curation_q  # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events6   # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import events7   # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events4   # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events5   # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import quality   # noqa: F401,E402
