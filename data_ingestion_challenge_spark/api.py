@@ -258,6 +258,80 @@ class Engine:
              .parquet(os.path.join(sizes_out, "ingest_batch=-1")))
 
     # --------------------------------------------------- dedup infra
+    def posting_store_stats(self, postings_dir: str,
+                            table_path: str | None = None,
+                            sizes_dir: str | None = None) -> dict:
+        """Operational audit of an admission posting store — the
+        numbers a 100 TB operator reads before tuning compact_every
+        or the bucket modulus:
+
+        - ``runs``: the merge ladder, one entry per ``ingest_batch``
+          partition — (tag, rows [parquet-footer metadata only],
+          is_base, committed) — run-count growth here means the
+          stepped merge is not keeping up;
+        - ``df_histogram``: shingle document-frequency histogram in
+          log2 buckets (operators/dedup.shingle_df_distribution over
+          the store) — the df tail prices candidate-join blowup;
+        - ``bucket_balance``: postings per ``s_bucket`` partition
+          (bucketed stores only) — partition skew that would make
+          pruned screen reads lopsided;
+        - ``mod``: the store's persisted bucket modulus (None=flat).
+
+        Heals a crashed in-place compaction swap under the admission
+        lease BEFORE reading (the compact_admission_postings rule:
+        a published-manifest half-swap otherwise hides folded
+        increments from this reader).  The histogram/balance frames
+        scan the full store — this is an offline maintenance audit,
+        not a per-batch path.  ``committed`` needs ``table_path``;
+        without it the flag is None."""
+        from pyspark.sql import functions as F
+
+        from data_ingestion_challenge_spark.operators.dedup import (
+            shingle_df_distribution,
+        )
+        from data_ingestion_challenge_spark.streaming.admission import (
+            _acquire_admission_lease, _batch_tags, _dir_rows,
+            _is_base, _tag_committed, recover_compaction,
+            release_admission_lease, store_bucket_mod,
+        )
+
+        lease = _acquire_admission_lease(postings_dir)
+        try:
+            recover_compaction(postings_dir, sizes_dir)
+            marks = None
+            if table_path is not None:
+                from data_ingestion_challenge_spark.txn import (
+                    TxnTable,
+                )
+                marks = TxnTable(self.spark, table_path,
+                                 key="doc_id").txn_marks()
+            runs = []
+            for tag in sorted(_batch_tags(postings_dir)):
+                d = os.path.join(postings_dir,
+                                 f"ingest_batch={tag}")
+                runs.append({
+                    "tag": tag,
+                    "rows": _dir_rows(d),
+                    "is_base": _is_base(tag),
+                    "committed": (None if marks is None
+                                  else _is_base(tag)
+                                  or _tag_committed(marks, tag)),
+                })
+        finally:
+            release_admission_lease(lease)
+        mod = store_bucket_mod(postings_dir)
+        store = (self.spark.read
+                 .option("basePath", postings_dir)
+                 .parquet(postings_dir))
+        hist = shingle_df_distribution(
+            None, posting=store.select("doc_id", "s"))
+        balance = None
+        if mod is not None and "s_bucket" in store.columns:
+            balance = (store.groupBy("s_bucket")
+                       .agg(F.count("*").alias("n_postings")))
+        return {"mod": mod, "runs": runs,
+                "df_histogram": hist, "bucket_balance": balance}
+
     def materialize_postings(self, table: str, path: str, n: int = 3,
                              n_buckets: int = 32) -> None:
         """Materialize the shared (doc_id, shingle) posting table as a

@@ -120,3 +120,73 @@ def pmi_oracle_sql(k: int = 25, min_count: int = 5) -> str:
         FROM scored)
     WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------ BPE merge mining
+
+def bpe_merge_candidates(documents: DataFrame, k: int = 25
+                         ) -> DataFrame:
+    """Top-``k`` word-internal adjacent character pairs by corpus
+    frequency — the FIRST merge-selection step of byte-pair-encoding
+    tokenizer training (Sennrich et al. 2016): count every adjacent
+    symbol pair inside each word, weighted by the word's corpus
+    frequency, and rank.  Running it per corpus snapshot shows how
+    the tokenizer's earliest merges would shift with the mixture —
+    the corpus-side leg of the tokenizer_fertility audit.
+
+    Exact integers end to end (pair weight = Σ_w n_w · occurrences
+    in w); the only cross-engine surface is the (cnt desc, left,
+    right) rank — no floats at all.
+
+    Scale shape: tokenize → word-frequency groupBy (vocab-sized,
+    map-side combined) → per-WORD pair explode (runs over the VOCAB
+    table, not the corpus — a 100 TB corpus has bounded distinct
+    words, so the explode is model-sized) → pair groupBy → TakeOrdered
+    top-k; the rank window sees only k rows."""
+    w = T.words(col("text"))
+    vocab = (documents.select(F.explode(w).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("n")))
+    ch = F.split(col("w"), "")
+    pairs = F.when(
+        F.length(col("w")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col("w")) - 1),
+            lambda i: F.struct(
+                F.element_at(ch, i).alias("left"),
+                F.element_at(ch, i + 1).alias("right"))),
+    ).otherwise(
+        F.array().cast("array<struct<left:string,right:string>>"))
+    pc = (vocab.select("n", F.explode(pairs).alias("p"))
+          .groupBy("p.left", "p.right")
+          .agg(F.sum("n").alias("cnt")))
+    top = (pc.orderBy(col("cnt").desc(), "left", "right").limit(k))
+    rk = Window.orderBy(col("cnt").desc(), "left", "right")
+    return (top.withColumn("rank", F.row_number().over(rk))
+            .select("rank", "left", "right", "cnt"))
+
+
+def bpe_oracle_sql(k: int = 25) -> str:
+    """DuckDB twin of bpe_merge_candidates: same word-frequency CTE,
+    adjacency via a positional char self-join over the vocab (the
+    pmi_oracle_sql pattern one level down), same exact-integer
+    weights and (cnt desc, left, right) rank."""
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+              FROM tok WHERE w <> '' GROUP BY w),
+    ch AS (SELECT w, n, generate_subscripts(cs, 1) AS p,
+                  unnest(cs) AS c
+           FROM (SELECT w, n, string_split(w, '') AS cs
+                 FROM vocab)),
+    pr AS (SELECT a.c AS "left", b.c AS "right", a.n
+           FROM ch a JOIN ch b
+             ON a.w = b.w AND a.n = b.n AND b.p = a.p + 1),
+    pc AS (SELECT "left", "right", CAST(sum(n) AS BIGINT) AS cnt
+           FROM pr GROUP BY "left", "right")
+    SELECT rank, "left", "right", cnt FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY cnt DESC, "left", "right") AS INT) AS rank
+        FROM pc)
+    WHERE rank <= {k}
+    """

@@ -850,3 +850,45 @@ def oracle_boilerplate_sentences(table: str = "documents",
     FROM agg
     ORDER BY n_docs DESC, sentence LIMIT {top}
     """
+
+
+def shingle_df_distribution(documents: DataFrame, n: int = 3,
+                            posting: DataFrame | None = None
+                            ) -> DataFrame:
+    """Histogram of shingle document frequency in log2 buckets:
+    (df_bucket = floor(log2(df)), n_shingles, total_postings) — the
+    posting-store capacity-planning table.  The df tail tells you how
+    skewed the inverted index is (a heavy bucket means hot shingle
+    partitions and bloated candidate joins), what a df-cap (the
+    doc_containment discipline) would drop, and how the prefix
+    filter's selectivity will hold as the corpus grows.
+
+    Exact integers end to end; floor(log2(df)) on an exact BIGINT df
+    is exact for df < 2^53 in both engines (log2 of an integer ≥ 1
+    lands strictly inside [k, k+1) except at powers of two, where the
+    double is exact).
+
+    Scale shape: rides the shared posting table; one
+    map-side-combined groupBy(s) to df (vocab-of-shingles-sized) and
+    one tiny groupBy(bucket) — linear, output ≤ ~50 rows."""
+    if posting is None:
+        posting = _postings(documents, n)
+    df = posting.groupBy("s").agg(F.count("*").alias("df"))
+    return (df.groupBy(F.floor(F.log2("df")).cast("int")
+                       .alias("df_bucket"))
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum("df").alias("total_postings")))
+
+
+def shingle_df_oracle_sql(sh_cte: str) -> str:
+    """DuckDB twin of shingle_df_distribution over the shared shingle
+    CTE: same exact df counts, same floor(log2) bucketing."""
+    return f"""
+    WITH {sh_cte},
+    df AS (SELECT s, CAST(count(*) AS BIGINT) AS df
+           FROM sh GROUP BY s)
+    SELECT CAST(floor(log2(df)) AS INT) AS df_bucket,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS total_postings
+    FROM df GROUP BY 1
+    """

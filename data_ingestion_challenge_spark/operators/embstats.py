@@ -106,3 +106,172 @@ def dim_covariance_oracle_sql(k: int = 25) -> str:
         FROM c)
     WHERE rank <= {k}
     """
+
+
+# --------------------------------------------- label-outlier audit
+
+_MU = 1_000_000  # element quantization: integer micros
+
+
+def label_outlier_vectors(embeddings: DataFrame,
+                          k: int = 25) -> DataFrame:
+    """Bottom-``k`` vectors by cosine to their OWN label centroid —
+    the embedding-space mislabel/outlier audit (the geometric
+    complement of the text-side source_outlier_score): a vector far
+    from its class centroid is either mislabeled or a genuine
+    outlier worth a curation look.
+
+    EXACT cross-engine parity via the label_centroid_drift recipe:
+    elements quantize to integer micros, the centroid is represented
+    by its un-normalized integer SUM vector (cosine is scale
+    invariant, so dividing by n_vecs is unnecessary — and skipping
+    it keeps every cross-row/cross-dim product integer), and the
+    cosine is one double expression over exact integer sums, rounded
+    at 6dp with vec_id as the unique tie-break.
+
+    Scale shape: posexplode is a narrow map (d rows/vector);
+    per-(label, pos) sums partial-aggregate to |labels|·d model rows
+    and broadcast back onto the element stream; the per-vector dot
+    collapses map-side on vec_id (d rows → 1).  Bottom-k is
+    TakeOrdered (orderBy + limit); the rank window sees only k rows.
+    One shuffle over n·d quantized elements — linear at 100 TB."""
+    el = (embeddings
+          .select("vec_id", "label",
+                  F.posexplode(col("embedding")).alias("pos", "e"))
+          .select("vec_id", "label", "pos",
+                  F.round(col("e").cast("double") * _MU)
+                  .cast("bigint").alias("q")))
+    lab = (el.groupBy("label", "pos")
+           .agg(F.sum("q").cast("decimal(18,0)").alias("s")))
+    nc = (lab.groupBy("label")
+          .agg(F.sum(col("s") * col("s"))
+               .cast("decimal(38,0)").alias("nc")))
+    per_vec = (el.join(F.broadcast(lab), ["label", "pos"])
+               .groupBy("vec_id", "label")
+               .agg(F.sum(col("q") * col("s"))
+                    .cast("decimal(38,0)").alias("dot"),
+                    F.sum(col("q") * col("q"))
+                    .cast("decimal(38,0)").alias("nv")))
+    cos = F.round(
+        col("dot").cast("double")
+        / (F.sqrt(col("nv").cast("double"))
+           * F.sqrt(col("nc").cast("double"))), 6)
+    scored = (per_vec.join(F.broadcast(nc), "label")
+              .where((col("nv") > 0) & (col("nc") > 0))
+              .select("vec_id", "label", cos.alias("cos_centroid")))
+    bottom = scored.orderBy("cos_centroid", "vec_id").limit(k)
+    rk = Window.orderBy("cos_centroid", "vec_id")
+    return (bottom.withColumn("rank", F.row_number().over(rk))
+            .select("rank", "vec_id", "label", "cos_centroid"))
+
+
+def label_outlier_oracle_sql(k: int = 25) -> str:
+    """DuckDB twin of label_outlier_vectors: same integer-micro
+    quantization, same un-normalized centroid-sum formulation, same
+    single double cosine expression and (cos asc, vec_id) rank."""
+    return f"""
+    WITH el AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_MU})
+                    AS BIGINT) AS q
+        FROM embeddings),
+    lab AS (SELECT label, pos, CAST(sum(q) AS DECIMAL(18,0)) AS s
+            FROM el GROUP BY label, pos),
+    nc AS (SELECT label, CAST(sum(s * s) AS DECIMAL(38,0)) AS nc
+           FROM lab GROUP BY label),
+    pv AS (SELECT el.vec_id, el.label,
+                  CAST(sum(el.q * lab.s) AS DECIMAL(38,0)) AS dot,
+                  CAST(sum(el.q * el.q) AS DECIMAL(38,0)) AS nv
+           FROM el JOIN lab
+             ON el.label = lab.label AND el.pos = lab.pos
+           GROUP BY el.vec_id, el.label),
+    scored AS (
+        SELECT pv.vec_id, pv.label,
+               round(CAST(pv.dot AS DOUBLE)
+                     / (sqrt(CAST(pv.nv AS DOUBLE))
+                        * sqrt(CAST(nc.nc AS DOUBLE))), 6)
+                   AS cos_centroid
+        FROM pv JOIN nc ON pv.label = nc.label
+        WHERE pv.nv > 0 AND nc.nc > 0)
+    SELECT rank, vec_id, label, cos_centroid FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY cos_centroid, vec_id) AS INT) AS rank
+        FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------- PQ subspace audit
+
+def pq_subspace_variance(embeddings: DataFrame, m: int = 8
+                         ) -> DataFrame:
+    """Per-PQ-subspace total variance: split the d dims into ``m``
+    contiguous blocks (the product-quantization layout ann_pq_topk
+    trains on) and report Σ_dims var(dim) per block — the codebook
+    design audit: a subspace carrying 10× the variance of another
+    needs its centroids more than the dead one does (the classic
+    argument for an OPQ rotation before training).  Pairs with
+    embedding_dim_covariance: that flags redundant AXES, this prices
+    the SUBSPACES the splitter actually produces.
+
+    Exact parity: elements quantize to integer micros (the
+    label_centroid_drift recipe); per-dim Σq and Σq² are exact
+    integer sums; the variance is one double expression over them,
+    summed across a block's dims as 1e-9-rounded DECIMAL(30,9) so
+    the per-subspace total is summation-order independent.
+
+    Scale shape: posexplode → one map-side-combined groupBy(dim) to
+    d model rows; everything after is driver-trivial."""
+    el = (embeddings
+          .select(F.posexplode(col("embedding")).alias("pos", "e"))
+          .select("pos",
+                  F.round(col("e").cast("double") * _MU)
+                  .cast("bigint").alias("q")))
+    d = (el.groupBy("pos")
+         .agg(F.count("*").alias("n"),
+              F.sum("q").cast("decimal(38,0)").alias("sq"),
+              F.sum(col("q") * col("q")).cast("decimal(38,0)")
+              .alias("sqq")))
+    # var in ORIGINAL units: integer-micro moments divided back by
+    # _MU² — one double expression, rounded 1e-9 before the
+    # cross-dim decimal sum.
+    var = F.round(
+        (col("sqq").cast("double") / col("n")
+         - F.pow(col("sq").cast("double") / col("n"), 2))
+        / (float(_MU) * float(_MU)), 9).cast("decimal(30,9)")
+    dims = embeddings.select(F.size("embedding").alias("d")).limit(1)
+    return (d.crossJoin(F.broadcast(dims))
+            .groupBy((col("pos") / (col("d") / m)).cast("int")
+                     .alias("subspace"))
+            .agg(F.count("*").alias("n_dims"),
+                 F.round(F.sum(var).cast("double"), 6)
+                 .alias("var_total"))
+            .orderBy("subspace"))
+
+
+def pq_subspace_oracle_sql(m: int = 8) -> str:
+    """DuckDB twin of pq_subspace_variance: same integer-micro
+    moments, same block assignment pos // (d/m), same 1e-9-rounded
+    decimal cross-dim sum."""
+    return f"""
+    WITH el AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                          * {_MU}) AS BIGINT) AS q
+        FROM embeddings),
+    d AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS DECIMAL(38,0)) AS sq,
+                 CAST(sum(q * q) AS DECIMAL(38,0)) AS sqq
+          FROM el GROUP BY pos),
+    dim AS (SELECT len(embedding) AS dd FROM embeddings LIMIT 1),
+    v AS (SELECT CAST(floor(pos / (dd / {m})) AS INT) AS subspace,
+                 CAST(round((CAST(sqq AS DOUBLE) / n
+                             - pow(CAST(sq AS DOUBLE) / n, 2))
+                            / ({_MU}.0 * {_MU}.0), 9)
+                      AS DECIMAL(30,9)) AS var
+          FROM d CROSS JOIN dim)
+    SELECT subspace, CAST(count(*) AS BIGINT) AS n_dims,
+           round(CAST(sum(var) AS DOUBLE), 6) AS var_total
+    FROM v GROUP BY subspace ORDER BY subspace
+    """

@@ -217,3 +217,219 @@ USER_STREAK_HISTOGRAM_ORACLE = """
     SELECT streak_weeks, CAST(count(*) AS BIGINT) AS n_users
     FROM l GROUP BY streak_weeks
 """
+
+
+def power_user_concentration(events: DataFrame) -> DataFrame:
+    """One-row Pareto audit: the share of ALL events contributed by
+    the top 1% / 5% / 10% of users by event count — the concentration
+    alarm an ingestion service reads next to user_activity_gini (gini
+    summarizes the whole curve; this prices the head, where abuse and
+    bot traffic live).
+
+    Centile membership is EXACT SQL ntile(100) over (count desc,
+    user_id) — computed distributed via ranking.global_ntile (range
+    repartition + per-partition row_number + broadcast offsets), never
+    a single-task global sort.  All counts are exact BIGINTs; the
+    three shares are final bigint/bigint divisions rounded at 6dp."""
+    from data_ingestion_challenge_spark.operators.ranking import (
+        global_ntile,
+    )
+
+    per_user = (events.groupBy("user_id")
+                .agg(F.count("*").alias("c")))
+    b = global_ntile(per_user, 100,
+                     [F.col("c").desc(), F.col("user_id")],
+                     out="bucket")
+    return (b.agg(
+        F.count("*").alias("n_users"),
+        F.sum("c").alias("total_events"),
+        F.sum(F.when(F.col("bucket") <= 1, F.col("c"))
+              .otherwise(0)).alias("_t1"),
+        F.sum(F.when(F.col("bucket") <= 5, F.col("c"))
+              .otherwise(0)).alias("_t5"),
+        F.sum(F.when(F.col("bucket") <= 10, F.col("c"))
+              .otherwise(0)).alias("_t10"))
+        .select("n_users", "total_events",
+                F.round(F.col("_t1") / F.col("total_events"), 6)
+                .alias("share_top1"),
+                F.round(F.col("_t5") / F.col("total_events"), 6)
+                .alias("share_top5"),
+                F.round(F.col("_t10") / F.col("total_events"), 6)
+                .alias("share_top10")))
+
+
+POWER_USER_CONCENTRATION_ORACLE = """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY user_id),
+    b AS (SELECT c, ntile(100) OVER (ORDER BY c DESC, user_id)
+                 AS bucket
+          FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           round(CAST(sum(CASE WHEN bucket <= 1 THEN c ELSE 0 END)
+                      AS BIGINT) / CAST(sum(c) AS BIGINT), 6)
+               AS share_top1,
+           round(CAST(sum(CASE WHEN bucket <= 5 THEN c ELSE 0 END)
+                      AS BIGINT) / CAST(sum(c) AS BIGINT), 6)
+               AS share_top5,
+           round(CAST(sum(CASE WHEN bucket <= 10 THEN c ELSE 0 END)
+                      AS BIGINT) / CAST(sum(c) AS BIGINT), 6)
+               AS share_top10
+    FROM b
+"""
+
+
+def hourly_anomaly_mad(events: DataFrame) -> DataFrame:
+    """Robust volume-anomaly monitor: per (event_type, hour) count
+    flagged when |n − median| > 3·MAD of the type's own hourly
+    distribution — the median/MAD twin of hourly_anomaly_zscore,
+    immune to the anomalies themselves inflating the threshold (one
+    flood hour shifts a mean and stddev; it barely moves a median).
+
+    Exact parity: Spark ``percentile`` == DuckDB ``quantile_cont``
+    (the hourly_value_p95 pairing); counts are integers so median and
+    MAD land on exact .0/.5 doubles and the 3·MAD comparison has no
+    rounding boundary.  robust_z is NULL when MAD = 0 (a perfectly
+    regular type), via the same nullif in both engines.
+
+    Scale shape: the groupBy collapses the stream to |types|×|hours|
+    rows map-side; the median and MAD are two tiny per-type
+    aggregates over that rollup, broadcast back — the monitor costs
+    one corpus scan regardless of history length."""
+    h = (events.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count("*").alias("n")))
+    med = (h.groupBy("event_type")
+           .agg(F.percentile("n", F.lit(0.5)).alias("med")))
+    hm = h.join(F.broadcast(med), "event_type")
+    mad = (hm.groupBy("event_type")
+           .agg(F.percentile(F.abs(F.col("n") - F.col("med")),
+                             F.lit(0.5)).alias("mad")))
+    dev = F.abs(F.col("n") - F.col("med"))
+    return (hm.join(F.broadcast(mad), "event_type")
+            .select(
+                "event_type", "hour_ts", "n",
+                F.round("med", 4).alias("med"),
+                F.round("mad", 4).alias("mad"),
+                F.round((F.col("n") - F.col("med"))
+                        / F.nullif(F.col("mad"), F.lit(0)), 4)
+                .alias("robust_z"),
+                F.when(dev > 3 * F.col("mad"), 1).otherwise(0)
+                .alias("is_anomaly")))
+
+
+HOURLY_ANOMALY_MAD_ORACLE = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+            FROM h GROUP BY event_type),
+    mad AS (SELECT h.event_type,
+                   quantile_cont(abs(h.n - med.med), 0.5) AS mad
+            FROM h JOIN med USING (event_type)
+            GROUP BY h.event_type)
+    SELECT h.event_type, h.hour_ts, h.n,
+           round(med.med, 4) AS med,
+           round(mad.mad, 4) AS mad,
+           round((h.n - med.med) / nullif(mad.mad, 0), 4)
+               AS robust_z,
+           CASE WHEN abs(h.n - med.med) > 3 * mad.mad
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
+"""
+
+
+def user_event_type_entropy(events: DataFrame) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the user's event-type
+    distribution — behavioral diversity: 0 = single-type automation
+    (a classic bot smell next to bot_burst_flag's rate signal), high
+    = organic mixed usage.
+
+    Parity discipline: counts are exact BIGINTs; each entropy term
+    (c/n)·log2(n/c) rounds to 1e-9 and sums as DECIMAL(30,9) (the
+    repo's exact-sum pattern — summation-order independent), final
+    value rounds at 6dp.  Scale shape: one map-side-combined groupBy
+    (user, type) — bounded |types| fan-in per user — then one groupBy
+    user; linear, no windows, no joins."""
+    ct = (events.groupBy("user_id", "event_type")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    n = Window.partitionBy("user_id")
+    # |types| rows per user: the window shuffle key equals the
+    # groupBy key, so this stays one exchange end-to-end.
+    ct = ct.withColumn("n", F.sum("c").over(n)) \
+           .withColumn("k", F.count("*").over(n))
+    term = F.round(
+        (F.col("c") / F.col("n"))
+        * F.log2(F.col("n") / F.col("c")), 9).cast("decimal(30,9)")
+    return (ct.groupBy("user_id", "n", "k")
+            .agg(F.sum(term).alias("_h"))
+            .select("user_id",
+                    F.col("n").alias("n_events"),
+                    F.col("k").cast("bigint").alias("n_types"),
+                    F.round(F.col("_h").cast("double"), 6)
+                    .alias("entropy_bits")))
+
+
+USER_EVENT_TYPE_ENTROPY_ORACLE = """
+    WITH ct AS (SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id, event_type),
+    u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM ct GROUP BY user_id)
+    SELECT u.user_id, u.n AS n_events, u.k AS n_types,
+           round(CAST(sum(CAST(round((ct.c / u.n)
+                                     * log2(u.n / ct.c), 9)
+                               AS DECIMAL(30,9))) AS DOUBLE), 6)
+               AS entropy_bits
+    FROM ct JOIN u USING (user_id)
+    GROUP BY u.user_id, u.n, u.k
+"""
+
+
+def monthly_order_growth(orders: DataFrame) -> DataFrame:
+    """Per-month order volume, revenue, and month-over-month growth —
+    the seasonality/trend table a demand forecast starts from (the
+    §2B counterpart of the events-side rolling_7d_dau).
+
+    Parity discipline: revenue follows the q1 msum pattern (cast to
+    DECIMAL(30,6), exact sum, round 2, back to double) so the sum is
+    partition-order independent; rev_growth divides two such
+    IDENTICAL rounded doubles in both engines, rounded at 6dp, NULL
+    for the first month via the lag.
+
+    Scale shape: one map-side-combined groupBy to |months| rows; the
+    lag window runs over that tiny rollup only (a century of months
+    is 1200 rows)."""
+    m = (orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date").alias("month"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+             .alias("_rev")))
+    m = m.select("month", "n_orders",
+                 F.round(F.col("_rev"), 2).cast("double")
+                 .alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month", "n_orders", "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6)
+        .alias("rev_growth"))
+
+
+MONTHLY_ORDER_GROWTH_ORACLE = """
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate)
+                           AS DATE) AS month,
+                      CAST(count(*) AS BIGINT) AS n_orders,
+                      CAST(round(sum(CAST(o_totalprice
+                                          AS DECIMAL(30,6))), 2)
+                           AS DOUBLE) AS revenue
+               FROM orders GROUP BY 1)
+    SELECT month, n_orders, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6)
+               AS rev_growth
+    FROM m
+"""

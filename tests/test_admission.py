@@ -1208,3 +1208,42 @@ def test_dir_rows_warns_on_corrupt_footer(tmp_path):
             if issubclass(w.category, RuntimeWarning)]
     assert any("bad.parquet" in m and "under-count" in m
                for m in msgs), msgs
+
+
+def test_posting_store_stats(spark, dirs):
+    """Engine.posting_store_stats reads the live store: one run per
+    committed batch with metadata-only row counts, a non-empty df
+    histogram whose posting mass equals the store row count, and a
+    bucket-balance frame summing to the same total."""
+    from data_ingestion_challenge_spark.api import Engine
+    from tests.conftest import SF_DIR
+
+    _drop(os.path.join(dirs["watch"], "d1.jsonl"),
+          [_doc(1, LONG_A), _doc(2, NOVEL)])
+    run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"])
+    _drop(os.path.join(dirs["watch"], "d2.jsonl"),
+          [_doc(12, "fresh words never seen before in any prior "
+                    "drop of this stats test corpus")])
+    run_document_admission(
+        spark, dirs["watch"], dirs["table"], dirs["postings"],
+        dirs["log"], dirs["ckpt"])
+
+    eng = Engine(SF_DIR, spark=spark)
+    stats = eng.posting_store_stats(dirs["postings"],
+                                    table_path=dirs["table"])
+    total = (spark.read.option("basePath", dirs["postings"])
+             .parquet(dirs["postings"]).count())
+    assert len(stats["runs"]) == 2
+    assert all(r["committed"] for r in stats["runs"])
+    assert sum(r["rows"] for r in stats["runs"]) == total
+    hist = stats["df_histogram"].collect()
+    assert sum(r.total_postings for r in hist) == total
+    assert all(r.df_bucket >= 0 for r in hist)
+    if stats["mod"] is not None:
+        bal = stats["bucket_balance"].collect()
+        assert sum(r.n_postings for r in bal) == total
+    # committed is None without a table_path (flag unknowable)
+    stats2 = eng.posting_store_stats(dirs["postings"])
+    assert all(r["committed"] is None for r in stats2["runs"])
