@@ -300,6 +300,15 @@ def hourly_anomaly_mad(events: DataFrame) -> DataFrame:
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
         .agg(F.count("*").alias("n")))
+    return mad_score_hourly(h)
+
+
+def mad_score_hourly(h: DataFrame) -> DataFrame:
+    """MAD-score a prebuilt (event_type, hour_ts, n) rollup — split
+    out so the monitor can read a CONTINUOUSLY MAINTAINED rollup
+    (streaming/incremental.run_incremental_keyed_rollup) instead of
+    re-scanning event history per evaluation; hourly_anomaly_mad is
+    this over the one-shot batch rollup."""
     med = (h.groupBy("event_type")
            .agg(F.percentile("n", F.lit(0.5)).alias("med")))
     hm = h.join(F.broadcast(med), "event_type")

@@ -78,6 +78,10 @@ NON_EQUI_OK = {
     "bm25_topk",                          # 1-row (N, avgdl) scalar
     "boilerplate_sentences",              # 1-row corpus-N scalar
     "source_outlier_score",   # |sources|-row broadcast score grid
+    "source_minhash_overlap",  # |sources|-row broadcast pair compare
+    "token_pmi_bigrams",       # 1-row (b_total, u_total) scalar
+    "source_token_kl",         # 1-row corpus-total scalar
+    "weekly_churn",            # 1-row max-week scalar (range compare)
 }
 
 STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",
@@ -380,3 +384,49 @@ def test_incremental_dedup_no_corpus_side_shingle_exchange(spark):
     # And the corpus table is actually read through its buckets.
     assert "Bucketed: true" in plan
     spark.sql("DROP TABLE IF EXISTS audit_inc_post")
+
+
+def test_bpe_pmi_top_k_distributed(spark):
+    """Collocation/BPE rankers must compile orderBy+limit to
+    TakeOrderedAndProject (distributed partial top-k): the only
+    unpartitioned window allowed is the rank over the k survivors."""
+    from data_ingestion_challenge_spark.catalog import Catalog
+    from data_ingestion_challenge_spark.operators.collocation import (
+        bpe_merge_candidates, token_pmi_bigrams,
+    )
+    docs = Catalog(spark, SF_DIR).documents
+    for df in (bpe_merge_candidates(docs, k=25),
+               token_pmi_bigrams(docs, k=25)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+def test_label_outlier_model_joins_broadcast(spark):
+    """label_outlier_vectors re-attaches the |labels|·d centroid-sum
+    model by broadcast (never a corpus-sized shuffle join) and takes
+    its bottom-k distributed."""
+    from data_ingestion_challenge_spark.catalog import Catalog
+    from data_ingestion_challenge_spark.operators.embstats import (
+        label_outlier_vectors,
+    )
+    emb = Catalog(spark, SF_DIR).embeddings
+    plan = (label_outlier_vectors(emb, k=25)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_power_user_concentration_no_builtin_global_ntile(spark):
+    """The Pareto audit's centile assignment must ride
+    ranking.global_ntile — Spark's own ntile over an unpartitioned
+    window (single-task sort of every user) must not leak in."""
+    import re
+
+    from data_ingestion_challenge_spark.catalog import Catalog
+    from data_ingestion_challenge_spark.operators.stats import (
+        power_user_concentration,
+    )
+    ev = Catalog(spark, SF_DIR).events
+    plan = (power_user_concentration(ev)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert not re.search(r"Window \[[^\]]*ntile", plan)
