@@ -47,6 +47,20 @@ def _day_agg(df: DataFrame) -> DataFrame:
     )
 
 
+def _read_touched(spark: SparkSession, out_dir: str, schema: str,
+                  part_col: str, part_vals: list) -> DataFrame:
+    """Partition-pruned read of the sink's touched buckets.  The
+    filter is on the PARTITION STRING (the same value the writer's
+    date_format produced), so planning skips untouched directories
+    outright — PartitionFilters, O(touched) listing.  Filtering the
+    in-file timestamp instead would list and footer-read EVERY file
+    in the sink's history first; at years of retained buckets that
+    listing IS the per-batch cost."""
+    return (spark.read.schema(schema).parquet(out_dir)
+            .where(col(part_col).isin(part_vals))
+            .drop(part_col))
+
+
 def merge_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     """One micro-batch upsert: aggregate the batch per day, merge onto
     the sink's current rows for the touched days, dynamic-overwrite
@@ -54,16 +68,18 @@ def merge_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     replay gate is directly testable."""
     spark_b = batch_df.sparkSession
     inc = _day_agg(batch_df).localCheckpoint()
-    days = [r["day_ts"] for r in inc.select("day_ts").distinct().collect()]
-    if not days:
+    # Collect the partition STRING alongside the timestamp with the
+    # writer's own date_format, so the pruning values can never drift
+    # from the directory names (tz, format) the writer lays down.
+    touched = (inc.select(
+        "day_ts", F.date_format("day_ts", "yyyy-MM-dd").alias("day"))
+        .distinct().collect())
+    if not touched:
         return
     try:
-        # partition discovery appends `day` beyond the explicit
-        # schema — drop it before merging with the increment
-        current = (spark_b.read.schema(_SINK_SCHEMA).parquet(out_dir)
-                   .where(col("day_ts").isin(days))
-                   .drop("day")
-                   .localCheckpoint())
+        current = _read_touched(
+            spark_b, out_dir, _SINK_SCHEMA, "day",
+            [r["day"] for r in touched]).localCheckpoint()
     except Exception:          # first batch: sink doesn't exist yet
         current = spark_b.createDataFrame([], _SINK_SCHEMA)
     # Replay gate: a day whose partition already carries this batch_id
@@ -146,15 +162,16 @@ def merge_keyed_batch(batch_df: DataFrame, batch_id: int,
              F.sum(F.round(col("value") * 1000000).cast("bigint"))
              .alias("value_sum_micros"))
         .localCheckpoint())
-    buckets = [r["bucket_ts"] for r in
-               inc.select("bucket_ts").distinct().collect()]
-    if not buckets:
+    touched = (inc.select(
+        "bucket_ts",
+        F.date_format("bucket_ts", "yyyy-MM-dd-HH").alias("bucket"))
+        .distinct().collect())
+    if not touched:
         return
     try:
-        current = (spark_b.read.schema(_KEYED_SCHEMA).parquet(out_dir)
-                   .where(col("bucket_ts").isin(buckets))
-                   .drop("bucket")
-                   .localCheckpoint())
+        current = _read_touched(
+            spark_b, out_dir, _KEYED_SCHEMA, "bucket",
+            [r["bucket"] for r in touched]).localCheckpoint()
     except Exception:          # first batch: sink doesn't exist yet
         current = spark_b.createDataFrame([], _KEYED_SCHEMA)
     done = [r["bucket_ts"] for r in

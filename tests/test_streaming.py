@@ -194,6 +194,37 @@ def test_incremental_rollup_replay_is_idempotent(spark, tmp_path, cat):
     assert snapshot() == doubled
 
 
+def test_incremental_merge_read_prunes_partitions(spark, tmp_path, cat):
+    """The read-side of the upsert must prune on the PARTITION STRING
+    (PartitionFilters → O(touched) directory listing), never filter
+    the in-file timestamp (which lists every file in the sink's
+    history first).  Audits the exact production read path for both
+    the day and the keyed sink."""
+    import re
+
+    from data_ingestion_challenge_spark.streaming.incremental import (
+        _KEYED_SCHEMA, _SINK_SCHEMA, _read_touched, merge_batch,
+        merge_keyed_batch,
+    )
+
+    batch = cat.events.orderBy("event_id").limit(300).localCheckpoint()
+    day_out = str(tmp_path / "day")
+    keyed_out = str(tmp_path / "keyed")
+    merge_batch(batch, 0, day_out)
+    merge_keyed_batch(batch, 0, keyed_out)
+
+    for out, schema, part_col, val in (
+            (day_out, _SINK_SCHEMA, "day", "2024-01-01"),
+            (keyed_out, _KEYED_SCHEMA, "bucket", "2024-01-01-10")):
+        df = _read_touched(spark, out, schema, part_col, [val])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        # single-value IN folds to equality; either form prunes
+        assert m and re.search(
+            rf"{part_col}#\d+ (=|IN)", m.group(1)), \
+            f"{part_col} read not partition-pruned: {m}"
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Late-data semantics end-to-end: an event arriving after the
     watermark passed its window is DROPPED — the finalized window's
