@@ -410,17 +410,96 @@ class Engine:
         O(√nlist) centroid scores per vector instead of O(nlist) —
         the build-cost path for corpora where nlist itself is large;
         probe sets are approximate, recall-gated in tests)."""
+        import json
+
         from data_ingestion_challenge_spark.operators.similarity import (
-            _ivf_probe_assignments, ivf2_probe_assignments,
+            _ivf_seeds, ivf2_probe_assignments, probe_against_matrix,
         )
         from data_ingestion_challenge_spark.sources.files import (
             write_bucketed,
         )
-        probe = (ivf2_probe_assignments if two_level
-                 else _ivf_probe_assignments)
-        e = probe(self.catalog.embeddings, nprobe=nprobe, cell=cell)
+        if two_level:
+            e = ivf2_probe_assignments(self.catalog.embeddings,
+                                       nprobe=nprobe, cell=cell)
+            meta = None
+        else:
+            C, Cnorm, nlist = _ivf_seeds(self.catalog.embeddings,
+                                         nprobe, cell, None)
+            e = probe_against_matrix(self.catalog.embeddings, C,
+                                     Cnorm, nprobe)
+            # Freeze the index model beside the data: extend_ivf
+            # probes future vectors against THESE centroids, so the
+            # table stays one consistent Voronoi geometry however the
+            # corpus grows (json doubles round-trip exactly).
+            meta = {"nprobe": nprobe, "cell": cell, "nlist": nlist,
+                    "centroids": C.tolist()}
         write_bucketed(e, table, path, bucket_key="_cell",
                        n_buckets=n_buckets)
+        if meta is not None:
+            with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+                json.dump(meta, f)
+
+    def extend_ivf(self, new_embeddings: DataFrame, table: str,
+                   path: str) -> None:
+        """Incremental IVF index maintenance: assign ONLY the new
+        vectors against the index's FROZEN centroid matrix
+        (_ivf_meta.json, written by materialize_ivf) and append them
+        into the bucketed assignment table — per-drop cost is
+        O(|new|·nlist) centroid scores + a bucketed append, never a
+        corpus re-probe.  The appended files carry the same bucket
+        spec (table metadata), so candidate self-joins off the table
+        stay exchange-free.  Reindex (re-materialize) when
+        ivf_index_stats shows occupancy drifting past design — the
+        frozen model is the standard trade: ingest cadence is
+        decoupled from (expensive, corpus-wide) reindex cadence.
+        Caller contract: vec_ids in ``new_embeddings`` are new to the
+        table (the admission screen upstream guarantees it in the
+        ingest pipeline)."""
+        import json
+
+        import numpy as np
+
+        from data_ingestion_challenge_spark.operators.similarity import (
+            probe_against_matrix,
+        )
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            meta = json.load(f)
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        e = probe_against_matrix(new_embeddings, C,
+                                 np.linalg.norm(C, axis=1),
+                                 meta["nprobe"])
+        # saveAsTable(append) validates the existing bucket spec and
+        # hash-clusters the new files identically.
+        (e.write.mode("append").format("parquet")
+         .option("path", path)
+         .bucketBy(self._table_bucket_count(table), "_cell")
+         .sortBy("_cell")
+         .saveAsTable(table))
+
+    def _table_bucket_count(self, table: str) -> int:
+        d = self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}") \
+            .where("col_name = 'Num Buckets'").collect()
+        return int(d[0]["data_type"])
+
+    def ivf_index_stats(self, table: str) -> DataFrame:
+        """Index-staleness audit: per-cell occupancy distribution of
+        the (maintained) assignment table vs the frozen design
+        occupancy (nprobe·cell).  One map-side-combined groupBy over
+        the index table (assignment-count-sized, never touches
+        embeddings payload width beyond the scan) → a cells-sized
+        rollup.  Reindex when p99_occupancy drifts a few × past
+        design_occupancy: candidate fan-out per cell grows with
+        occupancy², so a frozen model over a corpus that has
+        doubled costs ~4× per-pair verify."""
+        from pyspark.sql import functions as F
+        occ = (self.spark.table(table).groupBy("_cell")
+               .agg(F.count("*").alias("occ")))
+        return occ.agg(
+            F.count("*").alias("n_cells"),
+            F.sum("occ").alias("n_assignments"),
+            F.round(F.avg("occ"), 2).alias("mean_occupancy"),
+            F.max("occ").alias("max_occupancy"),
+            F.percentile("occ", F.lit(0.99)).alias("p99_occupancy"))
 
     def dedup_incoming(self, new_docs: DataFrame, posting_table: str,
                        tau: float = 0.8, n: int = 3) -> DataFrame:

@@ -466,7 +466,18 @@ def _ivf_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     at nprobe·cell occupancy and inflates the pair fan-out by
     nprobe² (measured 4× wall time on the sf0.1 terminal)."""
     C, Cnorm, nlist = _ivf_seeds(embeddings, nprobe, cell, nlist)
+    return probe_against_matrix(embeddings, C, Cnorm, nprobe)
 
+
+def probe_against_matrix(embeddings: DataFrame, C: "np.ndarray",
+                         Cnorm: "np.ndarray",
+                         nprobe: int) -> DataFrame:
+    """Probe-assign vectors against an EXPLICIT centroid matrix —
+    the stage shared by the one-shot index build (seeds from the
+    corpus) and incremental index maintenance (Engine.extend_ivf:
+    the matrix comes FROZEN from the index's meta file, so new
+    vectors land in the same Voronoi geometry the existing
+    assignments used, whatever the corpus has grown to since)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
