@@ -280,10 +280,17 @@ class Engine:
         Heals a crashed in-place compaction swap under the admission
         lease BEFORE reading (the compact_admission_postings rule:
         a published-manifest half-swap otherwise hides folded
-        increments from this reader).  The histogram/balance frames
-        scan the full store — this is an offline maintenance audit,
-        not a per-batch path.  ``committed`` needs ``table_path``;
-        without it the flag is None."""
+        increments from this reader) — and the histogram/balance
+        frames are MATERIALIZED (localCheckpoint) while the lease is
+        still held: returning them lazy would let a concurrent
+        in-place compaction (sink compact_every) swap run directories
+        mid-scan and under-count the audit.  The full-store scans run
+        under the lease — this is an offline maintenance audit, not a
+        per-batch path.  With ``table_path`` the ``committed`` flag
+        is computed AND the histogram/balance are restricted to
+        base + committed runs (a crashed batch's orphaned postings
+        are flagged in ``runs``, not silently priced into the
+        histogram); without it the flag is None and all runs count."""
         from pyspark.sql import functions as F
 
         from data_ingestion_challenge_spark.operators.dedup import (
@@ -317,18 +324,33 @@ class Engine:
                                   else _is_base(tag)
                                   or _tag_committed(marks, tag)),
                 })
+            mod = store_bucket_mod(postings_dir)
+            store = (self.spark.read
+                     .option("basePath", postings_dir)
+                     .parquet(postings_dir))
+            if marks is not None:
+                # Audit only base + committed runs: a crashed batch's
+                # uncommitted postings are surfaced by the runs
+                # listing (committed=False), not folded into the
+                # histogram the operator tunes against.
+                ok = [r["tag"] for r in runs if r["committed"]]
+                # Cast: partition-value inference types the column
+                # int when every tag is numeric, string otherwise.
+                store = store.where(
+                    F.col("ingest_batch").cast("string").isin(ok))
+            # Execute under the lease (eager localCheckpoint): lazy
+            # frames would race a concurrent in-place compaction's
+            # directory swap after release.
+            hist = shingle_df_distribution(
+                None,
+                posting=store.select("doc_id", "s")).localCheckpoint()
+            balance = None
+            if mod is not None and "s_bucket" in store.columns:
+                balance = (store.groupBy("s_bucket")
+                           .agg(F.count("*").alias("n_postings"))
+                           .localCheckpoint())
         finally:
             release_admission_lease(lease)
-        mod = store_bucket_mod(postings_dir)
-        store = (self.spark.read
-                 .option("basePath", postings_dir)
-                 .parquet(postings_dir))
-        hist = shingle_df_distribution(
-            None, posting=store.select("doc_id", "s"))
-        balance = None
-        if mod is not None and "s_bucket" in store.columns:
-            balance = (store.groupBy("s_bucket")
-                       .agg(F.count("*").alias("n_postings")))
         return {"mod": mod, "runs": runs,
                 "df_histogram": hist, "bucket_balance": balance}
 
@@ -421,7 +443,11 @@ class Engine:
         if two_level:
             e = ivf2_probe_assignments(self.catalog.embeddings,
                                        nprobe=nprobe, cell=cell)
-            meta = None
+            # Two-level indexes carry no flat centroid matrix to
+            # freeze, so they are rebuild-only: the meta records that
+            # fact so extend_ivf fails TYPED (ValueError), not with a
+            # bare FileNotFoundError.
+            meta = {"two_level": True, "nprobe": nprobe, "cell": cell}
         else:
             C, Cnorm, nlist = _ivf_seeds(self.catalog.embeddings,
                                          nprobe, cell, None)
@@ -435,9 +461,8 @@ class Engine:
                     "centroids": C.tolist()}
         write_bucketed(e, table, path, bucket_key="_cell",
                        n_buckets=n_buckets)
-        if meta is not None:
-            with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
-                json.dump(meta, f)
+        with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+            json.dump(meta, f)
 
     def extend_ivf(self, new_embeddings: DataFrame, table: str,
                    path: str) -> None:
@@ -462,8 +487,18 @@ class Engine:
         from data_ingestion_challenge_spark.operators.similarity import (
             probe_against_matrix,
         )
-        with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta_path = os.path.join(path, "_ivf_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"{path}: no _ivf_meta.json — not an index written by "
+                "materialize_ivf; nothing to extend")
+        with open(meta_path) as f:
             meta = json.load(f)
+        if "centroids" not in meta:
+            raise ValueError(
+                f"{path}: two-level IVF indexes freeze no flat "
+                "centroid matrix and are rebuild-only — reindex via "
+                "materialize_ivf(two_level=True) instead of extending")
         C = np.asarray(meta["centroids"], dtype=np.float64)
         e = probe_against_matrix(new_embeddings, C,
                                  np.linalg.norm(C, axis=1),
@@ -479,6 +514,12 @@ class Engine:
     def _table_bucket_count(self, table: str) -> int:
         d = self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}") \
             .where("col_name = 'Num Buckets'").collect()
+        if not d:
+            raise ValueError(
+                f"{table}: not a bucketed table — extend_ivf appends "
+                "must carry the index's bucket spec (materialize_ivf "
+                "writes it); an unbucketed append would break the "
+                "exchange-free candidate self-join")
         return int(d[0]["data_type"])
 
     def ivf_index_stats(self, table: str) -> DataFrame:

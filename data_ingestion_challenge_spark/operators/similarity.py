@@ -942,6 +942,59 @@ def hard_negative_pairs(embeddings: DataFrame,
             .select("vec_a", "vec_b", "label_a", "label_b", "cos_sim"))
 
 
+def hard_negative_pairs_ann(embeddings: DataFrame,
+                            tau: float = 0.35, nprobe: int = 4,
+                            cell: int = 128,
+                            assignments: DataFrame | None = None
+                            ) -> DataFrame:
+    """SCALE path of hard_negative_pairs: candidates come from the
+    multi-probe IVF index (ivf_candidate_pairs — O(n·nprobe²·cell)
+    materialized rows, LINEAR in corpus size) instead of the gemm
+    twin's exact O(n²) sweep.  Hard-negative MINING does not need
+    recall 1 — a contrastive recipe wants many good negatives, not
+    all of them — so the index feed is the right default at 10⁹+
+    vectors, with `hard_negative_pairs` kept as the exactness audit
+    (the dedup_keep_list / embedding_cosine_pairs pattern; recall vs
+    the audit is floor-gated in tests).  ``assignments`` accepts the
+    MAINTAINED index table (Engine.materialize_ivf/extend_ivf) so
+    recurring mining runs skip the probe stage entirely and the
+    candidate self-join runs exchange-free off the bucketed layout.
+    Label attach is two plain equi-joins with NO broadcast hint —
+    AQE broadcasts only when the projection is actually small."""
+    pairs = ivf_candidate_pairs(embeddings, tau=tau, nprobe=nprobe,
+                                cell=cell, assignments=assignments)
+    lab = embeddings.select("vec_id", "label")
+    la = lab.select(col("vec_id").alias("vec_a"),
+                    col("label").alias("label_a"))
+    lb = lab.select(col("vec_id").alias("vec_b"),
+                    col("label").alias("label_b"))
+    return (pairs.join(la, "vec_a")
+            .join(lb, "vec_b")
+            .where(col("label_a") != col("label_b"))
+            .select("vec_a", "vec_b", "label_a", "label_b",
+                    "cos_sim"))
+
+
+def hard_negative_ann_oracle_sql(tau: float = 0.35, nprobe: int = 4,
+                                 cell: int = 128) -> str:
+    """DuckDB twin of hard_negative_pairs_ann: the EXACT index replay
+    (ivf_candidate_cte — same lowest-id seeding, same cos-desc/
+    cid-asc probe rank) joined to labels.  The oracle replays the
+    whole approximate index, so the driver hash-gates the ANN plan
+    itself, not just its exact superset."""
+    cos = _dk_cos("a", "b")
+    return f"""
+    WITH {ivf_candidate_cte(tau=tau, nprobe=nprobe, cell=cell)}
+    SELECT p.va AS vec_a, p.vb AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round({cos}, 4) AS cos_sim
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.va
+    JOIN embeddings b ON b.vec_id = p.vb
+    WHERE a.label <> b.label
+    """
+
+
 def hard_negative_oracle_sql(tau: float = 0.35) -> str:
     """DuckDB twin of hard_negative_pairs (same cosine formula as the
     dedup_embedding_cosine oracle, plus the label-mismatch filter)."""

@@ -28,9 +28,57 @@ checkpoint, as the streaming engine requires anyway.)
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
+
+
+def _read_sink_or_empty(spark: SparkSession, out_dir: str, schema: str,
+                        part_col: str, part_vals: list) -> DataFrame:
+    """Touched-bucket read that treats ONLY two verified conditions
+    as 'first batch': the engine's typed PATH_NOT_FOUND, or a sink
+    directory that exists but holds no rows at all (a caller-created
+    empty dir — no partition column is discovered, so the pruning
+    filter can't even resolve).  A bare except here would be a
+    data-loss bug: any transient read failure over a REAL sink
+    (storage hiccup, perm flap) would silently stand in an empty
+    frame, and the dynamic overwrite would then replace the touched
+    partitions with the increment alone — dropping every prior
+    aggregate in them.  Every other failure aborts the batch (the
+    checkpoint replays it)."""
+    try:
+        df = spark.read.schema(schema).parquet(out_dir)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" not in cond:
+            raise
+        return spark.createDataFrame([], schema)
+    if part_col not in df.columns:
+        # No partition directories discovered.  Empty dir → first
+        # batch.  Rows WITHOUT the partition layout → not a sink this
+        # module wrote; refuse rather than overwrite it.
+        if df.isEmpty():
+            return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"{out_dir}: existing data carries no {part_col}= "
+            "partition layout — not an incremental-rollup sink")
+    return _read_touched(spark, out_dir, schema, part_col,
+                         part_vals).localCheckpoint()
+
+
+def _hour_bucket_str(c):
+    """Partition value for an hour bucket: wall-clock prefix for
+    operability plus the bucket's epoch seconds.  The epoch component
+    makes the string INJECTIVE over bucket_ts in any session timezone
+    — a bare 'yyyy-MM-dd-HH' maps the DST fall-back's two distinct
+    hour instants to one directory, and since the replay gate filters
+    per bucket_ts while the overwrite unit is the partition string, a
+    partial replay could drop the sibling hour's rows from the
+    rewritten partition."""
+    return F.concat_ws(
+        "-", F.date_format(c, "yyyy-MM-dd-HH"),
+        F.unix_timestamp(c).cast("string"))
 
 ROLLUP_SCHEMA = "day_ts timestamp, n_events bigint, value_sum_micros bigint"
 _SINK_SCHEMA = ROLLUP_SCHEMA + ", last_batch_id bigint"
@@ -76,12 +124,9 @@ def merge_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
         .distinct().collect())
     if not touched:
         return
-    try:
-        current = _read_touched(
-            spark_b, out_dir, _SINK_SCHEMA, "day",
-            [r["day"] for r in touched]).localCheckpoint()
-    except Exception:          # first batch: sink doesn't exist yet
-        current = spark_b.createDataFrame([], _SINK_SCHEMA)
+    current = _read_sink_or_empty(
+        spark_b, out_dir, _SINK_SCHEMA, "day",
+        [r["day"] for r in touched])
     # Replay gate: a day whose partition already carries this batch_id
     # was fully rewritten before the crash — merging the increment
     # again would double-count it.
@@ -163,17 +208,13 @@ def merge_keyed_batch(batch_df: DataFrame, batch_id: int,
              .alias("value_sum_micros"))
         .localCheckpoint())
     touched = (inc.select(
-        "bucket_ts",
-        F.date_format("bucket_ts", "yyyy-MM-dd-HH").alias("bucket"))
+        "bucket_ts", _hour_bucket_str(col("bucket_ts")).alias("bucket"))
         .distinct().collect())
     if not touched:
         return
-    try:
-        current = _read_touched(
-            spark_b, out_dir, _KEYED_SCHEMA, "bucket",
-            [r["bucket"] for r in touched]).localCheckpoint()
-    except Exception:          # first batch: sink doesn't exist yet
-        current = spark_b.createDataFrame([], _KEYED_SCHEMA)
+    current = _read_sink_or_empty(
+        spark_b, out_dir, _KEYED_SCHEMA, "bucket",
+        [r["bucket"] for r in touched])
     done = [r["bucket_ts"] for r in
             current.where(col("last_batch_id") >= batch_id)
             .select("bucket_ts").distinct().collect()]
@@ -195,7 +236,7 @@ def merge_keyed_batch(batch_df: DataFrame, batch_id: int,
                      "dynamic")
     try:
         (merged.withColumn(
-            "bucket", F.date_format("bucket_ts", "yyyy-MM-dd-HH"))
+            "bucket", _hour_bucket_str(col("bucket_ts")))
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(out_dir))
     finally:
