@@ -86,9 +86,13 @@ def event_path_3step(events: DataFrame, k: int = 20) -> DataFrame:
     paths = (seq.where(col("e2").isNotNull() & col("e3").isNotNull())
              .groupBy("e1", "e2", "e3")
              .agg(F.count("*").alias("n")))
+    # TakeOrderedAndProject over the rollup (uniform with the top-k
+    # family): the rollup is |types|³-bounded, but orderBy+limit keeps
+    # the single-task sort at k rows instead of the whole rollup, and
+    # the rank window then sees only the k survivors.
+    top = paths.orderBy(col("n").desc(), "e1", "e2", "e3").limit(k)
     wk = Window.orderBy(col("n").desc(), "e1", "e2", "e3")
-    return (paths.withColumn("rank", F.row_number().over(wk))
-            .where(col("rank") <= k)
+    return (top.withColumn("rank", F.row_number().over(wk))
             .select("rank", "e1", "e2", "e3", "n"))
 
 

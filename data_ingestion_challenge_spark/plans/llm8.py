@@ -52,12 +52,36 @@ def source_outlier_score(cat: Catalog) -> DataFrame:
     oracle=S.hard_negative_oracle_sql(tau=0.35),
 )
 def hard_negative_pairs(cat: Catalog) -> DataFrame:
-    """Candidate pairs come from the blocked-gemm cosine join (one
-    shuffle, bounded task memory, never a BNLJ); labels attach via
-    two plain equi-joins with NO broadcast hint — the (vec_id, label)
-    projection is corpus-sized, AQE broadcasts only when it is
-    actually small."""
+    """EXACTNESS AUDIT twin of hard_negative_pairs_ann: candidate
+    pairs come from the blocked-gemm cosine join — exact O(n²) FLOPs
+    by declared contract, the recall ground truth; the ANN entry
+    below is the plan a deployment runs at corpus scale.  Labels
+    attach via two plain equi-joins with NO broadcast hint — the
+    (vec_id, label) projection is corpus-sized, AQE broadcasts only
+    when it is actually small."""
     return S.hard_negative_pairs(cat.embeddings, tau=0.35)
+
+
+@query(
+    "hard_negative_pairs_ann",
+    # The SCALE path: multi-probe IVF candidates (linear in corpus
+    # size) + label-mismatch filter + exact-cosine verify.  The
+    # oracle replays the approximate index EXACTLY (ivf_candidate_cte
+    # — same seeding, same probe rank), so the hash gates the ANN
+    # plan itself; recall vs the gemm twin is floor-gated in
+    # tests/test_r8_candidates.py (0.93 measured at sf0.001 and
+    # sf0.01, ANN set provably a subset — verify readmits nothing).
+    oracle=S.hard_negative_ann_oracle_sql(tau=0.35),
+)
+def hard_negative_pairs_ann(cat: Catalog) -> DataFrame:
+    """Scale-safe hard-negative mining: candidates from the
+    multi-probe IVF index (O(n·nprobe²·cell) materialized rows —
+    LINEAR, vs the gemm twin's O(n²)), exact-cosine verified, then
+    the label-mismatch filter (operators/similarity.py:
+    hard_negative_pairs_ann).  Pass the maintained index table
+    (Engine.materialize_ivf/extend_ivf) as assignments in a
+    deployment to skip the probe stage entirely."""
+    return S.hard_negative_pairs_ann(cat.embeddings, tau=0.35)
 
 
 # ------------------------------------------------ LSH band planning

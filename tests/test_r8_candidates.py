@@ -85,6 +85,25 @@ def test_hard_negative_pairs(spark, cat, duck):
         assert r.cos_sim >= 0.35
 
 
+def test_hard_negative_pairs_ann_recall_and_parity(spark, cat, duck):
+    """The ANN-fed scale path (r9): oracle parity via the exact index
+    replay, SOUNDNESS (every returned pair is a true tau-pair — the
+    ANN set is a subset of the gemm audit's), and a recall floor vs
+    the exact twin (measured 0.93 at sf0.001 and sf0.01; gate at
+    0.75 to absorb testdata regeneration)."""
+    from data_ingestion_challenge_spark.operators.similarity import (
+        hard_negative_ann_oracle_sql, hard_negative_pairs,
+        hard_negative_pairs_ann,
+    )
+    sdf = hard_negative_pairs_ann(cat.embeddings)
+    _compare(sdf, duck, hard_negative_ann_oracle_sql())
+    ann = {(r.vec_a, r.vec_b) for r in sdf.collect()}
+    exact = {(r.vec_a, r.vec_b)
+             for r in hard_negative_pairs(cat.embeddings).collect()}
+    assert ann <= exact          # exact verify readmits nothing
+    assert len(ann) >= 0.75 * len(exact) > 0
+
+
 def test_dataset_card(spark, cat, duck):
     from data_ingestion_challenge_spark.operators.curation import (
         ORACLE_DATASET_CARD, dataset_card,
