@@ -238,7 +238,18 @@ def _stage_sf10x(spark, sf_dir: str):
 def _ivf_probe_crossover(spark, sf_dir: str):
     """Flat vs two-level IVF probe wall time across nlist — the
     measured crossover behind similarity.ivf2_probe_assignments'
-    constant-factor note.  Returns {nlist: {"flat_s", "two_level_s"}}."""
+    constant-factor note.  The sf-dir vector count caps useful nlist
+    at ~1024, which is BELOW where the two-level asymptotics bite, so
+    the sweep also runs nlist ∈ {2048, 8192} on an in-memory 10×
+    staging of the embeddings (same circular-shift construction as
+    _stage_sf10x) — keys suffixed "@10x".  r9 ground truth at 20k
+    vectors after the sub-chunked second level landed: flat 0.77 /
+    1.11 / 1.38 s vs two-level 0.63 / 0.95 / 0.89 s at nlist
+    1024 / 4096 / 8192 — the two-level win now WIDENS with nlist
+    instead of saturating.  Returns
+    {nlist[@10x]: {"flat_s", "two_level_s"}}."""
+    from pyspark.sql import functions as F
+
     from data_ingestion_challenge_spark.operators.similarity import (
         _cached_count, _ivf_probe_assignments, ivf2_probe_assignments,
     )
@@ -247,26 +258,45 @@ def _ivf_probe_crossover(spark, sf_dir: str):
            .parquet(os.path.join(sf_dir, "embeddings.parquet"))
            .localCheckpoint())
     n = _cached_count(emb)
-    out = {}
-    for nlist in (64, 256, 1024):
-        if nlist > n:
-            continue
-        cell = max(1, n * 4 // nlist)
 
-        def _med(fn, n_runs=3):
-            runs = []
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                fn()
-                runs.append(time.perf_counter() - t0)
-            return round(sorted(runs)[len(runs) // 2], 3)
+    def _med(fn, n_runs=3):
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[len(runs) // 2], 3)
 
-        out[str(nlist)] = {
-            "flat_s": _med(lambda: _ivf_probe_assignments(
-                emb, nprobe=4, cell=cell, nlist=nlist).count()),
-            "two_level_s": _med(lambda: ivf2_probe_assignments(
-                emb, nprobe=4, cell=cell, nlist=nlist).count()),
-        }
+    def _sweep(e, n_vec, nlists, suffix=""):
+        res = {}
+        for nlist in nlists:
+            if nlist > n_vec:
+                continue
+            cell = max(1, n_vec * 4 // nlist)
+            res[f"{nlist}{suffix}"] = {
+                "flat_s": _med(lambda: _ivf_probe_assignments(
+                    e, nprobe=4, cell=cell, nlist=nlist).count()),
+                "two_level_s": _med(lambda: ivf2_probe_assignments(
+                    e, nprobe=4, cell=cell, nlist=nlist).count()),
+            }
+        return res
+
+    out = _sweep(emb, n, (64, 256, 1024))
+    d = len(emb.select("embedding").head()[0])
+    reps = spark.range(10).select(F.col("id").cast("int").alias("_k"))
+    emb10 = (emb.crossJoin(reps)
+             .select((F.col("vec_id")
+                      + F.col("_k").cast("long") * 10_000_000)
+                     .alias("vec_id"),
+                     F.when(F.col("_k") == 0, F.col("embedding"))
+                     .otherwise(F.expr(
+                         f"concat(slice(embedding, _k+1, {d}-_k), "
+                         f"slice(embedding, 1, _k))"))
+                     .alias("embedding"))
+             .localCheckpoint())
+    out.update(_sweep(emb10, n * 10, (2048, 8192), suffix="@10x"))
+    emb.unpersist()
+    emb10.unpersist()
     return out
 
 

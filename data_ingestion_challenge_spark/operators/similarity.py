@@ -728,18 +728,19 @@ def ivf2_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
     tie-breaks at both levels.
 
     Honesty note on the constant factor: the second-level scoring is
-    one BLAS gemm over the union of the Arrow batch's probed groups
-    (strictly ≤ the flat gemm's work) plus a per-row mask, so the
-    two-level path now wins from nlist ≈ 256 at bench scale
-    (measured: flat 0.43 s vs two-level 0.39 s at nlist=256 on 2k
-    vectors; the r5 per-group Python loop lost until nlist ≫ 10³).
-    When one Arrow batch's rows collectively probe EVERY group —
-    tiny ncoarse, large batches — the union saturates to all
-    centroids and the path degrades to flat-plus-mask-overhead
-    (measured 0.9 s vs 0.5 s at nlist=1024 with ncoarse=32 over
-    2k-row batches); the sub-linear regime is large ncoarse with
-    batches probing a small group fraction, exactly the huge-nlist
-    corpora this path exists for."""
+    one BLAS gemm per SUB-CHUNK of the Arrow batch over the union of
+    that chunk's probed groups, plus a per-row mask.  Sub-chunking
+    (r9) is what makes the sub-linear regime reachable under Arrow
+    batching at all: a whole 10k-row batch probes ~wprobe·10k groups,
+    so its union saturates to ALL centroids and the r6-r8 single-gemm
+    version degraded to flat-plus-mask-overhead exactly at the large
+    nlist this path exists for (measured at 20k vectors: two-level
+    2.0/3.6 s vs flat 1.1/1.5 s at nlist 4096/8192).  A 256-row
+    chunk keeps the union a small fraction of nlist (single-core
+    kernel at 20k vectors, nlist=8192, ncoarse=90: chunked 2.0 s vs
+    flat 13.7 s); chunk size changes NOTHING about the result — each
+    row's selection depends only on its own probed groups — so the
+    value contract and the recall gate are untouched."""
     import math
 
     C, Cnorm, nlist = _ivf_seeds(embeddings, nprobe, cell, nlist)
@@ -778,27 +779,41 @@ def ivf2_probe_assignments(embeddings: DataFrame, nprobe: int = 4,
 
     from pyspark.sql.functions import pandas_udf
 
+    # 256 rows/chunk: large enough for efficient BLAS at typical
+    # embedding dims, small enough that chunk_rows·wprobe stays well
+    # under ncoarse at the huge-nlist sizes where the union fraction
+    # decides the win (see the honesty note).
+    _CHUNK = 256
+
     @pandas_udf("array<int>")
     def _probe2(se: pd.Series) -> pd.Series:
-        A = np.stack(se.to_numpy()).astype(np.float64)
-        An = np.linalg.norm(A, axis=1)
-        S1 = (A @ CCv.T) / (An[:, None] * CCvnorm[None, :])
-        topg = valid[np.argsort(-S1, axis=1, kind="stable")[:, :wprobe]]
-        gsel = np.unique(topg)
-        mids = np.concatenate([members[int(g)] for g in gsel])
-        col_grp = np.concatenate(
-            [np.full(len(members[int(g)]), g, dtype=np.int64)
-             for g in gsel])
-        S2 = (A @ C[mids].T) / (An[:, None] * Cnorm[mids][None, :])
-        allowed = (col_grp[None, :, None]
-                   == topg[:, None, :]).any(-1)    # (b, |union|)
-        # Outside-probe columns: score -inf (below any cosine), id
-        # sentinel (ties after any real id) — selection order
-        # (score desc, id asc) identical to the loop version.
-        sc = np.where(allowed, S2, -np.inf)
-        key = np.where(allowed, mids[None, :].astype(np.int64), _SENT)
-        order = np.lexsort((key, -sc), axis=-1)[:, :nprobe]
-        sel = np.take_along_axis(key, order, axis=1)
+        A0 = np.stack(se.to_numpy()).astype(np.float64)
+        A0n = np.linalg.norm(A0, axis=1)
+        sels = []
+        for lo in range(0, len(A0), _CHUNK):
+            A = A0[lo:lo + _CHUNK]
+            An = A0n[lo:lo + _CHUNK]
+            S1 = (A @ CCv.T) / (An[:, None] * CCvnorm[None, :])
+            topg = valid[
+                np.argsort(-S1, axis=1, kind="stable")[:, :wprobe]]
+            gsel = np.unique(topg)
+            mids = np.concatenate([members[int(g)] for g in gsel])
+            col_grp = np.concatenate(
+                [np.full(len(members[int(g)]), g, dtype=np.int64)
+                 for g in gsel])
+            S2 = (A @ C[mids].T) / (An[:, None] * Cnorm[mids][None, :])
+            allowed = (col_grp[None, :, None]
+                       == topg[:, None, :]).any(-1)  # (chunk, |union|)
+            # Outside-probe columns: score -inf (below any cosine),
+            # id sentinel (ties after any real id) — selection order
+            # (score desc, id asc) identical to the loop version.
+            sc = np.where(allowed, S2, -np.inf)
+            key = np.where(allowed, mids[None, :].astype(np.int64),
+                           _SENT)
+            order = np.lexsort((key, -sc), axis=-1)[:, :nprobe]
+            sels.append(np.take_along_axis(key, order, axis=1))
+        sel = np.concatenate(sels) if sels else \
+            np.empty((0, nprobe), dtype=np.int64)
         return pd.Series([row[row != _SENT].astype("int32")
                           for row in sel])
 

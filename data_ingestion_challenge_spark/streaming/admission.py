@@ -504,37 +504,52 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         if n_inc >= 1:
             _fold(sub, "-2")
     else:
-        # Stepped merge.  1) Fold the increments into a fresh run tag
-        # (next unused negative int) — O(N·b) work.  Runs even with
-        # n_inc == 0: a crash mid-cascade leaves ratio-violating runs
-        # that the NEXT call (this one) must still merge.
+        # Stepped merge, PLANNED then executed: the ladder's fixpoint
+        # is a pure function of the run-size map (fold row counts are
+        # exactly additive — rows(a∪b) = rows(a) + rows(b)), so the
+        # whole cascade is simulated on footer row counts first and
+        # each TERMINAL group then lands as ONE atomic fold.  The
+        # pre-r9 cascade materialized every intermediate run: at the
+        # compact_every=2 bench cadence the fresh increments' run
+        # immediately re-merged into the next run almost every tick —
+        # two full fold I/O cycles (stage 64-dir run + sizes derive +
+        # swap, twice) where one suffices.  Crash mid-plan leaves a
+        # legal run set exactly as a crash mid-cascade did: folds are
+        # individually atomic and the next cadence tick replans from
+        # whatever runs exist.  Runs even with n_inc == 0: a crash
+        # mid-execution leaves ratio-violating runs that the NEXT
+        # call (this one) must still merge.
+        runs = _run_rows()
+        groups: dict[str, list[str]] = {t: [t] for t in runs}
         if n_inc >= 1:
-            # Tag allocation needs only the NAMES (zero file I/O) —
-            # footer row counts are read once, below, for the ladder.
-            base_ids = [int(t) for t in _batch_tags(postings_dir)
-                        if _is_base(t)]
-            nxt = str(min(base_ids or [0]) - 1)
-            _fold(incs, nxt)
-        # 2) Cascade until the FULL invariant holds — every run <
+            nxt = str(min([int(t) for t in runs] or [0]) - 1)
+            runs[nxt] = sum(
+                _dir_rows(os.path.join(postings_dir,
+                                       f"ingest_batch={t}"))
+                for t in incs)
+            groups[nxt] = list(incs)
+        # Simulate until the FULL invariant holds — every run <
         # major_ratio × the next larger, checked across ALL adjacent
         # pairs (only checking the smallest pair would let a
         # violating middle pair accrete runs forever).  Each byte
-        # climbs a geometric ladder, so amortized maintenance I/O per
-        # ingested byte is O(major_ratio⁻¹ · log(corpus/fold_size)).
-        # Row counts are read from footers ONCE; fold counts are
-        # exactly additive (rows(b') = rows(a) + rows(b)), so the
-        # cascade updates the map instead of re-parsing every
-        # unchanged run's footers per iteration.
-        runs = _run_rows()
+        # climbs a geometric ladder, so amortized maintenance I/O
+        # per ingested byte is O(major_ratio⁻¹ · log(corpus/fold)).
         while len(runs) >= 2:
             order = sorted(runs, key=lambda t: (runs[t], int(t)))
             for a, b in zip(order, order[1:]):
                 if runs[a] >= major_ratio * runs[b]:
-                    _fold([a, b], b)
+                    groups[b] = groups.pop(a) + groups[b]
                     runs[b] = runs.pop(a) + runs[b]
                     break
             else:
                 break
+        # Execute: deepest (most-negative) target first, so a crash
+        # part-way leaves the small-run end — the part the next tick
+        # re-merges cheaply — unfolded, never a half-merged big run.
+        for tgt in sorted(groups, key=int):
+            members = groups[tgt]
+            if members != [tgt]:
+                _fold(sorted(set(members), key=str), tgt)
     if sizes_dir is not None:
         _backfill_sizes(spark, postings_dir, sizes_dir)
     return n_inc
@@ -645,7 +660,8 @@ def _collapse_exact(batch: DataFrame) -> DataFrame:
 def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
                   corpus_post: DataFrame | None,
                   corpus_sizes: DataFrame | None,
-                  tau: float) -> DataFrame:
+                  tau: float,
+                  caches: list | None = None) -> DataFrame:
     """ONE candidate+verify pass for BOTH screens a micro-batch needs:
     batch-vs-batch near-dup pairs AND batch-vs-corpus matches —
     (doc_id, corpus_doc_id, _corp, jaccard), where _corp marks a
@@ -685,7 +701,35 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
         all_post = bpost
         all_sizes = batch_sizes.select(
             "doc_id", "n", F.lit(False).alias("_corp"))
-    dfreq = all_post.groupBy("s").agg(F.count("*").alias("_df"))
+    # THE scale contract of the fused screen: the corpus posting set
+    # is scanned ONCE, semi-filtered down to the batch's shingles by
+    # a BROADCAST of the batch shingle set, and never shuffled — only
+    # the surviving `rel` rows (corpus occurrences of batch shingles,
+    # batch-df-bounded) flow into the downstream shuffles, which are
+    # therefore all batch-bounded.  The pre-r9 plan shuffled the
+    # whole pruned corpus posting set by `s` twice per micro-batch
+    # (candidate join + intersection join): at a 100 TB corpus those
+    # two exchanges dominate.  Downstream joins stay ordinary shuffle
+    # joins ON PURPOSE — broadcasting the growing prefix/candidate
+    # frames was measured SLOWER (serial driver collects of frames
+    # that grow with corpus overlap); the only other broadcast is the
+    # final ratify join, whose pair-table side is near-dup-sized.
+    # Value-identical: dfreq is only ever looked up for batch
+    # shingles, and the candidate / intersection joins can only match
+    # on batch shingles.
+    # No distinct() on the broadcast side: the semi join's broadcast
+    # hash build collapses duplicates itself — a distinct here is one
+    # extra batch shuffle per micro-batch for nothing.
+    bsh = new_post.select("s")
+    # Materialize rel EAGERLY (batch-df-bounded rows): the broadcast
+    # exchanges below are prepared concurrently, and a lazily-cached
+    # rel would be scanned once per concurrent subtree before the
+    # cache populates — re-reading the corpus 2-3× per batch.
+    rel = (all_post.join(F.broadcast(bsh), "s", "left_semi")
+           .localCheckpoint())
+    if caches is not None:
+        caches.append(rel)
+    dfreq = rel.groupBy("s").agg(F.count("*").alias("_df"))
     wspec = Window.partitionBy("doc_id").orderBy("_df", "s")
     ranked = (
         new_post.join(dfreq, "s", "left").fillna({"_df": 0})
@@ -703,15 +747,15 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
     # case); a batch doc never pairs with its own batch postings.
     cand = (
         prefix.select(col("doc_id").alias("_nid"), "s")
-        .join(all_post.select(col("doc_id").alias("_cid"), "s",
-                              col("_corp").alias("_ccorp")), "s")
+        .join(rel.select(col("doc_id").alias("_cid"), "s",
+                         col("_corp").alias("_ccorp")), "s")
         .where(col("_ccorp") | (col("_nid") < col("_cid")))
         .select("_nid", "_cid", "_ccorp").distinct())
     pa = (new_post.join(cand, new_post["doc_id"] == cand["_nid"])
           .select("_nid", "_cid", "_ccorp", "s"))
-    pb = all_post.select(col("doc_id").alias("_pb"),
-                         col("s").alias("_sb"),
-                         col("_corp").alias("_pbc"))
+    pb = rel.select(col("doc_id").alias("_pb"),
+                    col("s").alias("_sb"),
+                    col("_corp").alias("_pbc"))
     inter = (
         pa.join(pb, (col("_cid") == col("_pb"))
                 & (col("s") == col("_sb"))
@@ -724,8 +768,13 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
                                 col("_corp").alias("_ccorp"),
                                 col("n").alias("_nb"))
     jac = col("ic") / (col("_na") + col("_nb") - col("ic"))
+    # inter (the ratified candidate pairs) is the near-dup-sized pair
+    # table: broadcast it against the corpus-sized size store so the
+    # ratify join streams `all_sizes` instead of shuffling it.
     return (
-        inter.join(sz_new, "_nid").join(sz_other, ["_cid", "_ccorp"])
+        sz_other.join(
+            F.broadcast(inter.join(F.broadcast(sz_new), "_nid")),
+            ["_cid", "_ccorp"])
         .where(jac >= tau)
         .select(col("_nid").alias("doc_id"),
                 col("_cid").alias("corpus_doc_id"),
@@ -923,7 +972,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         # table is near-dup-sized — pin it, every downstream frame
         # (drop set, verdict, log) is then a cheap join of caches.
         pairs = _screen_pairs(new_post, batch_sizes, corpus_posting,
-                              corpus_sizes, tau).localCheckpoint()
+                              corpus_sizes, tau,
+                              caches=handles).localCheckpoint()
         # In-batch rule: drop the LARGER doc of every batch-batch
         # pair.  Kept docs are pairwise non-near-dup (if two kept
         # docs were a pair, the larger would have been dropped); docs
@@ -933,8 +983,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         drop = (pairs.where(~col("_corp"))
                 .select(F.greatest("doc_id", "corpus_doc_id")
                         .alias("doc_id")).distinct())
-        survivors = (exact.join(drop, "doc_id", "left_anti")
-                     .localCheckpoint())
+        survivors = exact.join(drop, "doc_id", "left_anti")
         # Corpus verdict for SURVIVORS only (a doc dropped in-batch
         # is logged with its in-batch witness, dup_of NULL): best
         # corpus match = highest rounded jaccard, ties → lowest
@@ -952,12 +1001,15 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                    .select("doc_id",
                            col("dup_of").isNotNull().alias("is_dup"),
                            "dup_of", "jaccard"))
-        # The admission log covers EVERY arriving doc: batch-dropped
-        # rows appear with dup_of NULL and kept=false (their witness
-        # is in-batch), screened rows carry the corpus dup target.
-        admitted = survivors.join(
-            verdict.where(~col("is_dup")).select("doc_id"),
-            "doc_id", "left_semi").localCheckpoint()
+        # ONE materialization for the batch's terminal frames: a
+        # survivor with a corpus best-match is a dup, so admitted =
+        # exact − in-batch drops − docs with any corpus match.  (The
+        # pre-r9 body also checkpointed `survivors` — a separate
+        # Spark job whose only extra value was caching two window
+        # stages the log write re-derives from caches anyway.)
+        admitted = (survivors
+                    .join(best.select("doc_id"), "doc_id", "left_anti")
+                    .localCheckpoint())
         log = (batch.select("doc_id").distinct()
                .join(verdict, "doc_id", "left")
                .withColumn("kept", F.coalesce(~col("is_dup"),
@@ -970,19 +1022,24 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         # commits — never a committed doc without postings, so no
         # admitted dup can slip past a crash.  They run CONCURRENTLY
         # (independent Spark jobs over already-cached frames; the
-        # executor has idle cores at micro-batch size) and are all
-        # joined — with failures re-raised — before the commit, so
-        # the write-before-commit invariant is unchanged.
+        # executor has idle cores at micro-batch size), and the txn
+        # merge's snapshot-read + staging OVERLAPS them: merge_into's
+        # _pre_claim barrier joins every write future — with failures
+        # re-raised — before the claim, so the write-before-commit
+        # invariant is unchanged while its latency hides behind the
+        # merge's own read/stage work.
         # Admitted docs' postings are a filter of the already-built
         # batch postings — no recompute.  A batch with nothing to
         # admit (or only sub-n-gram docs) writes NO partition: a
         # partitionBy write of an empty frame leaves a file-less dir
-        # that breaks schema inference for every later read.
+        # that breaks schema inference for every later read; the
+        # emptiness probe runs INSIDE the postings thread so its job
+        # hides behind the log write instead of serializing before
+        # the pool.
         from concurrent.futures import ThreadPoolExecutor
 
         adm_post = handles[0].join(admitted.select("doc_id"),
                                    "doc_id", "left_semi")
-        have_postings = not adm_post.isEmpty()
 
         def _write_log():
             # One file: the per-batch log is verdict-row-sized, and
@@ -1013,20 +1070,41 @@ def document_admission_sink(spark: SparkSession, table_path: str,
              .parquet(os.path.join(sizes_dir,
                                    f"ingest_batch={tag}")))
 
-        jobs = [_write_log]
-        if have_postings:
-            jobs.append(_write_postings)
+        def _write_postings_and_sizes():
+            if adm_post.isEmpty():
+                return
             if sizes_dir is not None:
-                jobs.append(_write_sizes)
-        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-            futures = [pool.submit(j) for j in jobs]
+                with ThreadPoolExecutor(max_workers=1) as sub:
+                    fs = sub.submit(_write_sizes)
+                    _write_postings()
+                    fs.result()
+            else:
+                _write_postings()
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        try:
+            futures = [pool.submit(_write_log),
+                       pool.submit(_write_postings_and_sizes)]
+
+            def _writes_done():
+                for fut in futures:
+                    fut.result()  # re-raise before the claim
+
+            # _source_unique: admitted flows out of the keep-first-
+            # per-doc_id exact-dedup window — uniqueness is
+            # structural.
+            table.merge_into(admitted,
+                             _txn={"app": app, "batch_id": batch_id},
+                             _source_unique=True,
+                             _pre_claim=_writes_done)
+            # An all-dup batch admits nothing: merge_into returns
+            # before its claim and the barrier never ran — join the
+            # futures here too (idempotent) so a failed maintenance
+            # write still fails the batch instead of vanishing.
             for fut in futures:
-                fut.result()  # re-raise before the commit
-        # _source_unique: admitted flows out of the keep-first-per-
-        # doc_id exact-dedup window — uniqueness is structural.
-        table.merge_into(admitted,
-                         _txn={"app": app, "batch_id": batch_id},
-                         _source_unique=True)
+                fut.result()
+        finally:
+            pool.shutdown(wait=True)
         # All derived frames are materialized (log/postings written,
         # admitted checkpointed, commit done): release the per-batch
         # posting caches — a long-running stream must not accumulate

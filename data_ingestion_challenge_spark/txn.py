@@ -436,7 +436,7 @@ class TxnTable:
                    _rebuild=None,
                    _base=None,
                    _source_unique: bool = False,
-                   _test_pre_claim=None) -> int:
+                   _pre_claim=None) -> int:
         """Optimistic MERGE: upsert `updates` (full-row schema), drop
         `deletes` (one-column keys).  Returns the committed version.
         Concurrent writers serialize through the log: a lost claim
@@ -457,8 +457,14 @@ class TxnTable:
         for callers that structurally guarantee it (e.g. the
         admission sink, whose updates flow out of a keep-first-per-key
         window) — one fewer Spark job on a latency-sensitive commit
-        path; `_test_pre_claim` runs between staging and the claim so
-        tests can interleave a competing writer deterministically."""
+        path; `_pre_claim` runs ONCE between staging and the first
+        claim — a write barrier: the admission sink passes a join of
+        its concurrent maintenance-write futures so the merge's
+        snapshot-read + staging overlaps those writes while the
+        COMMIT still never precedes them (tests also use it to
+        interleave a competing writer deterministically).  If the
+        hook raises, the staged files are discarded before the error
+        propagates — they must not leak as orphans."""
         if not _source_unique:
             dup = (updates.groupBy(self.key).count()
                    .where(col("count") > 1).take(1))
@@ -493,9 +499,13 @@ class TxnTable:
                                  "left_anti")
                     .unionByName(updates))
                 staged = self._stage(merged)
-            if _test_pre_claim is not None:
-                hook, _test_pre_claim = _test_pre_claim, None
-                hook()
+            if _pre_claim is not None:
+                hook, _pre_claim = _pre_claim, None
+                try:
+                    hook()
+                except BaseException:
+                    self._discard(staged)
+                    raise
             remove = [f for f, b in active.items() if b in touched]
             next_v = base_v + 1
             record = {"op": "merge", "add": staged, "remove": remove}

@@ -63,7 +63,7 @@ def test_two_writers_both_succeed_disjoint(spark, table):
     def competing_writer():
         table.merge_into(b_upd)
 
-    v = table.merge_into(a_upd, _test_pre_claim=competing_writer)
+    v = table.merge_into(a_upd, _pre_claim=competing_writer)
     assert v == 3 and table.version() == 3
     got = _rows(table.read())
     assert (3, -3) in got and (4, -4) in got
@@ -81,7 +81,7 @@ def test_two_writers_conflict_recomputes(spark, table):
     def competing_writer():
         table.merge_into(b_upd)
 
-    v = table.merge_into(a_upd, _test_pre_claim=competing_writer)
+    v = table.merge_into(a_upd, _pre_claim=competing_writer)
     assert v == 3
     got = _rows(table.read())
     assert (3, 111) in got and (3, 222) not in got
@@ -180,7 +180,7 @@ def test_accumulate_conflict_rederives_sums(spark, tmp_path):
     def patched(updates, **kw):
         if not applied:
             applied.append(True)
-            kw["_test_pre_claim"] = competing_writer
+            kw["_pre_claim"] = competing_writer
         return orig(updates, **kw)
 
     t.merge_into = patched
@@ -571,7 +571,7 @@ def test_concurrent_expiry_mid_merge_is_retryable(spark, table):
 
     v = table.merge_into(
         spark.createDataFrame([(4, -4)], "k long, v long"),
-        _test_pre_claim=compete)
+        _pre_claim=compete)
     assert v == 3
     now = _rows(table.read())
     assert (3, -3) in now and (4, -4) in now
