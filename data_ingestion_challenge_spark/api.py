@@ -23,6 +23,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
 
 from data_ingestion_challenge_spark.catalog import Catalog, DEFAULT_SF_DIR
 from data_ingestion_challenge_spark.plans import QUERIES
@@ -93,7 +94,10 @@ class Engine:
                          postings_dir: str, log_dir: str,
                          checkpoint: str, tau: float = 0.8,
                          sizes_dir: str | None = None,
-                         compact_every: int | None = None):
+                         compact_every: int | None = None,
+                         vectors_path: str | None = None,
+                         ivf_table: str | None = None,
+                         ivf_path: str | None = None):
         """Dedup-screened document ingestion: drain jsonl doc drops
         through the streaming admission pipeline (intra-batch +
         vs-corpus dedup, exactly-once commit into a transactional
@@ -101,14 +105,46 @@ class Engine:
         admission log) — streaming/admission.py.  Returns the corpus
         TxnTable; re-call to pick up new drops.  ``compact_every``
         auto-folds the posting/sizes increments into their base
-        partition in place whenever that many have accumulated."""
+        partition in place whenever that many have accumulated.
+
+        Pass ``vectors_path`` (a parquet of (vec_id, embedding) with
+        vec_id == doc_id, e.g. the embedding service's output for the
+        same drops) together with ``ivf_table``/``ivf_path`` to ALSO
+        maintain the vector index: after the drain, the vectors of
+        newly committed docs extend the frozen-centroid IVF index
+        (extend_ivf) — the embedding-side analog of the posting-store
+        maintenance the drain itself performs.  Idempotent across
+        re-drains: candidates are anti-joined against the index's
+        existing vec_ids, so a replayed drain extends with nothing.
+        (That anti-join scans the index's vec_id column once per
+        drain — the price of idempotence without writer-side state; a
+        deployment tracking its own committed high-water mark can
+        call extend_ivf directly and skip it.)"""
         from data_ingestion_challenge_spark.streaming.admission import (
             run_document_admission,
         )
-        return run_document_admission(
+        table = run_document_admission(
             self.spark, watch_dir, table_path, postings_dir, log_dir,
             checkpoint, tau=tau, sizes_dir=sizes_dir,
             compact_every=compact_every)
+        if vectors_path is not None:
+            if not (ivf_table and ivf_path):
+                raise ValueError(
+                    "vectors_path requires ivf_table and ivf_path — "
+                    "there is no index to maintain otherwise")
+            vecs = (self.spark.read.parquet(vectors_path)
+                    .select("vec_id", "embedding"))
+            committed = table.read().select(
+                col("doc_id").alias("vec_id"))
+            indexed = (self.spark.table(ivf_table)
+                       .select("vec_id").distinct())
+            new = (vecs.join(committed, "vec_id", "left_semi")
+                   .join(indexed, "vec_id", "left_anti"))
+            # A drain that admitted nothing new must not append: an
+            # empty bucketed append still writes file metadata churn.
+            if not new.isEmpty():
+                self.extend_ivf(new, ivf_table, ivf_path)
+        return table
 
     def compact_admission_in_place(self, postings_dir: str,
                                    table_path: str,

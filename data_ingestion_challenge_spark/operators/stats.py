@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import col
 from pyspark.sql.window import Window
 
 GINI_SCHEMA = "event_type string, gini double, n_users bigint"
@@ -445,4 +446,124 @@ MONTHLY_ORDER_GROWTH_ORACLE = """
                  / lag(revenue) OVER (ORDER BY month), 6)
                AS rev_growth
     FROM m
+"""
+
+
+def customer_value_deciles(customer: DataFrame,
+                           orders: DataFrame) -> DataFrame:
+    """Customer-value decile table: every customer's lifetime order
+    value (customers with no orders count at 0), cut into exact
+    ntile(10) deciles by (value asc, custkey) via the DISTRIBUTED
+    global_ntile — per decile: customer count, value bounds, mean,
+    and share of total value.  The relational twin of the events-side
+    RFM segmentation: a revenue-concentration readout (decile 10's
+    share vs decile 1's) computed without any single-task global
+    sort.  Totals are DECIMAL sums (exact); the two divisions round
+    at 6dp as the final step."""
+    from data_ingestion_challenge_spark.operators.ranking import (
+        global_ntile,
+    )
+
+    val = (customer.select("c_custkey")
+           .join(orders.select("o_custkey", "o_totalprice"),
+                 col("c_custkey") == col("o_custkey"), "left")
+           .groupBy("c_custkey")
+           .agg(F.coalesce(
+               F.sum(col("o_totalprice").cast("decimal(18,2)")),
+               F.lit(0).cast("decimal(28,2)")).alias("v")))
+    b = global_ntile(val, 10, [col("v"), col("c_custkey")],
+                     out="decile")
+    tot = b.agg(F.sum("v").alias("_t"))
+    # Exact DECIMAL sums on both engines, then ONE double divide
+    # (IEEE-identical) — DuckDB performs decimal division in DOUBLE,
+    # so a decimal-division 'exact' path cannot hash-match anyway.
+    return (b.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.min("v").cast("double").alias("min_value"),
+        F.max("v").cast("double").alias("max_value"),
+        F.sum("v").alias("_s"))
+        .crossJoin(F.broadcast(tot))
+        .select("decile", "n_customers", "min_value", "max_value",
+                F.round(col("_s").cast("double")
+                        / col("n_customers"), 4).alias("avg_value"),
+                F.round(col("_s").cast("double")
+                        / col("_t").cast("double"), 6)
+                .alias("value_share")))
+
+
+CUSTOMER_VALUE_DECILES_ORACLE = """
+    WITH v AS (SELECT c.c_custkey,
+                      CAST(coalesce(sum(o.o_totalprice), 0)
+                           AS DECIMAL(28,2)) AS v
+               FROM customer c LEFT JOIN orders o
+                 ON o.o_custkey = c.c_custkey
+               GROUP BY c.c_custkey),
+    b AS (SELECT v, ntile(10) OVER (ORDER BY v, c_custkey) AS decile
+          FROM v),
+    t AS (SELECT sum(v) AS t FROM b)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(v) AS DOUBLE) AS min_value,
+           CAST(max(v) AS DOUBLE) AS max_value,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS avg_value,
+           round(CAST(sum(v) AS DOUBLE)
+                 / (SELECT CAST(t AS DOUBLE) FROM t), 6)
+               AS value_share
+    FROM b GROUP BY decile
+"""
+
+
+def hourly_seasonal_baseline(events: DataFrame) -> DataFrame:
+    """Seasonal-naive forecast audit: predict each (event_type, hour)
+    volume with the mean count of the SAME hour-of-week for that type
+    (the baseline every real anomaly detector must beat), and report
+    per-type MAE and the hour count — the ops readout that says how
+    predictable each stream is before anyone ships a fancier model.
+    Exactness: counts are BIGINTs; the hour-of-week mean and the
+    absolute errors are DECIMAL-exact (count sums over a DECIMAL
+    divide per group), rounded at 4dp only in the final projection —
+    a float mean re-summed in a different order must not flip the
+    MAE hash between engines."""
+    hourly = (events
+              .groupBy("event_type",
+                       F.date_trunc("hour", col("ts")).alias("h"))
+              .agg(F.count("*").cast("long").alias("n")))
+    how = (F.dayofweek(col("h")) * 100 + F.hour(col("h"))).alias("how")
+    per_how = (hourly.select("event_type", how, "n")
+               .groupBy("event_type", "how")
+               .agg(F.sum("n").alias("_s"),
+                    F.count("*").cast("long").alias("_c")))
+    joined = (hourly.select("event_type", how, "n")
+              .join(per_how, ["event_type", "how"]))
+    # base (hour-of-week mean) and the MAE both reduce to integer
+    # sums divided ONCE in double: |n - s/c| = |n*c - s| / c, so the
+    # per-row error is an exact integer ratio — summed as an exact
+    # DECIMAL of fixed scale, then one final double divide.  Both
+    # engines therefore round the SAME real number at 4dp.
+    err = (F.abs(col("n") * col("_c") - col("_s"))
+           .cast("decimal(28,9)") / col("_c"))
+    return (joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round((F.sum(err.cast("decimal(28,9)")).cast("double")
+                 / F.count("*")), 4).alias("mae")))
+
+
+HOURLY_SEASONAL_BASELINE_ORACLE = """
+    WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY event_type,
+                                         date_trunc('hour', ts)),
+    keyed AS (SELECT event_type,
+                     (dayofweek(h) + 1) * 100 + hour(h) AS how, n
+              FROM hourly),
+    base AS (SELECT event_type, how, CAST(sum(n) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM keyed GROUP BY event_type, how)
+    SELECT k.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           round(CAST(sum(CAST(CAST(abs(k.n * b.c - b.s)
+                                    AS DECIMAL(28,9)) / b.c
+                               AS DECIMAL(28,9))) AS DOUBLE)
+                 / count(*), 4) AS mae
+    FROM keyed k JOIN base b
+      ON b.event_type = k.event_type AND b.how = k.how
+    GROUP BY k.event_type
 """

@@ -426,3 +426,144 @@ SOURCE_TOKEN_KL_ORACLE = """
            round(CAST(sum(term) AS DOUBLE), 6) AS kl_bits
     FROM terms GROUP BY source, nsum
 """
+
+
+def lang_confusion_matrix(documents: DataFrame) -> DataFrame:
+    """Declared-vs-predicted language confusion rollup: run the
+    char-bigram classifier (lang_id) over the corpus and count docs
+    per (declared lang, predicted_lang) cell — the calibration audit
+    a curation pipeline reads before trusting EITHER label source
+    (a hot off-diagonal cell means one of them is systematically
+    wrong for that pair; doc_lang_mismatch_audit lists the rows, this
+    prices the pattern).  Cost shape: the classifier's one Arrow pass
+    plus a cells-sized groupBy — |langs|² output, never doc-sized."""
+    pred = lang_id(documents).select("doc_id", "predicted_lang")
+    return (documents.select("doc_id", "lang").join(pred, "doc_id")
+            .groupBy("lang", "predicted_lang")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def lang_confusion_oracle_sql() -> str:
+    """DuckDB twin: the lang_id oracle CTE joined back to the
+    declared labels and rolled up."""
+    inner = lang_id_oracle_sql()
+    return f"""
+    WITH pred AS ({inner})
+    SELECT d.lang, p.predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.predicted_lang
+    """
+
+
+def source_quality_percentiles(documents: DataFrame) -> DataFrame:
+    """Per-source quality-score distribution: exact interpolated
+    p25/p50/p75 of the stopword ratio plus the mean keep_flag rate —
+    the per-provider quality contract a mixture designer reads before
+    weighting sources (one bad provider drags the tail, not the
+    mean).  Scores are rounded at 4dp BEFORE the percentile so both
+    engines interpolate over identical grids; Spark `percentile` ==
+    DuckDB quantile_cont semantics (same contract as
+    order_value_percentiles)."""
+    from pyspark.sql.functions import lit
+
+    from data_ingestion_challenge_spark.functions import text as T
+
+    d = documents.select(
+        "source", "n_chars", T.words(col("text")).alias("w"))
+    n_tokens = F.size(col("w"))
+    scored = d.select(
+        "source",
+        F.round(T.stopword_count(col("w")) / n_tokens, 4)
+        .alias("stop_ratio"),
+        F.when(col("n_chars").between(100, 20000) & (n_tokens >= 10),
+               1).otherwise(0).alias("keep_flag"))
+    return (scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.percentile("stop_ratio", lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("stop_ratio", lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("stop_ratio", lit(0.75)), 4).alias("p75"),
+        F.round(F.avg("keep_flag"), 4).alias("keep_rate")))
+
+
+SOURCE_QUALITY_PCTL_ORACLE = """
+    WITH t AS (SELECT source,
+                      round(len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','of','and','in','to')))
+                            / len(string_split(text, ' ')), 4)
+                          AS stop_ratio,
+                      CASE WHEN n_chars BETWEEN 100 AND 20000
+                                AND len(string_split(text, ' ')) >= 10
+                           THEN 1 ELSE 0 END AS keep_flag
+               FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(stop_ratio, 0.25), 4) AS p25,
+           round(quantile_cont(stop_ratio, 0.5), 4) AS p50,
+           round(quantile_cont(stop_ratio, 0.75), 4) AS p75,
+           round(avg(keep_flag), 4) AS keep_rate
+    FROM t GROUP BY source
+"""
+
+
+def vocab_coverage_curve(documents: DataFrame,
+                         ks: tuple = (100, 1000, 10000)) -> DataFrame:
+    """Cumulative token-frequency coverage at vocabulary cutoffs: for
+    each k, the share of ALL token occurrences covered by the top-k
+    tokens (frequency desc, token asc ties) — the curve that decides
+    tokenizer vocab size and prices OOV ahead of training (Zipf says
+    the head covers most of the mass; this measures how much, on THIS
+    corpus).  If the corpus vocabulary V < k the row reports full
+    coverage at rank V.
+
+    Scale shape: one doc-sized tokenize+groupBy to vocab-sized
+    counts, then orderBy().limit(max k) — TakeOrderedAndProject, the
+    top-k family plan — with the cumulative window over ≤ max-k rows
+    and the total-occurrence scalar broadcast via a 1-row crossJoin.
+    Nothing data-sized is globally sorted."""
+    from data_ingestion_challenge_spark.functions import text as T
+
+    freq = (documents
+            .select(F.explode(T.words(col("text"))).alias("t"))
+            .groupBy("t").agg(F.count("*").alias("c")))
+    total = freq.agg(F.sum("c").alias("_total"),
+                     F.count("*").alias("_vocab"))
+    top = (freq.orderBy(col("c").desc(), col("t"))
+           .limit(max(ks)))
+    w = (Window.orderBy(col("c").desc(), col("t"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (top
+              .withColumn("_rank", F.row_number().over(
+                  Window.orderBy(col("c").desc(), col("t"))))
+              .withColumn("_cum", F.sum("c").over(w))
+              .crossJoin(F.broadcast(total)))
+    kdf = ranked.sparkSession.createDataFrame(
+        [(k,) for k in ks], "k int")
+    return (ranked.join(
+        F.broadcast(kdf),
+        col("_rank") == F.least(col("k"), col("_vocab")))
+        .select("k", col("_rank").alias("rank_at"),
+                F.round(col("_cum") / col("_total"), 6)
+                .alias("coverage")))
+
+
+def vocab_coverage_oracle_sql(ks: tuple = (100, 1000, 10000)) -> str:
+    kvals = ", ".join(f"({k})" for k in ks)
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok
+             GROUP BY t),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS vocab FROM freq),
+    r AS (SELECT c,
+                 row_number() OVER (ORDER BY c DESC, t) AS rnk,
+                 sum(c) OVER (ORDER BY c DESC, t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM freq),
+    ks(k) AS (VALUES {kvals})
+    SELECT ks.k, CAST(r.rnk AS INT) AS rank_at,
+           round(r.cum / tot.total, 6) AS coverage
+    FROM ks CROSS JOIN tot
+    JOIN r ON r.rnk = least(ks.k, tot.vocab)
+    """

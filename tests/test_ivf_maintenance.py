@@ -158,3 +158,77 @@ def test_ivf_index_stats_tracks_occupancy(spark, split_engine,
         assert s1["mean_occupancy"] > s0["mean_occupancy"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ingest_documents_maintains_ivf_index(spark, cat, split_engine,
+                                              tmp_path):
+    """The full admission->index composition (Engine.ingest_documents
+    with vectors_path/ivf_table/ivf_path): after a drain, the index
+    holds exactly the ADMITTED docs' vectors, probed against the
+    frozen centroids; a rejected in-batch duplicate's vector is never
+    indexed; a re-call with nothing new to drain extends nothing."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.operators.similarity import (
+        probe_against_matrix,
+    )
+    eng, _, _ = split_engine
+    table, path = "test_ivf_ingest", str(tmp_path / "ivf_ingest")
+    d = {k: str(tmp_path / k) for k in
+         ("watch", "corpus", "postings", "log", "sizes", "ckpt")}
+    # 21-doc drop: 20 unique texts + doc 420 an exact copy of doc
+    # 400's text (in-batch dup, larger id -> rejected).
+    docs = [(400 + i,
+             f"unique admission document number {i} " * 3, "en", "t")
+            for i in range(20)]
+    docs.append((420, docs[0][1], "en", "t"))
+    (spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string")
+     .coalesce(1).write.mode("overwrite").json(d["watch"]))
+    # Vector service output for the same drop: vec_id == doc_id.
+    vecs_path = str(tmp_path / "vectors.parquet")
+    (cat.embeddings.where((F.col("vec_id") >= 400)
+                          & (F.col("vec_id") <= 420))
+     .select("vec_id", "embedding")
+     .write.mode("overwrite").parquet(vecs_path))
+    try:
+        eng.materialize_ivf(table, path)
+        before = spark.table(table).count()
+        corpus = eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        admitted = {r[0] for r in
+                    corpus.read().select("doc_id").collect()}
+        assert admitted == set(range(400, 420))  # 420 rejected
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            meta = json.load(f)
+        got = (spark.table(table)
+               .where(F.col("vec_id") >= 400))
+        assert {r[0] for r in
+                got.select("vec_id").distinct().collect()} == admitted
+        # Cells match a one-shot probe of the same vectors against
+        # the frozen matrix (one consistent Voronoi geometry).
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        expect = probe_against_matrix(
+            spark.read.parquet(vecs_path)
+            .where(F.col("vec_id") < 420),
+            C, np.linalg.norm(C, axis=1), meta["nprobe"])
+        assert _assignment_set(got) == _assignment_set(expect)
+        # Idempotence: nothing new to drain -> nothing appended.
+        n1 = spark.table(table).count()
+        assert n1 == before + 20 * meta["nprobe"]
+        eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        assert spark.table(table).count() == n1
+        # Misuse is typed: vectors without an index target.
+        with pytest.raises(ValueError, match="ivf_table"):
+            eng.ingest_documents(
+                d["watch"], d["corpus"], d["postings"], d["log"],
+                d["ckpt"], vectors_path=vecs_path)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
