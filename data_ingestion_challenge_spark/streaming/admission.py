@@ -657,6 +657,19 @@ def _collapse_exact(batch: DataFrame) -> DataFrame:
             .where(col("_r") == 1).drop("_r"))
 
 
+def _batch_shingle_rel(all_post: DataFrame,
+                       bsh: DataFrame) -> DataFrame:
+    """The screen's corpus-side single-scan contract, factored so its
+    plan shape is independently auditable: the (corpus ∪ batch)
+    posting frame streams through ONE broadcast left-semi join
+    against the batch shingle set and is never shuffled — no
+    `Exchange hashpartitioning` may ever sit between the posting
+    store's file scan and this join (tests/test_admission.py pins
+    it).  The survivors are batch-df-bounded, so every downstream
+    exchange of the screen is batch-bounded too."""
+    return all_post.join(F.broadcast(bsh), "s", "left_semi")
+
+
 def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
                   corpus_post: DataFrame | None,
                   corpus_sizes: DataFrame | None,
@@ -725,8 +738,7 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
     # exchanges below are prepared concurrently, and a lazily-cached
     # rel would be scanned once per concurrent subtree before the
     # cache populates — re-reading the corpus 2-3× per batch.
-    rel = (all_post.join(F.broadcast(bsh), "s", "left_semi")
-           .localCheckpoint())
+    rel = _batch_shingle_rel(all_post, bsh).localCheckpoint()
     if caches is not None:
         caches.append(rel)
     dfreq = rel.groupBy("s").agg(F.count("*").alias("_df"))

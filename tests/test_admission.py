@@ -1247,3 +1247,35 @@ def test_posting_store_stats(spark, dirs):
     # committed is None without a table_path (flag unknowable)
     stats2 = eng.posting_store_stats(dirs["postings"])
     assert all(r["committed"] is None for r in stats2["runs"])
+
+
+def test_screen_corpus_side_never_shuffles(spark, tmp_path):
+    """The r9 scale contract of the fused screen: the corpus posting
+    read reaches the batch-shingle semi join STREAMED — exactly one
+    file scan of the store in the plan and no shuffle exchange
+    anywhere on the corpus side (a broadcast exchange of the batch
+    shingles is the only exchange allowed)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _batch_shingle_rel,
+    )
+
+    store = str(tmp_path / "postings")
+    rows = [(i, f"s{i % 7}") for i in range(100)]
+    (spark.createDataFrame(rows, "doc_id long, s string")
+     .write.parquet(store))
+    all_post = (spark.read.parquet(store)
+                .withColumn("_corp", F.lit(True)))
+    # Batch shingles arrive materialized in the sink (new_post is
+    # persisted before the screen); mirror that here.
+    bsh = (spark.createDataFrame([("s1",), ("s2",)], "s string")
+           .localCheckpoint())
+    rel = _batch_shingle_rel(all_post, bsh)
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastExchange" in plan  # the batch side, not the corpus
+    got = {(r.doc_id, r.s) for r in rel.collect()}
+    assert got == {(i, f"s{i % 7}") for i in range(100)
+                   if i % 7 in (1, 2)}
