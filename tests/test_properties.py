@@ -574,3 +574,75 @@ def test_semdedup_prune_equals_bruteforce(spark, vecs):
     for j, w in want.items():
         assert got[j].pruned_by == w, (j, w, got[j])
         assert got[j].kept == (w is None)
+
+
+# ------------------------------------------- vocab coverage curve
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(WORDS), min_size=1,
+                         max_size=8), min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=8))
+def test_vocab_coverage_equals_naive(spark, docs, k):
+    """vocab_coverage_curve == brute-force sorted-frequency cumsum on
+    arbitrary tiny corpora, including k beyond the vocabulary."""
+    from collections import Counter
+
+    from data_ingestion_challenge_spark.operators.textstats import (
+        vocab_coverage_curve,
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id bigint, text string")
+    out = {r.k: r for r in vocab_coverage_curve(df, ks=(k,)).collect()}
+    freq = Counter(w for d in docs for w in d)
+    ordered = sorted(freq.items(), key=lambda p: (-p[1], p[0]))
+    total = sum(freq.values())
+    cut = min(k, len(ordered))
+    want = sum(c for _, c in ordered[:cut]) / total
+    assert out[k].rank_at == cut
+    assert abs(out[k].coverage - round(want, 6)) < 1e-9
+
+
+# -------------------------------------- seasonal-naive baseline MAE
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=13),   # day offset
+              st.integers(min_value=0, max_value=3),    # hour
+              st.integers(min_value=1, max_value=4)),   # count
+    min_size=1, max_size=8))
+def test_seasonal_baseline_equals_naive(spark, slots):
+    """hourly_seasonal_baseline MAE == per-slot brute force: group
+    hourly counts by (dow, hour), baseline = slot mean, MAE = mean
+    absolute deviation — across 2 weeks so slots genuinely repeat."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from data_ingestion_challenge_spark.operators.stats import (
+        hourly_seasonal_baseline,
+    )
+    base = datetime(2024, 1, 1)  # a Monday
+    rows, eid = [], 0
+    hourly = defaultdict(int)
+    for day, hour, cnt in slots:
+        t = base + timedelta(days=day, hours=hour)
+        hourly[t] += cnt
+        for _ in range(cnt):
+            rows.append((eid, 1, "e", t.strftime("%Y-%m-%d %H:%M:%S")))
+            eid += 1
+    from pyspark.sql import functions as F
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = hourly_seasonal_baseline(ev).collect()[0]
+    by_slot = defaultdict(list)
+    for t, n in hourly.items():
+        by_slot[(t.weekday(), t.hour)].append(n)
+    errs = []
+    for ns in by_slot.values():
+        mean = sum(ns) / len(ns)
+        errs.extend(abs(n - mean) for n in ns)
+    assert got.n_hours == len(hourly)
+    assert abs(got.mae - round(sum(errs) / len(errs), 4)) < 1e-6
