@@ -656,3 +656,32 @@ def test_recommend_banding(spark):
     with pytest.raises(ValueError, match="increase k"):
         eng.recommend_banding(target_tau=0.2, max_fn_rate=0.0001,
                               k=16)
+
+
+def test_ivf2_chunking_is_partition_invariant(spark):
+    """The r9 sub-chunked second level must be VALUE-IDENTICAL under
+    any physical batching: a single 2048-row Arrow batch (8 chunks of
+    256) and 16 small partitions (single-chunk batches) yield the
+    same (vec_id, _cell) assignment set — each row's selection
+    depends only on its own probed groups, never on its chunk-mates."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators import similarity as S
+
+    rng = np.random.RandomState(11)
+    n, dim, k = 2048, 16, 64
+    centers = rng.randn(k, dim) * 4
+    vecs = centers[rng.randint(0, k, n)] + 0.05 * rng.randn(n, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    one = sorted(tuple(r) for r in
+                 S.ivf2_probe_assignments(emb.repartition(1),
+                                          nprobe=2, cell=32, wprobe=4)
+                 .select("vec_id", "_cell").collect())
+    many = sorted(tuple(r) for r in
+                  S.ivf2_probe_assignments(emb.repartition(16),
+                                           nprobe=2, cell=32, wprobe=4)
+                  .select("vec_id", "_cell").collect())
+    assert one == many
+    assert len({v for v, _ in one}) == n
