@@ -148,7 +148,7 @@ class TxnTable:
         to write concurrently with writers; commit records are kept,
         so pre-checkpoint time travel still replays.  Returns the
         checkpointed version."""
-        head, active = self._snapshot()
+        head, active, added_at, runs = self._snapshot_runs()
         path = os.path.join(_log_dir(self.path),
                             f"ckpt-v{head:010d}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -157,8 +157,11 @@ class TxnTable:
             # expire_log() deletes the records below it, and without
             # the carried marks a replayed streaming batch would pass
             # the exactly-once gate (double-count) — Delta checkpoints
-            # carry txn actions for exactly this reason.
+            # carry txn actions for exactly this reason.  added_at /
+            # runs carry the latest-wins file order for append-run
+            # histories the same way (expiry must not lose it).
             json.dump({"version": head, "active": active,
+                       "added_at": added_at, "runs": sorted(runs),
                        "txns": self._txn_marks(head),
                        "schema": self._table_schema(head)}, fh)
         os.replace(tmp, path)
@@ -204,10 +207,92 @@ class TxnTable:
                 active[f] = b
         return head, active
 
+    def _snapshot_runs(self, version: int | None = None):
+        """(head, active, added_at, run_files): the run-aware snapshot
+        behind latest-wins reads — `added_at[f]` is the version of the
+        commit that added live file f (the latest-wins order), and
+        `run_files` the live files added by ``append-run`` commits.
+        Checkpoints written since append-run landed carry both maps
+        (`added_at` / `runs`); a legacy checkpoint implies a
+        merge-only history below it (append-run did not exist), where
+        per-key single-file ownership makes base-file order
+        irrelevant — those files default to the checkpoint version."""
+        head = self.version() if version is None else version
+        ckpt = self._latest_checkpoint_raw(head)
+        if ckpt:
+            start = ckpt["version"] + 1
+            active = dict(ckpt["active"])
+            added_at = {f: int(v) for f, v in
+                        ckpt.get("added_at", {}).items()}
+            for f in active:
+                added_at.setdefault(f, ckpt["version"])
+            run_files = {f for f in ckpt.get("runs", [])
+                         if f in active}
+        else:
+            start, active, added_at, run_files = 1, {}, {}, set()
+        for v in range(start, head + 1):
+            rec = self._commit_record(v)
+            for f in rec["remove"]:
+                active.pop(f, None)
+                added_at.pop(f, None)
+                run_files.discard(f)
+            for f, b in rec["add"].items():
+                active[f] = b
+                added_at[f] = v
+                if rec.get("op") == "append-run":
+                    run_files.add(f)
+        return head, active, added_at, run_files
+
+    def _latest_checkpoint_raw(self, upto: int) -> dict | None:
+        """The newest checkpoint file ≤ upto as its raw dict (None if
+        none) — _latest_checkpoint's tuple shape predates the
+        run-aware fields and stays for its existing callers."""
+        try:
+            names = os.listdir(_log_dir(self.path))
+        except FileNotFoundError:
+            return None
+        vs = [int(n[6:16]) for n in names
+              if n.startswith("ckpt-v") and n.endswith(".json")]
+        vs = [v for v in vs if v <= upto]
+        if not vs:
+            return None
+        with open(os.path.join(_log_dir(self.path),
+                               f"ckpt-v{max(vs):010d}.json")) as fh:
+            return json.load(fh)
+
     # -------------------------------------------------------- reads
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read; pass version for time travel."""
-        _, active = self._snapshot(version)
+        """Snapshot read; pass version for time travel.  Over a
+        history containing append-run commits the read applies
+        LATEST-WINS per key (newest commit's row for a key shadows
+        older ones — the LSM read merge); a merge-only history reads
+        the active files verbatim exactly as before."""
+        _, active, added_at, run_files = self._snapshot_runs(version)
+        if run_files:
+            # One read per distinct adding-version group, each tagged
+            # with its commit version; a key appears at most once per
+            # version (append_run enforces per-batch key uniqueness,
+            # merge keeps one row per key), so row_number over
+            # (key ORDER BY _v desc) is deterministic.  Group count =
+            # live run generations — bounded by the compaction
+            # cadence (docs/TXN_RUNS_DESIGN.md).
+            from pyspark.sql import Window
+
+            by_v: dict[int, list[str]] = {}
+            for f in active:
+                by_v.setdefault(added_at[f], []).append(
+                    os.path.join(self.path, f))
+            parts = [
+                self.spark.read.parquet(*paths)
+                .withColumn("_v", F.lit(v))
+                for v, paths in sorted(by_v.items())
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            w = Window.partitionBy(self.key).orderBy(col("_v").desc())
+            return (df.withColumn("_rn", F.row_number().over(w))
+                    .where(col("_rn") == 1).drop("_rn", "_v"))
         if not active:
             # Empty snapshot: the recorded schema (create() stores it;
             # checkpoints carry it) makes a never-populated or
@@ -395,6 +480,7 @@ class TxnTable:
         for a skipped replay."""
         if batch_id <= self.last_txn(app):
             return None
+        self._refuse_live_runs("accumulate_batch")
         # Pin the micro-batch frame: foreachBatch frames are only
         # valid within the batch, and the optimistic retry may need
         # to re-derive the sums more than once.
@@ -427,6 +513,70 @@ class TxnTable:
                                _txn={"app": app, "batch_id": batch_id},
                                _rebuild=_derive,
                                _base=lambda: base["snap"])
+
+    # --------------------------------------------------- append runs
+    def append_run(self, updates: DataFrame, *,
+                   _txn: dict | None = None,
+                   _source_unique: bool = False,
+                   max_retries: int = 50) -> int:
+        """O(batch) commit: stage `updates` as new per-bucket files
+        and claim them as an ``append-run`` — prior files stay live;
+        reads apply latest-wins per key (read()).  The write NEVER
+        reads existing table state, so its cost is independent of the
+        corpus size — the LSM commit mode designed for the admission
+        sink's per-batch commit (docs/TXN_RUNS_DESIGN.md; the sink
+        switch-over and run compaction land in r10).
+
+        At most one update row per key per call (same SQL MERGE
+        contract as merge_into; `_source_unique=True` skips the
+        check for structurally unique sources).  A same-key row in a
+        LATER append (or in the base) is shadowed, which is exactly
+        how an upsert lands in this mode.  Lost claims simply
+        re-claim the next version — append content never conflicts
+        with interleaved commits, so there is nothing to recompute
+        (hence the higher default retry budget).  `_txn` rides the
+        record for streaming idempotence exactly as in merge_into.
+        Returns the committed version (unchanged if `updates` is
+        empty)."""
+        if not _source_unique:
+            dup = (updates.groupBy(self.key).count()
+                   .where(col("count") > 1).take(1))
+            if dup:
+                raise ValueError(
+                    f"append_run: updates has >1 row for key "
+                    f"{dup[0][0]!r}; latest-wins needs at most one "
+                    f"source row per key per commit")
+        staged = self._stage(updates)
+        if not staged:
+            return self.version()
+        record = {"op": "append-run", "add": staged, "remove": []}
+        if _txn is not None:
+            record["txn"] = _txn
+        for _ in range(max_retries):
+            next_v = self.version() + 1
+            if self._claim(next_v, record):
+                if (self.checkpoint_every
+                        and next_v % self.checkpoint_every == 0):
+                    try:
+                        self.checkpoint()
+                    except Exception:
+                        pass  # maintenance must never fail a commit
+                return next_v
+        self._discard(staged)
+        raise CommitConflictError(
+            f"append_run lost {max_retries} claims on {self.path}")
+
+    def _refuse_live_runs(self, op: str) -> None:
+        """Bucket-rewrite paths (merge/accumulate) read buckets as
+        plain unions and would resurrect shadowed rows over an
+        append-run history — refuse TYPED until run-aware bucket
+        merge lands (r10, docs/TXN_RUNS_DESIGN.md)."""
+        _, _, _, runs = self._snapshot_runs()
+        if runs:
+            raise NotImplementedError(
+                f"{self.path}: {op} over live append-run files is "
+                f"not supported yet — compact the runs first "
+                f"(docs/TXN_RUNS_DESIGN.md; r10)")
 
     # --------------------------------------------------------- MERGE
     def merge_into(self, updates: DataFrame, *,
@@ -465,6 +615,7 @@ class TxnTable:
         interleave a competing writer deterministically).  If the
         hook raises, the staged files are discarded before the error
         propagates — they must not leak as orphans."""
+        self._refuse_live_runs("merge_into")
         if not _source_unique:
             dup = (updates.groupBy(self.key).count()
                    .where(col("count") > 1).take(1))
@@ -650,9 +801,20 @@ class TxnTable:
                 schema = rec["schema"]
         path = os.path.join(_log_dir(self.path),
                             f"ckpt-v{best:010d}.json")
+        # Preserve run-aware fields (added_at / runs) if the file
+        # already carries them — losing them under expiry would lose
+        # the latest-wins file order of an append-run history.
+        extra = {}
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+            extra = {k: prev[k] for k in ("added_at", "runs")
+                     if k in prev}
+        except (OSError, ValueError):
+            pass
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"version": best, "active": active,
+            json.dump({"version": best, "active": active, **extra,
                        "txns": marks, "schema": schema}, fh)
         os.replace(tmp, path)
 

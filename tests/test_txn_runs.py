@@ -1,0 +1,154 @@
+"""Append-run (LSM) commit mode for TxnTable — the O(batch) commit
+path (docs/TXN_RUNS_DESIGN.md).  r9 ships the additive core:
+append_run commits, latest-wins reads (incl. time travel, checkpoint
+carry-over and expiry), concurrent appenders, txn tags, and typed
+refusal of bucket-rewrite ops over live runs (run compaction and the
+admission sink switch-over are r10)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_ingestion_challenge_spark.txn import TxnTable
+
+
+def _mk(spark, tmp_path, rows, name="t"):
+    df = spark.createDataFrame(rows, "k long, val string")
+    return TxnTable.create(spark, str(tmp_path / name), df, key="k",
+                           n_buckets=4)
+
+
+def _state(t):
+    return {r.k: r.val for r in t.read().collect()}
+
+
+def test_append_run_latest_wins_read(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, f"base{i}") for i in range(10)])
+    t.append_run(spark.createDataFrame(
+        [(5, "a5"), (8, "a8"), (11, "a11")], "k long, val string"))
+    t.append_run(spark.createDataFrame(
+        [(5, "b5"), (12, "b12")], "k long, val string"))
+    want = {i: f"base{i}" for i in range(10)}
+    want.update({5: "b5", 8: "a8", 11: "a11", 12: "b12"})
+    assert _state(t) == want
+    # time travel: version 1 is the untouched base, version 2 sees
+    # only the first append
+    assert {r.k: r.val for r in t.read(version=1).collect()} \
+        == {i: f"base{i}" for i in range(10)}
+    v2 = {r.k: r.val for r in t.read(version=2).collect()}
+    assert v2[5] == "a5" and v2[11] == "a11" and 12 not in v2
+
+
+def test_append_run_never_touches_base_files(spark, tmp_path):
+    """The commit is O(batch): base data files are neither rewritten
+    nor even re-read for the commit (mtimes identical across N
+    appends)."""
+    t = _mk(spark, tmp_path, [(i, f"base{i}") for i in range(10)])
+    data = os.path.join(t.path, "data")
+    before = {f: os.path.getmtime(os.path.join(data, f))
+              for f in os.listdir(data)}
+    for j in range(3):
+        t.append_run(spark.createDataFrame(
+            [(100 + j, f"n{j}")], "k long, val string"))
+    after = {f: os.path.getmtime(os.path.join(data, f))
+             for f in before}
+    assert after == before
+    assert len(_state(t)) == 13
+
+
+def test_append_run_txn_tag_and_empty_batch(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "x")])
+    v = t.append_run(
+        spark.createDataFrame([(2, "y")], "k long, val string"),
+        _txn={"app": "s", "batch_id": 7})
+    assert t.last_txn("s") == 7
+    # empty updates: no commit, version unchanged
+    assert t.append_run(
+        spark.createDataFrame([], "k long, val string")) == v
+
+
+def test_append_run_duplicate_keys_raise(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "x")])
+    with pytest.raises(ValueError, match="latest-wins"):
+        t.append_run(spark.createDataFrame(
+            [(2, "a"), (2, "b")], "k long, val string"))
+
+
+def test_concurrent_appenders_both_land(spark, tmp_path):
+    """Appends never conflict on content: two writers racing the same
+    versions both succeed via re-claim, and the final state carries
+    both batches."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _mk(spark, tmp_path, [(0, "base")])
+    a = TxnTable(spark, t.path, key="k", n_buckets=4)
+    b = TxnTable(spark, t.path, key="k", n_buckets=4)
+
+    def _go(handle, lo):
+        df = spark.createDataFrame(
+            [(lo + i, f"w{lo + i}") for i in range(5)],
+            "k long, val string")
+        return handle.append_run(df)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(_go, a, 10)
+        fb = pool.submit(_go, b, 20)
+        va, vb = fa.result(), fb.result()
+    assert {va, vb} == {2, 3}
+    st = _state(t)
+    assert all(st[10 + i] == f"w{10 + i}" for i in range(5))
+    assert all(st[20 + i] == f"w{20 + i}" for i in range(5))
+
+
+def test_checkpoint_and_expiry_keep_run_order(spark, tmp_path):
+    """added_at / runs ride checkpoints: after checkpoint() +
+    expire_log() removes the underlying records, latest-wins still
+    resolves shadowing in commit order — including a post-expiry
+    append that shadows a pre-checkpoint one."""
+    t = _mk(spark, tmp_path, [(1, "base1"), (2, "base2")])
+    t.append_run(spark.createDataFrame([(1, "run1")],
+                                       "k long, val string"))
+    t.append_run(spark.createDataFrame([(2, "run2")],
+                                       "k long, val string"))
+    t.checkpoint()
+    assert t.expire_log() > 0
+    assert _state(t) == {1: "run1", 2: "run2"}
+    t.append_run(spark.createDataFrame([(1, "post")],
+                                       "k long, val string"))
+    assert _state(t) == {1: "post", 2: "run2"}
+
+
+def test_merge_and_accumulate_refuse_live_runs(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "x")])
+    t.append_run(spark.createDataFrame([(2, "y")],
+                                       "k long, val string"))
+    with pytest.raises(NotImplementedError, match="append-run"):
+        t.merge_into(spark.createDataFrame([(3, "z")],
+                                           "k long, val string"))
+    num = spark.createDataFrame([(1, 5)], "k long, n long")
+    tn = _mk(spark, tmp_path, [(9, "q")], name="t2")
+    tn.append_run(spark.createDataFrame([(8, "r")],
+                                        "k long, val string"))
+    with pytest.raises(NotImplementedError, match="append-run"):
+        tn.accumulate_batch(num, batch_id=1, sum_cols=["n"])
+
+
+def test_vacuum_keeps_live_run_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, f"b{i}") for i in range(8)])
+    t.append_run(spark.createDataFrame([(3, "r3"), (9, "r9")],
+                                       "k long, val string"))
+    assert t.vacuum(retain_orphans_s=0) == 0
+    assert _state(t)[3] == "r3" and _state(t)[9] == "r9"
+
+
+def test_merge_only_tables_read_exactly_as_before(spark, tmp_path):
+    """No append-runs → the read path is the plain active-file union
+    (no latest-wins window in the plan)."""
+    t = _mk(spark, tmp_path, [(1, "x"), (2, "y")])
+    t.merge_into(spark.createDataFrame([(2, "y2"), (3, "z")],
+                                       "k long, val string"))
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert _state(t) == {1: "x", 2: "y2", 3: "z"}
