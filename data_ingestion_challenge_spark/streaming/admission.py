@@ -801,7 +801,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                             sizes_dir: str | None = None,
                             run_id: str | None = None,
                             adaptive: bool = False,
-                            compact_every: int | None = None):
+                            compact_every: int | None = None,
+                            commit_mode: str = "merge"):
     """Build the foreachBatch admission callback.  Returns
     (admit_fn, table): admit_fn(batch_df, batch_id) runs one
     micro-batch through screen→commit→maintain; `table` is the
@@ -845,7 +846,21 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     historical micro-batch.  The fold runs after the batch's commit
     and relies on the admission lease for exclusivity:
     run_document_admission holds it across the drain; direct sink
-    callers passing compact_every must do the same."""
+    callers passing compact_every must do the same.
+
+    ``commit_mode`` selects the corpus-table commit path:
+    ``"merge"`` (default) is the copy-on-write MERGE — O(touched
+    buckets) per batch, i.e. O(corpus) once batches hash across all
+    buckets; ``"append"`` commits via TxnTable.append_run — O(batch)
+    unconditionally, reads resolve latest-wins per key (a
+    re-ingested id's newer text shadows the old row, exactly MERGE's
+    outcome).  Append mode accretes one run per batch: fold them
+    with ``table.compact_runs()`` on a maintenance cadence
+    (docs/TXN_RUNS_DESIGN.md) — bucket-rewrite table ops refuse
+    typed until then."""
+    if commit_mode not in ("merge", "append"):
+        raise ValueError(
+            f"commit_mode must be merge|append, got {commit_mode!r}")
     from data_ingestion_challenge_spark.txn import TxnTable
 
     # Heal any crashed compaction swap BEFORE the first screen can
@@ -1105,10 +1120,12 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # _source_unique: admitted flows out of the keep-first-
             # per-doc_id exact-dedup window — uniqueness is
             # structural.
-            table.merge_into(admitted,
-                             _txn={"app": app, "batch_id": batch_id},
-                             _source_unique=True,
-                             _pre_claim=_writes_done)
+            commit = (table.append_run if commit_mode == "append"
+                      else table.merge_into)
+            commit(admitted,
+                   _txn={"app": app, "batch_id": batch_id},
+                   _source_unique=True,
+                   _pre_claim=_writes_done)
             # An all-dup batch admits nothing: merge_into returns
             # before its claim and the barrier never ran — join the
             # futures here too (idempotent) so a failed maintenance
@@ -1134,7 +1151,8 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
                            tau: float = 0.8,
                            sizes_dir: str | None = None,
                            adaptive: bool = False,
-                           compact_every: int | None = None):
+                           compact_every: int | None = None,
+                           commit_mode: str = "merge"):
     """Drain jsonl document drops from watch_dir through the admission
     sink (availableNow; re-call to pick up new drops).  Returns the
     corpus TxnTable.
@@ -1179,7 +1197,7 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
             spark, table_path, postings_dir, log_dir,
             n_buckets=n_buckets, n=n, tau=tau, sizes_dir=sizes_dir,
             run_id=run_id, adaptive=adaptive,
-            compact_every=compact_every)
+            compact_every=compact_every, commit_mode=commit_mode)
         q = (spark.readStream.schema(DOCS_SCHEMA)
              .option("maxFilesPerTrigger", 16)
              .json(watch_dir)

@@ -518,6 +518,7 @@ class TxnTable:
     def append_run(self, updates: DataFrame, *,
                    _txn: dict | None = None,
                    _source_unique: bool = False,
+                   _pre_claim=None,
                    max_retries: int = 50) -> int:
         """O(batch) commit: stage `updates` as new per-bucket files
         and claim them as an ``append-run`` — prior files stay live;
@@ -548,10 +549,25 @@ class TxnTable:
                     f"source row per key per commit")
         staged = self._stage(updates)
         if not staged:
+            # The write barrier must still run (and its failures
+            # surface) even when nothing landed — the caller's
+            # maintenance writes are not optional just because the
+            # batch admitted nothing.
+            if _pre_claim is not None:
+                _pre_claim()
             return self.version()
         record = {"op": "append-run", "add": staged, "remove": []}
         if _txn is not None:
             record["txn"] = _txn
+        if _pre_claim is not None:
+            # Same contract as merge_into's barrier: runs once
+            # between staging and the first claim; staged files are
+            # discarded if it raises.
+            try:
+                _pre_claim()
+            except BaseException:
+                self._discard(staged)
+                raise
         for _ in range(max_retries):
             next_v = self.version() + 1
             if self._claim(next_v, record):
@@ -566,6 +582,34 @@ class TxnTable:
         raise CommitConflictError(
             f"append_run lost {max_retries} claims on {self.path}")
 
+    def compact_runs(self, max_retries: int = 5) -> int | None:
+        """Fold an append-run history back into a merge-only active
+        set: ONE latest-wins read of the current snapshot, re-staged
+        as fresh per-bucket files, committed as a plain merge record
+        that removes every prior live file.  After it, reads are
+        windowless and merge_into/accumulate_batch work again — the
+        maintenance cadence that bounds read()'s run-generation count
+        (docs/TXN_RUNS_DESIGN.md; the per-bucket stepped ladder is
+        the planned refinement — this full fold is O(corpus), run on
+        a cadence like any major compaction).  Returns the committed
+        version, or None when no runs are live (nothing to fold).
+        Optimistic: a commit landing mid-fold invalidates the folded
+        state, so the fold re-reads and retries."""
+        for _ in range(max_retries):
+            base_v, active, _, runs = self._snapshot_runs()
+            if not runs:
+                return None
+            staged = self._stage(self.read(version=base_v))
+            record = {"op": "merge", "add": staged,
+                      "remove": sorted(active)}
+            if self.version() == base_v \
+                    and self._claim(base_v + 1, record):
+                return base_v + 1
+            # Interleaved commit: the folded state is stale.
+            self._discard(staged)
+        raise CommitConflictError(
+            f"compact_runs lost {max_retries} claims on {self.path}")
+
     def _refuse_live_runs(self, op: str) -> None:
         """Bucket-rewrite paths (merge/accumulate) read buckets as
         plain unions and would resurrect shadowed rows over an
@@ -575,8 +619,8 @@ class TxnTable:
         if runs:
             raise NotImplementedError(
                 f"{self.path}: {op} over live append-run files is "
-                f"not supported yet — compact the runs first "
-                f"(docs/TXN_RUNS_DESIGN.md; r10)")
+                f"not supported yet — run compact_runs() first "
+                f"(docs/TXN_RUNS_DESIGN.md)")
 
     # --------------------------------------------------------- MERGE
     def merge_into(self, updates: DataFrame, *,

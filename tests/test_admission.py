@@ -1279,3 +1279,51 @@ def test_screen_corpus_side_never_shuffles(spark, tmp_path):
     got = {(r.doc_id, r.s) for r in rel.collect()}
     assert got == {(i, f"s{i % 7}") for i in range(100)
                    if i % 7 in (1, 2)}
+
+
+def test_append_commit_mode_equals_merge_mode(spark, tmp_path):
+    """commit_mode='append' (TxnTable.append_run, the O(batch) LSM
+    commit) must admit EXACTLY what merge mode admits across
+    multi-batch drains with in-batch dups, corpus near-dups and a
+    crash-replay — same corpus rows (latest-wins == MERGE outcome)
+    and same admission logs; the append table then folds via
+    compact_runs back to a windowless read with identical state."""
+    import glob
+
+    def _run(mode, root):
+        d = {k: os.path.join(root, k)
+             for k in ("watch", "table", "postings", "log", "sizes",
+                       "ckpt")}
+        _drop(os.path.join(d["watch"], "d1.jsonl"),
+              [_doc(1, LONG_A), _doc(2, LONG_A_NEAR),  # near-dup pair
+               _doc(3, NOVEL)])
+        run_document_admission(
+            spark, d["watch"], d["table"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], commit_mode=mode)
+        _drop(os.path.join(d["watch"], "d2.jsonl"),
+              [_doc(4, LONG_A),              # corpus dup -> rejected
+               _doc(5, NOVEL + " fresh words appended here"),
+               _doc(5, NOVEL + " fresh words appended here")])  # redeliver
+        table = run_document_admission(
+            spark, d["watch"], d["table"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], commit_mode=mode)
+        # replay: nothing new -> no state change
+        table = run_document_admission(
+            spark, d["watch"], d["table"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], commit_mode=mode)
+        rows = sorted(tuple(r) for r in table.read().collect())
+        log = sorted(tuple(r) for r in
+                     spark.read.option("basePath", d["log"])
+                     .parquet(d["log"])
+                     .drop("ingest_batch").collect())
+        return table, rows, log
+
+    tm, rows_m, log_m = _run("merge", str(tmp_path / "m"))
+    ta, rows_a, log_a = _run("append", str(tmp_path / "a"))
+    assert rows_a == rows_m
+    assert log_a == log_m
+    # the append table carries runs; folding restores merge-mode ops
+    assert ta.compact_runs() is not None
+    assert sorted(tuple(r) for r in ta.read().collect()) == rows_m
+    plan = ta.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

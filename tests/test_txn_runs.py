@@ -152,3 +152,58 @@ def test_merge_only_tables_read_exactly_as_before(spark, tmp_path):
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert _state(t) == {1: "x", 2: "y2", 3: "z"}
+
+
+def test_compact_runs_restores_merge_mode(spark, tmp_path):
+    """compact_runs folds the run history: read() value-identical
+    before/after, the read plan is windowless after, merge_into works
+    again, and time travel to the pre-fold version still resolves
+    latest-wins."""
+    t = _mk(spark, tmp_path, [(i, f"b{i}") for i in range(6)])
+    t.append_run(spark.createDataFrame(
+        [(2, "r2"), (9, "r9")], "k long, val string"))
+    t.append_run(spark.createDataFrame(
+        [(2, "s2")], "k long, val string"))
+    before = _state(t)
+    pre_v = t.version()
+    v = t.compact_runs()
+    assert v == pre_v + 1
+    assert _state(t) == before
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # fold is idempotent-safe: nothing left to fold
+    assert t.compact_runs() is None
+    # bucket-rewrite ops are legal again
+    t.merge_into(spark.createDataFrame([(9, "m9")],
+                                       "k long, val string"))
+    assert _state(t)[9] == "m9"
+    # pre-fold time travel still windows correctly
+    tv = {r.k: r.val for r in t.read(version=pre_v).collect()}
+    assert tv[2] == "s2" and tv[9] == "r9"
+
+
+def test_append_run_pre_claim_barrier(spark, tmp_path):
+    """_pre_claim runs between staging and the claim; a raising
+    barrier discards the staged files and no commit lands — and it
+    runs even for an empty batch."""
+    t = _mk(spark, tmp_path, [(1, "x")])
+    calls = []
+    t.append_run(spark.createDataFrame([(2, "y")],
+                                       "k long, val string"),
+                 _pre_claim=lambda: calls.append("full"))
+    t.append_run(spark.createDataFrame([], "k long, val string"),
+                 _pre_claim=lambda: calls.append("empty"))
+    assert calls == ["full", "empty"]
+    v = t.version()
+    data = os.path.join(t.path, "data")
+    n_files = len(os.listdir(data))
+
+    def _boom():
+        raise RuntimeError("maintenance write failed")
+
+    with pytest.raises(RuntimeError, match="maintenance"):
+        t.append_run(spark.createDataFrame([(3, "z")],
+                                           "k long, val string"),
+                     _pre_claim=_boom)
+    assert t.version() == v
+    assert len(os.listdir(data)) == n_files
