@@ -33,6 +33,15 @@ Round-8 additions:
   stepped-merge cadence on (compact_every=2) — multi-batch steady
   state, where the per-drain fixed cost amortizes and maintenance
   folds are inside the measured loop.
+Round-9 additions:
+- "admission_multi_drop_append_docs_per_sec": the same multi-drop
+  scenario with the corpus commit through TxnTable.append_run
+  (commit_mode="append", docs/TXN_RUNS_DESIGN.md) — O(batch) commits
+  vs merge's O(touched buckets); compare each mode only to itself
+  across rounds.
+- "ivf_probe_crossover" gains "@10x" keys: nlist {2048, 8192} on an
+  in-memory 10× embeddings staging, where the two-level probe's
+  asymptotics actually bite.
 Round-6 additions:
 - the "scaling" block gains a THIRD point one decade UP: a synthetic
   structure-preserving 10× staging of EVERY table (replica-salted
@@ -461,7 +470,8 @@ def _admission_ingest(spark, sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _admission_multi_drop(spark, sf_dir: str, n_drops: int = 6):
+def _admission_multi_drop(spark, sf_dir: str, n_drops: int = 6,
+                          commit_mode: str = "merge"):
     """Multi-batch STEADY-STATE admission rate: all ``n_drops`` jsonl
     drops are staged before ONE availableNow drain (each drop written
     as 16 files, so the sink's maxFilesPerTrigger=16 makes each drop
@@ -501,7 +511,7 @@ def _admission_multi_drop(spark, sf_dir: str, n_drops: int = 6):
             run_document_admission(
                 spark, dirs["watch"], dirs["table"], dirs["postings"],
                 dirs["log"], dirs["ckpt"], sizes_dir=dirs["sizes"],
-                compact_every=2)
+                compact_every=2, commit_mode=commit_mode)
             elapsed = time.perf_counter() - t0
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -634,6 +644,16 @@ def main() -> None:
     except Exception:
         admission_multi_dps = None
 
+    # The r9 append-run commit path, priced beside the merge default
+    # (docs/TXN_RUNS_DESIGN.md): same drops, same screen, the corpus
+    # commit via TxnTable.append_run — O(batch) vs merge's O(touched
+    # buckets).  Compare each mode only to itself across rounds.
+    try:
+        admission_multi_append_dps = _admission_multi_drop(
+            spark, sf_dir, commit_mode="append")
+    except Exception:
+        admission_multi_append_dps = None
+
     try:
         probe_xover = _ivf_probe_crossover(spark, sf_dir)
     except Exception:
@@ -657,6 +677,8 @@ def main() -> None:
         "admission_kept_fraction": admission_kept,
         "admission_compact_s": admission_compact_s,
         "admission_multi_drop_docs_per_sec": admission_multi_dps,
+        "admission_multi_drop_append_docs_per_sec":
+            admission_multi_append_dps,
         "ivf_probe_crossover": probe_xover,
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,
