@@ -238,9 +238,19 @@ class TxnTable:
                 run_files.discard(f)
             for f, b in rec["add"].items():
                 active[f] = b
-                added_at[f] = v
-                if rec.get("op") == "append-run":
+                if rec.get("op") == "fold-runs":
+                    # A stepped fold of adjacent run generations: the
+                    # folded files RANK at the newest folded version
+                    # (record["asof"]), not at the fold's own commit
+                    # version — ranking at v would hoist pre-merge
+                    # rows above an interleaved merge commit and
+                    # resurrect shadowed keys.
+                    added_at[f] = int(rec["asof"])
                     run_files.add(f)
+                else:
+                    added_at[f] = v
+                    if rec.get("op") == "append-run":
+                        run_files.add(f)
         return head, active, added_at, run_files
 
     def _latest_checkpoint_raw(self, upto: int) -> dict | None:
@@ -261,6 +271,82 @@ class TxnTable:
             return json.load(fh)
 
     # -------------------------------------------------------- reads
+    def point_read(self, value) -> DataFrame:
+        """Bucket-pruned keyed read: route ``value`` to its Murmur3
+        bucket in PYTHON (the same Spark-hash replication
+        serving.point_lookup_fast uses, test-enforced against SQL
+        hash()) and read ONLY that bucket's live files — 1/n_buckets
+        of the table, never a scan.  Over a run history the
+        latest-wins window then runs on the pre-filtered key rows of
+        ONE bucket (the key filter pushes into every generation's
+        parquet scan before the union), so a point read over a
+        3-run table stays O(bucket files).  Integral keys only —
+        exactly serving's constraint, same reason (the hash
+        replication covers LongType)."""
+        from data_ingestion_challenge_spark.serving import (
+            _murmur3_long,
+        )
+
+        if not isinstance(value, int):
+            raise TypeError(
+                f"point_read routes via the Murmur3-long replication "
+                f"and needs an integral key, got {type(value).__name__}"
+                f" — use read().where(...) for non-integral keys")
+        b = _murmur3_long(value) % self.n_buckets
+        _, active, added_at, run_files = self._snapshot_runs()
+        sel = {f: added_at[f] for f in active if active[f] == b}
+        pred = col(self.key) == F.lit(value)
+        if not sel:
+            # Empty bucket: an empty frame with the table schema.
+            return self.read().where(pred).limit(0)
+        if run_files & sel.keys():
+            return self._latest_wins_read(sel, pre_filter=pred)
+        return (self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in sel])
+            .where(pred))
+
+    def _latest_wins_read(self, files: dict[str, int],
+                          pre_filter=None) -> DataFrame:
+        """LATEST-WINS merge over ``files`` ({relative path: the
+        version its rows rank at}): one parquet read per distinct
+        ranking-version group, each tagged with that version; a key
+        appears at most once per version (append_run enforces
+        per-batch key uniqueness, merge keeps one row per key), so
+        row_number over (key ORDER BY _v desc) is deterministic.  The
+        file path rides as a SECONDARY sort key: correctness does not
+        depend on it while every commit is key-unique, but a caller
+        that passed _source_unique=True with a broken guarantee would
+        otherwise get a nondeterministic row_number winner at read
+        time — the tie now resolves stably (and `_v desc, _f desc` is
+        the order the design doc specifies).  Group count = live run
+        generations — bounded by the compaction ladder
+        (docs/TXN_RUNS_DESIGN.md)."""
+        from pyspark.sql import Window
+
+        by_v: dict[int, list[str]] = {}
+        for f, v in files.items():
+            by_v.setdefault(v, []).append(os.path.join(self.path, f))
+
+        def _part(v: int, paths: list[str]) -> DataFrame:
+            p = self.spark.read.parquet(*paths)
+            if pre_filter is not None:
+                # Applied per part BEFORE the union/window so it
+                # pushes into each generation's parquet scan — the
+                # winner per surviving key is unchanged (the filter
+                # is on the window's own partition key).
+                p = p.where(pre_filter)
+            return (p.withColumn("_v", F.lit(v))
+                    .withColumn("_f", col("_metadata.file_path")))
+
+        parts = [_part(v, paths) for v, paths in sorted(by_v.items())]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        w = Window.partitionBy(self.key).orderBy(
+            col("_v").desc(), col("_f").desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(col("_rn") == 1).drop("_rn", "_v", "_f"))
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read; pass version for time travel.  Over a
         history containing append-run commits the read applies
@@ -269,30 +355,8 @@ class TxnTable:
         the active files verbatim exactly as before."""
         _, active, added_at, run_files = self._snapshot_runs(version)
         if run_files:
-            # One read per distinct adding-version group, each tagged
-            # with its commit version; a key appears at most once per
-            # version (append_run enforces per-batch key uniqueness,
-            # merge keeps one row per key), so row_number over
-            # (key ORDER BY _v desc) is deterministic.  Group count =
-            # live run generations — bounded by the compaction
-            # cadence (docs/TXN_RUNS_DESIGN.md).
-            from pyspark.sql import Window
-
-            by_v: dict[int, list[str]] = {}
-            for f in active:
-                by_v.setdefault(added_at[f], []).append(
-                    os.path.join(self.path, f))
-            parts = [
-                self.spark.read.parquet(*paths)
-                .withColumn("_v", F.lit(v))
-                for v, paths in sorted(by_v.items())
-            ]
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
-            w = Window.partitionBy(self.key).orderBy(col("_v").desc())
-            return (df.withColumn("_rn", F.row_number().over(w))
-                    .where(col("_rn") == 1).drop("_rn", "_v"))
+            return self._latest_wins_read(
+                {f: added_at[f] for f in active})
         if not active:
             # Empty snapshot: the recorded schema (create() stores it;
             # checkpoints carry it) makes a never-populated or
@@ -321,10 +385,25 @@ class TxnTable:
         return self.spark.read.parquet(*paths)
 
     def _read_buckets(self, active: dict[str, int],
-                      buckets: set[int]) -> DataFrame | None:
-        paths = [os.path.join(self.path, f)
-                 for f, b in active.items() if b in buckets]
-        return self.spark.read.parquet(*paths) if paths else None
+                      buckets: set[int],
+                      added_at: dict[str, int] | None = None,
+                      run_files: set[str] | None = None
+                      ) -> DataFrame | None:
+        """Current rows of the given buckets.  When live append-run
+        files intersect the selection (and the caller passed the
+        run-aware snapshot maps), the read applies latest-wins per
+        key — a plain union here would resurrect shadowed rows into
+        a bucket rewrite (the exact corruption the pre-r10 typed
+        refusal guarded against); run-free selections stay the plain
+        union with no window in the plan."""
+        sel = {f: b for f, b in active.items() if b in buckets}
+        if not sel:
+            return None
+        if run_files and added_at and (run_files & sel.keys()):
+            return self._latest_wins_read(
+                {f: added_at[f] for f in sel})
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in sel])
 
     # ------------------------------------------------------- commits
     def _stage(self, df: DataFrame) -> dict[str, int]:
@@ -480,7 +559,6 @@ class TxnTable:
         for a skipped replay."""
         if batch_id <= self.last_txn(app):
             return None
-        self._refuse_live_runs("accumulate_batch")
         # Pin the micro-batch frame: foreachBatch frames are only
         # valid within the batch, and the optimistic retry may need
         # to re-derive the sums more than once.
@@ -499,10 +577,14 @@ class TxnTable:
             # SAME snapshot is handed to merge_into as the conflict
             # base (via _base): a commit landing between this read and
             # the claim is then always detected as an interleave,
-            # never silently overwritten (lost-update window).
-            v, active = self._snapshot()
-            base["snap"] = (v, active)
-            current = self._read_buckets(active, touched)
+            # never silently overwritten (lost-update window).  The
+            # run-aware snapshot + bucket read make this correct over
+            # live append-run files too (latest-wins per key).
+            snap = self._snapshot_runs()
+            base["snap"] = snap
+            v, active, added_at, runs = snap
+            current = self._read_buckets(active, touched,
+                                         added_at, runs)
             return inc if current is None else (
                 current.select(*inc.columns).unionByName(inc)
                 .groupBy(self.key)
@@ -582,19 +664,43 @@ class TxnTable:
         raise CommitConflictError(
             f"append_run lost {max_retries} claims on {self.path}")
 
-    def compact_runs(self, max_retries: int = 5) -> int | None:
-        """Fold an append-run history back into a merge-only active
-        set: ONE latest-wins read of the current snapshot, re-staged
-        as fresh per-bucket files, committed as a plain merge record
-        that removes every prior live file.  After it, reads are
-        windowless and merge_into/accumulate_batch work again — the
-        maintenance cadence that bounds read()'s run-generation count
-        (docs/TXN_RUNS_DESIGN.md; the per-bucket stepped ladder is
-        the planned refinement — this full fold is O(corpus), run on
-        a cadence like any major compaction).  Returns the committed
-        version, or None when no runs are live (nothing to fold).
-        Optimistic: a commit landing mid-fold invalidates the folded
-        state, so the fold re-reads and retries."""
+    def compact_runs(self, max_retries: int = 5, level: str = "full",
+                     ratio: float = 0.5) -> int | None:
+        """Fold live append-runs — the maintenance that bounds
+        read()'s run-generation count (docs/TXN_RUNS_DESIGN.md).
+
+        ``level="full"``: ONE latest-wins read of the whole snapshot,
+        re-staged as fresh per-bucket files, committed as a plain
+        merge record removing every prior live file — reads are
+        windowless after.  O(corpus) per call: the major compaction,
+        run on a coarse cadence.
+
+        ``level="auto"``: the STEPPED ladder (the posting store's
+        size-tiered scheme inside the txn log): adjacent run
+        generations merge whenever the newer has reached ``ratio`` ×
+        the older (sizes = parquet footer row counts, no counter
+        state), each merge committed as an ``op: "fold-runs"`` record
+        whose files rank at the NEWEST folded version (``asof``) —
+        adjacency keeps every fold a contiguous version range, which
+        is what makes asof-ranking order-safe against interleaved
+        merge commits.  Generation count stays
+        O(log_{1/ratio}(corpus/batch)) and amortized maintenance I/O
+        per appended row O(ratio⁻¹ · log), vs O(corpus) per cadence
+        tick for always-full.  When the total run mass itself reaches
+        ``ratio`` × the base rows, the ladder escalates to one full
+        fold (the LSM major compaction).
+
+        Returns the last committed version, or None when nothing
+        needed folding.  Optimistic: a commit landing mid-fold
+        invalidates the folded state, so the fold re-reads and
+        retries."""
+        if level not in ("full", "auto"):
+            raise ValueError(f"level must be full|auto, got {level!r}")
+        if level == "full":
+            return self._compact_runs_full(max_retries)
+        return self._compact_runs_auto(max_retries, ratio)
+
+    def _compact_runs_full(self, max_retries: int) -> int | None:
         for _ in range(max_retries):
             base_v, active, _, runs = self._snapshot_runs()
             if not runs:
@@ -610,17 +716,92 @@ class TxnTable:
         raise CommitConflictError(
             f"compact_runs lost {max_retries} claims on {self.path}")
 
-    def _refuse_live_runs(self, op: str) -> None:
-        """Bucket-rewrite paths (merge/accumulate) read buckets as
-        plain unions and would resurrect shadowed rows over an
-        append-run history — refuse TYPED until run-aware bucket
-        merge lands (r10, docs/TXN_RUNS_DESIGN.md)."""
-        _, _, _, runs = self._snapshot_runs()
-        if runs:
-            raise NotImplementedError(
-                f"{self.path}: {op} over live append-run files is "
-                f"not supported yet — run compact_runs() first "
-                f"(docs/TXN_RUNS_DESIGN.md)")
+    def run_generations(self) -> int:
+        """Number of live run GENERATIONS (distinct latest-wins
+        ranking versions among append-run files) — the read window's
+        union width and the signal a maintenance cadence checks
+        before paying for a fold.  Log replay only; no Spark job."""
+        _, _, added_at, runs = self._snapshot_runs()
+        return len({added_at[f] for f in runs})
+
+    def _files_rows(self, files) -> int:
+        """Total parquet rows across relative paths, from footers —
+        metadata-only (no data I/O).  Unreadable footers under-count
+        (the ladder degrades gracefully rather than wedging)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            try:
+                total += pq.read_metadata(
+                    os.path.join(self.path, f)).num_rows
+            except (OSError, ValueError):
+                pass
+        return total
+
+    def _compact_runs_auto(self, max_retries: int,
+                           ratio: float) -> int | None:
+        for _ in range(max_retries):
+            base_v, active, added_at, runs = self._snapshot_runs()
+            if not runs:
+                return None
+            gens: dict[int, list[str]] = {}
+            for f in runs:
+                gens.setdefault(added_at[f], []).append(f)
+            # (asof, rows, files, #generations) ascending by asof;
+            # collapse adjacent (older, newer) pairs until the full
+            # invariant holds — every newer group < ratio × its older
+            # neighbor (checking only one pair would let a violating
+            # middle pair accrete forever).
+            groups = [[v, self._files_rows(fs), sorted(fs), 1]
+                      for v, fs in sorted(gens.items())]
+            changed = True
+            while changed and len(groups) >= 2:
+                changed = False
+                for i in range(len(groups) - 1):
+                    older, newer = groups[i], groups[i + 1]
+                    if newer[1] >= ratio * older[1]:
+                        groups[i:i + 2] = [[newer[0],
+                                            older[1] + newer[1],
+                                            older[2] + newer[2],
+                                            older[3] + newer[3]]]
+                        changed = True
+                        break
+            # Major-compaction escalation: run mass at ratio × base.
+            base_files = [f for f in active if f not in runs]
+            if base_files and sum(g[1] for g in groups) \
+                    >= ratio * self._files_rows(base_files):
+                return self._compact_runs_full(max_retries)
+            plan = [g for g in groups if g[3] >= 2]
+            if not plan:
+                return None
+            # Execute newest target first: a crash/conflict part-way
+            # leaves the small-run end — the part the next tick
+            # re-merges cheapest — unfolded.
+            committed = None
+            head = base_v
+            conflicted = False
+            for asof, _rows, files, _n in sorted(plan, reverse=True):
+                folded = self._latest_wins_read(
+                    {f: added_at[f] for f in files})
+                staged = self._stage(folded)
+                record = {"op": "fold-runs", "add": staged,
+                          "remove": sorted(files), "asof": asof}
+                if self.version() == head \
+                        and self._claim(head + 1, record):
+                    head += 1
+                    committed = head
+                else:
+                    # Interleaved commit: replan from the fresh
+                    # snapshot (already-committed folds stand — each
+                    # is individually atomic and leaves a legal set).
+                    self._discard(staged)
+                    conflicted = True
+                    break
+            if not conflicted:
+                return committed
+        raise CommitConflictError(
+            f"compact_runs lost {max_retries} claims on {self.path}")
 
     # --------------------------------------------------------- MERGE
     def merge_into(self, updates: DataFrame, *,
@@ -642,8 +823,9 @@ class TxnTable:
         passes it — its summed rows are a function of the snapshot
         they were read from, so a conflicting commit staleness them);
         `_base`, when given, is a zero-arg callable returning the
-        (version, active) snapshot the CURRENT `updates` were derived
-        from — the claim then uses that as its conflict base instead
+        run-aware (version, active, added_at, run_files) snapshot the
+        CURRENT `updates` were derived from (_snapshot_runs' shape) —
+        the claim then uses that as its conflict base instead
         of taking a fresh snapshot, closing the lost-update window
         where a commit lands between the derivation read and the
         merge's own snapshot (accumulate_batch passes it);
@@ -658,8 +840,16 @@ class TxnTable:
         COMMIT still never precedes them (tests also use it to
         interleave a competing writer deterministically).  If the
         hook raises, the staged files are discarded before the error
-        propagates — they must not leak as orphans."""
-        self._refuse_live_runs("merge_into")
+        propagates — they must not leak as orphans.
+
+        Correct over LIVE APPEND-RUN histories since r10: bucket reads
+        are run-aware (latest-wins per key via _read_buckets), the
+        commit removes every live file — base AND run — of the
+        touched buckets, and every retry path re-derives the FULL
+        run-aware snapshot, so a run committed mid-merge is either
+        disjoint (harmless) or detected as a bucket conflict and
+        folded into the rebuild — never unioned in as a resurrection
+        of shadowed rows (the r9 check-then-act hazard)."""
         if not _source_unique:
             dup = (updates.groupBy(self.key).count()
                    .where(col("count") > 1).take(1))
@@ -680,12 +870,13 @@ class TxnTable:
         if not touched:
             return self.version()
 
-        base_v, active = _base() if _base is not None \
-            else self._snapshot()
+        base_v, active, added_at, run_files = (
+            _base() if _base is not None else self._snapshot_runs())
         staged: dict[str, int] | None = None
         for _ in range(max_retries):
             if staged is None:
-                current = self._read_buckets(active, touched)
+                current = self._read_buckets(active, touched,
+                                             added_at, run_files)
                 # No checkpoint needed (unlike merge.py): data files
                 # are immutable — the merge reads old files and
                 # stages NEW ones, never overwriting what it reads.
@@ -715,7 +906,8 @@ class TxnTable:
                         pass  # maintenance must never fail a commit
                 return next_v
             # Lost the claim: fold in the interleaved commits.
-            new_v, new_active = self._snapshot()
+            (new_v, new_active,
+             new_added_at, new_run_files) = self._snapshot_runs()
             interleaved_buckets: set[int] = set()
             expired_mid_scan = False
             for v in range(base_v + 1, new_v + 1):
@@ -731,11 +923,16 @@ class TxnTable:
                     # outcome, not a crash.
                     expired_mid_scan = True
                     break
+                # append-run/fold-runs interleaves count exactly like
+                # merges here: their added files' buckets intersect
+                # ours → our staged union is stale (it would shadow
+                # or resurrect their rows) → rebuild.
                 interleaved_buckets |= set(rec["add"].values())
                 interleaved_buckets |= {active.get(f)
                                         for f in rec["remove"]
                                         if f in active}
             base_v, active = new_v, new_active
+            added_at, run_files = new_added_at, new_run_files
             if expired_mid_scan or (interleaved_buckets & touched):
                 # Conflict: a competing writer rewrote a bucket we
                 # read — our staged merge is stale.  Recompute.
@@ -751,7 +948,8 @@ class TxnTable:
                         # Conflict base = the snapshot the rebuild
                         # actually read, not the head we happened to
                         # observe before it ran.
-                        base_v, active = _base()
+                        (base_v, active,
+                         added_at, run_files) = _base()
         if staged:
             # Exhausted retries with files still staged: clean up —
             # otherwise they linger as orphans until a vacuum.

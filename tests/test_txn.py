@@ -412,8 +412,7 @@ def test_merge_base_snapshot_closes_lost_update_window(spark, tmp_path):
     rebuilds = []
 
     def derive(inc_v: int):
-        v, active = t._snapshot()
-        base["snap"] = (v, active)
+        base["snap"] = t._snapshot_runs()
         cur = t.read()
         return (cur.unionByName(spark.createDataFrame(
             [(1, inc_v)], "k long, v long"))

@@ -1,9 +1,11 @@
 """Append-run (LSM) commit mode for TxnTable — the O(batch) commit
-path (docs/TXN_RUNS_DESIGN.md).  r9 ships the additive core:
-append_run commits, latest-wins reads (incl. time travel, checkpoint
-carry-over and expiry), concurrent appenders, txn tags, and typed
-refusal of bucket-rewrite ops over live runs (run compaction and the
-admission sink switch-over are r10)."""
+path (docs/TXN_RUNS_DESIGN.md).  r9 shipped the additive core
+(append_run commits, latest-wins reads incl. time travel, checkpoint
+carry-over and expiry, concurrent appenders, txn tags); r10 completes
+the lifecycle: run-aware bucket reads make merge_into /
+accumulate_batch correct OVER live runs (replacing the r9 typed
+refusal), and compact_runs gains the stepped ``level="auto"``
+size-tiered ladder beside the full fold."""
 
 from __future__ import annotations
 
@@ -120,19 +122,107 @@ def test_checkpoint_and_expiry_keep_run_order(spark, tmp_path):
     assert _state(t) == {1: "post", 2: "run2"}
 
 
-def test_merge_and_accumulate_refuse_live_runs(spark, tmp_path):
-    t = _mk(spark, tmp_path, [(1, "x")])
-    t.append_run(spark.createDataFrame([(2, "y")],
-                                       "k long, val string"))
-    with pytest.raises(NotImplementedError, match="append-run"):
-        t.merge_into(spark.createDataFrame([(3, "z")],
-                                           "k long, val string"))
-    num = spark.createDataFrame([(1, 5)], "k long, n long")
-    tn = _mk(spark, tmp_path, [(9, "q")], name="t2")
-    tn.append_run(spark.createDataFrame([(8, "r")],
-                                        "k long, val string"))
-    with pytest.raises(NotImplementedError, match="append-run"):
-        tn.accumulate_batch(num, batch_id=1, sum_cols=["n"])
+def test_merge_into_over_live_runs_no_resurrection(spark, tmp_path):
+    """merge_into over a live append-run history applies latest-wins
+    to its bucket reads: a run row shadowing a base row must survive
+    a merge that rewrites the SAME bucket for a different key — the
+    plain-union rebuild would have resurrected the shadowed base row
+    (the r9 hazard the typed refusal guarded).  n_buckets=1 forces
+    every key through one bucket, the worst case."""
+    df = spark.createDataFrame([(i, f"base{i}") for i in range(6)],
+                               "k long, val string")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key="k",
+                        n_buckets=1)
+    t.append_run(spark.createDataFrame(
+        [(5, "run5"), (11, "run11")], "k long, val string"))
+    t.merge_into(spark.createDataFrame(
+        [(3, "m3"), (12, "m12")], "k long, val string"))
+    want = {i: f"base{i}" for i in range(6)}
+    want.update({5: "run5", 11: "run11", 3: "m3", 12: "m12"})
+    assert _state(t) == want
+    # the touched bucket was fully rewritten: the table is run-free
+    # again and reads windowless
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_accumulate_batch_over_live_runs(spark, tmp_path):
+    """Keyed sum-accumulation reads its bucket state latest-wins: a
+    run that REPLACED a key's row contributes the replacement value
+    to the sum, never base+run."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, n long")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key="k",
+                        n_buckets=2)
+    t.append_run(spark.createDataFrame([(1, 100)], "k long, n long"))
+    t.accumulate_batch(
+        spark.createDataFrame([(1, 5), (2, 7), (3, 9)],
+                              "k long, n long"),
+        batch_id=0, sum_cols=["n"])
+    got = {r.k: r.n for r in t.read().collect()}
+    assert got == {1: 105, 2: 27, 3: 9}
+    # replay of the same batch id is still skipped whole
+    t.accumulate_batch(
+        spark.createDataFrame([(1, 5)], "k long, n long"),
+        batch_id=0, sum_cols=["n"])
+    assert {r.k: r.n for r in t.read().collect()} == got
+
+
+def test_compact_runs_auto_stepped_ladder(spark, tmp_path):
+    """level='auto' merges ADJACENT run generations up the size
+    ladder (fold-runs records, asof-ranked) without touching the
+    base; value identity holds through every fold, the generation
+    count is bounded, and a later full fold still lands windowless."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, [(i, f"b{i}") for i in range(40)])
+    for j in range(3):
+        t.append_run(spark.createDataFrame(
+            [(100 + j, f"r{j}"), (5 + j, f"s{j}")],
+            "k long, val string"))
+    before = _state(t)
+    base_files = set(os.listdir(os.path.join(t.path, "data")))
+    v = t.compact_runs(level="auto")
+    assert v is not None and v == t.version()
+    assert _state(t) == before
+    # the fold committed as fold-runs with asof = newest folded gen
+    with open(os.path.join(t.path, "_log",
+                           f"v{v:010d}.json")) as fh:
+        rec = _json.load(fh)
+    assert rec["op"] == "fold-runs" and rec["asof"] == 4
+    # 3 generations collapsed into 1 (2+2 ≥ 0.5×, cascade) — one
+    # read group beside the base
+    _, active, added_at, runs = t._snapshot_runs()
+    assert len({added_at[f] for f in runs}) == 1
+    # base untouched: no base data file rewritten by the stepped fold
+    assert base_files & set(os.listdir(os.path.join(t.path, "data")))
+    # idempotent: nothing further to fold at this size spread
+    assert t.compact_runs(level="auto") is None
+    # pre-fold time travel still resolves latest-wins
+    tv = {r.k: r.val for r in t.read(version=4).collect()}
+    assert tv[5] == "s0" and tv[7] == "s2" and tv[102] == "r2"
+    # full fold afterwards → windowless read, same value
+    t.compact_runs(level="full")
+    assert _state(t) == before
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_compact_runs_auto_escalates_to_full(spark, tmp_path):
+    """When the run mass reaches ratio × the base rows, auto runs the
+    major compaction: one merge record, windowless read after."""
+    t = _mk(spark, tmp_path, [(i, f"b{i}") for i in range(4)])
+    for j in range(3):
+        t.append_run(spark.createDataFrame(
+            [(10 * (j + 1) + i, f"r{j}") for i in range(4)],
+            "k long, val string"))
+    before = _state(t)
+    v = t.compact_runs(level="auto")
+    assert v == t.version()
+    assert _state(t) == before
+    _, _, _, runs = t._snapshot_runs()
+    assert not runs
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
 
 
 def test_vacuum_keeps_live_run_files(spark, tmp_path):
@@ -180,6 +270,37 @@ def test_compact_runs_restores_merge_mode(spark, tmp_path):
     # pre-fold time travel still windows correctly
     tv = {r.k: r.val for r in t.read(version=pre_v).collect()}
     assert tv[2] == "s2" and tv[9] == "r9"
+
+
+def test_point_read_stays_bucket_pruned_over_runs(spark, tmp_path):
+    """A keyed point read over a 3-run table reads ONLY the key's
+    bucket files (inputFiles audit — a strict subset tagged with the
+    key's bucket id) and returns the latest value; a merge-only
+    table's point read is likewise pruned and windowless."""
+    t = _mk(spark, tmp_path, [(i, f"b{i}") for i in range(16)])
+    for j in range(3):
+        t.append_run(spark.createDataFrame(
+            [(5, f"gen{j}"), (100 + j, f"n{j}")],
+            "k long, val string"))
+    from data_ingestion_challenge_spark.serving import _murmur3_long
+    b = _murmur3_long(5) % t.n_buckets
+    df = t.point_read(5)
+    assert [(r.k, r.val) for r in df.collect()] == [(5, "gen2")]
+    files = df.inputFiles()
+    _, active, _, _ = t._snapshot_runs()
+    assert files and len(files) < len(active)
+    assert all(f.endswith(f"-b{b}.parquet") for f in files)
+    # merge-only twin: pruned AND windowless
+    t2 = _mk(spark, tmp_path, [(i, f"b{i}") for i in range(16)],
+             name="t2")
+    df2 = t2.point_read(5)
+    assert [(r.k, r.val) for r in df2.collect()] == [(5, "b5")]
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert all(f.endswith(f"-b{b}.parquet") for f in df2.inputFiles())
+    # non-integral keys refuse typed
+    with pytest.raises(TypeError, match="integral"):
+        t.point_read("5")
 
 
 def test_append_run_pre_claim_barrier(spark, tmp_path):
