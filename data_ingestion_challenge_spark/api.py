@@ -132,6 +132,20 @@ class Engine:
                 raise ValueError(
                     "vectors_path requires ivf_table and ivf_path — "
                     "there is no index to maintain otherwise")
+            if not self.spark.catalog.tableExists(ivf_table):
+                # Typed, like extend_ivf's own errors: a first drain
+                # with vectors_path but no materialized index would
+                # otherwise surface as a raw AnalysisException AFTER
+                # the drain already committed, with no hint at the
+                # required bootstrap step.
+                raise ValueError(
+                    f"ingest_documents: IVF index table {ivf_table!r} "
+                    f"does not exist — run materialize_ivf(table="
+                    f"{ivf_table!r}, path={ivf_path!r}) once to "
+                    f"bootstrap the index before maintaining it "
+                    f"through drains (the drain itself committed "
+                    f"fine; re-invoking with the index in place "
+                    f"extends it idempotently)")
             vecs = (self.spark.read.parquet(vectors_path)
                     .select("vec_id", "embedding"))
             committed = table.read().select(

@@ -45,7 +45,7 @@ def streaming_anomaly_monitor(cat: Catalog) -> DataFrame:
     gate), then mad_score_hourly reads the maintained rollup — the
     monitor never re-scans event history, so each evaluation costs
     O(|types|·|hours|) regardless of stream length."""
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -53,8 +53,8 @@ def streaming_anomaly_monitor(cat: Catalog) -> DataFrame:
         read_keyed_rollup, run_incremental_keyed_rollup,
     )
 
-    out = tempfile.mkdtemp(prefix="anom_rollup_out_")
-    ck = tempfile.mkdtemp(prefix="anom_rollup_ck_")
+    out = scratch_dir("anom_rollup_out_")
+    ck = scratch_dir("anom_rollup_ck_")
     run_incremental_keyed_rollup(
         cat.spark, f"{cat.sf_dir}/events.parquet", out, ck)
     h = (read_keyed_rollup(cat.spark, out)

@@ -76,13 +76,13 @@ def streaming_incremental_rollup(cat: Catalog) -> DataFrame:
     partition overwrite + per-day batch-id replay gate), then the sink
     is read back and checked against the one-shot batch oracle — the
     ingest→maintain→serve loop the reference runs, driver-gated."""
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from data_ingestion_challenge_spark.streaming.incremental import (
         read_rollup, run_incremental_rollup)
 
-    out = tempfile.mkdtemp(prefix="incr_rollup_out_")
-    ck = tempfile.mkdtemp(prefix="incr_rollup_ck_")
+    out = scratch_dir("incr_rollup_out_")
+    ck = scratch_dir("incr_rollup_ck_")
     run_incremental_rollup(cat.spark, f"{cat.sf_dir}/events.parquet",
                            out, ck)
     return read_rollup(cat.spark, out)
@@ -112,7 +112,7 @@ def serving_point_lookup(cat: Catalog) -> DataFrame:
     came through the PRUNED single-bucket scan — returning the lazy
     point_lookup_df here would let driver-side execution re-plan it as
     an all-bucket scan (gate would verify values but not the path)."""
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -123,7 +123,7 @@ def serving_point_lookup(cat: Catalog) -> DataFrame:
                    F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
                    .alias("value_sum_micros")))
     key = cat.events.agg(F.min("user_id")).collect()[0][0]
-    tmp = tempfile.mkdtemp(prefix="serving_gate_")
+    tmp = scratch_dir("serving_gate_")
     serving.build_keyed_rollup(rollup, "serving_gate_rollup", tmp,
                                key="user_id", n_buckets=8)
     schema = cat.spark.table("serving_gate_rollup").schema
@@ -153,7 +153,7 @@ def serving_point_lookup_fast(cat: Catalog) -> DataFrame:
     the latency-grade read endpoint (p50 ~1 ms vs ~65 ms through the
     SQL planner at sf0.1).  Builds the same bucketed layout as
     serving_point_lookup, then reads the key WITHOUT a Spark job."""
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -164,7 +164,7 @@ def serving_point_lookup_fast(cat: Catalog) -> DataFrame:
                    F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
                    .alias("value_sum_micros")))
     key = cat.events.agg(F.min("user_id")).collect()[0][0]
-    tmp = tempfile.mkdtemp(prefix="serving_fast_gate_")
+    tmp = scratch_dir("serving_fast_gate_")
     serving.build_keyed_rollup(rollup, "serving_fast_gate_rollup", tmp,
                                key="user_id", n_buckets=8)
     schema = cat.spark.table("serving_fast_gate_rollup").schema
@@ -195,7 +195,7 @@ def merge_upsert_rollup(cat: Catalog) -> DataFrame:
     exercises both WHEN MATCHED (returning users) and WHEN NOT MATCHED
     (new users), read the table back.  Only touched bucket partitions
     rewrite (tests/test_merge.py pins untouched files by mtime)."""
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -216,7 +216,7 @@ def merge_upsert_rollup(cat: Catalog) -> DataFrame:
                .groupBy("user_id")
                .agg(F.count("*").alias("n_events"), micros))
 
-    out = tempfile.mkdtemp(prefix="merge_gate_")
+    out = scratch_dir("merge_gate_")
     merge.init_keyed(base, out, key="user_id", n_buckets=8)
     merge.merge_into_keyed(cat.spark, out, updates, key="user_id",
                            n_buckets=8)
@@ -243,12 +243,12 @@ def streaming_keyed_upsert(cat: Catalog) -> DataFrame:
     sum-merges per-user counters into the bucket-partitioned layout
     (touched buckets only, per-bucket batch-id replay gate), and the
     final state is read back against the batch oracle."""
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from data_ingestion_challenge_spark import merge
 
-    out = tempfile.mkdtemp(prefix="keyed_upsert_out_")
-    ck = tempfile.mkdtemp(prefix="keyed_upsert_ck_")
+    out = scratch_dir("keyed_upsert_out_")
+    ck = scratch_dir("keyed_upsert_ck_")
     merge.run_keyed_upsert(cat.spark, f"{cat.sf_dir}/events.parquet",
                            out, ck, n_buckets=8)
     return (merge.read_merged(cat.spark, out)
@@ -344,7 +344,7 @@ def txn_merge_upsert_rollup(cat: Catalog) -> DataFrame:
     protocol), read the v2 snapshot back.  merge.py's copy-on-write
     twin is gated by merge_upsert_rollup; this entry proves the ACID
     upgrade path computes the identical table."""
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -365,7 +365,7 @@ def txn_merge_upsert_rollup(cat: Catalog) -> DataFrame:
                .groupBy("user_id")
                .agg(F.count("*").alias("n_events"), micros))
 
-    out = tempfile.mkdtemp(prefix="txn_gate_")
+    out = scratch_dir("txn_gate_")
     t = TxnTable.create(cat.spark, out, base, key="user_id",
                         n_buckets=8)
     v = t.merge_into(updates)
@@ -393,12 +393,12 @@ def streaming_txn_upsert(cat: Catalog) -> DataFrame:
     commits atomically to the commit-log table (exactly-once via the
     txn tag); the final snapshot is read back against the batch
     oracle.  streaming_keyed_upsert gates the plain-layout twin."""
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from data_ingestion_challenge_spark import txn
 
-    out = tempfile.mkdtemp(prefix="txn_upsert_out_")
-    ck = tempfile.mkdtemp(prefix="txn_upsert_ck_")
+    out = scratch_dir("txn_upsert_out_")
+    ck = scratch_dir("txn_upsert_ck_")
     t = txn.run_keyed_upsert(cat.spark, f"{cat.sf_dir}/events.parquet",
                              out, ck, n_buckets=8)
     return (t.read()
@@ -429,7 +429,7 @@ def streaming_admission_e2e(cat: Catalog) -> DataFrame:
     implicit exclusivity the compaction contract needs (the
     production path takes the admission lease)."""
     import os
-    import tempfile
+    from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from pyspark.sql.functions import col
 
@@ -437,7 +437,7 @@ def streaming_admission_e2e(cat: Catalog) -> DataFrame:
         document_admission_sink,
     )
 
-    base = tempfile.mkdtemp(prefix="adm_e2e_")
+    base = scratch_dir("adm_e2e_")
     dirs = {k: os.path.join(base, k)
             for k in ("table", "postings", "log", "sizes")}
     admit, _table = document_admission_sink(

@@ -8,9 +8,12 @@ Per micro-batch of arriving documents:
 2. corpus screen — survivors run through
    operators/dedup.incremental_dedup_verdict against the INCREMENTALLY
    MAINTAINED posting store (never a corpus rescan);
-3. commit — admitted docs merge into the transactional corpus table
+3. commit — admitted docs land in the transactional corpus table
    (txn.TxnTable) in one atomic commit tagged (app, batch_id): a
-   crash-replayed batch is skipped whole (exactly-once);
+   crash-replayed batch is skipped whole (exactly-once).  The default
+   commit is an APPEND-RUN (O(batch), never reads table state —
+   docs/TXN_RUNS_DESIGN.md); reads resolve latest-wins per key and
+   the run ladder folds on the ``compact_every`` cadence;
 4. maintenance — the admitted docs' postings land in
    ``postings_dir/ingest_batch=<id>/`` and the full admission log
    (every verdict, kept or rejected, with the dup target) in
@@ -44,6 +47,14 @@ DOCS_SCHEMA = "doc_id long, text string, lang string, source string"
 N_SHINGLE_BUCKETS = 64
 
 _APP = "doc_admission"
+
+# Ratify-join safety valve: above this many candidate pairs the pair
+# table is no longer "near-dup-sized" and its broadcast could exceed
+# the driver/broadcast memory limit — fall back to a shuffle join
+# (graceful degradation instead of a failed micro-batch).  ~1M rows of
+# (4 longs + bool) is tens of MB broadcast-side, comfortably inside
+# default executor memory.
+_PAIR_BROADCAST_MAX_ROWS = 1_000_000
 
 _META = "_admission_meta.json"
 
@@ -780,13 +791,26 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
                                 col("_corp").alias("_ccorp"),
                                 col("n").alias("_nb"))
     jac = col("ic") / (col("_na") + col("_nb") - col("ic"))
-    # inter (the ratified candidate pairs) is the near-dup-sized pair
-    # table: broadcast it against the corpus-sized size store so the
-    # ratify join streams `all_sizes` instead of shuffling it.
+    # inter (the ratified candidate pairs) is NEAR-DUP-SIZED on every
+    # normal batch: broadcast it against the corpus-sized size store
+    # so the ratify join streams `all_sizes` instead of shuffling it.
+    # But the hint is only safe while that sizing assumption holds —
+    # an adversarial/high-overlap batch can make the candidate-pair
+    # table batch×corpus-overlap large, and an unconditional broadcast
+    # would then blow the driver/broadcast limit and FAIL the
+    # micro-batch where a shuffle join merely degrades.  inter is
+    # materialized here anyway (the ratify join would otherwise
+    # recompute the whole candidate pipeline), so the cardinality
+    # check is a count over cached partitions; above the threshold
+    # the join falls back to an ordinary shuffle join.
+    inter = inter.localCheckpoint()
+    if caches is not None:
+        caches.append(inter)
+    pair_side = inter.join(F.broadcast(sz_new), "_nid")
+    if inter.count() <= _PAIR_BROADCAST_MAX_ROWS:
+        pair_side = F.broadcast(pair_side)
     return (
-        sz_other.join(
-            F.broadcast(inter.join(F.broadcast(sz_new), "_nid")),
-            ["_cid", "_ccorp"])
+        sz_other.join(pair_side, ["_cid", "_ccorp"])
         .where(jac >= tau)
         .select(col("_nid").alias("doc_id"),
                 col("_cid").alias("corpus_doc_id"),
@@ -802,7 +826,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                             run_id: str | None = None,
                             adaptive: bool = False,
                             compact_every: int | None = None,
-                            commit_mode: str = "merge"):
+                            commit_mode: str = "append"):
     """Build the foreachBatch admission callback.  Returns
     (admit_fn, table): admit_fn(batch_df, batch_id) runs one
     micro-batch through screen→commit→maintain; `table` is the
@@ -849,15 +873,19 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     callers passing compact_every must do the same.
 
     ``commit_mode`` selects the corpus-table commit path:
-    ``"merge"`` (default) is the copy-on-write MERGE — O(touched
-    buckets) per batch, i.e. O(corpus) once batches hash across all
-    buckets; ``"append"`` commits via TxnTable.append_run — O(batch)
-    unconditionally, reads resolve latest-wins per key (a
-    re-ingested id's newer text shadows the old row, exactly MERGE's
-    outcome).  Append mode accretes one run per batch: fold them
-    with ``table.compact_runs()`` on a maintenance cadence
-    (docs/TXN_RUNS_DESIGN.md) — bucket-rewrite table ops refuse
-    typed until then."""
+    ``"append"`` (the default since r10) commits via
+    TxnTable.append_run — O(batch) unconditionally, reads resolve
+    latest-wins per key (a re-ingested id's newer text shadows the
+    old row, exactly MERGE's outcome); ``"merge"`` is the
+    copy-on-write MERGE — O(touched buckets) per batch, i.e.
+    O(corpus) once batches hash across all buckets, kept for
+    callers that want a windowless table without a compaction
+    cadence.  Append mode accretes one run per batch; when
+    ``compact_every`` is set, the sink folds them up the stepped
+    ladder (``table.compact_runs(level="auto")``) on the same
+    cadence as the posting store — bucket-rewrite table ops work
+    over live runs either way (run-aware reads since r10,
+    docs/TXN_RUNS_DESIGN.md)."""
     if commit_mode not in ("merge", "append"):
         raise ValueError(
             f"commit_mode must be merge|append, got {commit_mode!r}")
@@ -911,6 +939,19 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                     compact_store_in_place(spark, postings_dir,
                                            table, sizes_dir=sizes_dir,
                                            level="auto")
+                    if (commit_mode == "append"
+                            and table.run_generations() >= 3):
+                        # The corpus table's run ladder folds on the
+                        # same cadence (append mode accretes one run
+                        # per batch exactly as the posting store
+                        # accretes one increment); same stepped
+                        # bound, same lease-based exclusivity.  The
+                        # ≥3-generation gate keeps a two-run window
+                        # (already cheap to read) from paying a fold
+                        # every tick — the ladder's amortized bound
+                        # is unchanged, the fixed per-tick cost
+                        # drops.
+                        table.compact_runs(level="auto")
         finally:
             spark.conf.set(_AQE, prev_aqe)
 
@@ -1152,10 +1193,26 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
                            sizes_dir: str | None = None,
                            adaptive: bool = False,
                            compact_every: int | None = None,
-                           commit_mode: str = "merge"):
+                           commit_mode: str = "append",
+                           max_files_per_trigger: int = 64):
     """Drain jsonl document drops from watch_dir through the admission
     sink (availableNow; re-call to pick up new drops).  Returns the
     corpus TxnTable.
+
+    ``max_files_per_trigger`` sizes the micro-batches a backlog
+    drains in: each trigger coalesces up to that many queued drop
+    files into ONE screen+commit pass.  The admission pipeline's
+    per-batch cost is dominated by a FIXED floor (~20 scheduled
+    batch-sized jobs: screen stages, maintenance writes, the commit)
+    that is independent of batch size, so a consumer that has fallen
+    behind should batch its backlog — raising this is nearly free
+    latency-wise for a bounded drain and multiplies throughput.  The
+    verdict semantics stay correct under ANY batching (a dup pair
+    split across batches resolves by the corpus rule, within one
+    batch by the in-batch rule; exactly one of the pair is dropped
+    either way); per-row dedup verdicts for pairs near the batch
+    boundary can differ in WHICH rule labeled them, exactly as any
+    streaming consumer's batching does.
 
     Batch ids are scoped to the checkpoint's lifetime via a marker
     persisted inside the checkpoint dir: a FRESH checkpoint (ids
@@ -1199,7 +1256,7 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
             run_id=run_id, adaptive=adaptive,
             compact_every=compact_every, commit_mode=commit_mode)
         q = (spark.readStream.schema(DOCS_SCHEMA)
-             .option("maxFilesPerTrigger", 16)
+             .option("maxFilesPerTrigger", max_files_per_trigger)
              .json(watch_dir)
              .writeStream.foreachBatch(admit)
              .option("checkpointLocation", checkpoint)

@@ -28,6 +28,9 @@ checkpoint, as the streaming engine requires anyway.)
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +68,39 @@ def _read_sink_or_empty(spark: SparkSession, out_dir: str, schema: str,
             "partition layout — not an incremental-rollup sink")
     return _read_touched(spark, out_dir, schema, part_col,
                          part_vals).localCheckpoint()
+
+
+# Pre-epoch-suffix keyed-rollup partition dirs: exactly
+# 'bucket=yyyy-MM-dd-HH' (the new format appends '-<epoch seconds>').
+_LEGACY_BUCKET = re.compile(r"^bucket=\d{4}-\d{2}-\d{2}-\d{2}$")
+
+
+def _refuse_legacy_bucket_layout(out_dir: str) -> None:
+    """Refuse to operate on a keyed-rollup sink written before the
+    partition value gained its epoch-seconds suffix (the r9
+    DST-injectivity fix).  Resuming such a sink silently corrupts it
+    twice over: the pruned read filters on NEW-format strings, so
+    every old-format partition is invisible (current comes back
+    empty and the replay gate is bypassed), and the dynamic overwrite
+    then writes new-format partitions BESIDE the old dirs — after
+    which read_keyed_rollup double-counts every pre-upgrade hour.
+    One-time migration: read each legacy dir's rows and re-merge them
+    into a fresh sink via merge_keyed_batch (or rename each dir to
+    bucket=<prefix>-<epoch seconds of the bucket in the session tz>)."""
+    try:
+        entries = os.listdir(out_dir)
+    except (FileNotFoundError, NotADirectoryError):
+        return
+    legacy = sorted(e for e in entries if _LEGACY_BUCKET.match(e))
+    if legacy:
+        raise ValueError(
+            f"{out_dir}: legacy keyed-rollup partitions present "
+            f"(e.g. {legacy[0]!r}) — written before the "
+            f"epoch-suffixed bucket format.  Resuming would bypass "
+            f"the replay gate and double-count every pre-upgrade "
+            f"hour.  Migrate once: re-merge the legacy rows into a "
+            f"fresh sink (merge_keyed_batch), or rename each dir to "
+            f"bucket=<prefix>-<epoch seconds>.")
 
 
 def _hour_bucket_str(c):
@@ -199,6 +235,7 @@ def merge_keyed_batch(batch_df: DataFrame, batch_id: int,
     partitions (partition unit stays the time bucket: a key-partition
     unit would explode the partition count at |keys|×|buckets|,
     and a batch touches few buckets but possibly many keys)."""
+    _refuse_legacy_bucket_layout(out_dir)
     spark_b = batch_df.sparkSession
     inc = (batch_df.groupBy(
         "event_type",
@@ -269,6 +306,7 @@ def run_incremental_keyed_rollup(spark: SparkSession,
 
 
 def read_keyed_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    _refuse_legacy_bucket_layout(out_dir)
     return (spark.read.schema(_KEYED_SCHEMA + ", bucket string")
             .parquet(out_dir)
             .select("event_type", "bucket_ts", "n_events",

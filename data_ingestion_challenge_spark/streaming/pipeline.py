@@ -27,14 +27,16 @@ def build_source(spark: SparkSession, events_path: str) -> DataFrame:
     """File-based streaming source with the events schema (schema must
     be explicit for streams; inferred once from the parquet footer)."""
     import os
-    import tempfile
 
     from data_ingestion_challenge_spark.catalog import normalize_ts
+    from data_ingestion_challenge_spark.scratch import scratch_dir
     schema = spark.read.parquet(events_path).schema
     if os.path.isfile(events_path):
         # The file stream source only accepts directories — stage a dir
-        # of symlinks (zero-copy) when handed a bare file.
-        stage = tempfile.mkdtemp(prefix="stream_src_")
+        # of symlinks (zero-copy) when handed a bare file; lives under
+        # the session scratch root (removed at interpreter exit — the
+        # stream reads it lazily until the drain completes).
+        stage = scratch_dir("stream_src_")
         os.symlink(events_path, os.path.join(stage, os.path.basename(events_path)))
         events_path = stage
     return normalize_ts(

@@ -586,6 +586,39 @@ def test_fused_screen_equals_separate_pipelines(spark):
     assert (0, 0, 1.0) in got_corpus
 
 
+def test_ratify_broadcast_guard_falls_back_to_shuffle(spark,
+                                                      monkeypatch):
+    """The ratify join broadcasts the candidate-pair table only while
+    it is genuinely near-dup-sized: above the row threshold it must
+    fall back to a shuffle join (graceful degradation) and the pair
+    values must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_challenge_spark.operators.dedup import (
+        _postings,
+    )
+    from data_ingestion_challenge_spark.streaming import admission
+
+    batch = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f g"), (3, "x y z w v")],
+        "doc_id long, text string")
+    bp = _postings(batch, 3)
+    try:
+        bs = bp.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+        def _pairs():
+            return {(r.doc_id, r.corpus_doc_id, r.jaccard)
+                    for r in admission._screen_pairs(
+                        bp, bs, None, None, 0.5).collect()}
+
+        want = _pairs()
+        monkeypatch.setattr(admission,
+                            "_PAIR_BROADCAST_MAX_ROWS", 0)
+        assert _pairs() == want and want
+    finally:
+        bp.unpersist()
+
+
 def test_stale_empty_lease_ages_out(spark, dirs):
     """A lease left EMPTY by a holder that died between create and
     pid-write: treated as transient while fresh (another stream
@@ -1327,3 +1360,42 @@ def test_append_commit_mode_equals_merge_mode(spark, tmp_path):
     assert sorted(tuple(r) for r in ta.read().collect()) == rows_m
     plan = ta.read()._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_append_drain_folds_run_ladder_on_cadence(spark, tmp_path):
+    """A long batch train in append mode (the r10 default) keeps the
+    corpus table's run-generation count BOUNDED via the in-admit
+    compact_runs cadence: with compact_every=2 over 6 batches the
+    ladder must have folded (a fold-runs/merge maintenance commit in
+    the log) and the live generation count must stay below the batch
+    count; reads stay correct throughout."""
+    import json as _json
+
+    from data_ingestion_challenge_spark.streaming.admission import (
+        document_admission_sink,
+    )
+
+    d = {k: os.path.join(str(tmp_path), k)
+         for k in ("table", "postings", "log", "sizes")}
+    admit, table = document_admission_sink(
+        spark, d["table"], d["postings"], d["log"],
+        sizes_dir=d["sizes"], compact_every=2)
+    texts = []
+    for b in range(6):
+        text = f"{NOVEL} batch {b} marker words " + " ".join(
+            f"tok{b}_{i}" for i in range(12))
+        texts.append((100 + b, text))
+        admit(spark.createDataFrame(
+            [(100 + b, text, "en", "web")],
+            "doc_id long, text string, lang string, source string"),
+            b)
+    got = {r.doc_id: r.text for r in table.read().collect()}
+    assert got == dict(texts)
+    assert table.run_generations() < 6
+    ops = []
+    log_dir = os.path.join(d["table"], "_log")
+    for name in sorted(os.listdir(log_dir)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(log_dir, name)) as fh:
+                ops.append(_json.load(fh).get("op"))
+    assert "fold-runs" in ops or ops.count("merge") > 0

@@ -325,6 +325,35 @@ def test_keyed_rollup_replay_gate(spark, tmp_path):
     assert r["click"].n_events == 4 and r["buy"].n_events == 2
 
 
+def test_keyed_rollup_refuses_legacy_bucket_layout(spark, tmp_path):
+    """A sink written before the epoch-suffixed bucket format must be
+    refused (merge AND read): the pruned read would miss every
+    old-format partition (replay gate bypassed) and the dynamic
+    overwrite would land new-format dirs beside the old ones —
+    read_keyed_rollup would then double-count every pre-upgrade
+    hour.  New-format dirs pass untouched."""
+    import os
+    from datetime import datetime
+
+    import pytest
+
+    from data_ingestion_challenge_spark.streaming.incremental import (
+        merge_keyed_batch, read_keyed_rollup,
+    )
+    out = str(tmp_path / "sink")
+    os.makedirs(os.path.join(out, "bucket=2024-01-01-10"))
+    b = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 5), "click", 1.5)],
+        "ts timestamp, event_type string, value double")
+    with pytest.raises(ValueError, match="legacy keyed-rollup"):
+        merge_keyed_batch(b, 0, out)
+    with pytest.raises(ValueError, match="legacy keyed-rollup"):
+        read_keyed_rollup(spark, out)
+    os.rmdir(os.path.join(out, "bucket=2024-01-01-10"))
+    merge_keyed_batch(b, 0, out)  # clean sink: works
+    assert read_keyed_rollup(spark, out).count() == 1
+
+
 def test_keyed_rollup_batching_invariance(spark, tmp_path):
     """Integral-micro sums make the maintained state independent of
     HOW the stream was batched: any random split of the events into
