@@ -82,6 +82,7 @@ NON_EQUI_OK = {
     "token_pmi_bigrams",       # 1-row (b_total, u_total) scalar
     "source_token_kl",         # 1-row corpus-total scalar
     "weekly_churn",            # 1-row max-week scalar (range compare)
+    "pq_subspace_variance",    # 1-row embedding-dim scalar
 }
 
 STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",
