@@ -42,6 +42,17 @@ Round-9 additions:
 - "ivf_probe_crossover" gains "@10x" keys: nlist {2048, 8192} on an
   in-memory 10× embeddings staging, where the two-level probe's
   asymptotics actually bite.
+Round-10 additions:
+- the multi-drop HEADLINE ("admission_multi_drop_docs_per_sec") now
+  measures the sink's new DEFAULT, append-run commits (it is the
+  like-for-like successor of r9's
+  "admission_multi_drop_append_docs_per_sec"); the legacy merge
+  commit is priced as "admission_multi_drop_merge_docs_per_sec"
+  (successor of the r8/r9 headline).
+- output is truncation-proof: the LAST line is a compact summary
+  (suite total, per-query seconds, throughput rates) that survives
+  the driver's tail-only capture; the full line with the scaling
+  block precedes it.
 Round-6 additions:
 - the "scaling" block gains a THIRD point one decade UP: a synthetic
   structure-preserving 10× staging of EVERY table (replica-salted
@@ -471,18 +482,21 @@ def _admission_ingest(spark, sf_dir: str):
 
 
 def _admission_multi_drop(spark, sf_dir: str, n_drops: int = 6,
-                          commit_mode: str = "merge"):
-    """Multi-batch STEADY-STATE admission rate: all ``n_drops`` jsonl
-    drops are staged before ONE availableNow drain (each drop written
-    as 16 files, so the sink's maxFilesPerTrigger=16 makes each drop
-    one micro-batch), with the stepped-merge cadence ON
-    (compact_every=2).  This is the long-lived production shape —
-    per-drain fixed cost (stream start/stop, checkpoint setup)
-    amortizes across the whole batch train and the in-place
-    maintenance folds land INSIDE the measured loop, unlike
-    admission_docs_per_sec, where two drains each pay the fixed cost
-    and the fold is priced separately.  Returns docs/s over the
-    drain."""
+                          commit_mode: str = "append"):
+    """Multi-batch BACKLOG-DRAIN admission rate: all ``n_drops`` jsonl
+    drops (16 files each) are staged before ONE availableNow drain,
+    with the stepped-merge cadence ON (compact_every=2).  This is the
+    long-lived production shape — per-drain fixed cost (stream
+    start/stop, checkpoint setup) amortizes across the batch train
+    and the in-place maintenance folds land INSIDE the measured loop,
+    unlike admission_docs_per_sec, where two drains each pay the
+    fixed cost and the fold is priced separately.  Since r10 the sink
+    default coalesces queued drops into up-to-64-file triggers (the
+    r8/r9 runs pinned one 16-file drop per micro-batch): a consumer
+    with a backlog batches it, because the pipeline's per-batch cost
+    floor (~20 scheduled jobs) is independent of batch size — so the
+    96 staged files drain in 2 micro-batches, not 6.  Returns docs/s
+    over the drain."""
     import shutil
     import tempfile
 
@@ -639,20 +653,23 @@ def main() -> None:
     except Exception:
         admission_dps = admission_kept = admission_compact_s = None
 
+    # Since r10 the sink DEFAULT is append-run commits
+    # (docs/TXN_RUNS_DESIGN.md): the headline multi-drop number now
+    # measures that path (r9's admission_multi_drop_append_docs_per_sec
+    # is its like-for-like ancestor; r8/r9's headline measured merge).
     try:
         admission_multi_dps = _admission_multi_drop(spark, sf_dir)
     except Exception:
         admission_multi_dps = None
 
-    # The r9 append-run commit path, priced beside the merge default
-    # (docs/TXN_RUNS_DESIGN.md): same drops, same screen, the corpus
-    # commit via TxnTable.append_run — O(batch) vs merge's O(touched
-    # buckets).  Compare each mode only to itself across rounds.
+    # The legacy copy-on-write MERGE commit, priced beside the new
+    # default — O(touched buckets) per batch vs append's O(batch).
+    # Compare each mode only to itself across rounds.
     try:
-        admission_multi_append_dps = _admission_multi_drop(
-            spark, sf_dir, commit_mode="append")
+        admission_multi_merge_dps = _admission_multi_drop(
+            spark, sf_dir, commit_mode="merge")
     except Exception:
-        admission_multi_append_dps = None
+        admission_multi_merge_dps = None
 
     try:
         probe_xover = _ivf_probe_crossover(spark, sf_dir)
@@ -663,13 +680,7 @@ def main() -> None:
         _point_lookup_latency(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "headline_suite_runtime",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "queries_spread": spreads,
-        "scaling": scaling,
+    rates = {
         "streaming_ingest_rows_per_sec": ingest_rps,
         "streaming_ingest_batch_p50_ms": ingest_p50_ms,
         "streaming_ingest_n_batches": n_batches,
@@ -677,13 +688,37 @@ def main() -> None:
         "admission_kept_fraction": admission_kept,
         "admission_compact_s": admission_compact_s,
         "admission_multi_drop_docs_per_sec": admission_multi_dps,
-        "admission_multi_drop_append_docs_per_sec":
-            admission_multi_append_dps,
-        "ivf_probe_crossover": probe_xover,
+        "admission_multi_drop_merge_docs_per_sec":
+            admission_multi_merge_dps,
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,
         "point_lookup_sql_p50_ms": sql_p50_ms,
         "point_lookup_sql_p99_ms": sql_p99_ms,
+    }
+    print(json.dumps({
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_spread": spreads,
+        "scaling": scaling,
+        **rates,
+        "ivf_probe_crossover": probe_xover,
+        "sf": sf,
+    }))
+    # The driver's artifact keeps only the TAIL of bench output: the
+    # full line above is long (the scaling block dominates) and its
+    # HEAD — metric/value/queries — was truncated away in BENCH_r09.
+    # Emit a compact, self-contained summary as the LAST line so the
+    # tail always carries the headline suite + per-query seconds +
+    # throughput rates, whatever the capture window.
+    print(json.dumps({
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        **rates,
+        "ivf_probe_crossover": probe_xover,
         "sf": sf,
     }))
     spark.stop()
