@@ -892,3 +892,107 @@ def shingle_df_oracle_sql(sh_cte: str) -> str:
            CAST(sum(df) AS BIGINT) AS total_postings
     FROM df GROUP BY 1
     """
+
+
+_PAIR_ORACLE_CTE = """
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+    inter AS (SELECT doc_a, doc_b, count(*) AS ic
+              FROM cand
+              JOIN sh a ON a.doc_id = doc_a
+              JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+              GROUP BY doc_a, doc_b),
+    pairs AS (SELECT doc_a, doc_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE ic / (sa.n + sb.n - ic) >= {tau})
+"""
+
+
+def near_dup_source_crosstab(documents: DataFrame, n: int = 3,
+                             tau: float = 0.8,
+                             posting: DataFrame | None = None,
+                             pairs: DataFrame | None = None
+                             ) -> DataFrame:
+    """Near-dup pair counts per UNORDERED source pair — which sources
+    mirror / scrape / syndicate each other (the curation question
+    behind source_minhash_overlap, answered with EXACT verified pairs
+    instead of a sketch): (source_a ≤ source_b, n_pairs).  Rides the
+    verified jaccard pair table; the source normalization
+    (least/greatest) makes (a,b) and (b,a) one cell.
+
+    Scale shape: the pair table is near-dup-sized; two equi-joins to
+    the doc→source map (corpus-sized but key-unique) and a
+    |sources|²-bounded groupBy — nothing quadratic anywhere."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents, n=n, tau=tau,
+                                    posting=posting)
+    src = documents.select("doc_id", "source")
+    j = (pairs
+         .join(src.select(col("doc_id").alias("doc_a"),
+                          col("source").alias("_sa")), "doc_a")
+         .join(src.select(col("doc_id").alias("doc_b"),
+                          col("source").alias("_sb")), "doc_b"))
+    return (j.groupBy(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"))
+        .agg(F.count("*").alias("n_pairs")))
+
+
+def near_dup_crosstab_oracle_sql(sh_cte: str, tau: float = 0.8) -> str:
+    """DuckDB twin of near_dup_source_crosstab over the shared
+    shingle CTE: same verified pair set, same least/greatest source
+    normalization."""
+    return f"""
+    WITH {sh_cte},
+    {_PAIR_ORACLE_CTE.format(tau=tau)}
+    SELECT least(x.source, y.source) AS source_a,
+           greatest(x.source, y.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents x ON x.doc_id = doc_a
+    JOIN documents y ON y.doc_id = doc_b
+    GROUP BY 1, 2
+    """
+
+
+def dup_degree_distribution(documents: DataFrame, n: int = 3,
+                            tau: float = 0.8,
+                            posting: DataFrame | None = None,
+                            pairs: DataFrame | None = None
+                            ) -> DataFrame:
+    """Degree histogram of the near-dup pair graph: (degree, n_docs)
+    where degree = number of verified pairs a doc participates in —
+    the graph-shape audit read BEFORE running connected components
+    (a heavy head means giant clusters: keep-best collapses whole
+    families; a degree-1 world means simple pair drops suffice) and
+    the capacity plan for the components' label-propagation rounds.
+
+    Exact integers end to end.  Scale shape: union of the two pair
+    endpoints (near-dup-sized), one groupBy(doc) then one tiny
+    groupBy(degree)."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents, n=n, tau=tau,
+                                    posting=posting)
+    deg = (pairs.select(col("doc_a").alias("doc_id"))
+           .unionAll(pairs.select(col("doc_b").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count("*").alias("degree")))
+    return (deg.groupBy("degree")
+            .agg(F.count("*").alias("n_docs")))
+
+
+def dup_degree_oracle_sql(sh_cte: str, tau: float = 0.8) -> str:
+    """DuckDB twin of dup_degree_distribution over the shared shingle
+    CTE: same verified pairs, both endpoints unioned, same exact
+    histogram."""
+    return f"""
+    WITH {sh_cte},
+    {_PAIR_ORACLE_CTE.format(tau=tau)},
+    deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT doc_a AS doc_id FROM pairs
+                  UNION ALL SELECT doc_b FROM pairs)
+            GROUP BY doc_id)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """

@@ -567,3 +567,89 @@ HOURLY_SEASONAL_BASELINE_ORACLE = """
       ON b.event_type = k.event_type AND b.how = k.how
     GROUP BY k.event_type
 """
+
+
+def ship_lag_by_priority(orders: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """Per-priority fulfillment-lag profile: (o_orderpriority,
+    n_lines, avg_lag_days, max_lag_days) where lag = days from order
+    date to line ship date — the SLA table behind TPC-H Q4's
+    late-line flavor, rolled up per priority class.
+
+    Parity discipline: lags are exact integer day diffs (both
+    engines datediff on DATE casts); the average is ONE double
+    divide of an exact BIGINT sum, rounded 6dp.
+
+    Scale shape: fact⋈fact equi-join on the order key (both sides
+    shuffle on it — at 100 TB this is the bucketed-layout join the
+    sources/files writers co-locate), then one map-side-combined
+    groupBy to 5 rows."""
+    j = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderpriority",
+                      "o_orderdate"),
+        col("l_orderkey") == col("o_orderkey"))
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.sum(lag).cast("double") / F.count("*"), 6)
+                 .alias("avg_lag_days"),
+                 F.max(lag).cast("int").alias("max_lag_days")))
+
+
+SHIP_LAG_BY_PRIORITY_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE)))
+                      AS DOUBLE) / count(*), 6) AS avg_lag_days,
+           CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))) AS INT)
+               AS max_lag_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+def returning_user_ratio_daily(events: DataFrame) -> DataFrame:
+    """Growth accounting per day: (day, n_active, n_returning,
+    returning_ratio) — each day's active users split into NEW (first
+    ever seen that day) vs RETURNING (first seen earlier).  The
+    companion of signup_cohort_retention read the other way round:
+    retention slices a cohort forward, this slices each day
+    backward.
+
+    Exact integers; the ratio is one double divide rounded 6dp
+    (n_active ≥ 1 by construction, never NULL).
+
+    Scale shape: one groupBy(user) for first-seen days (user-sized,
+    map-side combined), one distinct (day, user) projection, an
+    equi-join on user_id, and a groupBy(day) to |days| rows —
+    linear, no windows over unbounded rows."""
+    fd = (events.groupBy("user_id")
+          .agg(F.min(F.to_date("ts")).alias("_first_day")))
+    act = (events.select(F.to_date("ts").alias("day"), "user_id")
+           .distinct())
+    return (act.join(fd, "user_id")
+            .groupBy("day")
+            .agg(F.count("*").alias("n_active"),
+                 F.sum((col("_first_day") < col("day")).cast("long"))
+                 .alias("n_returning"))
+            .withColumn("returning_ratio",
+                        F.round(col("n_returning")
+                                / col("n_active"), 6)))
+
+
+RETURNING_USER_RATIO_ORACLE = """
+    WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events)
+    SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN fd.first_day < act.day
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+           round(sum(CASE WHEN fd.first_day < act.day
+                          THEN 1 ELSE 0 END) / count(*), 6)
+               AS returning_ratio
+    FROM act JOIN fd USING (user_id)
+    GROUP BY day
+"""

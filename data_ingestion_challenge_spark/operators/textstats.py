@@ -567,3 +567,35 @@ def vocab_coverage_oracle_sql(ks: tuple = (100, 1000, 10000)) -> str:
     FROM ks CROSS JOIN tot
     JOIN r ON r.rnk = least(ks.k, tot.vocab)
     """
+
+
+def token_length_histogram(documents: DataFrame) -> DataFrame:
+    """Corpus token-length profile: (tok_len, n_tokens, n_distinct) —
+    the tokenizer/vocab design table (BPE vocab sizing starts here):
+    a heavy long-length tail flags unsegmented scripts / URLs /
+    base64 blobs that blow up fertility, and a wide
+    occurrences-vs-distinct gap at a length flags templated spam.
+
+    Exact integers end to end (count + count distinct per length).
+    Scale shape: tokenize-explode (linear) → ONE groupBy(length)
+    with a distinct-count expand — ≤ ~100 output rows; the distinct
+    aggregation shuffles (length, token), bounded by the corpus
+    VOCAB size, not its token count."""
+    from data_ingestion_challenge_spark.functions import text as T
+
+    tok = (documents
+           .select(F.explode(T.words(col("text"))).alias("w"))
+           .where(col("w") != ""))
+    return (tok.groupBy(F.length("w").alias("tok_len"))
+            .agg(F.count("*").alias("n_tokens"),
+                 F.countDistinct("w").alias("n_distinct")))
+
+
+TOKEN_LENGTH_HISTOGRAM_ORACLE = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+    SELECT CAST(length(w) AS INT) AS tok_len,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+    FROM tok WHERE w <> '' GROUP BY 1
+"""
