@@ -272,6 +272,37 @@ def test_compact_runs_restores_merge_mode(spark, tmp_path):
     assert tv[2] == "s2" and tv[9] == "r9"
 
 
+def test_merge_detects_interleaved_append_run(spark, tmp_path):
+    """The exact r9-ADVICE interleave: an append-run commits BETWEEN
+    a merge's snapshot read and its claim.  The merge must lose the
+    claim, classify the run's buckets as a conflict, and rebuild
+    against the run-aware snapshot — the final state carries BOTH
+    the run's shadowing row and the merge row, and the shadowed base
+    row never resurrects (the pre-r10 plain-union rebuild would have
+    committed it back)."""
+    df = spark.createDataFrame([(i, f"base{i}") for i in range(6)],
+                               "k long, val string")
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key="k",
+                        n_buckets=1)
+    other = TxnTable(spark, t.path, key="k", n_buckets=1)
+    fired = []
+
+    def interleave():
+        if not fired:
+            fired.append(1)
+            other.append_run(spark.createDataFrame(
+                [(5, "run5"), (11, "run11")], "k long, val string"))
+
+    t.merge_into(spark.createDataFrame([(3, "m3")],
+                                       "k long, val string"),
+                 _pre_claim=interleave)
+    want = {i: f"base{i}" for i in range(6)}
+    want.update({5: "run5", 11: "run11", 3: "m3"})
+    assert _state(t) == want
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # run folded into the rewritten bucket
+
+
 def test_point_read_stays_bucket_pruned_over_runs(spark, tmp_path):
     """A keyed point read over a 3-run table reads ONLY the key's
     bucket files (inputFiles audit — a strict subset tagged with the
