@@ -716,6 +716,64 @@ class TxnTable:
         raise CommitConflictError(
             f"compact_runs lost {max_retries} claims on {self.path}")
 
+    def history(self) -> list[dict]:
+        """Commit history, newest first — the DESCRIBE HISTORY
+        analog: one dict per surviving commit record with
+        ``version``, ``op`` (create / merge / append-run /
+        fold-runs), ``n_add`` / ``n_remove`` file counts, the
+        streaming ``txn`` tag if any, and ``asof`` for stepped
+        folds.  Records expired by expire_log() are summarized by
+        one ``checkpoint`` entry at the newest checkpoint's version
+        (time travel below it is gone — the Delta log-retention
+        trade, surfaced rather than hidden)."""
+        head = self.version()
+        out: list[dict] = []
+        oldest = 1
+        ckpt = self._latest_checkpoint(head)
+        for v in range(head, 0, -1):
+            try:
+                rec = self._commit_record(v)
+            except KeyError:
+                oldest = v + 1
+                break
+            entry = {"version": v, "op": rec.get("op", "merge"),
+                     "n_add": len(rec.get("add", {})),
+                     "n_remove": len(rec.get("remove", []))}
+            if rec.get("txn"):
+                entry["txn"] = rec["txn"]
+            if "asof" in rec:
+                entry["asof"] = int(rec["asof"])
+            out.append(entry)
+        if oldest > 1 and ckpt is not None:
+            out.append({"version": ckpt[0], "op": "checkpoint",
+                        "n_add": len(ckpt[1]), "n_remove": 0})
+        return out
+
+    def table_stats(self) -> dict:
+        """Ops audit of the table's physical state (footer reads
+        only, no Spark job): current version, live file count, base
+        vs run row counts, and the run GENERATION ladder (one entry
+        per latest-wins ranking version with its file and row
+        counts) — what a maintenance cadence inspects to decide
+        whether compact_runs is due, and the corpus-table mirror of
+        Engine.posting_store_stats' run report."""
+        head, active, added_at, runs = self._snapshot_runs()
+        base_files = [f for f in active if f not in runs]
+        gens: dict[int, list[str]] = {}
+        for f in runs:
+            gens.setdefault(added_at[f], []).append(f)
+        return {
+            "version": head,
+            "n_files": len(active),
+            "base_files": len(base_files),
+            "base_rows": self._files_rows(base_files),
+            "run_rows": self._files_rows(runs),
+            "generations": [
+                {"asof": v, "files": len(fs),
+                 "rows": self._files_rows(fs)}
+                for v, fs in sorted(gens.items())],
+        }
+
     def run_generations(self) -> int:
         """Number of live run GENERATIONS (distinct latest-wins
         ranking versions among append-run files) — the read window's

@@ -272,6 +272,37 @@ def test_compact_runs_restores_merge_mode(spark, tmp_path):
     assert tv[2] == "s2" and tv[9] == "r9"
 
 
+def test_history_and_table_stats(spark, tmp_path):
+    """history() reports every surviving commit newest-first with op
+    kinds / file counts / txn tags / fold asof; table_stats() reports
+    the base-vs-run split and the generation ladder; expiry collapses
+    the expired range into one checkpoint entry."""
+    t = _mk(spark, tmp_path, [(i, f"b{i}") for i in range(40)])
+    t.append_run(spark.createDataFrame([(100, "r0"), (5, "s0")],
+                                       "k long, val string"),
+                 _txn={"app": "s", "batch_id": 0})
+    t.append_run(spark.createDataFrame([(101, "r1"), (6, "s1")],
+                                       "k long, val string"))
+    t.compact_runs(level="auto")
+    h = t.history()
+    assert [e["version"] for e in h] == [4, 3, 2, 1]
+    assert [e["op"] for e in h] == ["fold-runs", "append-run",
+                                    "append-run", "create"]
+    assert h[0]["asof"] == 3 and h[0]["n_remove"] > 0
+    assert h[2]["txn"] == {"app": "s", "batch_id": 0}
+    st = t.table_stats()
+    assert st["version"] == 4
+    assert st["base_rows"] == 40 and st["run_rows"] == 4
+    assert [g["asof"] for g in st["generations"]] == [3]
+    assert st["generations"][0]["rows"] == 4
+    # expiry: history below the checkpoint collapses into one entry
+    t.checkpoint()
+    t.expire_log()
+    h2 = t.history()
+    assert h2 == [{"version": 4, "op": "checkpoint",
+                   "n_add": st["n_files"], "n_remove": 0}]
+
+
 def test_merge_detects_interleaved_append_run(spark, tmp_path):
     """The exact r9-ADVICE interleave: an append-run commits BETWEEN
     a merge's snapshot read and its claim.  The merge must lose the
