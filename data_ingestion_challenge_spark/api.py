@@ -97,7 +97,9 @@ class Engine:
                          compact_every: int | None = None,
                          vectors_path: str | None = None,
                          ivf_table: str | None = None,
-                         ivf_path: str | None = None):
+                         ivf_path: str | None = None,
+                         commit_mode: str = "append",
+                         max_files_per_trigger: int = 64):
         """Dedup-screened document ingestion: drain jsonl doc drops
         through the streaming admission pipeline (intra-batch +
         vs-corpus dedup, exactly-once commit into a transactional
@@ -105,7 +107,12 @@ class Engine:
         admission log) — streaming/admission.py.  Returns the corpus
         TxnTable; re-call to pick up new drops.  ``compact_every``
         auto-folds the posting/sizes increments into their base
-        partition in place whenever that many have accumulated.
+        partition in place whenever that many have accumulated (and,
+        in append mode, the corpus table's run ladder on the same
+        cadence).  ``commit_mode`` / ``max_files_per_trigger`` pass
+        through to the sink: append-run commits (O(batch)) and
+        backlog-coalescing triggers are the defaults —
+        streaming/admission.py documents both.
 
         Pass ``vectors_path`` (a parquet of (vec_id, embedding) with
         vec_id == doc_id, e.g. the embedding service's output for the
@@ -126,7 +133,8 @@ class Engine:
         table = run_document_admission(
             self.spark, watch_dir, table_path, postings_dir, log_dir,
             checkpoint, tau=tau, sizes_dir=sizes_dir,
-            compact_every=compact_every)
+            compact_every=compact_every, commit_mode=commit_mode,
+            max_files_per_trigger=max_files_per_trigger)
         if vectors_path is not None:
             if not (ivf_table and ivf_path):
                 raise ValueError(
@@ -308,6 +316,21 @@ class Engine:
              .parquet(os.path.join(sizes_out, "ingest_batch=-1")))
 
     # --------------------------------------------------- dedup infra
+    def corpus_table_stats(self, table_path: str,
+                           key: str = "doc_id") -> dict:
+        """Operational audit of a transactional corpus table — the
+        txn-side twin of posting_store_stats: TxnTable.table_stats()
+        (base-vs-run row split + the run-generation ladder, footer
+        reads only) plus the commit ``history`` — what an operator
+        reads before tuning the append-mode compaction cadence."""
+        from data_ingestion_challenge_spark.txn import TxnTable
+
+        t = TxnTable(self.spark, table_path, key=key)
+        if t.version() == 0:
+            raise ValueError(
+                f"corpus_table_stats: no commit log at {table_path!r}")
+        return {**t.table_stats(), "history": t.history()}
+
     def posting_store_stats(self, postings_dir: str,
                             table_path: str | None = None,
                             sizes_dir: str | None = None) -> dict:
