@@ -272,6 +272,62 @@ def test_compact_runs_restores_merge_mode(spark, tmp_path):
     assert tv[2] == "s2" and tv[9] == "r9"
 
 
+def test_threaded_accumulate_and_appends_conserve(spark, tmp_path):
+    """REAL concurrency over a RUN-CARRYING table: one thread streams
+    append-run batches (new keys) while two accumulate-threads sum
+    into overlapping existing keys.  Conservation must hold: every
+    append's keys present with their values, every accumulated key at
+    base + all its increments — any plain-union rebuild, lost update,
+    or run-resurrection breaks it."""
+    import threading
+
+    t = TxnTable.create(
+        spark, str(tmp_path / "rc"),
+        spark.createDataFrame([(k, 0) for k in range(4)],
+                              "k long, n long"),
+        key="k", n_buckets=2)
+    # a pre-existing run generation so every accumulate starts over
+    # a live-run snapshot
+    t.append_run(spark.createDataFrame([(100, 7)], "k long, n long"))
+
+    errors = []
+
+    def appender():
+        try:
+            for j in range(3):
+                t.append_run(spark.createDataFrame(
+                    [(200 + j, 11)], "k long, n long"),
+                    max_retries=120)
+        except Exception as exc:  # pragma: no cover
+            errors.append(("appender", exc))
+
+    def accumulator(app, rows):
+        try:
+            for bid in range(3):
+                t.accumulate_batch(
+                    spark.createDataFrame(rows, "k long, n long"),
+                    bid, ["n"], app=app, max_retries=60)
+        except Exception as exc:  # pragma: no cover
+            errors.append((app, exc))
+
+    threads = [
+        threading.Thread(target=appender),
+        threading.Thread(target=accumulator,
+                         args=("a", [(0, 1), (1, 2)])),
+        threading.Thread(target=accumulator,
+                         args=("b", [(1, 10), (2, 20)])),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    got = {r.k: r.n for r in t.read().collect()}
+    want = {0: 3, 1: 36, 2: 60, 3: 0, 100: 7,
+            200: 11, 201: 11, 202: 11}
+    assert got == want
+
+
 def test_history_and_table_stats(spark, tmp_path):
     """history() reports every surviving commit newest-first with op
     kinds / file counts / txn tags / fold asof; table_stats() reports
