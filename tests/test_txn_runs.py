@@ -421,6 +421,34 @@ def test_point_read_stays_bucket_pruned_over_runs(spark, tmp_path):
         t.point_read("5")
 
 
+def test_vacuum_and_expiry_over_fold_history(spark, tmp_path):
+    """Full maintenance lifecycle over a stepped-fold history: after
+    an auto fold, vacuum(retain 0) deletes exactly the folded-away
+    run files (live generations and base survive), and a
+    checkpoint+expire_log still replays the fold's asof ranking —
+    reads stay value-identical through every step."""
+    t = _mk(spark, tmp_path, [(i, f"b{i}") for i in range(40)])
+    for j in range(3):
+        t.append_run(spark.createDataFrame(
+            [(100 + j, f"r{j}"), (5, f"s{j}")],
+            "k long, val string"))
+    before = _state(t)
+    data = os.path.join(t.path, "data")
+    assert t.compact_runs(level="auto") is not None
+    n_mid = len(os.listdir(data))  # fold staged new files
+    n_removed = t.vacuum(retain_orphans_s=0)
+    assert n_removed > 0
+    assert len(os.listdir(data)) == n_mid - n_removed
+    assert _state(t) == before
+    t.checkpoint()
+    assert t.expire_log() > 0
+    assert _state(t) == before
+    # post-expiry appends still shadow correctly
+    t.append_run(spark.createDataFrame([(5, "post")],
+                                       "k long, val string"))
+    assert _state(t)[5] == "post"
+
+
 def test_append_run_pre_claim_barrier(spark, tmp_path):
     """_pre_claim runs between staging and the claim; a raising
     barrier discards the staged files and no commit lands — and it
