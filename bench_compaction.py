@@ -15,9 +15,15 @@ verifies empirically:
 - per-fold wall time does not grow linearly with the corpus (most
   folds touch only small runs; occasional larger merges amortize).
 
+Since r10 the CORPUS TABLE is append-run committed by default, so the
+same two claims apply to its run ladder (TxnTable.compact_runs
+level=auto): the script times that fold in the same isolation and
+records the table's live generation count per batch.
+
 Usage:  python bench_compaction.py [n_batches]   (default 12)
 Prints one JSON line: {"runs_per_batch": [...], "fold_s": [...],
-"store_kb": [...], "max_runs": M}.
+"store_kb": [...], "max_runs": M, "table_gens_per_batch": [...],
+"table_fold_s": [...], "max_table_gens": G}.
 """
 
 from __future__ import annotations
@@ -49,6 +55,7 @@ def main() -> None:
             spark, d["table"], d["postings"], d["log"],
             sizes_dir=d["sizes"])
         runs_per_batch, fold_s, store_kb = [], [], []
+        table_gens, table_fold_s = [], []
         for b in range(n_batches):
             # Distinct text per batch: every doc admits, the store
             # grows monotonically (the worst case for maintenance).
@@ -67,6 +74,12 @@ def main() -> None:
             tags = _batch_tags(d["postings"])
             assert all(_is_base(t) for t in tags), tags
             runs_per_batch.append(len(tags))
+            # The corpus table's run ladder, timed in the same
+            # isolation (append mode: one run per batch).
+            t1 = time.perf_counter()
+            table.compact_runs(level="auto")
+            table_fold_s.append(round(time.perf_counter() - t1, 3))
+            table_gens.append(table.run_generations())
             total = 0
             for r, _dirs, files in os.walk(d["postings"]):
                 total += sum(os.path.getsize(os.path.join(r, f))
@@ -77,6 +90,9 @@ def main() -> None:
             "fold_s": fold_s,
             "store_kb": store_kb,
             "max_runs": max(runs_per_batch),
+            "table_gens_per_batch": table_gens,
+            "table_fold_s": table_fold_s,
+            "max_table_gens": max(table_gens),
             "n_batches": n_batches,
         }))
     finally:
