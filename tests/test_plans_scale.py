@@ -110,6 +110,16 @@ def test_hourly_rollup_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bpe_merge_candidates_is_vocab_sized_topk(spark):
+    """The pair explode must hang off the VOCAB aggregate (two
+    map-side-combined HashAggregate pairs: word-freq, then
+    pair-count) and the top-k must be TakeOrderedAndProject — a
+    global sort or a corpus-sized explode would not survive 100 TB."""
+    plan = _plan(spark, "bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
 def test_top_users_uses_take_ordered(spark):
     plan = _plan(spark, "top_users")
     assert "TakeOrderedAndProject" in plan, \
