@@ -392,7 +392,11 @@ def streaming_txn_upsert(cat: Catalog) -> DataFrame:
     streaming engine drains the events source; each micro-batch
     commits atomically to the commit-log table (exactly-once via the
     txn tag); the final snapshot is read back against the batch
-    oracle.  streaming_keyed_upsert gates the plain-layout twin."""
+    oracle.  Since r10 the loop commits APPEND-DELTA runs (O(batch)
+    write I/O; reads sum-fold per key — value-identical because the
+    integral-micro sums commute under any batching), so this gate
+    drives the aggregate-merge LSM path end to end.
+    streaming_keyed_upsert gates the plain-layout twin."""
     from data_ingestion_challenge_spark.scratch import scratch_dir
 
     from data_ingestion_challenge_spark import txn

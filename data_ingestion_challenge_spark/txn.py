@@ -62,6 +62,17 @@ class CommitConflictError(RuntimeError):
     version claim to competing writers."""
 
 
+class _RunSet(set):
+    """The live run-file set, carrying which files are DELTA runs
+    (commutative per-key SUM semantics — append_delta) in ``delta``;
+    the rest are latest-wins runs.  A plain set to every existing
+    caller (the _base hook contract is unchanged)."""
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.delta: set[str] = set()
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
 
@@ -162,6 +173,8 @@ class TxnTable:
             # histories the same way (expiry must not lose it).
             json.dump({"version": head, "active": active,
                        "added_at": added_at, "runs": sorted(runs),
+                       "delta_runs": sorted(
+                           getattr(runs, "delta", set())),
                        "txns": self._txn_marks(head),
                        "schema": self._table_schema(head)}, fh)
         os.replace(tmp, path)
@@ -219,6 +232,7 @@ class TxnTable:
         irrelevant — those files default to the checkpoint version."""
         head = self.version() if version is None else version
         ckpt = self._latest_checkpoint_raw(head)
+        run_files = _RunSet()
         if ckpt:
             start = ckpt["version"] + 1
             active = dict(ckpt["active"])
@@ -226,31 +240,41 @@ class TxnTable:
                         ckpt.get("added_at", {}).items()}
             for f in active:
                 added_at.setdefault(f, ckpt["version"])
-            run_files = {f for f in ckpt.get("runs", [])
-                         if f in active}
+            run_files.update(f for f in ckpt.get("runs", [])
+                             if f in active)
+            run_files.delta = {f for f in ckpt.get("delta_runs", [])
+                               if f in active}
         else:
-            start, active, added_at, run_files = 1, {}, {}, set()
+            start, active, added_at = 1, {}, {}
         for v in range(start, head + 1):
             rec = self._commit_record(v)
             for f in rec["remove"]:
                 active.pop(f, None)
                 added_at.pop(f, None)
                 run_files.discard(f)
+                run_files.delta.discard(f)
+            op = rec.get("op")
             for f, b in rec["add"].items():
                 active[f] = b
-                if rec.get("op") == "fold-runs":
+                if op == "fold-runs":
                     # A stepped fold of adjacent run generations: the
                     # folded files RANK at the newest folded version
                     # (record["asof"]), not at the fold's own commit
                     # version — ranking at v would hoist pre-merge
                     # rows above an interleaved merge commit and
-                    # resurrect shadowed keys.
+                    # resurrect shadowed keys.  (For delta folds the
+                    # rank is moot — sums commute — but the record
+                    # keeps the same shape.)
                     added_at[f] = int(rec["asof"])
                     run_files.add(f)
+                    if rec.get("delta"):
+                        run_files.delta.add(f)
                 else:
                     added_at[f] = v
-                    if rec.get("op") == "append-run":
+                    if op in ("append-run", "append-delta"):
                         run_files.add(f)
+                        if op == "append-delta":
+                            run_files.delta.add(f)
         return head, active, added_at, run_files
 
     def _latest_checkpoint_raw(self, upto: int) -> dict | None:
@@ -300,6 +324,8 @@ class TxnTable:
             # Empty bucket: an empty frame with the table schema.
             return self.read().where(pred).limit(0)
         if run_files & sel.keys():
+            if getattr(run_files, "delta", None):
+                return self._sum_read(sel, pre_filter=pred)
             return self._latest_wins_read(sel, pre_filter=pred)
         return (self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in sel])
@@ -347,14 +373,33 @@ class TxnTable:
         return (df.withColumn("_rn", F.row_number().over(w))
                 .where(col("_rn") == 1).drop("_rn", "_v", "_f"))
 
+    def _sum_read(self, files, pre_filter=None) -> DataFrame:
+        """Commutative SUM merge over delta-run histories: one plain
+        union of the files (no version tags, no window — addition is
+        order-free), grouped per key with every non-key column
+        summed back to its ORIGINAL dtype (F.sum widens int→bigint;
+        the cast keeps the table schema stable across folds)."""
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files])
+        if pre_filter is not None:
+            df = df.where(pre_filter)
+        return df.groupBy(self.key).agg(
+            *[F.sum(c).cast(df.schema[c].dataType).alias(c)
+              for c in df.columns if c != self.key])
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read; pass version for time travel.  Over a
         history containing append-run commits the read applies
         LATEST-WINS per key (newest commit's row for a key shadows
-        older ones — the LSM read merge); a merge-only history reads
-        the active files verbatim exactly as before."""
+        older ones — the LSM read merge); over append-DELTA commits
+        it applies the per-key SUM merge (_sum_read); a merge-only
+        history reads the active files verbatim exactly as before."""
         _, active, added_at, run_files = self._snapshot_runs(version)
         if run_files:
+            if getattr(run_files, "delta", None):
+                # append_run/append_delta refuse to mix at write
+                # time, so a run set here is all-delta.
+                return self._sum_read(active)
             return self._latest_wins_read(
                 {f: added_at[f] for f in active})
         if not active:
@@ -400,6 +445,8 @@ class TxnTable:
         if not sel:
             return None
         if run_files and added_at and (run_files & sel.keys()):
+            if getattr(run_files, "delta", None):
+                return self._sum_read(sel)
             return self._latest_wins_read(
                 {f: added_at[f] for f in sel})
         return self.spark.read.parquet(
@@ -552,13 +599,37 @@ class TxnTable:
     def accumulate_batch(self, batch_agg: DataFrame, batch_id: int,
                          sum_cols: list[str],
                          app: str = "stream",
-                         max_retries: int = 5) -> int | None:
+                         max_retries: int = 5,
+                         commit_mode: str = "merge") -> int | None:
         """One micro-batch of keyed SUM-accumulation (t.col += s.col
         per key), exactly-once under crash-replay via the (app,
         batch_id) txn tag.  Returns the committed version, or None
-        for a skipped replay."""
+        for a skipped replay.
+
+        ``commit_mode="merge"`` (default) is read-modify-write:
+        O(touched buckets) per batch — at steady state every batch
+        touches every bucket, i.e. O(table) write I/O per commit.
+        ``"delta"`` routes through append_delta: the increments land
+        as a sum-merge run, O(batch) unconditionally, with reads
+        folding per key (the aggregate-merge LSM — fold the runs
+        with compact_runs on a cadence).  Both modes produce
+        IDENTICAL tables (integral sums commute; equivalence-
+        tested)."""
+        if commit_mode not in ("merge", "delta"):
+            raise ValueError(
+                f"commit_mode must be merge|delta, got {commit_mode!r}")
         if batch_id <= self.last_txn(app):
             return None
+        if commit_mode == "delta":
+            want = {self.key, *sum_cols}
+            if set(batch_agg.columns) != want:
+                raise ValueError(
+                    f"accumulate_batch(delta): batch columns "
+                    f"{sorted(batch_agg.columns)} != key+sum_cols "
+                    f"{sorted(want)}")
+            return self.append_delta(
+                batch_agg, _txn={"app": app, "batch_id": batch_id},
+                max_retries=max(max_retries, 50))
         # Pin the micro-batch frame: foreachBatch frames are only
         # valid within the batch, and the optimistic retry may need
         # to re-derive the sums more than once.
@@ -621,6 +692,12 @@ class TxnTable:
         record for streaming idempotence exactly as in merge_into.
         Returns the committed version (unchanged if `updates` is
         empty)."""
+        runs = self._snapshot_runs()[3]
+        if getattr(runs, "delta", None):
+            raise NotImplementedError(
+                f"{self.path}: append_run over live DELTA runs — a "
+                f"table is latest-wins or sum-merge, never both; "
+                f"compact_runs() first")
         if not _source_unique:
             dup = (updates.groupBy(self.key).count()
                    .where(col("count") > 1).take(1))
@@ -663,6 +740,66 @@ class TxnTable:
         self._discard(staged)
         raise CommitConflictError(
             f"append_run lost {max_retries} claims on {self.path}")
+
+    def append_delta(self, increments: DataFrame, *,
+                     _txn: dict | None = None,
+                     _pre_claim=None,
+                     max_retries: int = 50) -> int:
+        """O(batch) commit of keyed SUM INCREMENTS — the
+        aggregate-merge LSM mode: `increments` (same columns as the
+        table: key + numeric sum columns) land as a new run whose
+        rows ADD to a key's totals at read time (_sum_read), so a
+        streaming sum-accumulator's commit never reads table state —
+        the delta twin of append_run's latest-wins
+        (accumulate_batch(commit_mode="delta") routes here).
+        Duplicate keys within one batch are legal (sums commute);
+        lost claims re-claim with no recompute; `_txn`/`_pre_claim`
+        behave exactly as in append_run.  Refuses typed over live
+        latest-wins runs (a table is one merge discipline at a
+        time).  Returns the committed version (unchanged when
+        `increments` is empty)."""
+        runs = self._snapshot_runs()[3]
+        if runs and not getattr(runs, "delta", None):
+            raise NotImplementedError(
+                f"{self.path}: append_delta over live latest-wins "
+                f"runs — a table is latest-wins or sum-merge, never "
+                f"both; compact_runs() first")
+        sj = self._table_schema(self.version())
+        if sj:
+            names = {f["name"] for f in json.loads(sj)["fields"]}
+            if set(increments.columns) != names:
+                raise ValueError(
+                    f"append_delta: increment columns "
+                    f"{sorted(increments.columns)} != table columns "
+                    f"{sorted(names)} — deltas must cover exactly "
+                    f"the summed schema")
+        staged = self._stage(increments)
+        if not staged:
+            if _pre_claim is not None:
+                _pre_claim()
+            return self.version()
+        record = {"op": "append-delta", "add": staged, "remove": []}
+        if _txn is not None:
+            record["txn"] = _txn
+        if _pre_claim is not None:
+            try:
+                _pre_claim()
+            except BaseException:
+                self._discard(staged)
+                raise
+        for _ in range(max_retries):
+            next_v = self.version() + 1
+            if self._claim(next_v, record):
+                if (self.checkpoint_every
+                        and next_v % self.checkpoint_every == 0):
+                    try:
+                        self.checkpoint()
+                    except Exception:
+                        pass  # maintenance must never fail a commit
+                return next_v
+        self._discard(staged)
+        raise CommitConflictError(
+            f"append_delta lost {max_retries} claims on {self.path}")
 
     def compact_runs(self, max_retries: int = 5, level: str = "full",
                      ratio: float = 0.5) -> int | None:
@@ -839,12 +976,21 @@ class TxnTable:
             committed = None
             head = base_v
             conflicted = False
+            delta = getattr(runs, "delta", set())
             for asof, _rows, files, _n in sorted(plan, reverse=True):
-                folded = self._latest_wins_read(
-                    {f: added_at[f] for f in files})
+                if delta:
+                    # Delta folds SUM (commutative — the fold of
+                    # deltas is still a delta); the record carries
+                    # the kind so reads keep sum-merging it.
+                    folded = self._sum_read(files)
+                else:
+                    folded = self._latest_wins_read(
+                        {f: added_at[f] for f in files})
                 staged = self._stage(folded)
                 record = {"op": "fold-runs", "add": staged,
                           "remove": sorted(files), "asof": asof}
+                if delta:
+                    record["delta"] = True
                 if self.version() == head \
                         and self._claim(head + 1, record):
                     head += 1
@@ -1108,7 +1254,8 @@ class TxnTable:
         try:
             with open(path) as fh:
                 prev = json.load(fh)
-            extra = {k: prev[k] for k in ("added_at", "runs")
+            extra = {k: prev[k]
+                     for k in ("added_at", "runs", "delta_runs")
                      if k in prev}
         except (OSError, ValueError):
             pass
@@ -1165,7 +1312,8 @@ class TxnTable:
 
 def run_keyed_upsert(spark: SparkSession, events_path: str,
                      out_dir: str, checkpoint: str,
-                     n_buckets: int = 32) -> TxnTable:
+                     n_buckets: int = 32,
+                     commit_mode: str = "delta") -> TxnTable:
     """The reference's queue→per-key-state loop on the streaming
     engine, landing in the TRANSACTIONAL table: each micro-batch
     sum-accumulates per-user (n_events, value_sum_micros) through
@@ -1173,7 +1321,14 @@ def run_keyed_upsert(spark: SparkSession, events_path: str,
     (app, batch_id) so a crash-replayed batch is skipped whole.  The
     merge.py twin (merge.run_keyed_upsert) needs a per-BUCKET replay
     gate because its multi-partition overwrite isn't atomic; here the
-    commit is, so idempotence is a single log lookup."""
+    commit is, so idempotence is a single log lookup.
+
+    ``commit_mode="delta"`` (default since r10) commits each batch's
+    increments as an append-delta run — O(batch) write I/O, vs the
+    read-modify-write merge whose steady state touches every bucket
+    every batch; reads sum-fold per key, value-identical (integral
+    micros commute under any batching).  Pass "merge" for the
+    windowless-table-on-every-commit behavior."""
     from data_ingestion_challenge_spark.streaming.pipeline import (
         build_source)
 
@@ -1191,7 +1346,8 @@ def run_keyed_upsert(spark: SparkSession, events_path: str,
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         t.accumulate_batch(_agg(batch_df), batch_id,
                            sum_cols=["n_events", "value_sum_micros"],
-                           app="keyed_upsert")
+                           app="keyed_upsert",
+                           commit_mode=commit_mode)
 
     q = (build_source(spark, events_path)
          .writeStream
