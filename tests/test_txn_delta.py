@@ -164,10 +164,7 @@ def test_delta_point_read_bucket_pruned(spark, tmp_path):
 def test_run_keyed_upsert_delta_equals_merge(spark, tmp_path):
     """The streaming keyed-upsert loop in delta mode lands the same
     table as merge mode (and the one-shot aggregate)."""
-    from pyspark.sql import functions as F
-
     from data_ingestion_challenge_spark.txn import run_keyed_upsert
-
     from tests.conftest import SF_DIR
 
     src = f"{SF_DIR}/events.parquet"
