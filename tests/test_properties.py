@@ -646,3 +646,49 @@ def test_seasonal_baseline_equals_naive(spark, slots):
         errs.extend(abs(n - mean) for n in ns)
     assert got.n_hours == len(hourly)
     assert abs(got.mae - round(sum(errs) / len(errs), 4)) < 1e-6
+
+
+# ------------------------------------ delta-run batching invariance
+
+_deltas = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),
+              st.integers(min_value=-50, max_value=50)),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_deltas, st.randoms(use_true_random=False))
+def test_append_delta_batching_invariance(spark, tmp_path_factory,
+                                          rows, rng):
+    """The aggregate-merge LSM's core contract: ANY split of an
+    increment stream into sequential append_delta batches lands a
+    table identical to the one-shot per-key sum — across random
+    splits, duplicate keys inside a batch, negative deltas, and a
+    mid-stream auto fold."""
+    from collections import defaultdict
+
+    from data_ingestion_challenge_spark.txn import TxnTable
+
+    base = str(tmp_path_factory.mktemp("delta_prop"))
+    t = TxnTable.create(
+        spark, base + "/t",
+        spark.createDataFrame([(0, 100)], "k long, n long"),
+        key="k", n_buckets=2)
+    cuts = sorted(rng.sample(range(1, len(rows)), 
+                             min(3, len(rows) - 1))) \
+        if len(rows) > 1 else []
+    start = 0
+    for i, end in enumerate(cuts + [len(rows)]):
+        chunk = rows[start:end]
+        start = end
+        if chunk:
+            t.append_delta(spark.createDataFrame(
+                chunk, "k long, n long"))
+        if i == 1:
+            t.compact_runs(level="auto")
+    want = defaultdict(int, {0: 100})
+    for k, v in rows:
+        want[k] += v
+    got = {r.k: r.n for r in t.read().collect()}
+    assert got == dict(want)
