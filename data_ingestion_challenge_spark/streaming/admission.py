@@ -950,8 +950,17 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                         # (already cheap to read) from paying a fold
                         # every tick — the ladder's amortized bound
                         # is unchanged, the fixed per-tick cost
-                        # drops.
-                        table.compact_runs(level="auto")
+                        # drops.  Guarded like checkpoint() on the
+                        # same path: the batch's commit has already
+                        # landed, so a fold failure (e.g. a
+                        # CommitConflictError from a concurrent
+                        # writer) must not fail the micro-batch —
+                        # maintenance never fails a commit; the next
+                        # cadence tick retries the fold.
+                        try:
+                            table.compact_runs(level="auto")
+                        except Exception:
+                            pass
         finally:
             spark.conf.set(_AQE, prev_aqe)
 

@@ -321,8 +321,12 @@ class TxnTable:
         sel = {f: added_at[f] for f in active if active[f] == b}
         pred = col(self.key) == F.lit(value)
         if not sel:
-            # Empty bucket: an empty frame with the table schema.
-            return self.read().where(pred).limit(0)
+            # Empty bucket: an empty frame built DIRECTLY from the
+            # recorded schema — going through read() here would plan
+            # the full latest-wins/sum merge across every live file
+            # just to return zero rows, defeating the O(bucket)
+            # contract exactly on the cheapest case (a miss).
+            return self._empty_frame().where(pred)
         if run_files & sel.keys():
             if getattr(run_files, "delta", None):
                 return self._sum_read(sel, pre_filter=pred)
@@ -403,31 +407,33 @@ class TxnTable:
             return self._latest_wins_read(
                 {f: added_at[f] for f in active})
         if not active:
-            # Empty snapshot: the recorded schema (create() stores it;
-            # checkpoints carry it) makes a never-populated or
-            # fully-deleted table readable.  Fall back to probing any
-            # referenced file for tables created before the schema
-            # was recorded.
-            sj = self._table_schema(self.version())
-            if sj:
-                from pyspark.sql.types import StructType
-                return self.spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(sj)))
-            for v in range(1, self.version() + 1):
-                try:
-                    rec = self._commit_record(v)
-                except KeyError:
-                    continue  # expired by expire_log()
-                for f in rec["add"]:
-                    probe = os.path.join(self.path, f)
-                    if os.path.exists(probe):
-                        schema = self.spark.read.parquet(probe).schema
-                        return self.spark.createDataFrame([], schema)
-            raise ValueError(
-                f"{self.path}: empty table with no data file to "
-                f"infer a schema from")
+            return self._empty_frame()
         paths = [os.path.join(self.path, f) for f in active]
         return self.spark.read.parquet(*paths)
+
+    def _empty_frame(self) -> DataFrame:
+        """Zero-row frame with the table schema, touching NO data
+        files: from the recorded schema (create() stores it;
+        checkpoints carry it), falling back to probing any referenced
+        file for tables created before the schema was recorded."""
+        sj = self._table_schema(self.version())
+        if sj:
+            from pyspark.sql.types import StructType
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(sj)))
+        for v in range(1, self.version() + 1):
+            try:
+                rec = self._commit_record(v)
+            except KeyError:
+                continue  # expired by expire_log()
+            for f in rec["add"]:
+                probe = os.path.join(self.path, f)
+                if os.path.exists(probe):
+                    schema = self.spark.read.parquet(probe).schema
+                    return self.spark.createDataFrame([], schema)
+        raise ValueError(
+            f"{self.path}: empty table with no data file to "
+            f"infer a schema from")
 
     def _read_buckets(self, active: dict[str, int],
                       buckets: set[int],
@@ -692,12 +698,7 @@ class TxnTable:
         record for streaming idempotence exactly as in merge_into.
         Returns the committed version (unchanged if `updates` is
         empty)."""
-        runs = self._snapshot_runs()[3]
-        if getattr(runs, "delta", None):
-            raise NotImplementedError(
-                f"{self.path}: append_run over live DELTA runs — a "
-                f"table is latest-wins or sum-merge, never both; "
-                f"compact_runs() first")
+        validated_head = self._check_discipline(want_delta=False)
         if not _source_unique:
             dup = (updates.groupBy(self.key).count()
                    .where(col("count") > 1).take(1))
@@ -727,19 +728,9 @@ class TxnTable:
             except BaseException:
                 self._discard(staged)
                 raise
-        for _ in range(max_retries):
-            next_v = self.version() + 1
-            if self._claim(next_v, record):
-                if (self.checkpoint_every
-                        and next_v % self.checkpoint_every == 0):
-                    try:
-                        self.checkpoint()
-                    except Exception:
-                        pass  # maintenance must never fail a commit
-                return next_v
-        self._discard(staged)
-        raise CommitConflictError(
-            f"append_run lost {max_retries} claims on {self.path}")
+        return self._claim_append(staged, record, max_retries,
+                                  validated_head, want_delta=False,
+                                  op="append_run")
 
     def append_delta(self, increments: DataFrame, *,
                      _txn: dict | None = None,
@@ -758,21 +749,27 @@ class TxnTable:
         latest-wins runs (a table is one merge discipline at a
         time).  Returns the committed version (unchanged when
         `increments` is empty)."""
-        runs = self._snapshot_runs()[3]
-        if runs and not getattr(runs, "delta", None):
-            raise NotImplementedError(
-                f"{self.path}: append_delta over live latest-wins "
-                f"runs — a table is latest-wins or sum-merge, never "
-                f"both; compact_runs() first")
+        validated_head = self._check_discipline(want_delta=True)
         sj = self._table_schema(self.version())
         if sj:
-            names = {f["name"] for f in json.loads(sj)["fields"]}
-            if set(increments.columns) != names:
+            want = {f["name"]: f["type"]
+                    for f in json.loads(sj)["fields"]}
+            got = {f["name"]: f["type"] for f in
+                   json.loads(increments.schema.json())["fields"]}
+            if got != want:
+                # Names AND types: a name-only check lets a string
+                # column through, and F.sum over it yields nulls cast
+                # back to the original dtype — silent data loss, not
+                # a typed refusal.
+                bad = sorted(c for c in set(want) | set(got)
+                             if want.get(c) != got.get(c))
                 raise ValueError(
-                    f"append_delta: increment columns "
-                    f"{sorted(increments.columns)} != table columns "
-                    f"{sorted(names)} — deltas must cover exactly "
-                    f"the summed schema")
+                    f"append_delta: increment schema diverges from "
+                    f"the table schema on {bad} (increments "
+                    f"{ {c: got.get(c) for c in bad} } vs table "
+                    f"{ {c: want.get(c) for c in bad} }) — deltas "
+                    f"must cover exactly the summed schema, "
+                    f"type-identical")
         staged = self._stage(increments)
         if not staged:
             if _pre_claim is not None:
@@ -787,8 +784,53 @@ class TxnTable:
             except BaseException:
                 self._discard(staged)
                 raise
+        return self._claim_append(staged, record, max_retries,
+                                  validated_head, want_delta=True,
+                                  op="append_delta")
+
+    def _check_discipline(self, want_delta: bool) -> int:
+        """Refuse typed when the live run set's merge discipline
+        (latest-wins vs sum-merge) conflicts with the appender's —
+        a table is ONE discipline at a time, or reads would silently
+        mis-merge (sum latest-wins rows / latest-wins delta rows).
+        Returns the log head the check validated at, so the claim
+        loop can re-check only when the head moves."""
+        head, _, _, runs = self._snapshot_runs()
+        if want_delta:
+            if runs and not getattr(runs, "delta", None):
+                raise NotImplementedError(
+                    f"{self.path}: append_delta over live latest-wins"
+                    f" runs — a table is latest-wins or sum-merge, "
+                    f"never both; compact_runs() first")
+        elif getattr(runs, "delta", None):
+            raise NotImplementedError(
+                f"{self.path}: append_run over live DELTA runs — a "
+                f"table is latest-wins or sum-merge, never both; "
+                f"compact_runs() first")
+        return head
+
+    def _claim_append(self, staged: dict[str, int], record: dict,
+                      max_retries: int, validated_head: int,
+                      want_delta: bool, op: str) -> int:
+        """Claim loop shared by append_run/append_delta.  The entry
+        discipline check is check-then-act on its own: two writers of
+        OPPOSITE modes can both see an empty run set and both commit,
+        leaving a mixed table that read() then silently mis-merges.
+        Closed here: before claiming on top of head H, the discipline
+        must have been validated at H — a winning claim at H+1 then
+        proves no opposite-mode run landed at or below H (any commit
+        between the validation and our claim makes the claim LOSE,
+        and the retry revalidates)."""
         for _ in range(max_retries):
-            next_v = self.version() + 1
+            head = self.version()
+            if head != validated_head:
+                try:
+                    head = self._check_discipline(want_delta)
+                except NotImplementedError:
+                    self._discard(staged)
+                    raise
+                validated_head = head
+            next_v = head + 1
             if self._claim(next_v, record):
                 if (self.checkpoint_every
                         and next_v % self.checkpoint_every == 0):
@@ -799,7 +841,7 @@ class TxnTable:
                 return next_v
         self._discard(staged)
         raise CommitConflictError(
-            f"append_delta lost {max_retries} claims on {self.path}")
+            f"{op} lost {max_retries} claims on {self.path}")
 
     def compact_runs(self, max_retries: int = 5, level: str = "full",
                      ratio: float = 0.5) -> int | None:
@@ -964,8 +1006,20 @@ class TxnTable:
                         break
             # Major-compaction escalation: run mass at ratio × base.
             base_files = [f for f in active if f not in runs]
-            if base_files and sum(g[1] for g in groups) \
-                    >= ratio * self._files_rows(base_files):
+            if base_files:
+                if sum(g[1] for g in groups) \
+                        >= ratio * self._files_rows(base_files):
+                    return self._compact_runs_full(max_retries)
+            elif len(groups) == 1:
+                # Base-LESS history (e.g. the admission corpus table:
+                # created empty, only ever appended) whose ladder has
+                # collapsed to one generation: no pairwise fold is
+                # left to schedule, and without this fall-through
+                # every read pays the merge window forever.  One full
+                # fold materializes a windowless base; the collapse
+                # that got here already paid O(corpus), so this at
+                # most doubles an already-amortized cost — and once a
+                # base exists the normal ratio escalation governs.
                 return self._compact_runs_full(max_retries)
             plan = [g for g in groups if g[3] >= 2]
             if not plan:
