@@ -39,25 +39,29 @@ from data_ingestion_challenge_spark.plans.registry import query
 )
 def streaming_anomaly_monitor(cat: Catalog) -> DataFrame:
     """Streaming-maintenance × operator composition on the REAL
-    engine: run_incremental_keyed_rollup drains the bounded source
-    upserting ONLY the touched (hour-bucket) partitions per
-    micro-batch (dynamic partition overwrite + per-bucket replay
-    gate), then mad_score_hourly reads the maintained rollup — the
-    monitor never re-scans event history, so each evaluation costs
-    O(|types|·|hours|) regardless of stream length."""
-    from data_ingestion_challenge_spark.scratch import scratch_dir
-
+    engine: run_incremental_keyed_rollup_delta drains the bounded
+    source committing each micro-batch's (event_type, hour)
+    increments as ONE atomic O(batch) append-delta run
+    (TxnTable.accumulate_batch commit_mode="delta" — the r11
+    unification: the keyed continuous aggregate rides the same
+    sum-merge LSM as the streaming keyed upsert, instead of
+    read-modify-write partition overwrites), then mad_score_hourly
+    reads the maintained rollup — the monitor never re-scans event
+    history, so each evaluation costs O(|types|·|hours|) regardless
+    of stream length.  Equivalence vs the overwrite-path rollup is
+    pinned in tests/test_streaming.py."""
     from pyspark.sql import functions as F
 
+    from data_ingestion_challenge_spark.scratch import scratch_dir
     from data_ingestion_challenge_spark.streaming.incremental import (
-        read_keyed_rollup, run_incremental_keyed_rollup,
+        read_keyed_rollup_delta, run_incremental_keyed_rollup_delta,
     )
 
     out = scratch_dir("anom_rollup_out_")
     ck = scratch_dir("anom_rollup_ck_")
-    run_incremental_keyed_rollup(
+    t = run_incremental_keyed_rollup_delta(
         cat.spark, f"{cat.sf_dir}/events.parquet", out, ck)
-    h = (read_keyed_rollup(cat.spark, out)
+    h = (read_keyed_rollup_delta(t)
          .select("event_type",
                  F.col("bucket_ts").alias("hour_ts"),
                  F.col("n_events").alias("n")))

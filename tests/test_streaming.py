@@ -194,6 +194,48 @@ def test_incremental_rollup_replay_is_idempotent(spark, tmp_path, cat):
     assert snapshot() == doubled
 
 
+def test_keyed_rollup_delta_equals_overwrite_path(spark, tmp_path):
+    """r11 unification: the delta-backed keyed continuous aggregate
+    (accumulate_batch commit_mode='delta' — O(batch) append-delta
+    runs) must equal the dynamic-partition-overwrite path row for row
+    over the SAME drained stream, including after a run fold, and a
+    re-drain with the same checkpoint must be a no-op (exactly-once
+    through the txn log, no per-bucket gate needed)."""
+    import os
+
+    from data_ingestion_challenge_spark.streaming.incremental import (
+        read_keyed_rollup, read_keyed_rollup_delta,
+        run_incremental_keyed_rollup,
+        run_incremental_keyed_rollup_delta,
+    )
+    from tests.conftest import SF_DIR
+
+    src_dir = str(tmp_path / "src")
+    (spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+     .repartition(4).write.mode("overwrite").parquet(src_dir))
+
+    ow_out, ow_ck = str(tmp_path / "ow"), str(tmp_path / "owck")
+    run_incremental_keyed_rollup(spark, src_dir, ow_out, ow_ck)
+    want = sorted(tuple(r) for r in
+                  read_keyed_rollup(spark, ow_out).collect())
+
+    d_out, d_ck = str(tmp_path / "d"), str(tmp_path / "dck")
+    t = run_incremental_keyed_rollup_delta(spark, src_dir, d_out, d_ck,
+                                           compact_every=2)
+    got = sorted(tuple(r) for r in read_keyed_rollup_delta(t).collect())
+    assert got == want and want
+    # re-drain: checkpoint resumes, nothing recommitted
+    v = t.version()
+    t2 = run_incremental_keyed_rollup_delta(spark, src_dir, d_out, d_ck)
+    assert t2.version() == v
+    assert sorted(tuple(r) for r in
+                  read_keyed_rollup_delta(t2).collect()) == want
+    # the full fold keeps the decode exact (windowless table)
+    t2.compact_runs(level="full")
+    assert sorted(tuple(r) for r in
+                  read_keyed_rollup_delta(t2).collect()) == want
+
+
 def test_incremental_merge_read_prunes_partitions(spark, tmp_path, cat):
     """The read-side of the upsert must prune on the PARTITION STRING
     (PartitionFilters → O(touched) directory listing), never filter
