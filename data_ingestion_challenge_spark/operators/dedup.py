@@ -996,3 +996,53 @@ def dup_degree_oracle_sql(sh_cte: str, tau: float = 0.8) -> str:
     SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
     FROM deg GROUP BY degree
     """
+
+
+# ------------------------------------------ simhash diagnostics (r14)
+
+
+def simhash_hamming_histogram(documents: DataFrame, n: int = 3,
+                              max_hamming: int = 3,
+                              posting: DataFrame | None = None
+                              ) -> DataFrame:
+    """Hamming-distance histogram of the simhash CANDIDATE pairs:
+    (hamming, n_pairs) for distances ≤ the radius — the
+    radius-tuning table read before committing to a max_hamming (a
+    cliff between 2 and 3 says the corpus separates cleanly; a flat
+    ramp says the radius is cutting through a near-dup continuum).
+    Rides simhash_pairs' pigeonhole block join (never all pairs);
+    output ≤ max_hamming+1 rows."""
+    return (simhash_pairs(documents, n=n, max_hamming=max_hamming,
+                          posting=posting)
+            .groupBy(col("hamming").cast("int").alias("hamming"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
+def simhash_hamming_oracle_sql(sh_cte: str,
+                               max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_hamming_histogram: the same md5-derived
+    h32 per shingle, ±1 bit tallies → 32-bit sketch, all-pairs
+    bit_count(xor) ≤ r (fine at oracle SF), aggregated to the
+    histogram."""
+    tallies = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS t{i}"
+        for i in range(32))
+    bits = " + ".join(
+        f"CASE WHEN t{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(32))
+    return f"""
+    WITH {sh_cte},
+    hashed AS (SELECT doc_id,
+                      ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+               FROM sh),
+    tallies AS (SELECT doc_id, {tallies} FROM hashed GROUP BY doc_id),
+    sk AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+           FROM tallies),
+    hp AS (SELECT bit_count(xor(x.simhash, y.simhash)) AS hamming
+           FROM sk x JOIN sk y ON x.doc_id < y.doc_id
+           WHERE bit_count(xor(x.simhash, y.simhash))
+                 <= {max_hamming})
+    SELECT CAST(hamming AS INT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM hp GROUP BY 1
+    """

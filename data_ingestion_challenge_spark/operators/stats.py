@@ -653,3 +653,168 @@ RETURNING_USER_RATIO_ORACLE = """
     FROM act JOIN fd USING (user_id)
     GROUP BY day
 """
+
+
+# --------------------------------------------- order cadence (r14 pool)
+
+
+def customer_order_gap_weeks(orders: DataFrame) -> DataFrame:
+    """Customer purchase-cadence histogram: the gap between each pair
+    of CONSECUTIVE orders of one customer, bucketed by week — the
+    repeat-purchase rhythm table (reorder campaigns key off the modal
+    gap; a fat tail at high gaps is churn risk).
+
+    Parity discipline: gaps are exact integer day diffs on DATE-cast
+    order dates; equal-date ties leave the gap multiset invariant
+    (consecutive differences of a sorted multiset), and the order-key
+    tiebreak pins the sequence anyway.  Scale shape: ONE c_custkey
+    shuffle for the lag window (per-customer sequences are short),
+    then a map-side-combined groupBy onto ≤ a few hundred bucket
+    rows."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey"))
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    gaps = (orders
+            .select("o_custkey", "o_orderdate", "o_orderkey")
+            .withColumn("_gap",
+                        F.datediff(F.col("o_orderdate").cast("date"),
+                                   prev))
+            .where(F.col("_gap").isNotNull()))
+    return (gaps.groupBy(
+        (F.col("_gap").cast("long") / 7).cast("long")
+        .alias("gap_weeks"))
+        .agg(F.count("*").alias("n_gaps")))
+
+
+CUSTOMER_ORDER_GAP_WEEKS_ORACLE = """
+    WITH g AS (SELECT datediff('day',
+                    lag(CAST(o_orderdate AS DATE)) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                    CAST(o_orderdate AS DATE)) AS gap
+               FROM orders)
+    SELECT CAST(gap // 7 AS BIGINT) AS gap_weeks,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1
+"""
+
+
+# ------------------------------------------ engagement regularity (r14)
+
+
+def user_weekly_regularity(events: DataFrame) -> DataFrame:
+    """Engagement-regularity histogram: per user, the share of weeks
+    ACTIVE among the weeks spanned by their first→last event, cut
+    into integer deciles — the retention-shape readout (a spike at
+    decile 10 is metronome users; mass at 1-2 is drive-by traffic
+    with a long dormant span).
+
+    Exact integer arithmetic end to end: active weeks is a distinct
+    count, the spanned count is datediff/7 + 1 on Monday-truncated
+    week DATEs (ISO weeks in BOTH engines), and the decile is integer
+    `div` — no float crosses an engine boundary.  Scale shape: one
+    map-side-combined distinct over (user, week), one groupBy(user),
+    one tiny groupBy(decile)."""
+    uw = (events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .distinct())
+    per_user = (uw.groupBy("user_id")
+                .agg(F.count("*").alias("active"),
+                     F.min("wk").alias("first_wk"),
+                     F.max("wk").alias("last_wk"))
+                .withColumn(
+                    "span",
+                    (F.datediff("last_wk", "first_wk") / 7)
+                    .cast("long") + 1))
+    return (per_user
+            .withColumn("regularity_decile",
+                        F.expr("least((10 * active) div span, 10)")
+                        .cast("int"))
+            .groupBy("regularity_decile")
+            .agg(F.count("*").alias("n_users")))
+
+
+USER_WEEKLY_REGULARITY_ORACLE = """
+    WITH uw AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+    pu AS (SELECT user_id, count(*) AS active,
+                  datediff('day', min(wk), max(wk)) // 7 + 1 AS span
+           FROM uw GROUP BY user_id)
+    SELECT CAST(least((10 * active) // span, 10) AS INT)
+               AS regularity_decile,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM pu GROUP BY 1
+"""
+
+
+# ---------------------------------------------- pricing rollups (r14)
+
+
+def discount_band_revenue(lineitem: DataFrame) -> DataFrame:
+    """Revenue and volume by integer discount band (percent) — the
+    promo-effectiveness rollup behind q14/q19's point predicates: is
+    the discounted revenue share worth the margin?  One
+    map-side-combined groupBy to ≤ ~101 band rows; revenue and
+    quantity ride the q1 msum discipline (exact DECIMAL sums →
+    round → double, partition-order independent)."""
+    band = F.round(col("l_discount") * 100, 0).cast("int")
+    rev = (col("l_extendedprice").cast("decimal(30,6)")
+           * (F.lit(1).cast("decimal(30,6)")
+              - col("l_discount").cast("decimal(30,6)")))
+    return (lineitem.groupBy(band.alias("discount_pct"))
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+                 F.round(F.sum(col("l_quantity")
+                               .cast("decimal(30,6)")), 2)
+                 .cast("double").alias("sum_qty")))
+
+
+DISCOUNT_BAND_REVENUE_ORACLE = """
+    SELECT CAST(round(l_discount * 100, 0) AS INT) AS discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))
+                          * (CAST(1 AS DECIMAL(30,6))
+                             - CAST(l_discount AS DECIMAL(30,6)))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2)
+                AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1
+"""
+
+
+def mktsegment_order_stats(customer: DataFrame,
+                           orders: DataFrame) -> DataFrame:
+    """Per-market-segment demand rollup: customers (including the
+    order-less), orders, exact-msum revenue, and orders-per-customer
+    — the segment dimension q3 filters on, surfaced as its own
+    planning table.  LEFT join so empty segments keep their customer
+    denominators; one join shuffle collapsing map-side into
+    |segments| rows."""
+    j = (customer.select("c_custkey", "c_mktsegment")
+         .join(orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+               col("c_custkey") == col("o_custkey"), "left"))
+    return (j.groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_custkey").alias("n_customers"),
+                 F.count("o_orderkey").alias("n_orders"),
+                 F.round(F.sum(col("o_totalprice")
+                               .cast("decimal(30,6)")), 2)
+                 .cast("double").alias("revenue"))
+            .withColumn("orders_per_customer",
+                        F.round(col("n_orders") / col("n_customers"),
+                                6)))
+
+
+MKTSEGMENT_ORDER_STATS_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2)
+                AS DOUBLE) AS revenue,
+           round(count(o_orderkey) / count(DISTINCT c_custkey), 6)
+               AS orders_per_customer
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+"""
