@@ -83,6 +83,9 @@ NON_EQUI_OK = {
     "source_token_kl",         # 1-row corpus-total scalar
     "weekly_churn",            # 1-row max-week scalar (range compare)
     "pq_subspace_variance",    # 1-row embedding-dim scalar
+    "customer_value_deciles",  # 1-row grand-total value scalar
+    "vocab_coverage_curve",    # 1-row total-occurrences scalar +
+                               # |ks|-row cutoff join onto ≤max(k) rows
 }
 
 STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",
