@@ -692,3 +692,120 @@ def test_append_delta_batching_invariance(spark, tmp_path_factory,
         want[k] += v
     got = {r.k: r.n for r in t.read().collect()}
     assert got == dict(want)
+
+
+_run_batches = st.lists(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 99)),
+             min_size=1, max_size=5),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_run_batches, st.randoms(use_true_random=False))
+def test_append_run_maintenance_schedule_invariance(
+        spark, tmp_path_factory, batches, rng):
+    """Latest-wins is a pure function of the COMMIT ORDER: any
+    schedule of auto folds / full folds / vacuums interleaved into an
+    append_run stream (including over a base-less table — the r11
+    escalation path) leaves read() identical to a dict replay, and
+    the generation count never exceeds the unfolded-batch count."""
+    from data_ingestion_challenge_spark.txn import TxnTable
+
+    base = str(tmp_path_factory.mktemp("run_prop"))
+    t = TxnTable.create(
+        spark, base + "/t",
+        spark.createDataFrame([], "k long, v long"),
+        key="k", n_buckets=2)
+    want: dict[int, int] = {}
+    for rows in batches:
+        dedup = {}
+        for k, v in rows:  # one row per key per commit (the contract)
+            dedup[k] = v
+        t.append_run(spark.createDataFrame(
+            list(dedup.items()), "k long, v long"))
+        want.update(dedup)
+        op = rng.random()
+        if op < 0.3:
+            t.compact_runs(level="auto")
+        elif op < 0.45:
+            t.compact_runs(level="full")
+        elif op < 0.6:
+            t.vacuum(retain_orphans_s=0)
+        assert {r.k: r.v for r in t.read().collect()} == want
+    t.compact_runs(level="full")
+    t.vacuum(retain_orphans_s=0)
+    assert {r.k: r.v for r in t.read().collect()} == want
+    assert t.run_generations() == 0
+
+
+_orders = st.lists(
+    st.tuples(st.integers(0, 3),                    # customer
+              st.integers(0, 60)),                  # day offset
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_orders)
+def test_order_gap_weeks_equals_naive(spark, orders):
+    """The gap histogram equals a per-customer sorted-diff replay —
+    including same-date ties, where the gap MULTISET is invariant to
+    tie order (consecutive differences of a sorted multiset)."""
+    from collections import Counter
+
+    from data_ingestion_challenge_spark.operators.stats import (
+        customer_order_gap_weeks,
+    )
+
+    rows = [(i, c, dt.datetime(2024, 1, 1) + dt.timedelta(days=d))
+            for i, (c, d) in enumerate(orders)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    got = Counter({r.gap_weeks: r.n_gaps
+                   for r in customer_order_gap_weeks(df).collect()})
+    want: Counter = Counter()
+    by_cust: dict[int, list[int]] = {}
+    for _, c, d in rows:
+        by_cust.setdefault(c, []).append(
+            (d - dt.datetime(2024, 1, 1)).days)
+    for days in by_cust.values():
+        days.sort()
+        for a, b in zip(days, days[1:]):
+            want[(b - a) // 7] += 1
+    assert got == want
+
+
+_events_weeks = st.lists(
+    st.tuples(st.integers(0, 3),                    # user
+              st.integers(0, 20)),                  # week offset
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_events_weeks)
+def test_weekly_regularity_equals_naive(spark, evs):
+    """The regularity-decile histogram equals an integer replay over
+    per-user week sets (Monday-anchored timestamps, so the engine's
+    week truncation is exercised but unambiguous)."""
+    from collections import Counter
+
+    from data_ingestion_challenge_spark.operators.stats import (
+        user_weekly_regularity,
+    )
+
+    monday = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [(u, monday + dt.timedelta(weeks=w, hours=5))
+            for u, w in evs]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = Counter({r.regularity_decile: r.n_users
+                   for r in user_weekly_regularity(df).collect()})
+    weeks: dict[int, set[int]] = {}
+    for u, w in evs:
+        weeks.setdefault(u, set()).add(w)
+    want: Counter = Counter()
+    for ws in weeks.values():
+        active, span = len(ws), max(ws) - min(ws) + 1
+        want[min((10 * active) // span, 10)] += 1
+    assert got == want
