@@ -98,6 +98,8 @@ class Engine:
                          vectors_path: str | None = None,
                          ivf_table: str | None = None,
                          ivf_path: str | None = None,
+                         sig_table: str | None = None,
+                         sig_path: str | None = None,
                          commit_mode: str = "append",
                          max_files_per_trigger: int = 64):
         """Dedup-screened document ingestion: drain jsonl doc drops
@@ -126,7 +128,15 @@ class Engine:
         (That anti-join scans the index's vec_id column once per
         drain — the price of idempotence without writer-side state; a
         deployment tracking its own committed high-water mark can
-        call extend_ivf directly and skip it.)"""
+        call extend_ivf directly and skip it.)
+
+        Pass ``sig_table``/``sig_path`` (a signature table
+        bootstrapped once via materialize_postings +
+        materialize_signatures) to ALSO maintain the MinHash
+        signature table from the drain's newly committed docs
+        (extend_signatures) — the text-side index twin of the IVF
+        maintenance, with the same anti-join idempotence across
+        re-drains."""
         from data_ingestion_challenge_spark.streaming.admission import (
             run_document_admission,
         )
@@ -166,6 +176,25 @@ class Engine:
             # empty bucketed append still writes file metadata churn.
             if not new.isEmpty():
                 self.extend_ivf(new, ivf_table, ivf_path)
+        if sig_table is not None:
+            if not sig_path:
+                raise ValueError(
+                    "sig_table requires sig_path — the bucketed "
+                    "append needs the table's storage location")
+            if not self.spark.catalog.tableExists(sig_table):
+                raise ValueError(
+                    f"ingest_documents: signature table {sig_table!r} "
+                    f"does not exist — bootstrap it once via "
+                    f"materialize_postings + materialize_signatures "
+                    f"before maintaining it through drains (the "
+                    f"drain itself committed fine; re-invoking with "
+                    f"the table in place extends it idempotently)")
+            signed = (self.spark.table(sig_table)
+                      .select("doc_id").distinct())
+            new_docs = (table.read().select("doc_id", "text")
+                        .join(signed, "doc_id", "left_anti"))
+            if not new_docs.isEmpty():
+                self.extend_signatures(new_docs, sig_table, sig_path)
         return table
 
     def compact_admission_in_place(self, postings_dir: str,
@@ -487,6 +516,44 @@ class Engine:
         write_bucketed(sig, table, path, bucket_key="doc_id",
                        n_buckets=n_buckets)
 
+    def extend_signatures(self, new_docs: DataFrame, table: str,
+                          path: str, n: int = 3) -> None:
+        """Incremental MinHash signature maintenance — the
+        signature-table twin of extend_ivf: compute the k-min
+        signatures of ONLY the new docs and append them into the
+        bucketed signature table with the SAME bucket spec, so the
+        banding/audit reads keep their exchange-free layout.  Unlike
+        IVF there is no frozen corpus model to drift: a signature is
+        a per-doc function of the doc's own shingles, so increments
+        are exact by construction and the table never needs a
+        reindex — per-drop cost is O(|new| shingles), never a corpus
+        re-hash.  k is read off the table's m-columns (a k-mismatch
+        is a typed refusal before any write; the append's schema
+        validation backstops it).  Caller contract: doc_ids in
+        ``new_docs`` are new to the table, and ``n`` is the shingle
+        width the table was built with (ingest_documents passes the
+        admission sink's own n)."""
+        from data_ingestion_challenge_spark.operators.dedup import (
+            _postings, build_signatures,
+        )
+        import re as _re
+
+        cols = self.spark.table(table).columns
+        k = sum(1 for c in cols if _re.fullmatch(r"m\d+", c))
+        if k == 0 or set(cols) != {"doc_id", *(f"m{i}"
+                                               for i in range(k))}:
+            raise ValueError(
+                f"{table}: not a signature table (columns {cols}) — "
+                f"extend_signatures maintains tables written by "
+                f"materialize_signatures (doc_id, m0..mk-1)")
+        sig = build_signatures(
+            _postings(new_docs.select("doc_id", "text"), n), k)
+        (sig.write.mode("append").format("parquet")
+         .option("path", path)
+         .bucketBy(self._table_bucket_count(table), "doc_id")
+         .sortBy("doc_id")
+         .saveAsTable(table))
+
     def materialize_ivf(self, table: str, path: str, nprobe: int = 4,
                         cell: int = 128, n_buckets: int = 32,
                         two_level: bool = False) -> None:
@@ -589,10 +656,11 @@ class Engine:
             .where("col_name = 'Num Buckets'").collect()
         if not d:
             raise ValueError(
-                f"{table}: not a bucketed table — extend_ivf appends "
-                "must carry the index's bucket spec (materialize_ivf "
-                "writes it); an unbucketed append would break the "
-                "exchange-free candidate self-join")
+                f"{table}: not a bucketed table — index appends "
+                "(extend_ivf / extend_signatures) must carry the "
+                "table's bucket spec (the materialize_* builders "
+                "write it); an unbucketed append would break the "
+                "exchange-free reads the layout exists for")
         return int(d[0]["data_type"])
 
     def ivf_index_stats(self, table: str) -> DataFrame:
