@@ -885,7 +885,11 @@ class TxnTable:
             if not runs:
                 return None
             staged = self._stage(self.read(version=base_v))
-            record = {"op": "merge", "add": staged,
+            # "fold": full marks this merge record as CONTENT-
+            # PRESERVING (a rewrite of the snapshot it read, no
+            # upserts) — changes() uses it to keep CDC reads valid
+            # across major compactions.
+            record = {"op": "merge", "fold": "full", "add": staged,
                       "remove": sorted(active)}
             if self.version() == base_v \
                     and self._claim(base_v + 1, record):
@@ -894,6 +898,92 @@ class TxnTable:
             self._discard(staged)
         raise CommitConflictError(
             f"compact_runs lost {max_retries} claims on {self.path}")
+
+    def changes(self, since_version: int) -> DataFrame:
+        """CDC read for the LSM ingest path: the NET row changes
+        committed AFTER ``since_version`` — for a latest-wins (run)
+        history the newest row per key among post-boundary commits
+        (net upserts), for a delta history the per-key SUM of
+        post-boundary increments (net increments).  The incremental-
+        consumer API: a downstream pipeline holding a high-water-mark
+        version refreshes its derived state (signature/IVF indexes,
+        serving rollups) from O(changes) rows instead of re-reading
+        the corpus — `extend_signatures(t.changes(hwm), ...)` is the
+        intended composition.
+
+        Folds are handled precisely: a stepped fold whose inputs are
+        all post-boundary substitutes its output (same net content);
+        a fold that CROSSES the boundary mixes pre- and post-boundary
+        rows in one file, so attribution is impossible and the call
+        refuses typed (take a fresh snapshot and reset the
+        high-water mark).  Content-CHANGING merge commits
+        (merge_into upserts/deletes) have no row-level attribution
+        in the log and always refuse; content-preserving full folds
+        (marked ``fold: full`` since r11) refuse only when they
+        crossed the boundary.  Reading below the oldest surviving
+        record (expire_log) refuses with the same remedy."""
+        head = self.version()
+        if since_version >= head:
+            return self._empty_frame()
+        cur: dict[str, int] = {}  # rel path -> latest-wins rank
+        delta = False
+        for v in range(since_version + 1, head + 1):
+            try:
+                rec = self._commit_record(v)
+            except KeyError:
+                raise ValueError(
+                    f"{self.path}: changes(since={since_version}) "
+                    f"reaches below the oldest surviving commit "
+                    f"record (expire_log) — re-baseline from a full "
+                    f"snapshot read and reset the high-water mark"
+                ) from None
+            op = rec.get("op")
+            if op in ("create", "append-run", "append-delta"):
+                for f in rec["add"]:
+                    cur[f] = v
+                delta = delta or op == "append-delta"
+            elif op == "fold-runs":
+                removed = rec["remove"]
+                inside = [r for r in removed if r in cur]
+                if inside and len(inside) != len(removed):
+                    raise ValueError(
+                        f"{self.path}: a fold at v{v} crossed the "
+                        f"changes(since={since_version}) boundary "
+                        f"(folded pre- and post-boundary rows into "
+                        f"one file) — re-baseline from a full "
+                        f"snapshot read and reset the high-water "
+                        f"mark")
+                if inside:
+                    for r in removed:
+                        cur.pop(r, None)
+                    for f in rec["add"]:
+                        cur[f] = int(rec["asof"])
+                # else: a fold of wholly pre-boundary content — its
+                # outputs carry no post-boundary rows; ignore.
+            elif op == "merge":
+                if rec.get("fold") != "full":
+                    raise ValueError(
+                        f"{self.path}: merge commit at v{v} — MERGE "
+                        f"upserts/deletes carry no row-level change "
+                        f"attribution in the log; changes() serves "
+                        f"the append-run/append-delta ingest path. "
+                        f"Diff two snapshot reads instead")
+                if any(r in cur for r in rec["remove"]):
+                    raise ValueError(
+                        f"{self.path}: a full fold at v{v} crossed "
+                        f"the changes(since={since_version}) "
+                        f"boundary — re-baseline from a full "
+                        f"snapshot read and reset the high-water "
+                        f"mark")
+                # content-preserving rewrite of pre-boundary state.
+        # Prune to files still on disk is unnecessary: anything in
+        # `cur` is either live or was folded into a live substitute
+        # above (vacuum only deletes unreferenced files).
+        if not cur:
+            return self._empty_frame()
+        if delta:
+            return self._sum_read(cur)
+        return self._latest_wins_read(cur)
 
     def history(self) -> list[dict]:
         """Commit history, newest first — the DESCRIBE HISTORY
