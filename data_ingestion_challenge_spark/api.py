@@ -360,6 +360,27 @@ class Engine:
                 f"corpus_table_stats: no commit log at {table_path!r}")
         return {**t.table_stats(), "history": t.history()}
 
+    def corpus_changes(self, table_path: str, since_version: int,
+                       key: str = "doc_id") -> DataFrame:
+        """Net document changes committed into a transactional corpus
+        table after ``since_version`` (TxnTable.changes — the CDC
+        read): with append-run commits (the admission sink's default)
+        this is the newest row per doc_id among post-boundary drains,
+        in O(changes) files.  The incremental downstream pattern:
+        hold the version returned by table.version() after each
+        drain, and refresh derived state (extend_signatures /
+        extend_ivf / serving rollups) from this frame instead of
+        re-reading the corpus.  Boundary-crossing folds refuse typed
+        — re-baseline from a snapshot read (changes() documents the
+        exact conditions)."""
+        from data_ingestion_challenge_spark.txn import TxnTable
+
+        t = TxnTable(self.spark, table_path, key=key)
+        if t.version() == 0:
+            raise ValueError(
+                f"corpus_changes: no commit log at {table_path!r}")
+        return t.changes(since_version)
+
     def posting_store_stats(self, postings_dir: str,
                             table_path: str | None = None,
                             sizes_dir: str | None = None) -> dict:

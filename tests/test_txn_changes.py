@@ -143,3 +143,42 @@ def test_changes_drives_incremental_consumer(spark, tmp_path):
         hwm = new_hwm
     assert replica == _rows(t)
     assert rebaselined == 1  # exactly the crossing fold
+
+
+def test_corpus_changes_across_admission_drains(spark, tmp_path):
+    """End to end on the REAL sink: drain 1 establishes the
+    high-water mark; drain 2's corpus_changes(hwm) is exactly the
+    newly admitted docs (corpus dups of drain 1 never appear — they
+    were rejected, not upserted)."""
+    from data_ingestion_challenge_spark.api import Engine
+    from data_ingestion_challenge_spark.streaming.admission import (
+        run_document_admission,
+    )
+    from tests.conftest import SF_DIR
+
+    eng = Engine(SF_DIR, spark=spark)
+    d = {k: str(tmp_path / k) for k in
+         ("watch", "corpus", "postings", "log", "sizes", "ckpt")}
+    batch1 = [(i, f"first drain document number {i} " * 4, "en", "a")
+              for i in range(10)]
+    (spark.createDataFrame(
+        batch1, "doc_id long, text string, lang string, source string")
+     .coalesce(1).write.mode("overwrite").json(d["watch"]))
+    t = run_document_admission(
+        spark, d["watch"], d["corpus"], d["postings"], d["log"],
+        d["ckpt"], sizes_dir=d["sizes"])
+    hwm = t.version()
+    # drain 2: 5 new docs + 1 corpus dup (same text as doc 0)
+    batch2 = [(100 + i, f"second drain document number {i} " * 4,
+               "en", "b") for i in range(5)]
+    batch2.append((200, batch1[0][1], "en", "b"))
+    (spark.createDataFrame(
+        batch2, "doc_id long, text string, lang string, source string")
+     .coalesce(1).write.mode("append").json(d["watch"]))
+    run_document_admission(
+        spark, d["watch"], d["corpus"], d["postings"], d["log"],
+        d["ckpt"], sizes_dir=d["sizes"])
+    got = {r.doc_id for r in
+           eng.corpus_changes(d["corpus"], hwm).select("doc_id")
+           .collect()}
+    assert got == {100, 101, 102, 103, 104}
