@@ -809,3 +809,43 @@ def test_weekly_regularity_equals_naive(spark, evs):
         active, span = len(ws), max(ws) - min(ws) + 1
         want[min((10 * active) // span, 10)] += 1
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_run_batches, st.randoms(use_true_random=False))
+def test_changes_consumer_replays_to_table_state(
+        spark, tmp_path_factory, batches, rng):
+    """CDC soundness under ANY maintenance schedule: a consumer that
+    pulls changes(hwm) after every step — re-baselining from a
+    snapshot read whenever a boundary-crossing fold forces the typed
+    refusal — always converges to the table's exact state."""
+    from data_ingestion_challenge_spark.txn import TxnTable
+
+    base = str(tmp_path_factory.mktemp("cdc_prop"))
+    t = TxnTable.create(
+        spark, base + "/t",
+        spark.createDataFrame([], "k long, v long"),
+        key="k", n_buckets=2)
+    replica: dict[int, int] = {}
+    hwm = t.version()
+    for rows in batches:
+        dedup = {}
+        for k, v in rows:
+            dedup[k] = v
+        t.append_run(spark.createDataFrame(
+            list(dedup.items()), "k long, v long"))
+        op = rng.random()
+        if op < 0.35:
+            t.compact_runs(level="auto")
+        elif op < 0.5:
+            t.compact_runs(level="full")
+        head = t.version()
+        try:
+            replica.update({r.k: r.v
+                            for r in t.changes(hwm).collect()})
+        except ValueError:
+            replica = {r.k: r.v
+                       for r in t.read(version=head).collect()}
+        hwm = head
+    assert replica == {r.k: r.v for r in t.read().collect()}
