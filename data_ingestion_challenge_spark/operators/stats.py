@@ -818,3 +818,166 @@ MKTSEGMENT_ORDER_STATS_ORACLE = """
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------- session SLA (r15 pool)
+
+
+def session_duration_percentiles(events: DataFrame,
+                                 gap_min: int = 30) -> DataFrame:
+    """One-row session-duration SLA table: exact interpolated
+    p50/p90/p99 of the 30-min-gap sessionizer's durations plus the
+    session count — the engagement-depth readout next to
+    session_stats' per-user rollup.  Durations are integral
+    MICROSECONDS end to end (percentiles of bigints land on exact
+    .0/.5 doubles in both engines — the hourly_value_p95 discipline);
+    the seconds conversion is one double divide rounded 6dp.  Scale
+    shape: the sessionizer's single user_id shuffle, then a global
+    percentile over |sessions| longs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1000000
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros(col("ts"))
+           - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+        1).otherwise(0)
+    sess = (events.select("user_id", "ts", "event_id")
+            .withColumn("_new", new_sess)
+            .withColumn("_seq", F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    dur = (sess.groupBy("user_id", "_seq")
+           .agg((F.unix_micros(F.max("ts"))
+                 - F.unix_micros(F.min("ts"))).alias("_us")))
+
+    def _p(q):
+        return F.round(F.percentile("_us", F.lit(q)) / 1000000.0, 6)
+
+    return dur.agg(F.count("*").alias("n_sessions"),
+                   _p(0.5).alias("p50_s"),
+                   _p(0.9).alias("p90_s"),
+                   _p(0.99).alias("p99_s"))
+
+
+SESSION_DURATION_PCTL_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS seq
+        FROM seq
+    ), dur AS (
+        SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS us
+        FROM sess GROUP BY user_id, seq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           round(quantile_cont(us, 0.5) / 1000000.0, 6) AS p50_s,
+           round(quantile_cont(us, 0.9) / 1000000.0, 6) AS p90_s,
+           round(quantile_cont(us, 0.99) / 1000000.0, 6) AS p99_s
+    FROM dur
+"""
+
+
+# ------------------------------------- priority seasonality (r15 pool)
+
+
+def order_priority_share_by_month(orders: DataFrame) -> DataFrame:
+    """Month × priority order-mix matrix with each cell's share of
+    its month — does the urgent-order mix drift seasonally?  One
+    map-side-combined groupBy to |months|·|priorities| rows; the
+    month-total window runs over that tiny rollup; the share is one
+    exact-integer double divide rounded 6dp."""
+    m = (orders.groupBy(
+        F.date_trunc("month", col("o_orderdate")).cast("date")
+        .alias("month"),
+        col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_orders")))
+    w = Window.partitionBy("month")
+    return m.withColumn(
+        "month_share",
+        F.round(col("n_orders") / F.sum("n_orders").over(w), 6))
+
+
+ORDER_PRIORITY_SHARE_ORACLE = """
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                          AS month,
+                      o_orderpriority AS priority,
+                      CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1, 2)
+    SELECT month, priority, n_orders,
+           round(n_orders / sum(n_orders)
+                 OVER (PARTITION BY month), 6) AS month_share
+    FROM m
+"""
+
+
+# ------------------------------------------ traffic heatmap (r15 pool)
+
+
+def value_dow_hour_heatmap(events: DataFrame) -> DataFrame:
+    """(day-of-week × hour) traffic/value heatmap — the load-shape
+    table capacity planning and anomaly baselines read.  dow is
+    Monday=0 in BOTH engines (Spark weekday() ≡ DuckDB isodow−1 —
+    dayofweek() disagrees between them and is avoided); value rides
+    exact integer micros.  One map-side-combined groupBy to ≤168
+    rows."""
+    return (events.groupBy(
+        F.weekday(col("ts")).alias("dow"),
+        F.hour(col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(col("value") * 1000000).cast("bigint"))
+             .alias("value_sum_micros")))
+
+
+VALUE_DOW_HOUR_HEATMAP_ORACLE = """
+    SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS value_sum_micros
+    FROM events GROUP BY 1, 2
+"""
+
+
+# -------------------------------------- supplier geography (r15 pool)
+
+
+def supplier_balance_by_region(supplier: DataFrame, nation: DataFrame,
+                               region: DataFrame) -> DataFrame:
+    """Per-region supplier roster health: counts, exact-decimal mean
+    account balance, and the in-debt share — the procurement-risk
+    rollup behind q5's geography.  Both dims broadcast (≤ hundreds
+    of rows at any scale); one groupBy to |regions| rows."""
+    j = (supplier
+         .join(F.broadcast(nation),
+               col("s_nationkey") == col("n_nationkey"))
+         .join(F.broadcast(region),
+               col("n_regionkey") == col("r_regionkey")))
+    return (j.groupBy(col("r_name").alias("region"))
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.round(F.sum(col("s_acctbal").cast("decimal(30,6)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_acctbal"),
+                 F.sum((col("s_acctbal") < 0).cast("long"))
+                 .alias("n_in_debt")))
+
+
+SUPPLIER_BALANCE_BY_REGION_ORACLE = """
+    SELECT r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(CAST(sum(CAST(s_acctbal AS DECIMAL(30,6)))
+                      AS DOUBLE) / count(*), 6) AS avg_acctbal,
+           CAST(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_debt
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""

@@ -599,3 +599,47 @@ TOKEN_LENGTH_HISTOGRAM_ORACLE = """
            CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
     FROM tok WHERE w <> '' GROUP BY 1
 """
+
+
+# ---------------------------------------- encoding audit (r15 pool)
+
+
+def ascii_ratio_by_lang(documents: DataFrame) -> DataFrame:
+    """Per-language printable-ASCII share audit — the encoding-rot
+    detector (mojibake, binary bleed-through, wrong-charset scrapes
+    show up as a falling ratio long before they poison a tokenizer).
+    Per-doc ratio = printable-ASCII chars / chars, rounded 1e-4 (the
+    repo's cross-engine ratio grid), then per-lang mean as an exact
+    DECIMAL sum of the rounded terms with ONE double divide, plus the
+    min (the worst offender) — both engine-portable.  The char class
+    is spelled [ -~] (space through tilde): identical semantics in
+    Java regex and RE2, no hex-escape dialect risk.  One linear scan,
+    |langs| output rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    ratio = F.round(
+        F.length(F.regexp_replace(col("text"), "[^ -~]", ""))
+        / F.length(col("text")), 4)
+    per_doc = documents.where(F.length("text") > 0).select(
+        "lang", ratio.alias("_r"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.sum(col("_r").cast("decimal(30,6)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("mean_ascii_ratio"),
+                 F.min("_r").alias("min_ascii_ratio")))
+
+
+ASCII_RATIO_BY_LANG_ORACLE = """
+    WITH t AS (SELECT lang,
+                      round(length(regexp_replace(text, '[^ -~]', '',
+                                                  'g'))
+                            / length(text), 4) AS r
+               FROM documents WHERE length(text) > 0)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(r AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_ascii_ratio,
+           min(r) AS min_ascii_ratio
+    FROM t GROUP BY lang
+"""
