@@ -118,3 +118,146 @@ def cms_oracle_sql(k: int = 10) -> str:
     SELECT user_id, est_count FROM est
     ORDER BY est_count DESC, user_id LIMIT {k}
     """
+
+
+# ------------------------------------ KMV theta sketch (r15 pool)
+#
+# HLL (weekly_distinct_users_hll_merge) unions; it cannot INTERSECT.
+# The k-minimum-values (theta) sketch can: keep each set's k smallest
+# deterministic hash values; distinct(W) ≈ (k-1)·D / kth_min, and for
+# two sets the common values below θ = min(θ_A, θ_B) estimate the
+# intersection as c·D/θ — the audience-overlap / cross-snapshot-dedup
+# estimator a 100 TB corpus runs where the exact distinct-intersection
+# join is a batch job.  Built on the md5-derived h32 (deterministic in
+# both engines), so sketch contents, thresholds, and estimates are
+# bit-reproducible in the DuckDB oracle — a GATED sketch, unlike the
+# rows-only HLL.
+
+KMV_DOMAIN = 1 << 32  # h32's range
+
+
+def kmv_weekly_user_overlap(events: DataFrame, k: int = 64,
+                            salts: int = 16) -> DataFrame:
+    """Consecutive-week audience overlap, estimated from per-week KMV
+    sketches and AUDITED against the exact distinct intersection in
+    the same row (the ann_recall_audit pattern: estimator and ground
+    truth side by side, so drift is a hash mismatch).
+
+    Scale shape: one map-side-combined distinct over (week, h); the
+    per-week k-min runs the repo's two-phase salted top-n (local
+    row_number per (week, salt) ≤ k prefilter — the pigeonhole
+    argument guarantees no global top-k survivor is lost — then the
+    global rank over ≤ salts·k rows), so no single task ever sorts a
+    week's full user set.  Everything after operates on k·|weeks|
+    rows.  The exact-intersection audit column is the one corpus-
+    sized join (user-keyed equi-join); at 100 TB run the estimator
+    alone and sample the audit."""
+    from pyspark.sql.window import Window
+
+    wk = F.date_trunc("week", col("ts")).cast("date")
+    uw = events.select(wk.alias("wk"), col("user_id")).distinct()
+    vals = uw.select("wk", user_hash().alias("h")).distinct()
+    wloc = Window.partitionBy("wk", "_salt").orderBy("h")
+    wref = Window.partitionBy("wk").orderBy("h")
+    topk = (vals
+            .withColumn("_salt", F.pmod(col("h"), lit(salts)))
+            .withColumn("_lrk", F.row_number().over(wloc))
+            .where(col("_lrk") <= k)
+            .withColumn("_rk", F.row_number().over(wref))
+            .where(col("_rk") <= k)
+            .select("wk", "h"))
+    stats = (topk.groupBy("wk")
+             .agg(F.count("*").alias("cnt"), F.max("h").alias("kth"))
+             .withColumn("theta",
+                         F.when(col("cnt") == k, col("kth"))
+                         .otherwise(lit(KMV_DOMAIN))))
+
+    def _est(cnt, kth):
+        return F.round(
+            F.when(cnt == k,
+                   lit(float((k - 1) * KMV_DOMAIN)) / kth)
+            .otherwise(cnt.cast("double")), 4)
+
+    a, b = stats.alias("a"), stats.alias("b")
+    pairs = (a.join(b, F.col("b.wk") == F.date_add(F.col("a.wk"), 7))
+             .select(F.col("a.wk").alias("week_a"),
+                     F.col("b.wk").alias("week_b"),
+                     _est(F.col("a.cnt"), F.col("a.kth"))
+                     .alias("est_users_a"),
+                     _est(F.col("b.cnt"), F.col("b.kth"))
+                     .alias("est_users_b"),
+                     F.least(F.col("a.theta"), F.col("b.theta"))
+                     .alias("_theta")))
+    ta, tb = topk.alias("ta"), topk.alias("tb")
+    common = (pairs.join(
+        ta, F.col("ta.wk") == F.col("week_a")).join(
+        tb, (F.col("tb.wk") == F.col("week_b"))
+        & (F.col("tb.h") == F.col("ta.h")))
+        .where(F.col("ta.h") < F.col("_theta"))
+        .groupBy("week_a").agg(F.count("*").alias("_c")))
+    exact = (uw.alias("x").join(
+        uw.alias("y"), (F.col("y.user_id") == F.col("x.user_id"))
+        & (F.col("y.wk") == F.date_add(F.col("x.wk"), 7)))
+        .groupBy(F.col("x.wk").alias("week_a"))
+        .agg(F.countDistinct("x.user_id").alias("exact_overlap")))
+    return (pairs
+            .join(common, "week_a", "left")
+            .join(exact, "week_a", "left")
+            .select("week_a", "week_b", "est_users_a", "est_users_b",
+                    F.round(F.coalesce(col("_c"), lit(0))
+                            * lit(float(KMV_DOMAIN)) / col("_theta"),
+                            4).alias("est_overlap"),
+                    F.coalesce(col("exact_overlap"), lit(0))
+                    .alias("exact_overlap")))
+
+
+def kmv_overlap_oracle_sql(k: int = 64) -> str:
+    """DuckDB twin: same h32, same rank-≤k sketch, same θ/estimate
+    arithmetic, same exact-intersection audit."""
+    d = float(KMV_DOMAIN)
+    return f"""
+    WITH uw AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE)
+                       AS wk, user_id
+                FROM events),
+    vals AS (SELECT DISTINCT wk,
+                    ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                    1, 8))::BIGINT AS h
+             FROM uw),
+    rk AS (SELECT wk, h,
+                  row_number() OVER (PARTITION BY wk ORDER BY h) AS r
+           FROM vals),
+    topk AS (SELECT wk, h FROM rk WHERE r <= {k}),
+    stats AS (SELECT wk, count(*) AS cnt, max(h) AS kth,
+                     CASE WHEN count(*) = {k} THEN max(h)
+                          ELSE {KMV_DOMAIN} END AS theta
+              FROM topk GROUP BY wk),
+    pairs AS (SELECT a.wk AS week_a, b.wk AS week_b,
+                     round(CASE WHEN a.cnt = {k}
+                                THEN {(k - 1) * KMV_DOMAIN}.0 / a.kth
+                                ELSE CAST(a.cnt AS DOUBLE) END, 4)
+                         AS est_users_a,
+                     round(CASE WHEN b.cnt = {k}
+                                THEN {(k - 1) * KMV_DOMAIN}.0 / b.kth
+                                ELSE CAST(b.cnt AS DOUBLE) END, 4)
+                         AS est_users_b,
+                     least(a.theta, b.theta) AS theta
+              FROM stats a JOIN stats b ON b.wk = a.wk + 7),
+    common AS (SELECT p.week_a, count(*) AS c
+               FROM pairs p
+               JOIN topk ta ON ta.wk = p.week_a
+               JOIN topk tb ON tb.wk = p.week_b AND tb.h = ta.h
+               WHERE ta.h < p.theta
+               GROUP BY p.week_a),
+    ex AS (SELECT x.wk AS week_a,
+                  CAST(count(DISTINCT x.user_id) AS BIGINT)
+                      AS exact_overlap
+           FROM uw x JOIN uw y ON y.user_id = x.user_id
+                             AND y.wk = x.wk + 7
+           GROUP BY x.wk)
+    SELECT p.week_a, p.week_b, p.est_users_a, p.est_users_b,
+           round(coalesce(c.c, 0) * {d} / p.theta, 4) AS est_overlap,
+           coalesce(ex.exact_overlap, 0) AS exact_overlap
+    FROM pairs p
+    LEFT JOIN common c ON c.week_a = p.week_a
+    LEFT JOIN ex ON ex.week_a = p.week_a
+    """

@@ -160,3 +160,66 @@ def test_ascii_ratio_hand_case(spark):
            for r in ascii_ratio_by_lang(docs).collect()}
     assert out["en"] == (1, 1.0, 1.0)
     assert out["de"][0] == 1 and abs(out["de"][1] - round(9 / 11, 4)) < 1e-6
+
+
+# ------------------------------------------- KMV theta overlap
+
+
+def test_kmv_weekly_user_overlap_matches_oracle(spark, cat, duck):
+    from data_ingestion_challenge_spark.operators.sketch import (
+        kmv_overlap_oracle_sql, kmv_weekly_user_overlap,
+    )
+    sdf = kmv_weekly_user_overlap(cat.events)
+    rows = _compare(sdf, duck, kmv_overlap_oracle_sql())
+    assert rows
+    for r in rows:
+        d = dict(zip(sorted(sdf.columns), r))
+        assert d["est_overlap"] >= 0.0 and d["exact_overlap"] >= 0
+        # the estimator tracks truth within a loose sketch bound
+        hi = max(d["est_users_a"], d["est_users_b"])
+        assert d["est_overlap"] <= hi * 1.5 + 1
+
+
+def test_kmv_small_sets_are_exact(spark):
+    """Below k values the 'sketch' IS the value set: estimates equal
+    exact counts, and the overlap estimate equals the exact overlap
+    (theta = full domain)."""
+    from datetime import datetime
+
+    from data_ingestion_challenge_spark.operators.sketch import (
+        kmv_weekly_user_overlap,
+    )
+    mon1, mon2 = datetime(2024, 1, 1), datetime(2024, 1, 8)
+    rows = [(i, u, t) for i, (u, t) in enumerate(
+        [(u, mon1) for u in (1, 2, 3, 4)]
+        + [(u, mon2) for u in (3, 4, 5)])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    r = kmv_weekly_user_overlap(ev).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.est_users_a == 4.0 and row.est_users_b == 3.0
+    assert row.est_overlap == 2.0 and row.exact_overlap == 2
+
+
+def test_kmv_sketch_regime_estimates_reasonably(spark):
+    """Above k the estimator kicks in: with k=8 over 200/150-user
+    weeks sharing 100 users, estimates land within a generous
+    sketch-error band of truth (deterministic — fixed hash)."""
+    from datetime import datetime
+
+    from data_ingestion_challenge_spark.operators.sketch import (
+        kmv_weekly_user_overlap,
+    )
+    mon1, mon2 = datetime(2024, 1, 1), datetime(2024, 1, 8)
+    rows = []
+    for u in range(200):
+        rows.append((len(rows), u, mon1))
+    for u in range(100, 250):
+        rows.append((len(rows), u, mon2))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    row = kmv_weekly_user_overlap(ev, k=8).collect()[0]
+    assert row.exact_overlap == 100
+    assert 60 <= row.est_users_a <= 600  # k=8 is deliberately crude
+    assert 0 <= row.est_overlap <= 600
