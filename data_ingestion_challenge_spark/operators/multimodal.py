@@ -3,10 +3,14 @@
 Images/audio/video are opaque `binary` payloads + typed metadata.  The
 Spark-side machinery is real: binary columns, metadata structs, and
 Arrow-batched `mapInPandas` feature extraction with a stable output
-schema.  Actual media decoding is STUBBED (no image/audio libs in this
-container): `decode_stub` derives deterministic fake features from the
-payload bytes, and `decode_real` raises NotImplementedError where a
-PIL/ffmpeg call would go.
+schema.  Since r11 decoding is REAL for the stdlib-parseable formats —
+WAV (RIFF/PCM) and BMP parse with struct + numpy (decode_wav /
+decode_bmp, round-trip tested against generated genuine bytes), and
+`media_inventory` runs the sniff-and-decode intake audit as one Arrow
+pass.  Formats that genuinely need PIL/ffmpeg (JPEG, PNG, MP4) stay
+gated: `decode_stub` is the deterministic fake for those paths and
+`decode_real` raises a typed NotImplementedError for them when the
+libs are absent.
 """
 
 from __future__ import annotations
@@ -315,3 +319,56 @@ def media_inventory(binary_table: DataFrame) -> DataFrame:
             })
 
     return binary_table.mapInPandas(_inv, INVENTORY_SCHEMA)
+
+
+def synth_wav_inventory(documents: DataFrame) -> DataFrame:
+    """The REAL encode→decode path behind an EXACT oracle: per doc,
+    synthesize a genuine square-wave WAV (amplitude and frame count
+    are closed-form functions of n_chars), run it through the real
+    encoder and the real parser inside one Arrow pass, and emit the
+    decoded stats.  A square wave's integer RMS is exactly its
+    amplitude (every sample² = A²), the byte size is exactly
+    44 + 2·frames, so a DuckDB oracle replays the whole round trip
+    arithmetically — decode bugs (chunk walk, block align, RMS) land
+    as hash mismatches, not just unit-test failures.  This is the
+    gateable witness that the WAV path is real, not a stub."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rates, frames, rms, nbytes = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                amp = int(n_chars) % 1000 * 10
+                n = int(n_chars) % 500 + 10
+                pcm = np.full(n, amp, dtype="<i2")
+                pcm[1::2] = -amp
+                payload = encode_wav_pcm16(pcm, rate=8000)
+                d = decode_media(payload)  # the REAL parser
+                ids.append(doc_id)
+                rates.append(d["rate"])
+                frames.append(d["n_frames"])
+                rms.append(d["pcm_rms"])
+                nbytes.append(len(payload))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "rate": pd.Series(rates, dtype="int64"),
+                "n_frames": pd.Series(frames, dtype="int64"),
+                "pcm_rms": pd.Series(rms, dtype="int64"),
+                "n_bytes": pd.Series(nbytes, dtype="int64"),
+            })
+
+    return (documents.select("doc_id", "n_chars")
+            .mapInPandas(_synth, "doc_id bigint, rate bigint, "
+                                 "n_frames bigint, pcm_rms bigint, "
+                                 "n_bytes bigint"))
+
+
+SYNTH_WAV_INVENTORY_ORACLE = """
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS rate,
+           CAST(n_chars % 500 + 10 AS BIGINT) AS n_frames,
+           CAST(n_chars % 1000 * 10 AS BIGINT) AS pcm_rms,
+           CAST(44 + 2 * (n_chars % 500 + 10) AS BIGINT) AS n_bytes
+    FROM documents
+"""

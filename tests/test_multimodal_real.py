@@ -99,3 +99,25 @@ def test_decode_real_handles_wav_bmp_natively():
     if not HAS_MEDIA_LIBS:
         with pytest.raises(NotImplementedError):
             decode_real(b"\x89PNG\r\n\x1a\n not really a png")
+
+
+def test_synth_wav_inventory_matches_oracle(spark):
+    """The encode→decode round trip over the documents table equals
+    the closed-form oracle row for row — the gateable witness that
+    the WAV path is a real parser (r12-pool registration
+    candidate)."""
+    import duckdb
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        SYNTH_WAV_INVENTORY_ORACLE, synth_wav_inventory,
+    )
+    from tests.conftest import SF_DIR
+    from tests.test_r9_candidates import _compare
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF_DIR}/documents.parquet'")
+    rows = _compare(synth_wav_inventory(docs), con,
+                    SYNTH_WAV_INVENTORY_ORACLE)
+    assert len(rows) == docs.count()
