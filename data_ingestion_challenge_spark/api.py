@@ -93,6 +93,7 @@ class Engine:
     def ingest_documents(self, watch_dir: str, table_path: str,
                          postings_dir: str, log_dir: str,
                          checkpoint: str, tau: float = 0.8,
+                         n: int = 3,
                          sizes_dir: str | None = None,
                          compact_every: int | None = None,
                          vectors_path: str | None = None,
@@ -137,14 +138,24 @@ class Engine:
         (extend_signatures) — the text-side index twin of the IVF
         maintenance, with the same anti-join idempotence across
         re-drains."""
+        from pyspark.sql import functions as F
+
         from data_ingestion_challenge_spark.streaming.admission import (
             run_document_admission,
         )
         table = run_document_admission(
             self.spark, watch_dir, table_path, postings_dir, log_dir,
-            checkpoint, tau=tau, sizes_dir=sizes_dir,
+            checkpoint, tau=tau, n=n, sizes_dir=sizes_dir,
             compact_every=compact_every, commit_mode=commit_mode,
             max_files_per_trigger=max_files_per_trigger)
+        # One corpus read shared by BOTH maintenance blocks (the IVF
+        # anti-join and the signature anti-join): the full-corpus
+        # candidate set is what keeps re-drains and crash-interrupted
+        # maintenance idempotent (a CDC read from this drain's
+        # pre-version would miss docs a previous crash left
+        # unindexed); deployments tracking a DURABLE index high-water
+        # mark use corpus_changes() directly and skip it.
+        corpus = None
         if vectors_path is not None:
             if not (ivf_table and ivf_path):
                 raise ValueError(
@@ -164,10 +175,11 @@ class Engine:
                     f"through drains (the drain itself committed "
                     f"fine; re-invoking with the index in place "
                     f"extends it idempotently)")
+            corpus = corpus if corpus is not None else (
+                table.read().select("doc_id", "text").persist())
             vecs = (self.spark.read.parquet(vectors_path)
                     .select("vec_id", "embedding"))
-            committed = table.read().select(
-                col("doc_id").alias("vec_id"))
+            committed = corpus.select(col("doc_id").alias("vec_id"))
             indexed = (self.spark.table(ivf_table)
                        .select("vec_id").distinct())
             new = (vecs.join(committed, "vec_id", "left_semi")
@@ -189,12 +201,23 @@ class Engine:
                     f"before maintaining it through drains (the "
                     f"drain itself committed fine; re-invoking with "
                     f"the table in place extends it idempotently)")
+            corpus = corpus if corpus is not None else (
+                table.read().select("doc_id", "text").persist())
             signed = (self.spark.table(sig_table)
                       .select("doc_id").distinct())
-            new_docs = (table.read().select("doc_id", "text")
+            # Docs shorter than the shingle width can NEVER be signed
+            # (they produce no shingles): without this filter they
+            # re-enter the anti-join as a growing backlog on every
+            # drain, re-shingled each time for an empty append.
+            new_docs = (corpus
+                        .where(F.size(F.split(col("text"), " "))
+                               >= n)
                         .join(signed, "doc_id", "left_anti"))
             if not new_docs.isEmpty():
-                self.extend_signatures(new_docs, sig_table, sig_path)
+                self.extend_signatures(new_docs, sig_table, sig_path,
+                                       n=n)
+        if corpus is not None:
+            corpus.unpersist()
         return table
 
     def compact_admission_in_place(self, postings_dir: str,
@@ -521,12 +544,19 @@ class Engine:
 
     def materialize_signatures(self, posting_table: str, table: str,
                                path: str, k: int = 16,
-                               n_buckets: int = 32) -> None:
+                               n_buckets: int = 32,
+                               n: int = 3) -> None:
         """Materialize the MinHash signature table (doc_id, m0..mk-1)
         from a materialized posting table — ~100 B/doc, the artifact
         every LSH banding pass and estimate audit rereads instead of
         re-hashing the corpus.  Bucketed by doc_id (the key the
-        banding explode and audits group on)."""
+        banding explode and audits group on).  ``n`` declares the
+        shingle width the POSTING table was built with; it rides
+        ``_sig_meta.json`` so extend_signatures can refuse an
+        increment computed at a different width (same-shaped columns,
+        silently incompatible minima otherwise)."""
+        import json
+
         from data_ingestion_challenge_spark.operators.dedup import (
             build_signatures,
         )
@@ -536,6 +566,8 @@ class Engine:
         sig = build_signatures(self.spark.table(posting_table), k)
         write_bucketed(sig, table, path, bucket_key="doc_id",
                        n_buckets=n_buckets)
+        with open(os.path.join(path, "_sig_meta.json"), "w") as f:
+            json.dump({"k": k, "n": n}, f)
 
     def extend_signatures(self, new_docs: DataFrame, table: str,
                           path: str, n: int = 3) -> None:
@@ -554,10 +586,12 @@ class Engine:
         ``new_docs`` are new to the table, and ``n`` is the shingle
         width the table was built with (ingest_documents passes the
         admission sink's own n)."""
+        import json
+        import re as _re
+
         from data_ingestion_challenge_spark.operators.dedup import (
             _postings, build_signatures,
         )
-        import re as _re
 
         cols = self.spark.table(table).columns
         k = sum(1 for c in cols if _re.fullmatch(r"m\d+", c))
@@ -567,13 +601,39 @@ class Engine:
                 f"{table}: not a signature table (columns {cols}) — "
                 f"extend_signatures maintains tables written by "
                 f"materialize_signatures (doc_id, m0..mk-1)")
-        sig = build_signatures(
-            _postings(new_docs.select("doc_id", "text"), n), k)
-        (sig.write.mode("append").format("parquet")
-         .option("path", path)
-         .bucketBy(self._table_bucket_count(table), "doc_id")
-         .sortBy("doc_id")
-         .saveAsTable(table))
+        # _sig_meta.json pins the table's shingle width: an increment
+        # computed at a different n carries the SAME columns but
+        # incompatible minima — refuse typed instead of silently
+        # corrupting the banding reads.
+        meta_path = os.path.join(path, "_sig_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("n") is not None and meta["n"] != n:
+                raise ValueError(
+                    f"{table}: signature table was built with "
+                    f"n={meta['n']} shingles but this increment was "
+                    f"requested at n={n} — the appended minima would "
+                    f"silently disagree with the base sketch; pass "
+                    f"the table's own n")
+        post = _postings(new_docs.select("doc_id", "text"), n)
+        try:
+            sig = build_signatures(post, k)
+            if sig.isEmpty():
+                # Nothing signable (e.g. every doc shorter than the
+                # shingle width): an empty bucketed append would still
+                # churn table metadata on every call.
+                return
+            (sig.write.mode("append").format("parquet")
+             .option("path", path)
+             .bucketBy(self._table_bucket_count(table), "doc_id")
+             .sortBy("doc_id")
+             .saveAsTable(table))
+        finally:
+            # _postings persists itself (its dedup callers reuse it
+            # 3-4x); this single-pass caller must release the pin or
+            # every maintenance call leaks executor storage memory.
+            post.unpersist()
 
     def materialize_ivf(self, table: str, path: str, nprobe: int = 4,
                         cell: int = 128, n_buckets: int = 32,

@@ -959,8 +959,16 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                         # cadence tick retries the fold.
                         try:
                             table.compact_runs(level="auto")
-                        except Exception:
-                            pass
+                        except Exception as exc:
+                            # Swallow (the commit already landed),
+                            # but AUDIBLY: a persistently failing
+                            # fold would otherwise unbound the run
+                            # ladder with zero operator signal.
+                            import sys
+                            print(f"admission: corpus run fold "
+                                  f"failed (will retry next "
+                                  f"cadence): {exc!r}",
+                                  file=sys.stderr)
         finally:
             spark.conf.set(_AQE, prev_aqe)
 

@@ -332,10 +332,11 @@ def _keyed_rollup_delta_table(spark: SparkSession, out_dir: str,
                               n_buckets: int = 8):
     """Open (or create empty) the delta-backed keyed rollup table.
     The composite (event_type, bucket_ts) key rides as ONE string
-    column '<epoch seconds>|<event_type>' — epoch FIRST so decoding
-    splits on the first '|' and an event_type containing '|' can
-    never corrupt the timestamp; epoch seconds are injective over
-    bucket instants in any session timezone (the r9 DST lesson)."""
+    column '<epoch seconds>|T<event_type>' ('|N' for a null type —
+    see keyed_delta_increments) — epoch FIRST so decoding splits on
+    the first '|' and an event_type containing '|' can never corrupt
+    the timestamp; epoch seconds are injective over bucket instants
+    in any session timezone (the r9 DST lesson)."""
     from data_ingestion_challenge_spark.txn import TxnTable
 
     t = TxnTable(spark, out_dir, key="k", n_buckets=n_buckets,
@@ -348,6 +349,26 @@ def _keyed_rollup_delta_table(spark: SparkSession, out_dir: str,
             key="k", n_buckets=n_buckets)
         t.checkpoint_every = 16
     return t
+
+
+def keyed_delta_increments(df: DataFrame,
+                           grain: str = "hour") -> DataFrame:
+    """One micro-batch's per-key increments in the delta table's
+    shape.  The key encoding is NULL-SAFE: concat_ws would silently
+    DROP a null event_type (yielding a separator-less key whose
+    decode fabricates the epoch as the type), so the type rides a
+    one-char tag — 'T<type>' for present, 'N' for null — after the
+    epoch and its '|'."""
+    tagged = (F.when(col("event_type").isNull(), F.lit("N"))
+              .otherwise(F.concat(F.lit("T"), col("event_type"))))
+    return (df.groupBy(
+        F.concat(
+            F.unix_timestamp(
+                F.date_trunc(grain, col("ts"))).cast("string"),
+            F.lit("|"), tagged).alias("k"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(col("value") * 1000000).cast("bigint"))
+             .alias("value_sum_micros")))
 
 
 def run_incremental_keyed_rollup_delta(spark: SparkSession,
@@ -369,28 +390,22 @@ def run_incremental_keyed_rollup_delta(spark: SparkSession,
 
     t = _keyed_rollup_delta_table(spark, out_dir)
 
-    def _inc(df: DataFrame) -> DataFrame:
-        return (df.groupBy(
-            F.concat_ws(
-                "|",
-                F.unix_timestamp(
-                    F.date_trunc(grain, col("ts"))).cast("string"),
-                col("event_type")).alias("k"))
-            .agg(F.count("*").alias("n_events"),
-                 F.sum(F.round(col("value") * 1000000).cast("bigint"))
-                 .alias("value_sum_micros")))
-
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         v = t.accumulate_batch(
-            _inc(batch_df), batch_id,
+            keyed_delta_increments(batch_df, grain), batch_id,
             sum_cols=["n_events", "value_sum_micros"],
             app="keyed_rollup", commit_mode="delta")
         if (v is not None and compact_every
                 and v % compact_every == 0):
             try:
                 t.compact_runs(level="auto")
-            except Exception:
-                pass  # maintenance must never fail a commit
+            except Exception as exc:
+                # Maintenance must never fail a commit — but a
+                # persistently failing fold would silently unbound
+                # the run ladder, so it must be AUDIBLE.
+                import sys
+                print(f"keyed rollup: run fold failed (will retry "
+                      f"next cadence): {exc!r}", file=sys.stderr)
 
     q = (build_source(spark, events_path)
          .writeStream
@@ -404,10 +419,15 @@ def run_incremental_keyed_rollup_delta(spark: SparkSession,
 
 def read_keyed_rollup_delta(table) -> DataFrame:
     """Decode the delta table back to the overwrite path's shape:
-    (event_type, bucket_ts, n_events, value_sum_micros)."""
+    (event_type, bucket_ts, n_events, value_sum_micros).  The 'N'
+    tag decodes back to a genuine NULL event_type (row-identical to
+    merge_keyed_batch's null grouping — tested)."""
     df = table.read()
+    tail = F.expr("substring(k, instr(k, '|') + 1)")
     return df.select(
-        F.expr("substring(k, instr(k, '|') + 1)").alias("event_type"),
+        F.when(tail == "N", F.lit(None).cast("string"))
+        .otherwise(F.expr("substring(k, instr(k, '|') + 2)"))
+        .alias("event_type"),
         F.timestamp_seconds(
             F.substring_index(col("k"), "|", 1).cast("long"))
         .alias("bucket_ts"),

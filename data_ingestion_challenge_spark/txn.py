@@ -923,7 +923,17 @@ class TxnTable:
         crossed the boundary.  Reading below the oldest surviving
         record (expire_log) refuses with the same remedy."""
         head = self.version()
-        if since_version >= head:
+        if since_version > head:
+            # Always a consumer-state bug (wrong table path, or a
+            # table rebuilt at the same path with a reset version
+            # counter): returning an empty frame would read as "no
+            # changes" and the consumer would silently never refresh.
+            raise ValueError(
+                f"{self.path}: changes(since={since_version}) is "
+                f"beyond the log head v{head} — the high-water mark "
+                f"does not belong to this table's history; "
+                f"re-baseline from a full snapshot read")
+        if since_version == head:
             return self._empty_frame()
         cur: dict[str, int] = {}  # rel path -> latest-wins rank
         delta = False

@@ -170,3 +170,68 @@ def test_ingest_documents_missing_sig_table_raises_typed(
             d["watch"], d["corpus"], d["postings"], d["log"],
             d["ckpt"], sig_table="no_such_sig_table",
             sig_path=str(tmp_path / "nope"))
+
+
+def test_extend_signatures_n_mismatch_refuses_typed(spark,
+                                                    split_engine,
+                                                    tmp_path):
+    """_sig_meta.json pins the shingle width: an increment at a
+    different n has the same columns but incompatible minima — typed
+    refusal, never silent sketch corruption."""
+    eng, drop1, _ = split_engine
+    pt, st = "test_sig_post4", "test_sig_tbl4"
+    try:
+        eng.materialize_postings(pt, str(tmp_path / "post"))
+        eng.materialize_signatures(pt, st, str(tmp_path / "sig"),
+                                   k=16, n=3)
+        with pytest.raises(ValueError, match="built with n=3"):
+            eng.extend_signatures(drop1.select("doc_id", "text"), st,
+                                  str(tmp_path / "sig"), n=4)
+    finally:
+        for t in (pt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_short_docs_never_grow_a_signature_backlog(spark,
+                                                   split_engine,
+                                                   tmp_path):
+    """Docs shorter than the shingle width can never be signed: the
+    drain wiring must exclude them from the anti-join candidates
+    (pre-fix they re-entered every drain, re-shingled for an empty
+    append), and extend_signatures itself skips the empty append."""
+    eng, _, _ = split_engine
+    pt, st = "test_sig_post5", "test_sig_tbl5"
+    d = {k: str(tmp_path / k) for k in
+         ("watch", "corpus", "postings", "log", "sizes", "ckpt")}
+    docs = [(900, "tiny", "en", "t"),          # 1 word: unsignable
+            (901, "two words", "en", "t"),     # 2 words: unsignable
+            (902, "three whole words here now okay", "en", "t")]
+    (spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string")
+     .coalesce(1).write.mode("overwrite").json(d["watch"]))
+    try:
+        eng.materialize_postings(pt, str(tmp_path / "post"))
+        eng.materialize_signatures(pt, st, str(tmp_path / "sig"), k=16)
+        eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"],
+            sig_table=st, sig_path=str(tmp_path / "sig"))
+        signed = {r.doc_id for r in
+                  spark.table(st).select("doc_id").collect()}
+        assert 902 in signed and 900 not in signed and 901 not in signed
+        # second drain: nothing signable remains; no append happens
+        n_before = spark.table(st).count()
+        eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"],
+            sig_table=st, sig_path=str(tmp_path / "sig"))
+        assert spark.table(st).count() == n_before
+        # and the direct call with ONLY unsignable docs is a no-op
+        eng.extend_signatures(
+            spark.createDataFrame([(903, "nope")],
+                                  "doc_id long, text string"),
+            st, str(tmp_path / "sig"))
+        assert spark.table(st).count() == n_before
+    finally:
+        for t in (pt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -420,3 +420,40 @@ def test_streaming_cms_equals_batch_sketch(spark):
     got = QUERIES["streaming_cms_topk"](spark, SF_DIR).collect()
     want = QUERIES["cms_heavy_hitters"](spark, SF_DIR).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_keyed_rollup_delta_null_event_type(spark, tmp_path):
+    """A null event_type must round-trip the composite key: the delta
+    path groups and decodes it as a genuine NULL, row-identical to
+    the overwrite path's null grouping (concat_ws would have silently
+    dropped the separator and fabricated the epoch as the type)."""
+    from datetime import datetime
+
+    from data_ingestion_challenge_spark.streaming.incremental import (
+        _keyed_rollup_delta_table, keyed_delta_increments,
+        merge_keyed_batch, read_keyed_rollup, read_keyed_rollup_delta,
+    )
+
+    rows = [(None, datetime(2024, 1, 1, 5, 10), 1.0),
+            (None, datetime(2024, 1, 1, 5, 40), 2.0),
+            ("click", datetime(2024, 1, 1, 5, 20), 4.0),
+            ("5|weird|type", datetime(2024, 1, 1, 6, 5), 8.0)]
+    batch = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+
+    ow_out = str(tmp_path / "ow")
+    merge_keyed_batch(batch, 0, ow_out)
+    want = sorted((tuple(r) for r in
+                   read_keyed_rollup(spark, ow_out).collect()),
+                  key=repr)
+
+    t = _keyed_rollup_delta_table(spark, str(tmp_path / "d"))
+    t.accumulate_batch(keyed_delta_increments(batch, "hour"), 0,
+                       sum_cols=["n_events", "value_sum_micros"],
+                       app="keyed_rollup", commit_mode="delta")
+    got = sorted((tuple(r) for r in
+                  read_keyed_rollup_delta(t).collect()), key=repr)
+    assert got == want
+    by_type = {r[0]: r for r in got}
+    assert None in by_type and by_type[None][2] == 2  # both null rows
+    assert "5|weird|type" in by_type  # '|' in the type never corrupts

@@ -182,3 +182,13 @@ def test_corpus_changes_across_admission_drains(spark, tmp_path):
            eng.corpus_changes(d["corpus"], hwm).select("doc_id")
            .collect()}
     assert got == {100, 101, 102, 103, 104}
+
+
+def test_changes_beyond_head_refuses_typed(spark, tmp_path):
+    """A high-water mark beyond the log head is always consumer-state
+    corruption (wrong path, or a rebuilt table with a reset version
+    counter) — typed refusal, never a silent 'no changes'."""
+    t = _mk(spark, tmp_path, rows=[(1, 10)])
+    assert t.changes(t.version()).count() == 0  # at head: legit no-op
+    with pytest.raises(ValueError, match="beyond the log head"):
+        t.changes(t.version() + 1)
