@@ -30,6 +30,44 @@ from data_ingestion_challenge_spark.plans import QUERIES
 from data_ingestion_challenge_spark.session import get_spark
 
 
+_HWM_FILE = "_maint_hwm.json"
+
+
+def _load_index_hwm(index_path: str) -> dict | None:
+    """The index's maintenance high-water mark: the corpus version
+    whose changes are already folded into the index.  ``in_progress``
+    True is the crash marker — a previous CDC-fed maintenance attempt
+    started extending but never advanced the mark, so the next drain
+    must take the full anti-join path (which is idempotent against a
+    partial extend)."""
+    import json
+
+    p = os.path.join(index_path, _HWM_FILE)
+    try:
+        with open(p) as f:
+            state = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return state if isinstance(state, dict) else None
+
+
+def _store_index_hwm(index_path: str, table_path: str, version: int,
+                     in_progress: bool) -> None:
+    """Atomic (tmp + rename) rewrite of the maintenance mark — a
+    crash mid-write must leave either the old state or the new one,
+    never a torn file the loader would misread as 'no mark' and
+    silently re-baseline over."""
+    import json
+
+    p = os.path.join(index_path, _HWM_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"table_path": os.path.abspath(table_path),
+                   "version": int(version),
+                   "in_progress": bool(in_progress)}, f)
+    os.replace(tmp, p)
+
+
 class Engine:
     """One engine = one SparkSession + one data directory."""
 
@@ -123,21 +161,32 @@ class Engine:
         maintain the vector index: after the drain, the vectors of
         newly committed docs extend the frozen-centroid IVF index
         (extend_ivf) — the embedding-side analog of the posting-store
-        maintenance the drain itself performs.  Idempotent across
-        re-drains: candidates are anti-joined against the index's
-        existing vec_ids, so a replayed drain extends with nothing.
-        (That anti-join scans the index's vec_id column once per
-        drain — the price of idempotence without writer-side state; a
-        deployment tracking its own committed high-water mark can
-        call extend_ivf directly and skip it.)
+        maintenance the drain itself performs.
 
         Pass ``sig_table``/``sig_path`` (a signature table
         bootstrapped once via materialize_postings +
         materialize_signatures) to ALSO maintain the MinHash
         signature table from the drain's newly committed docs
-        (extend_signatures) — the text-side index twin of the IVF
-        maintenance, with the same anti-join idempotence across
-        re-drains."""
+        (extend_signatures) — the text-side index twin.
+
+        Maintenance candidates come from CDC by default (r12): each
+        index directory carries a durable high-water mark
+        (_maint_hwm.json — the corpus version already folded in) and
+        a drain feeds extend_* from ``table.changes(hwm)``, which
+        plans O(changed files), never a corpus rescan.  The
+        full-corpus anti-join remains the self-healing fallback and
+        runs exactly when CDC attribution is unavailable: no mark
+        yet (first maintenance after a bootstrap), the crash marker
+        is set (a prior attempt extended but never advanced the
+        mark), changes() refuses typed (boundary-crossing fold /
+        merge commits / expired log), or — IVF only — some committed
+        doc's vector hasn't arrived yet (the mark is then left
+        dirty so the straggler is re-candidated next drain instead
+        of silently dropped).  Idempotent across re-drains and
+        crashes in every window; equivalence and file-boundedness
+        are pinned in tests/test_cdc_maintenance.py.  Callers
+        extending the same index DIRECTLY via extend_* must delete
+        its _maint_hwm.json (one anti-join re-baseline follows)."""
         from pyspark.sql import functions as F
 
         from data_ingestion_challenge_spark.streaming.admission import (
@@ -148,13 +197,43 @@ class Engine:
             checkpoint, tau=tau, n=n, sizes_dir=sizes_dir,
             compact_every=compact_every, commit_mode=commit_mode,
             max_files_per_trigger=max_files_per_trigger)
-        # One corpus read shared by BOTH maintenance blocks (the IVF
-        # anti-join and the signature anti-join): the full-corpus
-        # candidate set is what keeps re-drains and crash-interrupted
-        # maintenance idempotent (a CDC read from this drain's
-        # pre-version would miss docs a previous crash left
-        # unindexed); deployments tracking a DURABLE index high-water
-        # mark use corpus_changes() directly and skip it.
+        # Index maintenance candidates: CDC when possible, full
+        # anti-join as the safety net.  Each index directory carries
+        # its own durable high-water mark (_maint_hwm.json: the
+        # corpus version already folded in) so a drain normally feeds
+        # extend_* from table.changes(hwm) — O(changed files), never
+        # a corpus rescan.  The full-corpus anti-join path remains
+        # for exactly the cases where CDC attribution is unavailable
+        # or unsafe, and is what keeps every fallback idempotent:
+        #   - no mark yet (first maintenance over a bootstrapped
+        #     index), or the mark belongs to a different table path;
+        #   - the crash marker is set (a previous CDC attempt
+        #     extended but never advanced the mark — its docs are
+        #     already indexed, and only the anti-join knows that);
+        #   - changes() refuses typed (boundary-crossing fold, merge
+        #     commits, expired log).
+        # Callers extending the same index DIRECTLY via extend_* must
+        # delete the index's _maint_hwm.json (forcing one anti-join
+        # re-baseline) — the mark cannot see out-of-band appends.
+        head = table.version()
+        tp_abs = os.path.abspath(table_path)
+
+        def _cdc_candidates(index_path: str) -> DataFrame | None:
+            """Net changed corpus rows since the index's mark, or
+            None → caller must run the full anti-join path."""
+            st = _load_index_hwm(index_path)
+            if (not st or st.get("table_path") != tp_abs
+                    or st.get("in_progress")
+                    or not isinstance(st.get("version"), int)
+                    or st["version"] > head):
+                return None
+            try:
+                return table.changes(st["version"])
+            except ValueError:
+                # Typed refusal (fold crossed the boundary / merge
+                # commits / expired log): re-baseline via anti-join.
+                return None
+
         corpus = None
         if vectors_path is not None:
             if not (ivf_table and ivf_path):
@@ -175,19 +254,49 @@ class Engine:
                     f"through drains (the drain itself committed "
                     f"fine; re-invoking with the index in place "
                     f"extends it idempotently)")
-            corpus = corpus if corpus is not None else (
-                table.read().select("doc_id", "text").persist())
             vecs = (self.spark.read.parquet(vectors_path)
                     .select("vec_id", "embedding"))
-            committed = corpus.select(col("doc_id").alias("vec_id"))
-            indexed = (self.spark.table(ivf_table)
-                       .select("vec_id").distinct())
-            new = (vecs.join(committed, "vec_id", "left_semi")
-                   .join(indexed, "vec_id", "left_anti"))
-            # A drain that admitted nothing new must not append: an
-            # empty bucketed append still writes file metadata churn.
-            if not new.isEmpty():
-                self.extend_ivf(new, ivf_table, ivf_path)
+            changed = _cdc_candidates(ivf_path)
+            if changed is not None:
+                # Crash marker BEFORE the extend: a crash after the
+                # append but before the mark advance would otherwise
+                # re-feed these rows next drain as duplicates.
+                _store_index_hwm(ivf_path, tp_abs, head,
+                                 in_progress=True)
+                ids = changed.select(col("doc_id").alias("vec_id"))
+                new = vecs.join(ids, "vec_id", "left_semi")
+                if not new.isEmpty():
+                    self.extend_ivf(new, ivf_table, ivf_path)
+                # Advance the mark ONLY when every changed doc's
+                # vector was present: a doc whose embedding lands in
+                # a later vectors_path drop must stay pending — the
+                # marker left in place routes the next drain through
+                # the anti-join, which re-candidates it (and skips
+                # the ones just indexed).
+                if ids.join(vecs, "vec_id", "left_anti").isEmpty():
+                    _store_index_hwm(ivf_path, tp_abs, head,
+                                     in_progress=False)
+            else:
+                corpus = corpus if corpus is not None else (
+                    table.read().select("doc_id", "text").persist())
+                committed = corpus.select(col("doc_id").alias("vec_id"))
+                indexed = (self.spark.table(ivf_table)
+                           .select("vec_id").distinct())
+                new = (vecs.join(committed, "vec_id", "left_semi")
+                       .join(indexed, "vec_id", "left_anti"))
+                # A drain that admitted nothing new must not append:
+                # an empty bucketed append still writes file
+                # metadata churn.
+                if not new.isEmpty():
+                    self.extend_ivf(new, ivf_table, ivf_path)
+                # The anti-join re-baseline covered everything up to
+                # `head` — but only mark it folded-in if no committed
+                # doc is still waiting for its vector (same pending
+                # rule as the CDC path).
+                if (committed.join(vecs, "vec_id", "left_anti")
+                        .isEmpty()):
+                    _store_index_hwm(ivf_path, tp_abs, head,
+                                     in_progress=False)
         if sig_table is not None:
             if not sig_path:
                 raise ValueError(
@@ -201,21 +310,38 @@ class Engine:
                     f"before maintaining it through drains (the "
                     f"drain itself committed fine; re-invoking with "
                     f"the table in place extends it idempotently)")
-            corpus = corpus if corpus is not None else (
-                table.read().select("doc_id", "text").persist())
-            signed = (self.spark.table(sig_table)
-                      .select("doc_id").distinct())
+            changed = _cdc_candidates(sig_path)
             # Docs shorter than the shingle width can NEVER be signed
-            # (they produce no shingles): without this filter they
-            # re-enter the anti-join as a growing backlog on every
-            # drain, re-shingled each time for an empty append.
-            new_docs = (corpus
-                        .where(F.size(F.split(col("text"), " "))
-                               >= n)
-                        .join(signed, "doc_id", "left_anti"))
-            if not new_docs.isEmpty():
-                self.extend_signatures(new_docs, sig_table, sig_path,
-                                       n=n)
+            # (they produce no shingles) — excluded on BOTH paths:
+            # from the CDC feed (they'd re-shingle for an empty
+            # append) and from the anti-join candidates (they'd
+            # re-enter as a growing backlog on every drain).
+            signable = F.size(F.split(col("text"), " ")) >= n
+            if changed is not None:
+                _store_index_hwm(sig_path, tp_abs, head,
+                                 in_progress=True)
+                new_docs = (changed.select("doc_id", "text")
+                            .where(signable))
+                if not new_docs.isEmpty():
+                    self.extend_signatures(new_docs, sig_table,
+                                           sig_path, n=n)
+                # Signatures are a pure per-doc function of text —
+                # nothing external can arrive late — so the mark
+                # always advances on success.
+                _store_index_hwm(sig_path, tp_abs, head,
+                                 in_progress=False)
+            else:
+                corpus = corpus if corpus is not None else (
+                    table.read().select("doc_id", "text").persist())
+                signed = (self.spark.table(sig_table)
+                          .select("doc_id").distinct())
+                new_docs = (corpus.where(signable)
+                            .join(signed, "doc_id", "left_anti"))
+                if not new_docs.isEmpty():
+                    self.extend_signatures(new_docs, sig_table,
+                                           sig_path, n=n)
+                _store_index_hwm(sig_path, tp_abs, head,
+                                 in_progress=False)
         if corpus is not None:
             corpus.unpersist()
         return table

@@ -1,0 +1,319 @@
+"""CDC-fed index maintenance in Engine.ingest_documents (r12): after
+the first drain baselines an index, subsequent drains feed
+extend_signatures / extend_ivf from TxnTable.changes(hwm) — O(changed
+files), never a corpus rescan — with the full-corpus anti-join kept as
+the fallback for exactly the cases CDC attribution is unavailable
+(no mark / crash marker / typed changes() refusal) and with pending
+vectors never silently dropped.  Every path must be value-EQUIVALENT
+to the anti-join result."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_challenge_spark.api import (
+    Engine, _load_index_hwm, _store_index_hwm,
+)
+from data_ingestion_challenge_spark.txn import TxnTable
+
+
+@pytest.fixture()
+def split_engine(spark, cat, tmp_path):
+    """An Engine over the first 400 sf0.001 docs (bootstrap corpus
+    for the materialized indexes) + admission scratch dirs."""
+    base_dir = tmp_path / "sf_base"
+    base_dir.mkdir()
+    cat.documents.where(F.col("doc_id") < 400).write.parquet(
+        str(base_dir / "documents.parquet"))
+    cat.embeddings.where(F.col("vec_id") < 400).write.parquet(
+        str(base_dir / "embeddings.parquet"))
+    eng = Engine(str(base_dir), spark=spark)
+    d = {k: str(tmp_path / k) for k in
+         ("watch", "corpus", "postings", "log", "sizes", "ckpt")}
+    return eng, d
+
+
+def _stage_drop(spark, watch: str, lo: int, hi: int):
+    docs = [(i, f"cdc maintenance document number {i} "
+                f"with distinct words w{i}a w{i}b w{i}c", "en", "t")
+            for i in range(lo, hi)]
+    (spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string")
+     .coalesce(1).write.mode("append").json(watch))
+
+
+def _drain_sig(eng, d, st, sig_path):
+    return eng.ingest_documents(
+        d["watch"], d["corpus"], d["postings"], d["log"], d["ckpt"],
+        sizes_dir=d["sizes"], sig_table=st, sig_path=sig_path)
+
+
+def _sig_rows(spark, st):
+    return sorted(tuple(r) for r in spark.table(st).collect())
+
+
+def _oneshot_sigs(spark, eng, corpus_table, st):
+    """Reference: base docs + everything admitted, signed one-shot."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        _postings, build_signatures,
+    )
+    base = eng.catalog.documents.select("doc_id", "text")
+    admitted = corpus_table.read().select("doc_id", "text")
+    post = _postings(base.unionByName(admitted), 3)
+    out = sorted(tuple(r) for r in
+                 build_signatures(post, 16).collect())
+    post.unpersist()
+    return out
+
+
+def test_sig_cdc_path_after_baseline_equivalent_and_file_bounded(
+        spark, split_engine, tmp_path, monkeypatch):
+    """Drain 1 baselines via the anti-join and writes the mark;
+    drain 2 rides changes(hwm): result identical to a one-shot
+    rebuild, the mark advances to the new head, the CDC read's
+    inputFiles are disjoint from the pre-drain snapshot's (bounded by
+    the changed files), and changes() was actually invoked."""
+    eng, d = split_engine
+    pt, st = "cdc_sig_post1", "cdc_sig_tbl1"
+    sig_path = str(tmp_path / "sig")
+    calls = []
+    orig = TxnTable.changes
+
+    def _spy(self, since_version):
+        calls.append(since_version)
+        return orig(self, since_version)
+
+    monkeypatch.setattr(TxnTable, "changes", _spy)
+    try:
+        eng.materialize_postings(pt, str(tmp_path / "post"))
+        eng.materialize_signatures(pt, st, sig_path, k=16)
+        assert _load_index_hwm(sig_path) is None
+        _stage_drop(spark, d["watch"], 400, 420)
+        corpus = _drain_sig(eng, d, st, sig_path)
+        v1 = corpus.version()
+        hwm = _load_index_hwm(sig_path)
+        assert hwm == {"table_path": os.path.abspath(d["corpus"]),
+                       "version": v1, "in_progress": False}
+        assert not calls  # first drain: no mark yet -> anti-join
+        pre_files = set(corpus.read().inputFiles())
+
+        _stage_drop(spark, d["watch"], 420, 440)
+        corpus = _drain_sig(eng, d, st, sig_path)
+        v2 = corpus.version()
+        assert v2 > v1
+        assert calls == [v1]  # second drain rode CDC
+        assert _load_index_hwm(sig_path)["version"] == v2
+        assert not _load_index_hwm(sig_path)["in_progress"]
+        # O(changes) files: the CDC read never touches the old runs.
+        chg_files = set(orig(corpus, v1).inputFiles())
+        assert chg_files and chg_files.isdisjoint(pre_files)
+        assert _sig_rows(spark, st) == _oneshot_sigs(spark, eng,
+                                                     corpus, st)
+    finally:
+        for t in (pt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sig_crash_marker_forces_antijoin_and_heals(
+        spark, split_engine, tmp_path):
+    """A crash between the CDC extend and the mark advance leaves
+    in_progress=True with the rows ALREADY appended: the next drain
+    must take the anti-join (which skips them), append no duplicates,
+    and rewrite a clean mark at the new head."""
+    eng, d = split_engine
+    pt, st = "cdc_sig_post2", "cdc_sig_tbl2"
+    sig_path = str(tmp_path / "sig")
+    try:
+        eng.materialize_postings(pt, str(tmp_path / "post"))
+        eng.materialize_signatures(pt, st, sig_path, k=16)
+        _stage_drop(spark, d["watch"], 400, 420)
+        corpus = _drain_sig(eng, d, st, sig_path)
+        v1 = corpus.version()
+        # Simulate the crash window: doc 420 was extended by a CDC
+        # attempt that died before advancing the mark.
+        pre_crash = spark.createDataFrame(
+            [(420, "cdc maintenance document number 420 "
+                   "with distinct words w420a w420b w420c")],
+            "doc_id long, text string")
+        eng.extend_signatures(pre_crash, st, sig_path)
+        _store_index_hwm(sig_path, d["corpus"], v1, in_progress=True)
+
+        _stage_drop(spark, d["watch"], 420, 440)
+        corpus = _drain_sig(eng, d, st, sig_path)
+        hwm = _load_index_hwm(sig_path)
+        assert hwm["version"] == corpus.version()
+        assert not hwm["in_progress"]
+        per_doc = (spark.table(st).groupBy("doc_id").count()
+                   .where("count > 1").count())
+        assert per_doc == 0  # the pre-crash row was not re-appended
+        assert _sig_rows(spark, st) == _oneshot_sigs(spark, eng,
+                                                     corpus, st)
+    finally:
+        for t in (pt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sig_cdc_boundary_crossing_fold_falls_back(
+        spark, split_engine, tmp_path):
+    """A full fold that crossed the mark's boundary makes changes()
+    refuse typed; the drain must re-baseline through the anti-join —
+    same final table, mark advanced past the fold."""
+    eng, d = split_engine
+    pt, st = "cdc_sig_post3", "cdc_sig_tbl3"
+    sig_path = str(tmp_path / "sig")
+    try:
+        eng.materialize_postings(pt, str(tmp_path / "post"))
+        eng.materialize_signatures(pt, st, sig_path, k=16)
+        _stage_drop(spark, d["watch"], 400, 420)
+        corpus = _drain_sig(eng, d, st, sig_path)
+        v1 = corpus.version()
+        _stage_drop(spark, d["watch"], 420, 440)
+        corpus = _drain_sig(eng, d, st, sig_path)
+        # Fold the run ladder, then rewind the mark to v1 so the fold
+        # CROSSES the boundary (the stale-consumer scenario).
+        corpus.compact_runs(level="full")
+        with pytest.raises(ValueError):
+            corpus.changes(v1)
+        _store_index_hwm(sig_path, d["corpus"], v1, in_progress=False)
+
+        _stage_drop(spark, d["watch"], 440, 460)
+        corpus = _drain_sig(eng, d, st, sig_path)
+        hwm = _load_index_hwm(sig_path)
+        assert hwm["version"] == corpus.version()
+        assert not hwm["in_progress"]
+        assert _sig_rows(spark, st) == _oneshot_sigs(spark, eng,
+                                                     corpus, st)
+    finally:
+        for t in (pt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_pending_vectors_survive_cdc(spark, cat, split_engine,
+                                         tmp_path):
+    """A doc whose embedding arrives AFTER its drain must not be
+    dropped by the mark advance: the CDC path leaves the crash marker
+    in place when coverage is incomplete, and the next call's
+    anti-join indexes the late vector."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.similarity import (
+        probe_against_matrix,
+    )
+    eng, d = split_engine
+    table, path = "cdc_ivf_tbl1", str(tmp_path / "ivf")
+    vecs_path = str(tmp_path / "vectors.parquet")
+    try:
+        eng.materialize_ivf(table, path)
+        _stage_drop(spark, d["watch"], 400, 420)
+        (cat.embeddings
+         .where((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+         .select("vec_id", "embedding")
+         .write.mode("overwrite").parquet(vecs_path))
+        eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        hwm = _load_index_hwm(path)
+        assert hwm and not hwm["in_progress"]  # full coverage
+
+        # Drop 2, but the vector service is BEHIND: ids 420-429 only.
+        _stage_drop(spark, d["watch"], 420, 440)
+        (cat.embeddings
+         .where((F.col("vec_id") >= 400) & (F.col("vec_id") < 430))
+         .select("vec_id", "embedding")
+         .write.mode("overwrite").parquet(vecs_path))
+        eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        hwm = _load_index_hwm(path)
+        assert hwm["in_progress"]  # pending vectors: mark NOT clean
+        indexed = {r[0] for r in spark.table(table)
+                   .select("vec_id").distinct()
+                   .where("vec_id >= 400").collect()}
+        assert indexed == set(range(400, 430))
+
+        # Vector service catches up; nothing new to drain — the
+        # fallback indexes the stragglers and the mark comes clean.
+        (cat.embeddings
+         .where((F.col("vec_id") >= 400) & (F.col("vec_id") < 440))
+         .select("vec_id", "embedding")
+         .write.mode("overwrite").parquet(vecs_path))
+        corpus = eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        hwm = _load_index_hwm(path)
+        assert hwm["version"] == corpus.version()
+        assert not hwm["in_progress"]
+        got = spark.table(table).where("vec_id >= 400")
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            meta = json.load(f)
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        expect = probe_against_matrix(
+            spark.read.parquet(vecs_path), C,
+            np.linalg.norm(C, axis=1), meta["nprobe"])
+        assert ({(r["vec_id"], r["_cell"]) for r in got.collect()}
+                == {(r["vec_id"], r["_cell"]) for r in
+                    expect.collect()})
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivf_cdc_second_drain_equivalent(spark, cat, split_engine,
+                                         tmp_path, monkeypatch):
+    """Happy-path IVF CDC: second drain rides changes(hwm) and lands
+    the same assignments a one-shot probe of all admitted vectors
+    would — with changes() verifiably invoked exactly once."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.similarity import (
+        probe_against_matrix,
+    )
+    eng, d = split_engine
+    table, path = "cdc_ivf_tbl2", str(tmp_path / "ivf")
+    vecs_path = str(tmp_path / "vectors.parquet")
+    calls = []
+    orig = TxnTable.changes
+
+    def _spy(self, since_version):
+        calls.append(since_version)
+        return orig(self, since_version)
+
+    monkeypatch.setattr(TxnTable, "changes", _spy)
+    try:
+        eng.materialize_ivf(table, path)
+        _stage_drop(spark, d["watch"], 400, 420)
+        (cat.embeddings.where((F.col("vec_id") >= 400)
+                              & (F.col("vec_id") < 440))
+         .select("vec_id", "embedding")
+         .write.mode("overwrite").parquet(vecs_path))
+        corpus = eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        v1 = corpus.version()
+        assert not calls
+        _stage_drop(spark, d["watch"], 420, 440)
+        corpus = eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        assert calls == [v1]
+        assert _load_index_hwm(path)["version"] == corpus.version()
+        got = spark.table(table).where("vec_id >= 400")
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            meta = json.load(f)
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        expect = probe_against_matrix(
+            spark.read.parquet(vecs_path), C,
+            np.linalg.norm(C, axis=1), meta["nprobe"])
+        assert ({(r["vec_id"], r["_cell"]) for r in got.collect()}
+                == {(r["vec_id"], r["_cell"]) for r in
+                    expect.collect()})
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
