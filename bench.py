@@ -504,7 +504,8 @@ def _admission_ingest(spark, sf_dir: str):
 
 
 def _admission_multi_drop(spark, sf_dir: str, n_drops: int = 6,
-                          commit_mode: str = "append"):
+                          commit_mode: str = "append",
+                          health: bool = False):
     """Multi-batch BACKLOG-DRAIN admission rate: all ``n_drops`` jsonl
     drops (16 files each) are staged before ONE availableNow drain,
     with the stepped-merge cadence ON (compact_every=2).  This is the
@@ -551,8 +552,22 @@ def _admission_multi_drop(spark, sf_dir: str, n_drops: int = 6,
             elapsed = time.perf_counter() - t0
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        rep = None
+        if health:
+            # One Engine.health_report over the freshly drained state
+            # (r11 verdict task 8): the driver artifact carries the
+            # same tidy ops surface a deployed pipeline alerts on —
+            # flattened to "component.metric": value scalars.
+            from data_ingestion_challenge_spark.api import Engine
+
+            eng = Engine(sf_dir, spark=spark)
+            rep = {f"{r.component}.{r.metric}": r.value
+                   for r in eng.health_report(
+                       table_path=dirs["table"],
+                       postings_dir=dirs["postings"],
+                       sizes_dir=dirs["sizes"]).collect()}
         return (round(n_docs / elapsed, 1) if elapsed > 0 else None,
-                _table_stats_summary(table))
+                _table_stats_summary(table), rep)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -991,7 +1006,8 @@ def main() -> None:
     meters = {
         "ingest": lambda: _streaming_ingest(spark, sf_dir),
         "admission": lambda: _admission_ingest(spark, sf_dir),
-        "multi_append": lambda: _admission_multi_drop(spark, sf_dir),
+        "multi_append": lambda: _admission_multi_drop(spark, sf_dir,
+                                              health=True),
         "multi_merge": lambda: _admission_multi_drop(
             spark, sf_dir, commit_mode="merge"),
         "ku_delta": lambda: _keyed_upsert_rate(spark, sf_dir, "delta"),
@@ -1020,7 +1036,7 @@ def main() -> None:
 
     ing = _med("ingest") or (None, None, None)
     adm = _med("admission") or (None, None, None)
-    ma = _med("multi_append") or (None, None)
+    ma = _med("multi_append") or (None, None, None)
     mm = _med("multi_merge") or (None, None)
 
     # ---- corpus-growth ladder (r10 verdict task 1) ------------------
@@ -1071,6 +1087,9 @@ def main() -> None:
         # run): run generations + base/run row split — the driver
         # artifact now shows the fold cadence's effect per round.
         "corpus_table_stats": ma[1],
+        # Engine.health_report over the benched admission state
+        # (tidy ops surface, flattened scalars) — full line only.
+        "health": ma[2],
         "keyed_upsert_delta_rows_per_sec": _first(_med("ku_delta")),
         "keyed_upsert_delta_rows_per_sec_minmax": _minmax("ku_delta"),
         "keyed_upsert_merge_rows_per_sec": _first(_med("ku_merge")),

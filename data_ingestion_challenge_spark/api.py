@@ -890,6 +890,124 @@ class Engine:
             F.max("occ").alias("max_occupancy"),
             F.percentile("occ", F.lit(0.99)).alias("p99_occupancy"))
 
+    def health_report(self, table_path: str | None = None,
+                      postings_dir: str | None = None,
+                      sizes_dir: str | None = None,
+                      ivf_table: str | None = None,
+                      ivf_path: str | None = None,
+                      sig_table: str | None = None) -> DataFrame:
+        """ONE tidy ops-health frame for a deployed ingest pipeline —
+        the single call a pipeline operator alerts on, folding the
+        per-component audits (TxnTable.table_stats,
+        posting_store_stats, ivf_index_stats, the signature table,
+        the admission lease) into (component, metric, value, note)
+        rows.  Pass only the components the deployment runs; each is
+        scanned through its own audit path (footer-only for the
+        corpus ladder, lease-guarded for the posting store,
+        metadata-only for the lease itself).  Alert thresholds the
+        audits document: corpus ``run_generations`` growing past a
+        handful → compact_runs is overdue; posting
+        ``uncommitted_runs`` > 0 persisting → a crashed drain left
+        orphans; ``bucket_skew`` (max/mean postings per bucket) a
+        few × → re-modulus; IVF ``occupancy_drift`` (p99 vs design)
+        a few × → reindex; ``lease_state`` 2 → a dead holder is
+        blocking admission until stolen."""
+        import json
+
+        rows: list[tuple[str, str, float | None, str]] = []
+
+        def _add(component: str, metric: str, value, note: str = ""):
+            rows.append((component, metric,
+                         None if value is None else float(value),
+                         note))
+
+        if table_path is not None:
+            from data_ingestion_challenge_spark.txn import TxnTable
+
+            s = TxnTable(self.spark, table_path,
+                         key="doc_id").table_stats()
+            for m in ("version", "n_files", "base_files",
+                      "base_rows", "run_rows"):
+                _add("corpus_table", m, s[m])
+            _add("corpus_table", "run_generations",
+                 len(s["generations"]),
+                 "fold due when this grows past a handful")
+        if postings_dir is not None:
+            # Lease state FIRST: the store audit below acquires the
+            # lease itself (stealing a dead holder's), so reading
+            # after it would always report "free" and hide the crash
+            # the operator needs to see.
+            from data_ingestion_challenge_spark.streaming.admission \
+                import _LEASE
+            lease = os.path.join(postings_dir, _LEASE)
+            state, note = 0.0, "free"
+            if os.path.exists(lease):
+                try:
+                    with open(lease) as f:
+                        pid = int(f.read().strip())
+                    os.kill(pid, 0)
+                    state, note = 1.0, f"held by live pid {pid}"
+                except (ValueError, ProcessLookupError):
+                    state, note = 2.0, "stale (holder dead/unparsable)"
+                except PermissionError:
+                    state, note = 1.0, "held (pid alive, other user)"
+            st = self.posting_store_stats(
+                postings_dir, table_path=table_path,
+                sizes_dir=sizes_dir)
+            runs = st["runs"]
+            _add("posting_store", "n_runs", len(runs))
+            _add("posting_store", "base_runs",
+                 sum(1 for r in runs if r["is_base"]))
+            uncommitted = [r["tag"] for r in runs
+                           if r["committed"] is False]
+            _add("posting_store", "uncommitted_runs",
+                 len(uncommitted),
+                 ",".join(str(t) for t in uncommitted[:8]))
+            _add("posting_store", "posting_rows",
+                 sum(r["rows"] for r in runs))
+            _add("posting_store", "bucket_mod", st["mod"])
+            hist = {int(r["df_bucket"]): int(r["n_shingles"])
+                    for r in st["df_histogram"].collect()}
+            if hist:
+                _add("posting_store", "df_log2_max", max(hist),
+                     "heaviest shingle document-frequency bucket")
+            if st["bucket_balance"] is not None:
+                bb = [int(r["n_postings"])
+                      for r in st["bucket_balance"].collect()]
+                if bb:
+                    _add("posting_store", "bucket_skew",
+                         round(max(bb) / (sum(bb) / len(bb)), 3),
+                         "max/mean postings per s_bucket")
+            _add("posting_store", "lease_state", state, note)
+        if ivf_table is not None:
+            occ = self.ivf_index_stats(ivf_table).collect()[0]
+            for m in ("n_cells", "n_assignments", "mean_occupancy",
+                      "max_occupancy", "p99_occupancy"):
+                _add("ivf_index", m, occ[m])
+            if ivf_path is not None:
+                meta_path = os.path.join(ivf_path, "_ivf_meta.json")
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        meta = json.load(f)
+                    design = meta.get("nprobe", 1) * meta.get("cell",
+                                                              128)
+                    _add("ivf_index", "design_occupancy", design)
+                    _add("ivf_index", "occupancy_drift",
+                         round(float(occ["p99_occupancy"]) / design,
+                               3),
+                         "reindex when this runs a few x past 1")
+        if sig_table is not None:
+            import re as _re
+
+            cols = self.spark.table(sig_table).columns
+            _add("signature_table", "k",
+                 sum(1 for c in cols if _re.fullmatch(r"m\d+", c)))
+            _add("signature_table", "n_docs",
+                 self.spark.table(sig_table).count())
+        return self.spark.createDataFrame(
+            rows, "component string, metric string, value double, "
+                  "note string")
+
     def dedup_incoming(self, new_docs: DataFrame, posting_table: str,
                        tau: float = 0.8, n: int = 3) -> DataFrame:
         """Ingest-time admission screen: per incoming doc, the

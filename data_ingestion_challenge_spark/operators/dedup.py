@@ -1046,3 +1046,47 @@ def simhash_hamming_oracle_sql(sh_cte: str,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM hp GROUP BY 1
     """
+
+
+# ------------------------------------------ prefix fingerprint (r16)
+
+
+def dedup_prefix(documents: DataFrame, k_tokens: int = 16) -> DataFrame:
+    """Prefix-duplicate groups: docs sharing an identical first-k-token
+    prefix, reported as (prefix_hash, n_docs, keep_id, n_sources) for
+    groups of ≥ 2 — the cheap screen for template/boilerplate dup
+    families (mirror scrapes, generated pages, mailing-list footers
+    promoted to headers) that exact-hash misses because tails differ
+    and shingle dedup prices at full-text cost.  keep_id is the
+    smallest doc_id (the repo's deterministic keeper rule);
+    n_sources > 1 flags cross-provider template reuse.
+
+    Exact by construction: md5 of the space-rejoined first
+    min(k, len) tokens — the same string both engines build (split
+    keeps empty tokens identically; slice/list-bounds semantics
+    agree).  Scale shape: one linear tokenize+hash scan (no shingle
+    explosion — ONE row per doc), one groupBy(prefix) with map-side
+    combine, HAVING ≥ 2; output is dup-family-sized."""
+    pref = F.md5(F.array_join(
+        F.slice(T.words(col("text")), 1, k_tokens), " "))
+    return (documents
+            .select(pref.alias("prefix_hash"), "doc_id", "source")
+            .groupBy("prefix_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.countDistinct("source").alias("n_sources"))
+            .where(col("n_docs") >= 2))
+
+
+def dedup_prefix_oracle_sql(k_tokens: int = 16) -> str:
+    """DuckDB twin: list slicing `l[1:k]` clamps like Spark's slice;
+    string_split keeps empty tokens like F.split."""
+    return f"""
+    SELECT md5(array_to_string(string_split(text, ' ')[1:{k_tokens}],
+               ' ')) AS prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY 1 HAVING count(*) >= 2
+    """

@@ -1021,3 +1021,70 @@ def hard_negative_oracle_sql(tau: float = 0.35) -> str:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {cos} >= {tau} AND a.label <> b.label
     """
+
+
+# ------------------------------------- τ calibration sweep (r16 pool)
+
+
+def cosine_threshold_sweep(embeddings: DataFrame, tau_low: float = 0.2,
+                           nprobe: int = 4, cell: int = 128,
+                           assignments: DataFrame | None = None
+                           ) -> DataFrame:
+    """τ-tuning table for embedding dedup — the vector twin of the
+    shingle dedup_threshold_sweep: IVF-candidate pairs verified at a
+    LOW floor (τ_low), bucketed by 0.05 of exact cosine, with the
+    cumulative pairs-at-or-above count per bucket.  Read before
+    committing to a SemDeDup/cosine-dedup τ: a cliff between buckets
+    says the corpus separates cleanly; a flat ramp says the chosen τ
+    cuts through a near-dup continuum and keeper choice will be
+    unstable.
+
+    One candidate run feeds every bucket (never a run per τ).  The
+    bucket key floor(cos·20) and the cumulative window run over ≤
+    ~16 bucket rows only.  Bucket arithmetic operates on the
+    4dp-ROUNDED cosine — a deterministic function of the identical
+    double in both engines, so bucket membership can't flip on a
+    last-ulp verify difference.
+
+    Scale shape: sub-quadratic IVF blocking (O(n·nprobe²·cell)
+    candidates); pass ``assignments`` to ride a maintained
+    materialize_ivf layout exchange-free."""
+    pairs = ivf_candidate_pairs(embeddings, tau=tau_low,
+                                nprobe=nprobe, cell=cell,
+                                assignments=assignments)
+    hist = (pairs
+            .groupBy(F.floor(col("cos_sim") * 20).cast("int")
+                     .alias("_b"))
+            .agg(F.count("*").alias("n_pairs")))
+    w = Window.orderBy(col("_b").desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (hist
+            .withColumn("cum_pairs_at_or_above",
+                        F.sum("n_pairs").over(w))
+            .select(F.round(col("_b") / 20.0, 2).alias("cos_bucket"),
+                    "n_pairs", "cum_pairs_at_or_above"))
+
+
+def cosine_sweep_oracle_sql(tau_low: float = 0.2, nprobe: int = 4,
+                            cell: int = 128) -> str:
+    """DuckDB twin: the ivf_candidate_cte pair replay, cosine
+    recomputed and rounded 4dp exactly like the Spark verify, same
+    floor(cos·20) buckets, same ≤16-row cumulative window."""
+    cos = _dk_cos("ea", "eb")
+    return f"""
+    WITH {ivf_candidate_cte(tau=tau_low, nprobe=nprobe, cell=cell)},
+    verified AS (
+        SELECT round({cos}, 4) AS cos_sim
+        FROM pairs
+        JOIN embeddings ea ON ea.vec_id = pairs.va
+        JOIN embeddings eb ON eb.vec_id = pairs.vb),
+    hist AS (SELECT CAST(floor(cos_sim * 20) AS INT) AS b,
+                    CAST(count(*) AS BIGINT) AS n_pairs
+             FROM verified GROUP BY 1)
+    SELECT round(b / 20.0, 2) AS cos_bucket, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY b DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT)
+               AS cum_pairs_at_or_above
+    FROM hist
+    """

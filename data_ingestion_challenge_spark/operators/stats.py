@@ -981,3 +981,166 @@ SUPPLIER_BALANCE_BY_REGION_ORACLE = """
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
 """
+
+
+# ---------------------------------------- growth/monetization (r16 pool)
+
+
+def user_retention_curve(events: DataFrame) -> DataFrame:
+    """Classic day-k retention curve: (k_days, n_eligible, n_retained,
+    retained_ratio) for k ≥ 1 — of the users first seen at least k
+    days before the corpus horizon, how many were active again
+    exactly k days after their first day.  The growth table every
+    ingestion product reads next to DAU; signup_cohort_retention
+    slices one cohort forward, this folds ALL cohorts onto a single
+    offset axis.
+
+    Exact integers; the ratio is ONE double divide rounded 6dp
+    (n_eligible ≥ n_retained ≥ 1 by construction of the inner join).
+
+    Scale shape: one groupBy(user) for first days (user-sized,
+    map-side combined), one distinct (day, user) projection, an
+    equi-join on user_id, a groupBy(k) to ≤ |days| rows; eligibility
+    counts come from the same first-day rollup joined to the ≤|days|
+    output — never a second corpus scan."""
+    fd = (events.groupBy("user_id")
+          .agg(F.min(F.to_date("ts")).alias("_first")))
+    act = (events.select(F.to_date("ts").alias("_day"), "user_id")
+           .distinct())
+    horizon = act.agg(F.max("_day").alias("_h"))
+    ret = (act.join(fd, "user_id")
+           .select(F.datediff(col("_day"), col("_first")).alias("k_days"))
+           .where(col("k_days") >= 1)
+           .groupBy("k_days")
+           .agg(F.count("*").alias("n_retained")))
+    elig = (fd.crossJoin(F.broadcast(horizon))
+            .select(F.datediff(col("_h"), col("_first"))
+                    .alias("_max_k"))
+            .groupBy("_max_k").agg(F.count("*").alias("_n")))
+    # eligible(k) = Σ_{max_k ≥ k} n, evaluated AT ret's k values (a
+    # k between two users' exact max-k offsets must not drop out):
+    # a ≤|days|²-row broadcast range join over the two tiny rollups
+    # — never user-sized.
+    elig_k = (ret.select("k_days")
+              .join(F.broadcast(elig), col("_max_k") >= col("k_days"))
+              .groupBy("k_days")
+              .agg(F.sum("_n").alias("n_eligible")))
+    return (ret.join(elig_k, "k_days")
+            .select("k_days",
+                    col("n_eligible").cast("long").alias("n_eligible"),
+                    "n_retained",
+                    F.round(col("n_retained") / col("n_eligible"), 6)
+                    .alias("retained_ratio")))
+
+
+USER_RETENTION_CURVE_ORACLE = """
+    WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+    h AS (SELECT max(day) AS horizon FROM act),
+    ret AS (SELECT day - first_day AS k_days,
+                   CAST(count(*) AS BIGINT) AS n_retained
+            FROM act JOIN fd USING (user_id)
+            WHERE day - first_day >= 1
+            GROUP BY 1),
+    mk AS (SELECT (SELECT horizon FROM h) - first_day AS max_k,
+                  count(*) AS n
+           FROM fd GROUP BY 1),
+    elig AS (SELECT r.k_days,
+                    CAST(sum(mk.n) AS BIGINT) AS n_eligible
+             FROM ret r JOIN mk ON mk.max_k >= r.k_days
+             GROUP BY r.k_days)
+    SELECT r.k_days, e.n_eligible, r.n_retained,
+           round(CAST(r.n_retained AS DOUBLE) / e.n_eligible, 6)
+               AS retained_ratio
+    FROM ret r JOIN elig e USING (k_days)
+    WHERE r.k_days >= 1
+"""
+
+
+def value_by_user_tenure(events: DataFrame) -> DataFrame:
+    """Monetization by account age: (tenure_band, n_events, n_users,
+    value_sum) where tenure = days between a user's first-ever day
+    and the event's day, banded day-0 / days-1-7 / days-8-30 /
+    days-31+ — the mix table behind 'do we earn from new or from
+    retained users', read next to the retention curve.
+
+    Exact: integer day diffs, CASE bands (identical literals both
+    engines), DECIMAL(30,6)-accumulated value rounded 2dp.
+
+    Scale shape: one groupBy(user) for first days, one equi-join on
+    user_id (first-day frame is user-sized, broadcast at dim scale,
+    shuffle-join at corpus scale), one map-side-combined groupBy to
+    4 rows."""
+    fd = (events.groupBy("user_id")
+          .agg(F.min(F.to_date("ts")).alias("_first")))
+    t = F.datediff(F.to_date("ts"), col("_first"))
+    band = (F.when(t == 0, "0d")
+            .when(t <= 7, "1-7d")
+            .when(t <= 30, "8-30d")
+            .otherwise("31d+"))
+    return (events.join(fd, "user_id")
+            .groupBy(band.alias("tenure_band"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum(col("value").cast("decimal(30,6)")), 2)
+                 .cast("double").alias("value_sum")))
+
+
+VALUE_BY_USER_TENURE_ORACLE = """
+    WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+                FROM events GROUP BY user_id),
+    t AS (SELECT CAST(e.ts AS DATE) - f.first_day AS tenure,
+                 e.user_id, e.value
+          FROM events e JOIN fd f USING (user_id))
+    SELECT CASE WHEN tenure = 0 THEN '0d'
+                WHEN tenure <= 7 THEN '1-7d'
+                WHEN tenure <= 30 THEN '8-30d'
+                ELSE '31d+' END AS tenure_band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE)
+               AS value_sum
+    FROM t GROUP BY 1
+"""
+
+
+def order_weekday_profile(orders: DataFrame) -> DataFrame:
+    """Weekday seasonality of order flow: (weekday, n_orders, revenue,
+    avg_order_value) — the staffing/capacity table behind the daily
+    revenue monitor.  Weekday is computed PORTABLY as
+    days-since-epoch mod 7 (0 = Thursday, 1970-01-01): Spark's
+    dayofweek() and DuckDB's dow disagree on both origin and range,
+    so the exact integer arithmetic sidesteps the dialect entirely.
+
+    Revenue accumulates as DECIMAL then rounds 2dp; the average is
+    ONE double divide of that already-rounded total, 6dp — both
+    engines perform the identical float ops on identical inputs.
+
+    Scale shape: one linear scan, map-side-combined groupBy to 7
+    rows."""
+    wd = F.pmod(F.datediff(F.to_date("o_orderdate"),
+                           F.to_date(F.lit("1970-01-01"))), F.lit(7))
+    g = (orders.groupBy(wd.cast("int").alias("weekday"))
+         .agg(F.count("*").alias("n_orders"),
+              F.round(F.sum(col("o_totalprice")
+                            .cast("decimal(30,6)")), 2)
+              .cast("double").alias("revenue")))
+    return g.withColumn(
+        "avg_order_value",
+        F.round(col("revenue") / col("n_orders"), 6))
+
+
+ORDER_WEEKDAY_PROFILE_ORACLE = """
+    WITH g AS (
+        SELECT CAST(((CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                     % 7 + 7) % 7 AS INT) AS weekday,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1)
+    SELECT weekday, n_orders, revenue,
+           round(revenue / n_orders, 6) AS avg_order_value
+    FROM g
+"""
