@@ -5,10 +5,12 @@ Spark-side machinery is real: binary columns, metadata structs, and
 Arrow-batched `mapInPandas` feature extraction with a stable output
 schema.  Since r11 decoding is REAL for the stdlib-parseable formats —
 WAV (RIFF/PCM) and BMP parse with struct + numpy (decode_wav /
-decode_bmp, round-trip tested against generated genuine bytes), and
+decode_bmp), r12 adds a full PNG codec (zlib inflate + all five
+scanline unfilters, 8-bit gray/RGB — decode_png/encode_png), all
+round-trip tested against generated genuine bytes, and
 `media_inventory` runs the sniff-and-decode intake audit as one Arrow
-pass.  Formats that genuinely need PIL/ffmpeg (JPEG, PNG, MP4) stay
-gated: `decode_stub` is the deterministic fake for those paths and
+pass.  Formats that genuinely need PIL/ffmpeg (JPEG, MP4,
+palette/16-bit/interlaced PNG) stay gated: `decode_stub` is the deterministic fake for those paths and
 `decode_real` raises a typed NotImplementedError for them when the
 libs are absent.
 """
@@ -64,14 +66,17 @@ def decode_real(payload: bytes):
     container ships both; round-trip tested against generated
     genuine bytes in tests/test_multimodal_real.py); other formats
     bind to PIL/soundfile when present.  Raises NotImplementedError
-    only for formats that genuinely need the absent libs (JPEG, PNG,
-    MP4, ...) — the registered multimodal queries still run
+    only for formats that genuinely need the absent libs (JPEG,
+    MP4, exotic PNG variants, ...) — the registered multimodal queries still run
     decode_stub (deterministic, oracle-replayable)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         d = decode_wav(payload)
         return len(payload), d["n_frames"]
     if payload[:2] == b"BM":
         decode_bmp(payload)  # validates; images are 1 frame
+        return len(payload), 1
+    if payload[:8] == _PNG_SIG:
+        decode_png(payload)  # validates (typed for exotic variants)
         return len(payload), 1
     if _PIL_Image is not None:  # pragma: no cover - lib not shipped
         import io
@@ -83,8 +88,9 @@ def decode_real(payload: bytes):
         return len(payload), int(info.frames)
     raise NotImplementedError(
         "decode of this format requires PIL/av/soundfile — not "
-        "available here; WAV/BMP decode natively (decode_media), and "
-        "decode_stub is the deterministic fake path for the rest")
+        "available here; WAV/BMP/PNG decode natively "
+        "(decode_media), and decode_stub is the deterministic "
+        "fake path for the rest")
 
 
 def decode_stub(payload: bytes) -> tuple[int, int]:
@@ -255,16 +261,347 @@ def decode_bmp(payload: bytes) -> dict:
             "pcm_rms": mean_px}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for 8-bit grayscale (HxW) or RGB (HxWx3)
+    arrays — pure stdlib (zlib for deflate + CRC32).  ``filter_type``
+    applies the SAME scanline filter (0 None / 1 Sub / 2 Up /
+    3 Average / 4 Paeth) to every row, so the round-trip tests can
+    drive each unfilter path of decode_png individually."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_png supports gray or RGB only")
+    bpp = ch
+    raw = px.reshape(h, w * ch).astype(np.int64)
+    prior = np.zeros(w * ch, dtype=np.int64)
+    lines = bytearray()
+    for r in range(h):
+        cur = raw[r]
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        upleft = np.zeros_like(prior)
+        upleft[bpp:] = prior[:-bpp]
+        if filter_type == 0:
+            flt = cur
+        elif filter_type == 1:
+            flt = cur - left
+        elif filter_type == 2:
+            flt = cur - prior
+        elif filter_type == 3:
+            flt = cur - (left + prior) // 2
+        elif filter_type == 4:
+            flt = cur - _paeth(left, prior, upleft)
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        lines.append(filter_type)
+        lines += (flt % 256).astype(np.uint8).tobytes()
+        prior = cur
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a, b, c):
+    """The Paeth predictor, vectorized (a=left, b=up, c=upper-left),
+    per the PNG spec's exact tie-break order (a, then b, then c)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode in pure stdlib+numpy: chunk walk → IHDR →
+    concatenated IDAT → zlib inflate → per-row unfilter (all five
+    scanline filters per the spec; Sub reconstructs as a vectorized
+    per-channel modular cumsum, Average/Paeth walk the row's pixels
+    with vectorized channel math).  Supports the formats a synthetic
+    or screenshot-heavy crawl actually produces — 8-bit grayscale and
+    truecolor, non-interlaced; palette/16-bit/interlaced raise typed
+    (decode_media then classifies opaque; a PIL build handles them).
+    Returns the same stat dict shape as decode_bmp with the exact
+    integer mean pixel byte."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_ not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            "decode_png handles 8-bit gray/RGB non-interlaced; "
+            "palette/16-bit/interlaced PNGs need PIL — absent here")
+    ch = 1 if ctype_ == 0 else 3
+    stride = w * ch
+    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(flat) != h * (stride + 1):
+        raise ValueError("PNG scanline payload length mismatch")
+    rows = flat.reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft, flt = int(rows[r, 0]), rows[r, 1:].astype(np.int64)
+        if ft == 0:
+            cur = flt
+        elif ft == 1:
+            # recon[i] = filt[i] + recon[i-ch]: per-channel modular
+            # prefix sum — vectorized, no per-pixel loop.
+            cur = np.cumsum(flt.reshape(w, ch), axis=0) % 256
+            cur = cur.reshape(stride)
+        elif ft == 2:
+            cur = (flt + prior) % 256
+        elif ft in (3, 4):
+            cur = np.empty(stride, dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                up = prior[sl]
+                pred = ((left + up) // 2 if ft == 3
+                        else _paeth(left, up, upleft))
+                cur[sl] = (flt[sl] + pred) % 256
+                left, upleft = cur[sl], up
+        else:
+            raise ValueError(f"illegal PNG filter byte {ft}")
+        recon[r] = cur
+        prior = cur
+    mean_px = int(recon.sum() // (h * stride)) if h * stride else None
+    return {"mime": "image/png", "n_frames": 1, "rate": None,
+            "channels": None, "width": int(w), "height": int(h),
+            "pcm_rms": mean_px}
+
+
+def _f80_encode(x: float) -> bytes:
+    """80-bit IEEE 754 extended float (the AIFF sample-rate field):
+    1 sign + 15 exponent (bias 16383) + 64 mantissa with EXPLICIT
+    leading integer bit.  Sample rates are small positive integers,
+    so the normalized path is all AIFF ever needs."""
+    if x <= 0:
+        return b"\x00" * 10
+    import math
+
+    m, e = math.frexp(x)              # x = m * 2**e, m in [0.5, 1)
+    exp = e + 16382
+    mant = int(m * (1 << 64))         # leading bit explicit
+    return struct.pack(">H", exp) + struct.pack(">Q", mant)
+
+
+def _f80_decode(b: bytes) -> float:
+    exp = struct.unpack(">H", b[:2])[0] & 0x7FFF
+    mant = struct.unpack(">Q", b[2:10])[0]
+    if exp == 0 and mant == 0:
+        return 0.0
+    return mant / float(1 << 64) * 2.0 ** (exp - 16382)
+
+
+def encode_aiff_pcm16(samples, rate: int, channels: int = 1) -> bytes:
+    """Minimal FORM/AIFF writer for int16 big-endian PCM — the
+    fixture generator for the AIFF decode tests."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=">i2").tobytes()
+    n_frames = len(pcm) // (2 * channels)
+    comm = (struct.pack(">hLh", channels, n_frames, 16)
+            + _f80_encode(float(rate)))
+    ssnd = struct.pack(">LL", 0, 0) + pcm
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">L", len(comm)) + comm
+            + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """REAL AIFF parse: IFF chunk walk to COMM (channels, frames,
+    bits, 80-bit extended-float sample rate) + SSND, exact integer
+    RMS of 16-bit big-endian PCM — the big-endian sibling of
+    decode_wav."""
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    pos, comm, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from(">L", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            ch, n_frames, bits = struct.unpack_from(">hLh", body, 0)
+            comm = (ch, n_frames, bits, _f80_decode(body[8:18]))
+        elif cid == b"SSND":
+            off = struct.unpack_from(">L", body, 0)[0]
+            data = body[8 + off:]
+        pos += 8 + size + (size & 1)       # chunks are word-aligned
+    if comm is None:
+        raise ValueError("AIFF payload missing COMM chunk")
+    ch, n_frames, bits, rate = comm
+    rms = None
+    if bits == 16 and data and len(data) >= 2:
+        s = np.frombuffer(data[:(len(data) // 2) * 2], dtype=">i2")
+        rms = int(np.sqrt(np.mean(s.astype(np.int64) ** 2)))
+    return {"mime": "audio/aiff", "n_frames": int(n_frames),
+            "rate": int(round(rate)), "channels": int(ch),
+            "width": None, "height": None, "pcm_rms": rms}
+
+
+def decode_au(payload: bytes) -> dict:
+    """REAL Sun .au parse: 24-byte big-endian header (magic '.snd',
+    data offset/size, encoding, rate, channels) + PCM; exact integer
+    RMS for encoding 3 (16-bit linear PCM)."""
+    import numpy as np
+
+    if payload[:4] != b".snd":
+        raise ValueError("not a Sun .au payload")
+    off, size, enc, rate, ch = struct.unpack_from(">5L", payload, 4)
+    data = payload[off:off + size if size != 0xFFFFFFFF else None]
+    rms, n_frames = None, None
+    if enc == 3:                            # 16-bit linear PCM
+        n_frames = len(data) // (2 * ch) if ch else 0
+        if len(data) >= 2:
+            s = np.frombuffer(data[:(len(data) // 2) * 2], dtype=">i2")
+            rms = int(np.sqrt(np.mean(s.astype(np.int64) ** 2)))
+    return {"mime": "audio/basic", "n_frames": n_frames,
+            "rate": int(rate), "channels": int(ch),
+            "width": None, "height": None, "pcm_rms": rms}
+
+
+def decode_jpeg_header(payload: bytes) -> dict:
+    """REAL JPEG structure parse: the marker walk to the first SOF
+    (start-of-frame) segment yields dimensions and channel count
+    WITHOUT touching the entropy-coded data — exactly what an intake
+    inventory needs (pixel-level decode stays PIL-gated; pcm_rms is
+    None to say so honestly).  Handles all SOFn variants except the
+    DNL edge (height 0) which raises."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        # SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _prec, h, w, ch = struct.unpack_from(
+                ">BHHB", payload, pos + 4)
+            if h == 0:
+                raise ValueError("JPEG DNL-deferred height")
+            return {"mime": "image/jpeg", "n_frames": 1, "rate": None,
+                    "channels": int(ch), "width": int(w),
+                    "height": int(h), "pcm_rms": None}
+        if marker == 0xDA:  # start of scan: SOF must precede it
+            break
+        pos += 2 + size
+    raise ValueError("JPEG payload missing SOF segment")
+
+
+def decode_gif_structure(payload: bytes) -> dict:
+    """REAL GIF structure parse: logical-screen dimensions + EXACT
+    frame count by walking every block — color tables by their
+    declared sizes, extensions and image data by their length-
+    prefixed sub-block chains — so no LZW decompression is ever
+    needed to count frames (animated-GIF fan-out is the number a
+    video-ish pipeline plans stride/sampling against).  Pixel decode
+    stays gated (pcm_rms None)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 14:
+        raise ValueError("GIF payload truncated before screen descriptor")
+    w, h, flags = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    if flags & 0x80:                       # global color table
+        pos += 3 * (2 << (flags & 0x07))
+
+    def _skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+        raise ValueError("GIF sub-block chain runs off the payload")
+
+    frames = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                      # trailer
+            break
+        if b == 0x21:                      # extension block
+            pos = _skip_subblocks(pos + 2)
+        elif b == 0x2C:                    # image descriptor
+            lflags = payload[pos + 9]
+            pos += 10
+            if lflags & 0x80:              # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1                       # LZW min code size
+            pos = _skip_subblocks(pos)
+            frames += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if frames == 0:
+        raise ValueError("GIF payload holds no image descriptor")
+    return {"mime": "image/gif", "n_frames": frames, "rate": None,
+            "channels": None, "width": int(w), "height": int(h),
+            "pcm_rms": None}
+
+
 def decode_media(payload: bytes) -> dict:
-    """Sniff-and-decode: REAL stdlib parsers for WAV/BMP; PIL /
-    soundfile for other formats when present; anything else (or any
-    parse failure) classifies as opaque bytes rather than failing the
-    batch — a 100 TB media crawl always contains garbage."""
+    """Sniff-and-decode: REAL stdlib parsers for WAV/BMP/PNG plus
+    structure-level JPEG (SOF dims) and GIF (dims + exact frame
+    count); PIL / soundfile for anything further when present; any
+    other format (or any parse failure) classifies as opaque bytes
+    rather than failing the batch — a 100 TB media crawl always
+    contains garbage."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg_header(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_structure(payload)
+        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+            return decode_aiff(payload)
+        if payload[:4] == b".snd":
+            return decode_au(payload)
         if _PIL_Image is not None:  # pragma: no cover - lib absent
             import io
             with _PIL_Image.open(io.BytesIO(payload)) as img:
@@ -370,5 +707,53 @@ SYNTH_WAV_INVENTORY_ORACLE = """
            CAST(n_chars % 500 + 10 AS BIGINT) AS n_frames,
            CAST(n_chars % 1000 * 10 AS BIGINT) AS pcm_rms,
            CAST(44 + 2 * (n_chars % 500 + 10) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+def synth_png_inventory(documents: DataFrame) -> DataFrame:
+    """The PNG twin of synth_wav_inventory — the gateable witness
+    that decode_png is a REAL codec: per doc, synthesize a genuine
+    solid-color RGB PNG (width, height, and color are closed-form
+    functions of n_chars; the scanline FILTER cycles n_chars % 5, so
+    the corpus collectively exercises every unfilter path), run it
+    through the real encoder and the real parser inside one Arrow
+    pass, and emit the decoded stats.  A solid image's exact integer
+    mean pixel byte IS its color, so a DuckDB oracle replays the
+    round trip arithmetically — a chunk-walk / inflate / unfilter
+    bug lands as a hash mismatch.  (Byte size is NOT emitted: zlib
+    output length is deterministic but not SQL-expressible.)"""
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, px = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                w, h, color = n % 16 + 1, n % 8 + 1, n % 256
+                img = np.full((h, w, 3), color, dtype=np.uint8)
+                payload = encode_png(img, filter_type=n % 5)
+                d = decode_png(payload)  # the REAL parser
+                ids.append(doc_id)
+                ws.append(d["width"])
+                hs.append(d["height"])
+                px.append(d["pcm_rms"])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "px_mean": pd.Series(px, dtype="int64"),
+            })
+
+    return (documents.select("doc_id", "n_chars")
+            .mapInPandas(_synth, "doc_id bigint, width bigint, "
+                                 "height bigint, px_mean bigint"))
+
+
+SYNTH_PNG_INVENTORY_ORACLE = """
+    SELECT doc_id,
+           CAST(n_chars % 16 + 1 AS BIGINT) AS width,
+           CAST(n_chars % 8 + 1 AS BIGINT) AS height,
+           CAST(n_chars % 256 AS BIGINT) AS px_mean
     FROM documents
 """

@@ -97,7 +97,12 @@ def test_decode_real_handles_wav_bmp_natively():
     bmp = encode_bmp24(np.zeros((2, 3, 3), dtype=np.uint8))
     assert decode_real(bmp) == (len(bmp), 1)
     if not HAS_MEDIA_LIBS:
+        # JPEG genuinely needs PIL; PNG no longer does (r12) — a
+        # PNG-signature payload now reaches the REAL parser, which
+        # raises ValueError on garbage chunks instead.
         with pytest.raises(NotImplementedError):
+            decode_real(b"\xff\xd8\xff\xe0 not really a jpeg")
+        with pytest.raises(ValueError):
             decode_real(b"\x89PNG\r\n\x1a\n not really a png")
 
 
@@ -121,3 +126,237 @@ def test_synth_wav_inventory_matches_oracle(spark):
     rows = _compare(synth_wav_inventory(docs), con,
                     SYNTH_WAV_INVENTORY_ORACLE)
     assert len(rows) == docs.count()
+
+
+# ------------------------------------------- REAL PNG codec (r12)
+
+
+def test_png_roundtrip_every_filter_rgb_and_gray():
+    """decode(encode(img, filter=f)) reconstructs the EXACT pixel
+    stats for every scanline filter type — Sub's modular cumsum, Up,
+    Average's floor divide, and Paeth's tie-break order all verified
+    against random images (a wrong predictor shifts the mean)."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_png, encode_png,
+    )
+    rng = np.random.default_rng(7)
+    for shape in ((5, 9, 3), (4, 7)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want_mean = int(img.astype(np.int64).sum() // img.size)
+        for f in range(5):
+            d = decode_png(encode_png(img, filter_type=f))
+            assert (d["width"], d["height"]) == (shape[1], shape[0])
+            assert d["pcm_rms"] == want_mean, f"filter {f}"
+            assert d["mime"] == "image/png" and d["n_frames"] == 1
+
+
+def test_png_decode_media_and_decode_real():
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_media, decode_real, encode_png,
+    )
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    payload = encode_png(img, filter_type=4)
+    assert decode_media(payload)["mime"] == "image/png"
+    assert decode_real(payload) == (len(payload), 1)
+    # garbage with a PNG signature classifies opaque, never raises
+    junk = b"\x89PNG\r\n\x1a\n" + b"not chunks at all"
+    assert decode_media(junk)["mime"] == "application/octet-stream"
+
+
+def test_png_exotic_variants_raise_typed():
+    """16-bit / palette / interlaced stay honestly gated: typed
+    NotImplementedError from the parser (decode_media catches)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def _chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
+               + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+               + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(payload)
+
+
+def test_synth_png_inventory_matches_oracle(spark):
+    """Encode→decode round trip over the documents table equals the
+    closed-form oracle row for row — every unfilter path exercised
+    across the corpus (filter = n_chars % 5)."""
+    import duckdb
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        SYNTH_PNG_INVENTORY_ORACLE, synth_png_inventory,
+    )
+    from tests.conftest import SF_DIR
+    from tests.test_r9_candidates import _compare
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF_DIR}/documents.parquet'")
+    rows = _compare(synth_png_inventory(docs), con,
+                    SYNTH_PNG_INVENTORY_ORACLE)
+    assert len(rows) == docs.count()
+
+
+# ----------------------------- JPEG/GIF structure parse (r12)
+
+
+def _jpeg_bytes(w, h, ch=3):
+    """Genuine JPEG segment structure: SOI, APP0/JFIF, a DQT stub,
+    SOF0 with the real dimension fields, SOS start — the exact walk
+    decode_jpeg_header performs on a real camera file."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, h, w, ch) + b"\x01\x11\x00" * ch
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+            + b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00")
+
+
+def _gif_bytes(w, h, n_frames):
+    """Genuine GIF89a block structure: logical screen + global color
+    table, a graphic-control extension per frame, image descriptors
+    with length-prefixed LZW sub-block chains, trailer."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80, 0, 0)  # gct, 2 entries
+    out += b"\x00\x00\x00\xff\xff\xff"              # the table
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE + terminator
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x02"                              # LZW min code size
+        out += b"\x03\x84\x51\x91" + b"\x00"        # data sub-blocks
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_jpeg_header_parse_real_structure():
+    import pytest
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_jpeg_header, decode_media,
+    )
+    d = decode_jpeg_header(_jpeg_bytes(640, 480))
+    assert (d["width"], d["height"], d["channels"]) == (640, 480, 3)
+    assert d["mime"] == "image/jpeg" and d["pcm_rms"] is None
+    assert decode_media(_jpeg_bytes(33, 7, ch=1))["width"] == 33
+    # truncated garbage behind the SOI marker: typed, media-opaque
+    with pytest.raises(ValueError):
+        decode_jpeg_header(b"\xff\xd8\x00\x00garbage")
+    assert decode_media(b"\xff\xd8\x00\x00garbage")["mime"] \
+        == "application/octet-stream"
+
+
+def test_gif_structure_parse_counts_frames_exactly():
+    import pytest
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_gif_structure, decode_media,
+    )
+    for n in (1, 3, 7):
+        d = decode_gif_structure(_gif_bytes(12, 9, n))
+        assert (d["width"], d["height"], d["n_frames"]) == (12, 9, n)
+        assert d["mime"] == "image/gif"
+    m = decode_media(_gif_bytes(2, 2, 2))
+    assert m["mime"] == "image/gif" and m["n_frames"] == 2
+    with pytest.raises(ValueError):
+        decode_gif_structure(b"GIF89a\x00")  # truncated
+    assert decode_media(b"GIF89ajunk")["mime"] \
+        == "application/octet-stream"
+
+
+def test_media_inventory_classifies_all_real_formats(spark):
+    """One mixed binary column through the Arrow intake audit: every
+    stdlib-parseable format lands with its true stats; garbage stays
+    opaque; nothing fails the batch."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        encode_bmp24, encode_png, encode_wav_pcm16, media_inventory,
+    )
+    wav = encode_wav_pcm16(np.full(30, 5, dtype="<i2"), rate=8000)
+    bmp = encode_bmp24(np.zeros((2, 3, 3), dtype=np.uint8))
+    png = encode_png(np.full((4, 5, 3), 9, dtype=np.uint8), 3)
+    rows = [(1, wav), (2, bmp), (3, png),
+            (4, _jpeg_bytes(64, 32)), (5, _gif_bytes(8, 8, 4)),
+            (6, b"just some text bytes")]
+    bt = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: (r.mime, r.n_frames, r.width, r.height)
+           for r in media_inventory(bt).collect()}
+    assert out[1] == ("audio/wav", 30, None, None)
+    assert out[2] == ("image/bmp", 1, 3, 2)
+    assert out[3] == ("image/png", 1, 5, 4)
+    assert out[4] == ("image/jpeg", 1, 64, 32)
+    assert out[5] == ("image/gif", 4, 8, 8)
+    assert out[6] == ("application/octet-stream", None, None, None)
+
+
+# ---------------------------- AIFF / .au real parse (r12)
+
+
+def test_aiff_round_trip_exact():
+    """encode→decode reconstructs rate (through the 80-bit extended
+    float), channels, frame count, and the exact integer RMS of the
+    big-endian PCM."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_aiff, decode_media, encode_aiff_pcm16,
+    )
+    pcm = _sine_pcm(secs=0.05)
+    for rate in (8000, 44100, 48000):
+        payload = encode_aiff_pcm16(pcm, rate=rate)
+        d = decode_aiff(payload)
+        assert d["mime"] == "audio/aiff" and d["rate"] == rate
+        assert d["channels"] == 1 and d["n_frames"] == len(pcm)
+        want = int(np.sqrt(np.mean(pcm.astype(np.int64) ** 2)))
+        assert d["pcm_rms"] == want
+    assert decode_media(payload)["mime"] == "audio/aiff"
+    stereo = encode_aiff_pcm16(np.zeros(400, dtype="<i2"),
+                               rate=16000, channels=2)
+    d2 = decode_aiff(stereo)
+    assert d2["channels"] == 2 and d2["n_frames"] == 200
+
+
+def test_au_parse_exact():
+    import struct
+
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_au, decode_media,
+    )
+    pcm = _sine_pcm(secs=0.03).astype(">i2")
+    hdr = b".snd" + struct.pack(">5L", 24, len(pcm.tobytes()),
+                                3, 8000, 1)
+    payload = hdr + pcm.tobytes()
+    d = decode_au(payload)
+    assert d["mime"] == "audio/basic" and d["rate"] == 8000
+    assert d["n_frames"] == len(pcm)
+    want = int(np.sqrt(np.mean(pcm.astype(np.int64) ** 2)))
+    assert d["pcm_rms"] == want
+    assert decode_media(payload)["mime"] == "audio/basic"
+    # non-PCM encodings inventory without frame stats
+    mu = b".snd" + struct.pack(">5L", 24, 8, 1, 8000, 1) + b"\x00" * 8
+    d3 = decode_au(mu)
+    assert d3["n_frames"] is None and d3["pcm_rms"] is None
+    assert decode_media(b".sndjunk")["mime"] \
+        == "application/octet-stream"

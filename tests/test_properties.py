@@ -849,3 +849,77 @@ def test_changes_consumer_replays_to_table_state(
                        for r in t.read(version=head).collect()}
         hwm = head
     assert replica == {r.k: r.v for r in t.read().collect()}
+
+
+# --------------------------------------- r16: prefix dedup vs naive
+
+
+_pdoc = st.lists(st.sampled_from(WORDS), min_size=1, max_size=20)
+_pcorpus = st.lists(_pdoc, min_size=2, max_size=10)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_pcorpus, st.sampled_from([2, 3, 16]))
+def test_dedup_prefix_equals_naive_grouping(spark, docs, k):
+    """dedup_prefix groups EXACTLY the docs whose first min(k, len)
+    tokens are identical — including docs shorter than k, where the
+    whole doc is the prefix."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        dedup_prefix,
+    )
+    rows = [(i, " ".join(d), "s") for i, d in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    naive: dict[str, list[int]] = {}
+    for i, d in enumerate(docs):
+        naive.setdefault(" ".join(d[:k]), []).append(i)
+    want = sorted((min(ids), len(ids))
+                  for ids in naive.values() if len(ids) >= 2)
+    got = sorted((r.keep_id, r.n_docs)
+                 for r in dedup_prefix(df, k_tokens=k).collect())
+    assert got == want
+
+
+# --------------------------------- r16: retention curve vs naive
+
+
+_udays = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=5),    # user
+              st.integers(min_value=0, max_value=9)),   # day offset
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_udays)
+def test_user_retention_curve_equals_naive(spark, pairs):
+    """The distributed curve equals the per-user python fold: for
+    every k ≥ 1, retained = users active exactly k days after their
+    first day; eligible = users first seen ≥ k days before the
+    horizon."""
+    from data_ingestion_challenge_spark.operators.stats import (
+        user_retention_curve,
+    )
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, u, base + dt.timedelta(days=d))
+            for i, (u, d) in enumerate(pairs)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    days: dict[int, set[int]] = {}
+    for u, d in pairs:
+        days.setdefault(u, set()).add(d)
+    horizon = max(d for _, d in pairs)
+    first = {u: min(ds) for u, ds in days.items()}
+    want = {}
+    ks = {d - first[u] for u, ds in days.items() for d in ds
+          if d - first[u] >= 1}
+    for k in ks:
+        retained = sum(1 for u, ds in days.items()
+                       if first[u] + k in ds)
+        eligible = sum(1 for u in days
+                       if horizon - first[u] >= k)
+        want[k] = (eligible, retained, round(retained / eligible, 6))
+    got = {r.k_days: (r.n_eligible, r.n_retained, r.retained_ratio)
+           for r in user_retention_curve(ev).collect()}
+    assert got == want
