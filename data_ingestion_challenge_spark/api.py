@@ -228,10 +228,15 @@ class Engine:
                     or st["version"] > head):
                 return None
             try:
-                return table.changes(st["version"])
+                # Pinned to the head captured right after the drain:
+                # the advance-to-`head` below then matches EXACTLY
+                # what was read, even if another commit lands
+                # mid-maintenance.
+                return table.changes(st["version"], until_version=head)
             except ValueError:
                 # Typed refusal (fold crossed the boundary / merge
-                # commits / expired log): re-baseline via anti-join.
+                # commits / expired log / window consumed): re-baseline
+                # via anti-join.
                 return None
 
         corpus = None
@@ -510,7 +515,8 @@ class Engine:
         return {**t.table_stats(), "history": t.history()}
 
     def corpus_changes(self, table_path: str, since_version: int,
-                       key: str = "doc_id") -> DataFrame:
+                       key: str = "doc_id",
+                       until_version: int | None = None) -> DataFrame:
         """Net document changes committed into a transactional corpus
         table after ``since_version`` (TxnTable.changes — the CDC
         read): with append-run commits (the admission sink's default)
@@ -528,7 +534,7 @@ class Engine:
         if t.version() == 0:
             raise ValueError(
                 f"corpus_changes: no commit log at {table_path!r}")
-        return t.changes(since_version)
+        return t.changes(since_version, until_version=until_version)
 
     def posting_store_stats(self, postings_dir: str,
                             table_path: str | None = None,

@@ -899,17 +899,25 @@ class TxnTable:
         raise CommitConflictError(
             f"compact_runs lost {max_retries} claims on {self.path}")
 
-    def changes(self, since_version: int) -> DataFrame:
+    def changes(self, since_version: int,
+                until_version: int | None = None) -> DataFrame:
         """CDC read for the LSM ingest path: the NET row changes
-        committed AFTER ``since_version`` — for a latest-wins (run)
-        history the newest row per key among post-boundary commits
-        (net upserts), for a delta history the per-key SUM of
-        post-boundary increments (net increments).  The incremental-
-        consumer API: a downstream pipeline holding a high-water-mark
-        version refreshes its derived state (signature/IVF indexes,
-        serving rollups) from O(changes) rows instead of re-reading
-        the corpus — `extend_signatures(t.changes(hwm), ...)` is the
-        intended composition.
+        committed AFTER ``since_version`` (up to ``until_version``
+        inclusive when given, else the current head) — for a
+        latest-wins (run) history the newest row per key among
+        in-range commits (net upserts), for a delta history the
+        per-key SUM of in-range increments (net increments).  The
+        incremental-consumer API: a downstream pipeline holding a
+        high-water-mark version refreshes its derived state
+        (signature/IVF indexes, serving rollups) from O(changes) rows
+        instead of re-reading the corpus —
+        `extend_signatures(t.changes(hwm), ...)` is the intended
+        composition.  ``until_version`` makes a catch-up REPRODUCIBLE
+        and bounded: a consumer far behind steps through the history
+        window by window (each step a pinned version range, identical
+        on retry) instead of one unbounded read racing new commits;
+        a fold landing past ``until`` does not perturb the read
+        unless it folded in-range files.
 
         Folds are handled precisely: a stepped fold whose inputs are
         all post-boundary substitutes its output (same net content);
@@ -923,21 +931,30 @@ class TxnTable:
         crossed the boundary.  Reading below the oldest surviving
         record (expire_log) refuses with the same remedy."""
         head = self.version()
-        if since_version > head:
+        until = head if until_version is None else int(until_version)
+        if until > head:
+            raise ValueError(
+                f"{self.path}: changes(until={until}) is beyond the "
+                f"log head v{head} — the requested window does not "
+                f"exist yet")
+        if since_version > until:
             # Always a consumer-state bug (wrong table path, or a
             # table rebuilt at the same path with a reset version
             # counter): returning an empty frame would read as "no
             # changes" and the consumer would silently never refresh.
+            where = (f"beyond the log head v{head}"
+                     if until == head
+                     else f"beyond the window end v{until}")
             raise ValueError(
                 f"{self.path}: changes(since={since_version}) is "
-                f"beyond the log head v{head} — the high-water mark "
-                f"does not belong to this table's history; "
-                f"re-baseline from a full snapshot read")
-        if since_version == head:
+                f"{where} — the high-water mark does not belong to "
+                f"this table's history; re-baseline from a full "
+                f"snapshot read")
+        if since_version == until:
             return self._empty_frame()
         cur: dict[str, int] = {}  # rel path -> latest-wins rank
         delta = False
-        for v in range(since_version + 1, head + 1):
+        for v in range(since_version + 1, until + 1):
             try:
                 rec = self._commit_record(v)
             except KeyError:
@@ -986,9 +1003,21 @@ class TxnTable:
                         f"snapshot read and reset the high-water "
                         f"mark")
                 # content-preserving rewrite of pre-boundary state.
-        # Prune to files still on disk is unnecessary: anything in
-        # `cur` is either live or was folded into a live substitute
-        # above (vacuum only deletes unreferenced files).
+        # Reading TO HEAD, everything in `cur` is live or was folded
+        # into a live substitute above (vacuum only deletes
+        # unreferenced files).  A BOUNDED window (until < head) can
+        # race a LATER fold + vacuum that consumed in-range files —
+        # detect the gap typed instead of failing mid-scan.
+        if until < head:
+            missing = [f for f in cur
+                       if not os.path.exists(
+                           os.path.join(self.path, f))]
+            if missing:
+                raise ValueError(
+                    f"{self.path}: changes(since={since_version}, "
+                    f"until={until}) window was consumed by a later "
+                    f"fold + vacuum ({len(missing)} files gone) — "
+                    f"read to head or re-baseline from a snapshot")
         if not cur:
             return self._empty_frame()
         if delta:

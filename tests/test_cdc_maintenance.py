@@ -83,9 +83,9 @@ def test_sig_cdc_path_after_baseline_equivalent_and_file_bounded(
     calls = []
     orig = TxnTable.changes
 
-    def _spy(self, since_version):
+    def _spy(self, since_version, **kw):
         calls.append(since_version)
-        return orig(self, since_version)
+        return orig(self, since_version, **kw)
 
     monkeypatch.setattr(TxnTable, "changes", _spy)
     try:
@@ -280,9 +280,9 @@ def test_ivf_cdc_second_drain_equivalent(spark, cat, split_engine,
     calls = []
     orig = TxnTable.changes
 
-    def _spy(self, since_version):
+    def _spy(self, since_version, **kw):
         calls.append(since_version)
-        return orig(self, since_version)
+        return orig(self, since_version, **kw)
 
     monkeypatch.setattr(TxnTable, "changes", _spy)
     try:

@@ -192,3 +192,66 @@ def test_changes_beyond_head_refuses_typed(spark, tmp_path):
     assert t.changes(t.version()).count() == 0  # at head: legit no-op
     with pytest.raises(ValueError, match="beyond the log head"):
         t.changes(t.version() + 1)
+
+
+# ------------------------------- bounded windows (until=, r12)
+
+
+def test_changes_until_bounds_the_window(spark, tmp_path):
+    """A consumer steps through history in pinned version windows:
+    applying windowed upserts in order equals the one-shot read, each
+    window is reproducible, and the window end excludes later
+    commits."""
+    t = _mk(spark, tmp_path, rows=[(1, 10)])
+    v0 = t.version()
+    t.append_run(spark.createDataFrame([(1, 11), (2, 20)],
+                                       "k long, v long"))
+    v1 = t.version()
+    t.append_run(spark.createDataFrame([(2, 21), (3, 30)],
+                                       "k long, v long"))
+    v2 = t.version()
+    w1, w2 = _rows(t.changes(v0, v1)), _rows(t.changes(v1, v2))
+    assert w1 == {1: 11, 2: 20} and w2 == {2: 21, 3: 30}
+    replay = dict(w1)
+    replay.update(w2)  # windows applied in order == full-range read
+    assert replay == _rows(t.changes(v0))
+    # reproducible: the same pinned window re-reads identically even
+    # after new commits land past it
+    t.append_run(spark.createDataFrame([(4, 40)], "k long, v long"))
+    assert _rows(t.changes(v0, v1)) == w1
+    # empty window and delta windows
+    assert t.changes(v1, v1).count() == 0
+
+
+def test_changes_until_delta_windows_sum(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=[(1, 100)])
+    v0 = t.version()
+    t.append_delta(spark.createDataFrame([(1, 5)], "k long, v long"))
+    v1 = t.version()
+    t.append_delta(spark.createDataFrame([(1, 3), (2, 7)],
+                                         "k long, v long"))
+    v2 = t.version()
+    assert _rows(t.changes(v0, v1)) == {1: 5}
+    assert _rows(t.changes(v1, v2)) == {1: 3, 2: 7}
+
+
+def test_changes_until_beyond_head_refuses_typed(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=[(1, 1)])
+    with pytest.raises(ValueError, match="beyond the log head"):
+        t.changes(0, until_version=t.version() + 5)
+
+
+def test_changes_until_window_consumed_by_fold_refuses(spark,
+                                                       tmp_path):
+    """A bounded window whose run files a LATER full fold + vacuum
+    consumed refuses typed instead of failing mid-scan — the
+    consumer's remedy is a head read or a fresh baseline."""
+    t = _mk(spark, tmp_path, rows=[(1, 1)])
+    v0 = t.version()
+    t.append_run(spark.createDataFrame([(2, 2)], "k long, v long"))
+    v1 = t.version()
+    t.compact_runs(level="full")
+    t.vacuum(retain_orphans_s=0)
+    with pytest.raises(ValueError,
+                       match="consumed by a later fold"):
+        t.changes(v0, until_version=v1).collect()
