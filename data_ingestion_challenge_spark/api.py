@@ -52,11 +52,16 @@ def _load_index_hwm(index_path: str) -> dict | None:
 
 
 def _store_index_hwm(index_path: str, table_path: str, version: int,
-                     in_progress: bool) -> None:
+                     in_progress: bool,
+                     pending: list[int] | None = None) -> None:
     """Atomic (tmp + rename) rewrite of the maintenance mark — a
     crash mid-write must leave either the old state or the new one,
     never a torn file the loader would misread as 'no mark' and
-    silently re-baseline over."""
+    silently re-baseline over.  ``pending`` carries doc ids committed
+    at or before ``version`` whose out-of-band artifact (the IVF
+    vector) has not arrived yet: the CDC path re-candidates them on
+    every drain so a straggler embedding is indexed the drain it
+    lands, without holding the whole mark hostage."""
     import json
 
     p = os.path.join(index_path, _HWM_FILE)
@@ -64,8 +69,25 @@ def _store_index_hwm(index_path: str, table_path: str, version: int,
     with open(tmp, "w") as f:
         json.dump({"table_path": os.path.abspath(table_path),
                    "version": int(version),
-                   "in_progress": bool(in_progress)}, f)
+                   "in_progress": bool(in_progress),
+                   "pending": sorted(int(x) for x in (pending or []))},
+                  f)
     os.replace(tmp, p)
+
+
+# Pending-straggler lists beyond this size stop fitting in a JSON
+# side file; the maintenance path then leaves the mark dirty (full
+# anti-join per drain) rather than growing an unbounded manifest.
+_PENDING_CAP = 10_000
+
+
+def _sig_k(cols: list[str]) -> int:
+    """k of a (doc_id, m0..mk-1) signature table from its columns —
+    shared by extend_signatures' shape validation and health_report
+    so a column-naming change cannot silently split the two."""
+    import re as _re
+
+    return sum(1 for c in cols if _re.fullmatch(r"m\d+", c))
 
 
 class Engine:
@@ -261,32 +283,50 @@ class Engine:
                     f"extends it idempotently)")
             vecs = (self.spark.read.parquet(vectors_path)
                     .select("vec_id", "embedding"))
+            indexed = (self.spark.table(ivf_table)
+                       .select("vec_id").distinct())
             changed = _cdc_candidates(ivf_path)
             if changed is not None:
                 # Crash marker BEFORE the extend: a crash after the
-                # append but before the mark advance would otherwise
-                # re-feed these rows next drain as duplicates.
+                # append but before the mark advance routes the next
+                # drain through the anti-join fallback.
+                st = _load_index_hwm(ivf_path)
+                pend = [int(x) for x in (st or {}).get("pending", [])]
                 _store_index_hwm(ivf_path, tp_abs, head,
-                                 in_progress=True)
+                                 in_progress=True, pending=pend)
                 ids = changed.select(col("doc_id").alias("vec_id"))
-                new = vecs.join(ids, "vec_id", "left_semi")
+                if pend:
+                    # Stragglers from earlier drains whose vectors
+                    # hadn't arrived — re-candidated until they do.
+                    ids = ids.unionByName(self.spark.createDataFrame(
+                        [(x,) for x in pend], "vec_id long")).distinct()
+                # The anti-join against the index's id column keeps
+                # the extend contract under UPSERTS: a re-committed
+                # doc_id (latest-wins replacement) comes back through
+                # changes() but is already indexed — appending it
+                # again would grow duplicate assignment rows.  A
+                # single pruned-to-one-int64-column index scan is the
+                # price; the corpus TEXT read stays O(changed files).
+                new = (vecs.join(ids, "vec_id", "left_semi")
+                       .join(indexed, "vec_id", "left_anti"))
                 if not new.isEmpty():
                     self.extend_ivf(new, ivf_table, ivf_path)
-                # Advance the mark ONLY when every changed doc's
-                # vector was present: a doc whose embedding lands in
-                # a later vectors_path drop must stay pending — the
-                # marker left in place routes the next drain through
-                # the anti-join, which re-candidates it (and skips
-                # the ones just indexed).
-                if ids.join(vecs, "vec_id", "left_anti").isEmpty():
+                # Docs whose embedding still hasn't arrived stay on
+                # the mark's pending list (bounded) — the mark
+                # advances, the stragglers keep re-candidating, and
+                # nothing is silently dropped.  Past the cap, leave
+                # the crash marker dirty: full anti-join per drain.
+                missing = [r[0] for r in
+                           ids.join(vecs, "vec_id", "left_anti")
+                           .limit(_PENDING_CAP + 1).collect()]
+                if len(missing) <= _PENDING_CAP:
                     _store_index_hwm(ivf_path, tp_abs, head,
-                                     in_progress=False)
+                                     in_progress=False,
+                                     pending=missing)
             else:
                 corpus = corpus if corpus is not None else (
                     table.read().select("doc_id", "text").persist())
                 committed = corpus.select(col("doc_id").alias("vec_id"))
-                indexed = (self.spark.table(ivf_table)
-                           .select("vec_id").distinct())
                 new = (vecs.join(committed, "vec_id", "left_semi")
                        .join(indexed, "vec_id", "left_anti"))
                 # A drain that admitted nothing new must not append:
@@ -295,13 +335,17 @@ class Engine:
                 if not new.isEmpty():
                     self.extend_ivf(new, ivf_table, ivf_path)
                 # The anti-join re-baseline covered everything up to
-                # `head` — but only mark it folded-in if no committed
-                # doc is still waiting for its vector (same pending
-                # rule as the CDC path).
-                if (committed.join(vecs, "vec_id", "left_anti")
-                        .isEmpty()):
+                # `head`; committed docs still waiting for vectors
+                # ride the mark's pending list (bounded — past the
+                # cap, no mark: CDC stays off rather than growing an
+                # unbounded manifest).
+                missing = [r[0] for r in
+                           committed.join(vecs, "vec_id", "left_anti")
+                           .limit(_PENDING_CAP + 1).collect()]
+                if len(missing) <= _PENDING_CAP:
                     _store_index_hwm(ivf_path, tp_abs, head,
-                                     in_progress=False)
+                                     in_progress=False,
+                                     pending=missing)
         if sig_table is not None:
             if not sig_path:
                 raise ValueError(
@@ -322,11 +366,17 @@ class Engine:
             # append) and from the anti-join candidates (they'd
             # re-enter as a growing backlog on every drain).
             signable = F.size(F.split(col("text"), " ")) >= n
+            signed = (self.spark.table(sig_table)
+                      .select("doc_id").distinct())
             if changed is not None:
                 _store_index_hwm(sig_path, tp_abs, head,
                                  in_progress=True)
+                # Anti-join vs signed ids for the same upsert reason
+                # as the IVF path: a re-committed doc_id must not
+                # grow a second signature row.
                 new_docs = (changed.select("doc_id", "text")
-                            .where(signable))
+                            .where(signable)
+                            .join(signed, "doc_id", "left_anti"))
                 if not new_docs.isEmpty():
                     self.extend_signatures(new_docs, sig_table,
                                            sig_path, n=n)
@@ -338,8 +388,6 @@ class Engine:
             else:
                 corpus = corpus if corpus is not None else (
                     table.read().select("doc_id", "text").persist())
-                signed = (self.spark.table(sig_table)
-                          .select("doc_id").distinct())
                 new_docs = (corpus.where(signable)
                             .join(signed, "doc_id", "left_anti"))
                 if not new_docs.isEmpty():
@@ -719,14 +767,13 @@ class Engine:
         width the table was built with (ingest_documents passes the
         admission sink's own n)."""
         import json
-        import re as _re
 
         from data_ingestion_challenge_spark.operators.dedup import (
             _postings, build_signatures,
         )
 
         cols = self.spark.table(table).columns
-        k = sum(1 for c in cols if _re.fullmatch(r"m\d+", c))
+        k = _sig_k(cols)
         if k == 0 or set(cols) != {"doc_id", *(f"m{i}"
                                                for i in range(k))}:
             raise ValueError(
@@ -947,44 +994,57 @@ class Engine:
                 import _LEASE
             lease = os.path.join(postings_dir, _LEASE)
             state, note = 0.0, "free"
-            if os.path.exists(lease):
-                try:
-                    with open(lease) as f:
-                        pid = int(f.read().strip())
-                    os.kill(pid, 0)
-                    state, note = 1.0, f"held by live pid {pid}"
-                except (ValueError, ProcessLookupError):
-                    state, note = 2.0, "stale (holder dead/unparsable)"
-                except PermissionError:
-                    state, note = 1.0, "held (pid alive, other user)"
-            st = self.posting_store_stats(
-                postings_dir, table_path=table_path,
-                sizes_dir=sizes_dir)
-            runs = st["runs"]
-            _add("posting_store", "n_runs", len(runs))
-            _add("posting_store", "base_runs",
-                 sum(1 for r in runs if r["is_base"]))
-            uncommitted = [r["tag"] for r in runs
-                           if r["committed"] is False]
-            _add("posting_store", "uncommitted_runs",
-                 len(uncommitted),
-                 ",".join(str(t) for t in uncommitted[:8]))
-            _add("posting_store", "posting_rows",
-                 sum(r["rows"] for r in runs))
-            _add("posting_store", "bucket_mod", st["mod"])
-            hist = {int(r["df_bucket"]): int(r["n_shingles"])
-                    for r in st["df_histogram"].collect()}
-            if hist:
-                _add("posting_store", "df_log2_max", max(hist),
-                     "heaviest shingle document-frequency bucket")
-            if st["bucket_balance"] is not None:
-                bb = [int(r["n_postings"])
-                      for r in st["bucket_balance"].collect()]
-                if bb:
-                    _add("posting_store", "bucket_skew",
-                         round(max(bb) / (sum(bb) / len(bb)), 3),
-                         "max/mean postings per s_bucket")
+            try:
+                with open(lease) as f:
+                    pid = int(f.read().strip())
+                os.kill(pid, 0)
+                state, note = 1.0, f"held by live pid {pid}"
+            except FileNotFoundError:
+                pass  # free (or released in the probe window)
+            except PermissionError:  # pragma: no cover - other-user pid
+                state, note = 1.0, "held (pid alive, other user)"
+            except (ValueError, OSError):
+                # unparsable body, dead pid (ProcessLookupError), or
+                # an unreadable file: a holder this probe cannot
+                # confirm alive
+                state, note = 2.0, "stale (holder dead/unparsable)"
             _add("posting_store", "lease_state", state, note)
+            if state == 1.0:
+                # A LIVE drain holds the lease: the store audit would
+                # raise ConcurrentAdmissionError trying to acquire it.
+                # Health must stay readable while the pipeline runs —
+                # report the lease row and skip the store scan.
+                _add("posting_store", "audit_skipped", 1.0,
+                     "admission stream live — store scan needs the "
+                     "lease; re-run when the drain finishes")
+            else:
+                st = self.posting_store_stats(
+                    postings_dir, table_path=table_path,
+                    sizes_dir=sizes_dir)
+                runs = st["runs"]
+                _add("posting_store", "n_runs", len(runs))
+                _add("posting_store", "base_runs",
+                     sum(1 for r in runs if r["is_base"]))
+                uncommitted = [r["tag"] for r in runs
+                               if r["committed"] is False]
+                _add("posting_store", "uncommitted_runs",
+                     len(uncommitted),
+                     ",".join(str(t) for t in uncommitted[:8]))
+                _add("posting_store", "posting_rows",
+                     sum(r["rows"] for r in runs))
+                _add("posting_store", "bucket_mod", st["mod"])
+                hist = {int(r["df_bucket"]): int(r["n_shingles"])
+                        for r in st["df_histogram"].collect()}
+                if hist:
+                    _add("posting_store", "df_log2_max", max(hist),
+                         "heaviest shingle document-frequency bucket")
+                if st["bucket_balance"] is not None:
+                    bb = [int(r["n_postings"])
+                          for r in st["bucket_balance"].collect()]
+                    if bb:
+                        _add("posting_store", "bucket_skew",
+                             round(max(bb) / (sum(bb) / len(bb)), 3),
+                             "max/mean postings per s_bucket")
         if ivf_table is not None:
             occ = self.ivf_index_stats(ivf_table).collect()[0]
             for m in ("n_cells", "n_assignments", "mean_occupancy",
@@ -998,16 +1058,16 @@ class Engine:
                     design = meta.get("nprobe", 1) * meta.get("cell",
                                                               128)
                     _add("ivf_index", "design_occupancy", design)
+                    # An EMPTY assignment table aggregates to NULLs —
+                    # drift is then simply 0 (nothing occupies).
+                    p99 = occ["p99_occupancy"]
                     _add("ivf_index", "occupancy_drift",
-                         round(float(occ["p99_occupancy"]) / design,
-                               3),
+                         round(float(p99) / design, 3)
+                         if p99 is not None else 0.0,
                          "reindex when this runs a few x past 1")
         if sig_table is not None:
-            import re as _re
-
-            cols = self.spark.table(sig_table).columns
             _add("signature_table", "k",
-                 sum(1 for c in cols if _re.fullmatch(r"m\d+", c)))
+                 _sig_k(self.spark.table(sig_table).columns))
             _add("signature_table", "n_docs",
                  self.spark.table(sig_table).count())
         return self.spark.createDataFrame(

@@ -69,15 +69,22 @@ def decode_real(payload: bytes):
     only for formats that genuinely need the absent libs (JPEG,
     MP4, exotic PNG variants, ...) — the registered multimodal queries still run
     decode_stub (deterministic, oracle-replayable)."""
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        d = decode_wav(payload)
-        return len(payload), d["n_frames"]
-    if payload[:2] == b"BM":
-        decode_bmp(payload)  # validates; images are 1 frame
-        return len(payload), 1
-    if payload[:8] == _PNG_SIG:
-        decode_png(payload)  # validates (typed for exotic variants)
-        return len(payload), 1
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            d = decode_wav(payload)
+            return len(payload), d["n_frames"]
+        if payload[:2] == b"BM":
+            decode_bmp(payload)  # validates; images are 1 frame
+            return len(payload), 1
+        if payload[:8] == _PNG_SIG:
+            decode_png(payload)  # validates (typed: exotic variants)
+            return len(payload), 1
+    except Exception:
+        # A recognized-but-natively-unparsable payload (e.g. a
+        # palette PNG) must not SHADOW an installed PIL — fall
+        # through to it; re-raise only when no lib can take over.
+        if _PIL_Image is None and _soundfile is None:
+            raise
     if _PIL_Image is not None:  # pragma: no cover - lib not shipped
         import io
         with _PIL_Image.open(io.BytesIO(payload)) as img:
@@ -510,8 +517,16 @@ def decode_jpeg_header(payload: bytes) -> dict:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # ITU T.81 allows any number of 0xFF FILL bytes before a
+        # marker code — skip them (a non-fill byte follows).
+        while (pos + 1 < len(payload)
+               and payload[pos + 1] == 0xFF):
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+        if (marker == 0xD8 or marker == 0x01
+                or 0xD0 <= marker <= 0xD7):  # standalone (TEM/RSTn)
             pos += 2
             continue
         size = struct.unpack_from(">H", payload, pos + 2)[0]
@@ -580,29 +595,37 @@ def decode_gif_structure(payload: bytes) -> dict:
             "pcm_rms": None}
 
 
+_NATIVE_SNIFFERS = (
+    (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE",
+     lambda p: decode_wav(p)),
+    (lambda p: p[:2] == b"BM", lambda p: decode_bmp(p)),
+    (lambda p: p[:8] == _PNG_SIG, lambda p: decode_png(p)),
+    (lambda p: p[:2] == b"\xff\xd8", lambda p: decode_jpeg_header(p)),
+    (lambda p: p[:6] in (b"GIF87a", b"GIF89a"),
+     lambda p: decode_gif_structure(p)),
+    (lambda p: p[:4] == b"FORM" and p[8:12] == b"AIFF",
+     lambda p: decode_aiff(p)),
+    (lambda p: p[:4] == b".snd", lambda p: decode_au(p)),
+)
+
+
 def decode_media(payload: bytes) -> dict:
     """Sniff-and-decode: REAL stdlib parsers for WAV/BMP/PNG plus
     structure-level JPEG (SOF dims) and GIF (dims + exact frame
-    count); PIL / soundfile for anything further when present; any
-    other format (or any parse failure) classifies as opaque bytes
-    rather than failing the batch — a 100 TB media crawl always
-    contains garbage."""
-    try:
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            return decode_wav(payload)
-        if payload[:2] == b"BM":
-            return decode_bmp(payload)
-        if payload[:8] == _PNG_SIG:
-            return decode_png(payload)
-        if payload[:2] == b"\xff\xd8":
-            return decode_jpeg_header(payload)
-        if payload[:6] in (b"GIF87a", b"GIF89a"):
-            return decode_gif_structure(payload)
-        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
-            return decode_aiff(payload)
-        if payload[:4] == b".snd":
-            return decode_au(payload)
-        if _PIL_Image is not None:  # pragma: no cover - lib absent
+    count); PIL / soundfile for anything further when present —
+    including variants the native parsers refuse (palette/16-bit/
+    interlaced PNG, DNL JPEGs): a native parse failure FALLS THROUGH
+    to PIL rather than shadowing it.  Anything else (or every parser
+    failing) classifies as opaque bytes rather than failing the
+    batch — a 100 TB media crawl always contains garbage."""
+    for sniff, parse in _NATIVE_SNIFFERS:
+        try:
+            if sniff(payload):
+                return parse(payload)
+        except Exception:
+            break  # recognized but unparsable natively: try PIL
+    if _PIL_Image is not None:  # pragma: no cover - lib absent
+        try:
             import io
             with _PIL_Image.open(io.BytesIO(payload)) as img:
                 return {"mime": "image/" + (img.format or "?").lower(),
@@ -610,8 +633,8 @@ def decode_media(payload: bytes) -> dict:
                         "rate": None, "channels": None,
                         "width": img.width, "height": img.height,
                         "pcm_rms": None}
-    except Exception:
-        pass
+        except Exception:
+            pass
     return {"mime": "application/octet-stream", "n_frames": None,
             "rate": None, "channels": None, "width": None,
             "height": None, "pcm_rms": None}

@@ -97,7 +97,8 @@ def test_sig_cdc_path_after_baseline_equivalent_and_file_bounded(
         v1 = corpus.version()
         hwm = _load_index_hwm(sig_path)
         assert hwm == {"table_path": os.path.abspath(d["corpus"]),
-                       "version": v1, "in_progress": False}
+                       "version": v1, "in_progress": False,
+                       "pending": []}
         assert not calls  # first drain: no mark yet -> anti-join
         pre_files = set(corpus.read().inputFiles())
 
@@ -195,9 +196,10 @@ def test_sig_cdc_boundary_crossing_fold_falls_back(
 def test_ivf_pending_vectors_survive_cdc(spark, cat, split_engine,
                                          tmp_path):
     """A doc whose embedding arrives AFTER its drain must not be
-    dropped by the mark advance: the CDC path leaves the crash marker
-    in place when coverage is incomplete, and the next call's
-    anti-join indexes the late vector."""
+    dropped by the mark advance: the CDC path parks the straggler ids
+    on the mark's bounded ``pending`` list (the mark still advances),
+    and the next call re-candidates them — the late vector is indexed
+    the drain it lands."""
     import numpy as np
 
     from data_ingestion_challenge_spark.operators.similarity import (
@@ -231,14 +233,17 @@ def test_ivf_pending_vectors_survive_cdc(spark, cat, split_engine,
             d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
             ivf_table=table, ivf_path=path)
         hwm = _load_index_hwm(path)
-        assert hwm["in_progress"]  # pending vectors: mark NOT clean
+        # the mark ADVANCES; the stragglers ride its pending list
+        assert not hwm["in_progress"]
+        assert hwm["pending"] == list(range(430, 440))
         indexed = {r[0] for r in spark.table(table)
                    .select("vec_id").distinct()
                    .where("vec_id >= 400").collect()}
         assert indexed == set(range(400, 430))
 
         # Vector service catches up; nothing new to drain — the
-        # fallback indexes the stragglers and the mark comes clean.
+        # next CDC pass re-candidates the pending ids, indexes the
+        # late vectors, and empties the list.
         (cat.embeddings
          .where((F.col("vec_id") >= 400) & (F.col("vec_id") < 440))
          .select("vec_id", "embedding")
@@ -249,7 +254,7 @@ def test_ivf_pending_vectors_survive_cdc(spark, cat, split_engine,
             ivf_table=table, ivf_path=path)
         hwm = _load_index_hwm(path)
         assert hwm["version"] == corpus.version()
-        assert not hwm["in_progress"]
+        assert not hwm["in_progress"] and hwm["pending"] == []
         got = spark.table(table).where("vec_id >= 400")
         with open(os.path.join(path, "_ivf_meta.json")) as f:
             meta = json.load(f)
@@ -317,3 +322,38 @@ def test_ivf_cdc_second_drain_equivalent(spark, cat, split_engine,
                     expect.collect()})
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_upsert_never_duplicates_index_rows(spark, split_engine,
+                                                tmp_path):
+    """A RE-COMMITTED doc_id (latest-wins replacement: same id, new
+    non-dup text) comes back through changes() — the CDC path's
+    anti-join against the index's id column must keep the extend
+    contract: exactly one signature row per doc_id, ever."""
+    eng, d = split_engine
+    pt, st = "cdc_sig_up", "cdc_sig_up_tbl"
+    sig_path = str(tmp_path / "sig")
+    try:
+        eng.materialize_postings(pt, str(tmp_path / "post"))
+        eng.materialize_signatures(pt, st, sig_path, k=16)
+        _stage_drop(spark, d["watch"], 400, 420)
+        _drain_sig(eng, d, st, sig_path)          # baseline + mark
+        # same doc_id 405, entirely different (non-near-dup) text:
+        # the admission screen admits it, the txn commit upserts it
+        upsert = [(405, "completely different replacement body "
+                        "qq1 qq2 qq3 qq4 qq5 qq6 qq7", "en", "t")]
+        (spark.createDataFrame(
+            upsert,
+            "doc_id long, text string, lang string, source string")
+         .coalesce(1).write.mode("append").json(d["watch"]))
+        corpus = _drain_sig(eng, d, st, sig_path)  # CDC path
+        assert {r.doc_id for r in
+                corpus.read().where("doc_id = 405").collect()} == {405}
+        dup = (spark.table(st).groupBy("doc_id").count()
+               .where("count > 1").count())
+        assert dup == 0  # one signature row per doc, never two
+        hwm = _load_index_hwm(sig_path)
+        assert hwm["version"] == corpus.version()
+    finally:
+        for t in (pt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -111,3 +111,53 @@ def test_health_report_flags_stale_lease(spark, pipeline):
     assert m[("posting_store", "lease_state")][0] == 2.0
     # the audit's own lease acquisition stole the dead holder's file
     assert not os.path.exists(os.path.join(d["postings"], _LEASE))
+
+
+def test_health_report_live_lease_skips_store_audit(spark, pipeline):
+    """While a drain HOLDS the lease the store scan would raise
+    ConcurrentAdmissionError — health must stay readable: it reports
+    the live lease and an audit_skipped row instead of crashing."""
+    eng, d = pipeline
+    eng.ingest_documents(
+        d["watch"], d["corpus"], d["postings"], d["log"], d["ckpt"],
+        sizes_dir=d["sizes"])
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _LEASE,
+    )
+    lease = os.path.join(d["postings"], _LEASE)
+    with open(lease, "w") as f:
+        f.write(str(os.getpid()))  # a LIVE holder (this process)
+    try:
+        m = _as_map(eng.health_report(postings_dir=d["postings"],
+                                      table_path=d["corpus"]))
+        assert m[("posting_store", "lease_state")][0] == 1.0
+        assert m[("posting_store", "audit_skipped")][0] == 1.0
+        assert ("posting_store", "n_runs") not in m
+        # the corpus-table block is lease-free and still reported
+        assert ("corpus_table", "version") in m
+    finally:
+        os.unlink(lease)
+
+
+def test_health_report_empty_ivf_table_drift_zero(spark, pipeline,
+                                                  tmp_path):
+    """An empty assignment table aggregates to NULLs — drift must be
+    0.0, not a float(None) crash."""
+    import json as _json
+
+    eng, _ = pipeline
+    table, path = "health_ivf_empty", str(tmp_path / "ivf_empty")
+    try:
+        (spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, _cell int")
+         .write.option("path", path)
+         .bucketBy(4, "_cell").sortBy("_cell").saveAsTable(table))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+            _json.dump({"nprobe": 4, "cell": 128,
+                        "centroids": [[0.0] * 4]}, f)
+        m = _as_map(eng.health_report(ivf_table=table, ivf_path=path))
+        assert m[("ivf_index", "occupancy_drift")][0] == 0.0
+        assert m[("ivf_index", "n_assignments")][0] in (0.0, None)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

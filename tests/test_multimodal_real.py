@@ -360,3 +360,21 @@ def test_au_parse_exact():
     assert d3["n_frames"] is None and d3["pcm_rms"] is None
     assert decode_media(b".sndjunk")["mime"] \
         == "application/octet-stream"
+
+
+def test_jpeg_fill_bytes_and_tem_markers_parse():
+    """ITU T.81 allows 0xFF fill bytes before any marker and the
+    standalone TEM (0x01) marker — both legal structures must parse,
+    not classify as opaque."""
+    import struct
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_jpeg_header,
+    )
+    sof = struct.pack(">BHHB", 8, 10, 20, 3) + b"\x01\x11\x00" * 3
+    payload = (b"\xff\xd8"
+               + b"\xff\x01"                     # TEM, standalone
+               + b"\xff\xff\xff\xc0"             # fill bytes then SOF0
+               + struct.pack(">H", 2 + len(sof)) + sof)
+    d = decode_jpeg_header(payload)
+    assert (d["width"], d["height"]) == (20, 10)
