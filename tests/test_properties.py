@@ -923,3 +923,79 @@ def test_user_retention_curve_equals_naive(spark, pairs):
     got = {r.k_days: (r.n_eligible, r.n_retained, r.retained_ratio)
            for r in user_retention_curve(ev).collect()}
     assert got == want
+
+
+# ------------------------------- r16: tenure bands vs naive
+
+
+_tpairs = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=4),     # user
+              st.integers(min_value=0, max_value=40),    # day offset
+              st.integers(min_value=0, max_value=50)),   # value
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_tpairs)
+def test_value_by_user_tenure_equals_naive(spark, rows):
+    from data_ingestion_challenge_spark.operators.stats import (
+        value_by_user_tenure,
+    )
+    base = dt.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [(i, u, base + dt.timedelta(days=d), float(v))
+         for i, (u, d, v) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, value double")
+    first = {}
+    for u, d, _ in rows:
+        first[u] = min(first.get(u, d), d)
+
+    def band(t):
+        return ("0d" if t == 0 else "1-7d" if t <= 7
+                else "8-30d" if t <= 30 else "31d+")
+
+    want = {}
+    for u, d, v in rows:
+        b = band(d - first[u])
+        n, users, tot = want.get(b, (0, set(), 0))
+        want[b] = (n + 1, users | {u}, tot + v)
+    got = {r.tenure_band: (r.n_events, r.n_users, r.value_sum)
+           for r in value_by_user_tenure(ev).collect()}
+    assert got == {b: (n, len(us), round(float(t), 2))
+                   for b, (n, us, t) in want.items()}
+
+
+# --------------------------- r16: weekday profile vs naive
+
+
+_orders = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),    # day offset
+              st.integers(min_value=1, max_value=999)),  # cents-ish
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_orders)
+def test_order_weekday_profile_equals_naive(spark, rows):
+    """Epoch-mod-7 weekday: day 0 of the fixture (2024-01-04, a
+    Thursday) must land in bucket 0 like 1970-01-01 did, and counts /
+    exact revenue match a python fold."""
+    from data_ingestion_challenge_spark.operators.stats import (
+        order_weekday_profile,
+    )
+    base = dt.datetime(2024, 1, 4)  # Thursday -> weekday 0
+    o = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=d), v / 10.0)
+         for i, (d, v) in enumerate(rows)],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    want = {}
+    for d, v in rows:
+        wd = d % 7
+        n, tot = want.get(wd, (0, 0))
+        want[wd] = (n + 1, tot + v)
+    got = {r.weekday: (r.n_orders, r.revenue)
+           for r in order_weekday_profile(o).collect()}
+    assert got == {wd: (n, round(tot / 10.0, 2))
+                   for wd, (n, tot) in want.items()}
