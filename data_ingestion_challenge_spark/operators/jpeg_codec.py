@@ -1,8 +1,10 @@
-"""Baseline JPEG codec for 8-bit GRAYSCALE, pure numpy + stdlib — the
-pixel-level decode the r11/r12 verdicts listed as PIL-blocked, scoped
-honestly: single-component baseline DCT (SOF0), tables read from the
-file's own DQT/DHT segments, no chroma subsampling / progressive /
-restart markers (those still route to PIL when present).
+"""Baseline JPEG codec, pure numpy + stdlib — the pixel-level decode
+the r11/r12 verdicts listed as PIL-blocked, scoped honestly: baseline
+DCT (SOF0) for single-component GRAYSCALE and three-component 4:4:4
+YCbCr COLOR (interleaved MCUs, per-component DC predictors, the
+YCbCr↔RGB JFIF transform), tables read from the file's own DQT/DHT
+segments; chroma SUBSAMPLING / progressive / restart markers still
+route to PIL when present.
 
 Everything is the ITU T.81 pipeline: 8×8 blocks → level shift →
 orthonormal DCT-II → quantize (round) → zigzag → DC differential +
@@ -150,66 +152,103 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
-def encode_jpeg_gray(pixels) -> bytes:
-    """Baseline JFIF encoder for an HxW uint8 grayscale array with
-    the Annex-K luminance tables — edge-replicated to 8×8 blocks."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.pad(px, ((0, H - h), (0, W - w)), mode="edge")
-    shifted = padded.astype(np.float64) - 128.0
+def _encode_block(bw, blk, dc_codes, ac_codes, prev_dc: int) -> int:
+    """One 8×8 level-shifted block through DCT → quantize → zigzag →
+    entropy coding; returns this block's DC for the next predictor."""
+    F = _C @ blk @ _C.T
+    q = np.round(F / STD_LUMA_QUANT).astype(np.int64)
+    zz = q[_ZZ[:, 0], _ZZ[:, 1]]
+    s, extra = _magnitude(int(zz[0]) - prev_dc)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(extra, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]           # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, extra = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(extra, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]               # EOB
+        bw.write(code, ln)
+    return int(zz[0])
 
+
+def _encode_planes(planes, h: int, w: int) -> bytes:
+    """Shared encoder body: 1 plane = grayscale SOF0, 3 planes =
+    4:4:4 YCbCr with interleaved MCUs.  One quant + one Huffman
+    table pair serves every component (a legal table mapping — the
+    decoder reads whatever the file declares)."""
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    shifted = [np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
+               .astype(np.float64) - 128.0 for p in planes]
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
-    prev_dc = 0
+    prev = [0] * len(planes)
     for br in range(0, H, 8):
         for bc in range(0, W, 8):
-            blk = shifted[br:br + 8, bc:bc + 8]
-            F = _C @ blk @ _C.T
-            q = np.round(F / STD_LUMA_QUANT).astype(np.int64)
-            zz = q[_ZZ[:, 0], _ZZ[:, 1]]
-            s, extra = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, ln = dc_codes[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(extra, s)
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for i in range(1, last + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]   # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s, extra = _magnitude(v)
-                code, ln = ac_codes[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(extra, s)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[0x00]       # EOB
-                bw.write(code, ln)
+            # MCU at 1×1 sampling: one block per component,
+            # interleaved, each with its own DC predictor.
+            for ci, plane in enumerate(shifted):
+                prev[ci] = _encode_block(
+                    bw, plane[br:br + 8, bc:bc + 8],
+                    dc_codes, ac_codes, prev[ci])
     bw.flush()
 
     def seg(marker, body):
         return marker + struct.pack(">H", 2 + len(body)) + body
 
+    nc = len(planes)
     zz_quant = STD_LUMA_QUANT[_ZZ[:, 0], _ZZ[:, 1]]
     dqt = seg(b"\xff\xdb", b"\x00" + bytes(int(x) for x in zz_quant))
-    sof = seg(b"\xff\xc0", struct.pack(">BHHB", 8, h, w, 1)
-              + b"\x01\x11\x00")
+    comp_spec = b"".join(bytes([cid + 1, 0x11, 0x00])
+                         for cid in range(nc))
+    sof = seg(b"\xff\xc0", struct.pack(">BHHB", 8, h, w, nc)
+              + comp_spec)
     dht = seg(b"\xff\xc4",
               b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
               + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    sos = seg(b"\xff\xda", b"\x01\x01\x00\x00\x3f\x00")
+    sos = seg(b"\xff\xda", bytes([nc])
+              + b"".join(bytes([cid + 1, 0x00])
+                         for cid in range(nc))
+              + b"\x00\x3f\x00")
     return (b"\xff\xd8" + dqt + sof + dht + sos
             + bytes(bw.out) + b"\xff\xd9")
+
+
+def encode_jpeg_gray(pixels) -> bytes:
+    """Baseline JFIF encoder for an HxW uint8 grayscale array with
+    the Annex-K luminance tables — edge-replicated to 8×8 blocks."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    return _encode_planes([px], h, w)
+
+
+def encode_jpeg_rgb(pixels) -> bytes:
+    """Baseline 4:4:4 color encoder: JFIF YCbCr conversion, three
+    full-resolution planes in interleaved MCUs (no subsampling)."""
+    px = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
+    h, w, _ = px.shape
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8)
+              for p in (y, cb, cr)]
+    return _encode_planes(planes, h, w)
 
 
 def _parse_dht(body: bytes) -> dict:
@@ -240,11 +279,39 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code in JPEG scan")
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline single-component (grayscale, 1×1 sampling)
-    JPEG to its HxW uint8 pixel array, using the payload's own
-    DQT/DHT tables.  Multi-component / progressive / restart-marker
-    files raise typed NotImplementedError (PIL territory)."""
+def _decode_block(br, dc_tbl, ac_tbl, Q, prev_dc: int):
+    """One entropy-coded block → spatial 8×8 floats; returns
+    (block, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _huff_decode(br, dc_tbl)
+    prev_dc += _extend(br.read(s), s) if s else 0
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        rs = _huff_decode(br, ac_tbl)
+        if rs == 0x00:                # EOB
+            break
+        if rs == 0xF0:                # ZRL
+            i += 16
+            continue
+        i += rs >> 4
+        size = rs & 0xF
+        if i > 63:
+            raise ValueError("AC run past block end")
+        zz[i] = _extend(br.read(size), size)
+        i += 1
+    F = np.zeros((8, 8), dtype=np.float64)
+    F[_ZZ[:, 0], _ZZ[:, 1]] = zz * Q[_ZZ[:, 0], _ZZ[:, 1]]
+    return _C.T @ F @ _C, prev_dc
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Decode a baseline 1×1-sampled JPEG to its uint8 pixel array —
+    HxW for single-component (grayscale), HxWx3 RGB for
+    three-component 4:4:4 YCbCr — using the payload's own DQT/DHT
+    tables, so any conforming file decodes, not just this encoder's
+    output.  Subsampled / progressive / restart-marker files raise
+    typed NotImplementedError (PIL territory)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos, quant, huff, sof, scan = 2, {}, {}, None, None
@@ -276,54 +343,61 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             huff.update(_parse_dht(body))
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            # component spec follows: id, sampling (HxV nibbles),
-            # quant-table id
-            if ncomp != 1 or body[7] != 0x11:
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (non-1x1 factors) needs PIL")
+                comps.append((cid, qid))
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component / subsampled JPEG needs PIL")
-            sof = (h, w, body[8])
+                    f"{ncomp}-component JPEG needs PIL")
+            sof = (h, w, comps)
         elif 0xC1 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(
                 "non-baseline (progressive/arith) JPEG needs PIL")
         elif marker == 0xDA:
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
-            scan = (payload[pos + 2 + size:], dc_id, ac_id)
+            ns = body[0]
+            tabs = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4,
+                                      body[2 + 2 * i] & 0xF)
+                    for i in range(ns)}
+            scan = (payload[pos + 2 + size:], tabs)
             break
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals need PIL")
         pos += 2 + size
     if sof is None or scan is None:
         raise ValueError("JPEG payload missing SOF0/SOS")
-    h, w, qid = sof
-    Q = quant[qid]
-    data, dc_id, ac_id = scan
-    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
+    h, w, comps = sof
+    data, tabs = scan
     H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    out = np.zeros((H, W), dtype=np.float64)
+    planes = [np.zeros((H, W), dtype=np.float64) for _ in comps]
     br = _BitReader(data)
-    prev_dc = 0
+    prev = [0] * len(comps)
     for r0 in range(0, H, 8):
         for c0 in range(0, W, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _huff_decode(br, dc_tbl)
-            prev_dc += _extend(br.read(s), s) if s else 0
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _huff_decode(br, ac_tbl)
-                if rs == 0x00:        # EOB
-                    break
-                if rs == 0xF0:        # ZRL
-                    i += 16
-                    continue
-                i += rs >> 4
-                size = rs & 0xF
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _extend(br.read(size), size)
-                i += 1
-            F = np.zeros((8, 8), dtype=np.float64)
-            F[_ZZ[:, 0], _ZZ[:, 1]] = zz * Q[_ZZ[:, 0], _ZZ[:, 1]]
-            out[r0:r0 + 8, c0:c0 + 8] = _C.T @ F @ _C
-    px = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
-    return px[:h, :w]
+            for ci, (cid, qid) in enumerate(comps):
+                dc_id, ac_id = tabs[cid]
+                blk, prev[ci] = _decode_block(
+                    br, huff[(0, dc_id)], huff[(1, ac_id)],
+                    quant[qid], prev[ci])
+                planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+    planes = [p[:h, :w] + 128.0 for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Single-component convenience wrapper over
+    decode_jpeg_pixels (kept as the grayscale witness entrypoint)."""
+    px = decode_jpeg_pixels(payload)
+    if px.ndim != 2:
+        raise ValueError("not a grayscale JPEG")
+    return px

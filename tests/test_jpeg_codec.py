@@ -103,3 +103,46 @@ def test_synth_jpeg_inventory_matches_oracle(spark):
     rows = _compare(synth_jpeg_inventory(docs), con,
                     SYNTH_JPEG_INVENTORY_ORACLE)
     assert len(rows) == docs.count()
+
+
+# ------------------------------------ 4:4:4 color path (r12)
+
+
+def test_rgb_solid_gray_roundtrip_exact():
+    """Solid R=G=B with even offset: Y = v exactly, Cb = Cr = 128
+    exactly — the color pipeline reconstructs it EXACTLY through the
+    interleaved-MCU scan and the YCbCr inverse."""
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels, encode_jpeg_rgb,
+    )
+    for v in (0, 64, 130, 200, 254):
+        img = np.full((9, 14, 3), v, dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_rgb(img))
+        assert dec.shape == (9, 14, 3)
+        assert (dec == img).all(), v
+
+
+def test_rgb_color_error_bounded():
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels, encode_jpeg_rgb,
+    )
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :] = (200, 60, 120)
+    dec = decode_jpeg_pixels(encode_jpeg_rgb(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    x = np.linspace(0, 255, 24)
+    g = np.clip(np.add.outer(x, x) / 2, 0, 255)
+    img = np.stack([g, g[::-1], np.full_like(g, 80)],
+                   axis=-1).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_rgb(img))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 4
+
+
+def test_gray_wrapper_rejects_color():
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        decode_jpeg_gray, encode_jpeg_rgb,
+    )
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    with pytest.raises(ValueError, match="not a grayscale"):
+        decode_jpeg_gray(encode_jpeg_rgb(img))
