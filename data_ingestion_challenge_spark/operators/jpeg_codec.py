@@ -1,10 +1,12 @@
 """Baseline JPEG codec, pure numpy + stdlib — the pixel-level decode
 the r11/r12 verdicts listed as PIL-blocked, scoped honestly: baseline
-DCT (SOF0) for single-component GRAYSCALE and three-component 4:4:4
-YCbCr COLOR (interleaved MCUs, per-component DC predictors, the
-YCbCr↔RGB JFIF transform), tables read from the file's own DQT/DHT
-segments; chroma SUBSAMPLING / progressive / restart markers still
-route to PIL when present.
+DCT (SOF0) for single-component GRAYSCALE and three-component YCbCr
+COLOR at 4:4:4 or 4:2:0 (generalized interleaved-MCU loop over ≤2×2
+sampling factors, per-component DC predictors, chroma box-average
+down / sample-replicate up, the YCbCr↔RGB JFIF transform), tables
+read from the file's own DQT/DHT segments; sampling beyond 2×2,
+progressive scans, and restart markers still route to PIL when
+present.
 
 Everything is the ITU T.81 pipeline: 8×8 blocks → level shift →
 orthonormal DCT-II → quantize (round) → zigzag → DC differential +
@@ -186,36 +188,51 @@ def _encode_block(bw, blk, dc_codes, ac_codes, prev_dc: int) -> int:
     return int(zz[0])
 
 
-def _encode_planes(planes, h: int, w: int) -> bytes:
-    """Shared encoder body: 1 plane = grayscale SOF0, 3 planes =
-    4:4:4 YCbCr with interleaved MCUs.  One quant + one Huffman
-    table pair serves every component (a legal table mapping — the
-    decoder reads whatever the file declares)."""
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    shifted = [np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
-               .astype(np.float64) - 128.0 for p in planes]
+def _encode_planes(planes, h: int, w: int, sampling=None) -> bytes:
+    """Shared encoder body: interleaved MCUs over per-component
+    sampling factors (default 1×1 for every plane — grayscale SOF0
+    or 4:4:4 color; pass ``sampling=[(2, 2), (1, 1), (1, 1)]`` for
+    4:2:0).  ``planes[i]`` must already be at its component
+    resolution (the caller downsamples chroma).  One quant + one
+    Huffman table pair serves every component (a legal table
+    mapping — the decoder reads whatever the file declares)."""
+    nc = len(planes)
+    sampling = sampling or [(1, 1)] * nc
+    hmax = max(sx for sx, _ in sampling)
+    vmax = max(sy for _, sy in sampling)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    shifted = []
+    for p, (sx, sy) in zip(planes, sampling):
+        ph, pw = p.shape
+        PH, PW = mcus_y * 8 * sy, mcus_x * 8 * sx
+        shifted.append(np.pad(p, ((0, PH - ph), (0, PW - pw)),
+                              mode="edge").astype(np.float64) - 128.0)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
-    prev = [0] * len(planes)
-    for br in range(0, H, 8):
-        for bc in range(0, W, 8):
-            # MCU at 1×1 sampling: one block per component,
-            # interleaved, each with its own DC predictor.
-            for ci, plane in enumerate(shifted):
-                prev[ci] = _encode_block(
-                    bw, plane[br:br + 8, bc:bc + 8],
-                    dc_codes, ac_codes, prev[ci])
+    prev = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((sx, sy), plane) in enumerate(
+                    zip(sampling, shifted)):
+                for by in range(sy):
+                    for bx in range(sx):
+                        r0 = (my * sy + by) * 8
+                        c0 = (mx * sx + bx) * 8
+                        prev[ci] = _encode_block(
+                            bw, plane[r0:r0 + 8, c0:c0 + 8],
+                            dc_codes, ac_codes, prev[ci])
     bw.flush()
 
     def seg(marker, body):
         return marker + struct.pack(">H", 2 + len(body)) + body
 
-    nc = len(planes)
     zz_quant = STD_LUMA_QUANT[_ZZ[:, 0], _ZZ[:, 1]]
     dqt = seg(b"\xff\xdb", b"\x00" + bytes(int(x) for x in zz_quant))
-    comp_spec = b"".join(bytes([cid + 1, 0x11, 0x00])
-                         for cid in range(nc))
+    comp_spec = b"".join(
+        bytes([cid + 1, (sx << 4) | sy, 0x00])
+        for cid, (sx, sy) in enumerate(sampling))
     sof = seg(b"\xff\xc0", struct.pack(">BHHB", 8, h, w, nc)
               + comp_spec)
     dht = seg(b"\xff\xc4",
@@ -237,18 +254,41 @@ def encode_jpeg_gray(pixels) -> bytes:
     return _encode_planes([px], h, w)
 
 
-def encode_jpeg_rgb(pixels) -> bytes:
-    """Baseline 4:4:4 color encoder: JFIF YCbCr conversion, three
-    full-resolution planes in interleaved MCUs (no subsampling)."""
+def _rgb_to_ycbcr_planes(pixels):
     px = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
-    h, w, _ = px.shape
     r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8)
-              for p in (y, cb, cr)]
-    return _encode_planes(planes, h, w)
+    return [np.clip(np.round(p), 0, 255).astype(np.uint8)
+            for p in (y, cb, cr)]
+
+
+def encode_jpeg_rgb(pixels) -> bytes:
+    """Baseline 4:4:4 color encoder: JFIF YCbCr conversion, three
+    full-resolution planes in interleaved MCUs (no subsampling)."""
+    h, w, _ = np.asarray(pixels).shape
+    return _encode_planes(_rgb_to_ycbcr_planes(pixels), h, w)
+
+
+def encode_jpeg_rgb_420(pixels) -> bytes:
+    """Baseline 4:2:0 color encoder — the dominant real-world JPEG
+    shape: full-resolution Y (2×2 sampling), chroma box-averaged
+    down 2× each way (1×1), four Y blocks + Cb + Cr per MCU."""
+    h, w, _ = np.asarray(pixels).shape
+    y, cb, cr = _rgb_to_ycbcr_planes(pixels)
+
+    def _down2(p):
+        ph, pw = p.shape
+        q = np.pad(p, ((0, ph % 2), (0, pw % 2)), mode="edge") \
+            .astype(np.float64)
+        return np.clip(np.round(
+            (q[0::2, 0::2] + q[1::2, 0::2]
+             + q[0::2, 1::2] + q[1::2, 1::2]) / 4.0),
+            0, 255).astype(np.uint8)
+
+    return _encode_planes([y, _down2(cb), _down2(cr)], h, w,
+                          sampling=[(2, 2), (1, 1), (1, 1)])
 
 
 def _parse_dht(body: bytes) -> dict:
@@ -346,10 +386,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                sx, sy = samp >> 4, samp & 0xF
+                if sx not in (1, 2) or sy not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (non-1x1 factors) needs PIL")
-                comps.append((cid, qid))
+                        "sampling factors beyond 2x2 need PIL")
+                comps.append((cid, qid, sx, sy))
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG needs PIL")
@@ -371,19 +412,38 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG payload missing SOF0/SOS")
     h, w, comps = sof
     data, tabs = scan
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.zeros((H, W), dtype=np.float64) for _ in comps]
+    hmax = max(sx for _, _, sx, _ in comps)
+    vmax = max(sy for _, _, _, sy in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcus_y * 8 * sy, mcus_x * 8 * sx),
+                       dtype=np.float64)
+              for _, _, sx, sy in comps]
     br = _BitReader(data)
     prev = [0] * len(comps)
-    for r0 in range(0, H, 8):
-        for c0 in range(0, W, 8):
-            for ci, (cid, qid) in enumerate(comps):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, qid, sx, sy) in enumerate(comps):
                 dc_id, ac_id = tabs[cid]
-                blk, prev[ci] = _decode_block(
-                    br, huff[(0, dc_id)], huff[(1, ac_id)],
-                    quant[qid], prev[ci])
-                planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
-    planes = [p[:h, :w] + 128.0 for p in planes]
+                for by in range(sy):
+                    for bx in range(sx):
+                        blk, prev[ci] = _decode_block(
+                            br, huff[(0, dc_id)], huff[(1, ac_id)],
+                            quant[qid], prev[ci])
+                        r0 = (my * sy + by) * 8
+                        c0 = (mx * sx + bx) * 8
+                        planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+    # Upsample subsampled components to full resolution (nearest —
+    # sample replication, the baseline-decoder convention), then
+    # crop every plane to the image dims.
+    up = []
+    for (cid, qid, sx, sy), p in zip(comps, planes):
+        if sx < hmax:
+            p = np.repeat(p, hmax // sx, axis=1)
+        if sy < vmax:
+            p = np.repeat(p, vmax // sy, axis=0)
+        up.append(p[:h, :w] + 128.0)
+    planes = up
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

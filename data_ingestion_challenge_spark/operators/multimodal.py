@@ -9,11 +9,11 @@ decode_bmp), r12 adds a full PNG codec (zlib inflate + all five
 scanline unfilters, 8-bit gray/RGB — decode_png/encode_png), all
 round-trip tested against generated genuine bytes, and
 `media_inventory` runs the sniff-and-decode intake audit as one Arrow
-pass.  r12 also ships a FULL baseline JPEG codec — grayscale and
-4:4:4 color (operators/jpeg_codec.py — pixel-level Huffman+DCT
-decode gated by the synth_jpeg_inventory witness).  Formats that
-genuinely need PIL/ffmpeg (subsampled/progressive JPEG, MP4,
-palette/16-bit/interlaced PNG) stay gated: `decode_stub` is the deterministic fake for those paths and
+pass.  r12 also ships a FULL baseline JPEG codec — grayscale,
+4:4:4 color and 4:2:0 subsampled (operators/jpeg_codec.py —
+pixel-level Huffman+DCT decode gated by the synth_jpeg_inventory
+witness).  Formats that genuinely need PIL/ffmpeg (progressive
+JPEG, MP4, palette/16-bit/interlaced PNG) stay gated: `decode_stub` is the deterministic fake for those paths and
 `decode_real` raises a typed NotImplementedError for them when the
 libs are absent.
 """
@@ -802,6 +802,7 @@ def synth_jpeg_inventory(documents: DataFrame) -> DataFrame:
 
     from data_ingestion_challenge_spark.operators.jpeg_codec import (
         decode_jpeg_pixels, encode_jpeg_gray, encode_jpeg_rgb,
+        encode_jpeg_rgb_420,
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -811,15 +812,20 @@ def synth_jpeg_inventory(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 w, h = n % 21 + 1, n % 11 + 1
                 v = n % 128 * 2          # even level-shift offset
-                if n % 2:
-                    # solid-gray RGB rides the 4:4:4 color path:
-                    # Y = v exactly, Cb = Cr = 128 exactly, so the
-                    # same closed form gates the 3-component decode.
+                # n%3 cycles the codec shape: grayscale SOF0, 4:4:4
+                # color, 4:2:0 subsampled — solid gray with even
+                # offset is exact through ALL THREE (Y = v; chroma
+                # planes are constant 128 and survive the box
+                # average), so ONE closed form gates every path.
+                if n % 3 == 0:
+                    img = np.full((h, w), v, dtype=np.uint8)
+                    payload = encode_jpeg_gray(img)
+                elif n % 3 == 1:
                     img = np.full((h, w, 3), v, dtype=np.uint8)
                     payload = encode_jpeg_rgb(img)
                 else:
-                    img = np.full((h, w), v, dtype=np.uint8)
-                    payload = encode_jpeg_gray(img)
+                    img = np.full((h, w, 3), v, dtype=np.uint8)
+                    payload = encode_jpeg_rgb_420(img)
                 dec = decode_jpeg_pixels(payload)
                 ids.append(doc_id)
                 hs.append(dec.shape[0])

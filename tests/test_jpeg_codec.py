@@ -146,3 +146,46 @@ def test_gray_wrapper_rejects_color():
     img = np.full((8, 8, 3), 90, dtype=np.uint8)
     with pytest.raises(ValueError, match="not a grayscale"):
         decode_jpeg_gray(encode_jpeg_rgb(img))
+
+
+# ---------------------------------- 4:2:0 subsampling (r12)
+
+
+def test_420_solid_roundtrip_exact_and_bounded():
+    """The dominant real-world shape: four Y blocks + Cb + Cr per
+    MCU, chroma box-averaged down and sample-replicated back.  Solid
+    even-offset images stay EXACT (constant chroma survives the box
+    average); smooth/color content stays bounded."""
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels, encode_jpeg_rgb_420,
+    )
+    for v in (0, 64, 130, 254):
+        img = np.full((11, 19, 3), v, dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_rgb_420(img))
+        assert dec.shape == (11, 19, 3)
+        assert (dec == img).all(), v
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :] = (200, 60, 120)
+    dec = decode_jpeg_pixels(encode_jpeg_rgb_420(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    x = np.linspace(0, 255, 40)
+    g = np.clip(np.add.outer(x, x) / 2, 0, 255)
+    img = np.stack([g, g[::-1], np.full_like(g, 80)],
+                   axis=-1).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_rgb_420(img))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 16 and err.mean() < 4
+
+
+def test_sampling_beyond_2x2_raises_typed():
+    import struct as _st
+
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels, encode_jpeg_rgb_420,
+    )
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    payload = bytearray(encode_jpeg_rgb_420(img))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 11] = 0x41  # Y sampling 4x1
+    with pytest.raises(NotImplementedError, match="beyond 2x2"):
+        decode_jpeg_pixels(bytes(payload))
