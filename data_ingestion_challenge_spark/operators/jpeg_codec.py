@@ -12,8 +12,9 @@ Everything is the ITU T.81 pipeline: 8×8 blocks → level shift →
 orthonormal DCT-II → quantize (round) → zigzag → DC differential +
 magnitude coding → canonical Huffman → byte-stuffed entropy stream,
 and the exact inverse.  The decoder trusts only the payload (its DQT
-and DHT segments), so it decodes any conforming grayscale baseline
-file, not just this encoder's output.
+and DHT segments and SOF sampling factors), so it decodes any
+conforming baseline file in these shapes, not just this encoder's
+output.
 
 Exactness anchor for oracle gating: a SOLID image whose level-shifted
 value is EVEN survives the whole lossy pipeline EXACTLY — the only
