@@ -507,6 +507,214 @@ def decode_au(payload: bytes) -> dict:
             "width": None, "height": None, "pcm_rms": rms}
 
 
+class _LsbBitWriter:
+    """GIF packs LZW codes least-significant-bit first (the opposite
+    of JPEG's entropy stream)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int):
+        self.acc |= (code & ((1 << width) - 1)) << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _lzw_encode(indices, mcs: int) -> bytes:
+    """Real GIF LZW compression (dictionary-building, growing code
+    width, 12-bit cap with clear-and-reset)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bw = _LsbBitWriter()
+
+    def _reset():
+        return {(i,): i for i in range(1 << mcs)}, eoi + 1, mcs + 1
+
+    table, next_code, width = _reset()
+    bw.write(clear, width)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # Width grows once the just-assigned code fills the current
+        # range; at the 12-bit cap, clear-and-reset BEFORE any code
+        # that would need 13 bits could be assigned.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == (1 << 12):
+            bw.write(clear, width)
+            table, next_code, width = _reset()
+        w = (k,)
+    if w:
+        bw.write(table[w], width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """GIF LZW decompression — the full dictionary algorithm incl.
+    the KwKwK self-reference case and deferred width growth."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos_bits = 0
+
+    def _read(width: int) -> int:
+        nonlocal pos_bits
+        v, got = 0, 0
+        while got < width:
+            byte_i = (pos_bits + got) >> 3
+            if byte_i >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            bit_i = (pos_bits + got) & 7
+            take = min(8 - bit_i, width - got)
+            v |= ((data[byte_i] >> bit_i)
+                  & ((1 << take) - 1)) << got
+            got += take
+        pos_bits += width
+        return v
+
+    out: list[int] = []
+    table: list[tuple] = []
+    width = mcs + 1
+    prev: tuple | None = None
+    while True:
+        code = _read(width)
+        if code == clear:
+            table = [(i,) for i in range(1 << mcs)] + [(), ()]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:                   # first code after a clear
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < (1 << 12):     # deferred-clear cap
+                table.append(prev + (entry[0],))
+        elif code == len(table) and len(table) < (1 << 12):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        # Mirror the encoder's counter, which runs ONE ahead of this
+        # table (the decoder materializes an entry only while
+        # processing the FOLLOWING code): the width bump therefore
+        # fires when the table is one short of the current range.
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+
+
+def encode_gif_rgb(pixels) -> bytes:
+    """Single-frame GIF89a writer for an HxWx3 uint8 array with ≤256
+    distinct colors: deterministic sorted palette, real LZW-packed
+    index stream, 255-byte sub-block chunking."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette = sorted({tuple(int(c) for c in row) for row in flat})
+    if len(palette) > 256:
+        raise ValueError("encode_gif_rgb needs <=256 distinct colors")
+    lut = {c: i for i, c in enumerate(palette)}
+    indices = [lut[tuple(int(c) for c in row)] for row in flat]
+    mcs = max(2, (len(palette) - 1).bit_length())
+    gct_bits = mcs - 1          # table size field: 2^(field+1) slots
+    table = list(palette) + [(0, 0, 0)] * ((1 << mcs) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+    for r, g, b in table:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    lzw = _lzw_encode(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> "object":
+    """REAL pixel decode of a GIF's FIRST frame: header + color
+    tables + the LZW-compressed index stream → HxWx3 uint8 RGB.
+    Interlaced frames raise typed (PIL territory); animation beyond
+    frame 1 is decode_gif_structure's job (exact frame counts without
+    decompression)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 14:
+        raise ValueError("GIF payload truncated before screen descriptor")
+    sw, sh, flags = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                      # extension: skip
+            p = pos + 2
+            while p < len(payload) and payload[p]:
+                p += 1 + payload[p]
+            pos = p + 1
+        elif b == 0x2c:                    # first image descriptor
+            _, _, w, h, lflags = struct.unpack_from("<HHHHB",
+                                                    payload, pos + 1)
+            pos += 10
+            ct = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 0x07)
+                ct = np.frombuffer(payload[pos:pos + 3 * n],
+                                   dtype=np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if lflags & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF frames need PIL")
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos]:
+                n = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            idx = _lzw_decode(bytes(lzw), mcs)
+            if len(idx) < w * h:
+                raise ValueError("GIF index stream short of frame")
+            arr = np.asarray(idx[:w * h], dtype=np.int64)
+            if arr.max(initial=0) >= len(ct):
+                raise ValueError("GIF index beyond color table")
+            return ct[arr].reshape(h, w, 3)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF payload holds no image descriptor")
+
+
 def decode_jpeg_header(payload: bytes) -> dict:
     """REAL JPEG structure parse: the marker walk to the first SOF
     (start-of-frame) segment yields dimensions and channel count
@@ -849,5 +1057,52 @@ SYNTH_JPEG_INVENTORY_ORACLE = """
            CAST(n_chars % 21 + 1 AS BIGINT) AS width,
            CAST(n_chars % 11 + 1 AS BIGINT) AS height,
            CAST(n_chars % 128 * 2 AS BIGINT) AS px_mean
+    FROM documents
+"""
+
+
+def synth_gif_inventory(documents: DataFrame) -> DataFrame:
+    """The GIF twin of the codec witnesses — gates the REAL LZW
+    round trip (encode_gif_rgb → decode_gif_pixels): per doc a
+    genuine solid-color single-frame GIF (palette, real
+    LZW-compressed index stream, sub-block chunking) is encoded and
+    pixel-decoded inside one Arrow pass.  GIF is LOSSLESS, so the
+    decoded mean byte is exactly floor((r+g+b)/3) — a pure closed
+    form the DuckDB oracle replays; any LZW/bit-packing/palette bug
+    is a hash mismatch."""
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, px = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                w, h = n % 14 + 1, n % 9 + 1
+                color = (n % 256, n * 7 % 256, n * 13 % 256)
+                img = np.full((h, w, 3), color, dtype=np.uint8)
+                dec = decode_gif_pixels(encode_gif_rgb(img))
+                ids.append(doc_id)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                px.append(int(dec.astype(np.int64).sum()
+                              // dec.size))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "px_mean": pd.Series(px, dtype="int64"),
+            })
+
+    return (documents.select("doc_id", "n_chars")
+            .mapInPandas(_synth, "doc_id bigint, width bigint, "
+                                 "height bigint, px_mean bigint"))
+
+
+SYNTH_GIF_INVENTORY_ORACLE = """
+    SELECT doc_id,
+           CAST(n_chars % 14 + 1 AS BIGINT) AS width,
+           CAST(n_chars % 9 + 1 AS BIGINT) AS height,
+           CAST((n_chars % 256 + n_chars * 7 % 256
+                 + n_chars * 13 % 256) // 3 AS BIGINT) AS px_mean
     FROM documents
 """

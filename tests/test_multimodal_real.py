@@ -378,3 +378,101 @@ def test_jpeg_fill_bytes_and_tem_markers_parse():
                + struct.pack(">H", 2 + len(sof)) + sof)
     d = decode_jpeg_header(payload)
     assert (d["width"], d["height"]) == (20, 10)
+
+
+# ---------------------------- GIF pixel decode via real LZW (r12)
+
+
+def test_gif_lzw_roundtrip_torture():
+    """Real LZW both ways: random streams across alphabet sizes and
+    stream lengths (width growth, 12-bit cap + clear-reset) and
+    heavy-repeat streams (deep dictionary chains + the KwKwK
+    self-reference case)."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode,
+    )
+    rng = np.random.default_rng(11)
+    for mcs in (2, 3, 4, 8):
+        for n in (1, 5, 300, 5000, 20000):
+            idx = rng.integers(0, 1 << mcs, n).tolist()
+            assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx
+        rep = [i % (1 << mcs) for i in
+               ([3] * 500 + [0, 1, 2] * 200) * 4]
+        assert _lzw_decode(_lzw_encode(rep, mcs), mcs) == rep
+
+
+def test_gif_pixel_roundtrip_exact():
+    """GIF is lossless: encode → decode reproduces every pixel
+    byte-for-byte — solid, 4-color random, and a 200-color image
+    (multi-growth code widths)."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_gif_pixels, encode_gif_rgb,
+    )
+    rng = np.random.default_rng(5)
+    solid = np.full((7, 13, 3), (40, 90, 200), dtype=np.uint8)
+    assert (decode_gif_pixels(encode_gif_rgb(solid)) == solid).all()
+    pal4 = np.array([(0, 0, 0), (255, 0, 0), (0, 255, 0),
+                     (12, 34, 56)], dtype=np.uint8)
+    img = pal4[rng.integers(0, 4, (20, 30))]
+    assert (decode_gif_pixels(encode_gif_rgb(img)) == img).all()
+    pal200 = np.stack([np.arange(200) % 256,
+                       (np.arange(200) * 7) % 256,
+                       (np.arange(200) * 13) % 256],
+                      axis=1).astype(np.uint8)
+    img = pal200[rng.integers(0, 200, (64, 64))]
+    payload = encode_gif_rgb(img)
+    assert (decode_gif_pixels(payload) == img).all()
+    # the structure parser and intake audit agree on the same bytes
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_gif_structure, decode_media,
+    )
+    d = decode_gif_structure(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (64, 64, 1)
+    assert decode_media(payload)["mime"] == "image/gif"
+
+
+def test_gif_pixel_typed_refusals():
+    import struct as _st
+
+    import numpy as np
+    import pytest
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_gif_pixels, encode_gif_rgb,
+    )
+    img = np.full((4, 4, 3), 9, dtype=np.uint8)
+    payload = bytearray(encode_gif_rgb(img))
+    i = payload.index(b"\x2c")
+    payload[i + 9] |= 0x40  # interlace flag
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif_pixels(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_gif_pixels(bytes(encode_gif_rgb(img))[:20])
+    # >256 colors is a typed encoder refusal
+    big = np.zeros((17, 16, 3), dtype=np.uint8)
+    big[:, :, 0] = np.arange(17 * 16).reshape(17, 16) % 256
+    big[:, :, 1] = np.arange(17 * 16).reshape(17, 16) // 256
+    with pytest.raises(ValueError, match="256 distinct"):
+        encode_gif_rgb(big)
+
+
+def test_synth_gif_inventory_matches_oracle(spark):
+    import duckdb
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        SYNTH_GIF_INVENTORY_ORACLE, synth_gif_inventory,
+    )
+    from tests.conftest import SF_DIR
+    from tests.test_r9_candidates import _compare
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF_DIR}/documents.parquet'")
+    rows = _compare(synth_gif_inventory(docs), con,
+                    SYNTH_GIF_INVENTORY_ORACLE)
+    assert len(rows) == docs.count()
