@@ -64,24 +64,34 @@ HAS_MEDIA_LIBS = _PIL_Image is not None or _soundfile is not None
 
 
 def decode_real(payload: bytes):
-    """Real media decode.  Since r11 WAV and BMP payloads decode for
-    REAL with the pure-stdlib parsers below (struct + numpy — this
-    container ships both; round-trip tested against generated
-    genuine bytes in tests/test_multimodal_real.py); other formats
-    bind to PIL/soundfile when present.  Raises NotImplementedError
-    only for formats that genuinely need the absent libs (JPEG,
-    MP4, exotic PNG variants, ...) — the registered multimodal queries still run
-    decode_stub (deterministic, oracle-replayable)."""
+    """Real media decode: every native stdlib parser below (WAV /
+    AIFF / au / BMP / PNG / JPEG / GIF — round-trip tested against
+    generated genuine bytes in tests/test_multimodal_real.py and
+    test_jpeg_codec.py) runs first; other formats bind to
+    PIL/soundfile when present.  Raises NotImplementedError only for
+    formats that genuinely need the absent libs (MP4, progressive
+    JPEG, exotic PNG, ...) — the registered multimodal queries still
+    run decode_stub (deterministic, oracle-replayable)."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             d = decode_wav(payload)
             return len(payload), d["n_frames"]
+        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+            return len(payload), decode_aiff(payload)["n_frames"]
+        if payload[:4] == b".snd":
+            return len(payload), decode_au(payload)["n_frames"]
         if payload[:2] == b"BM":
             decode_bmp(payload)  # validates; images are 1 frame
             return len(payload), 1
         if payload[:8] == _PNG_SIG:
             decode_png(payload)  # validates (typed: exotic variants)
             return len(payload), 1
+        if payload[:2] == b"\xff\xd8":
+            decode_jpeg_header(payload)  # validates structure
+            return len(payload), 1
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return (len(payload),
+                    decode_gif_structure(payload)["n_frames"])
     except Exception:
         # A recognized-but-natively-unparsable payload (e.g. a
         # palette PNG) must not SHADOW an installed PIL — fall

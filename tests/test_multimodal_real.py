@@ -97,10 +97,12 @@ def test_decode_real_handles_wav_bmp_natively():
     bmp = encode_bmp24(np.zeros((2, 3, 3), dtype=np.uint8))
     assert decode_real(bmp) == (len(bmp), 1)
     if not HAS_MEDIA_LIBS:
-        # JPEG genuinely needs PIL; PNG no longer does (r12) — a
-        # PNG-signature payload now reaches the REAL parser, which
-        # raises ValueError on garbage chunks instead.
+        # MP4 genuinely needs ffmpeg/PIL; PNG/JPEG no longer do
+        # (r12) — recognized-signature garbage now reaches the REAL
+        # parsers, which raise ValueError on broken structure.
         with pytest.raises(NotImplementedError):
+            decode_real(b"\x00\x00\x00\x18ftypmp42 not a real mp4")
+        with pytest.raises(ValueError):
             decode_real(b"\xff\xd8\xff\xe0 not really a jpeg")
         with pytest.raises(ValueError):
             decode_real(b"\x89PNG\r\n\x1a\n not really a png")
