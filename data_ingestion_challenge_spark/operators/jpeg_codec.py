@@ -65,11 +65,14 @@ AC_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
 
-# Zigzag scan order: _ZIGZAG[i] = (row, col) of the i-th coefficient.
+# Zigzag scan order: _ZZ[i] = (row, col) of the i-th coefficient, per
+# ITU T.81 Figure 5: (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),... — even
+# diagonals (r+c) are walked with DEcreasing row (sort by col), odd
+# diagonals with INcreasing row.
 _ZZ = np.array(sorted(
     ((r, c) for r in range(8) for c in range(8)),
     key=lambda rc: (rc[0] + rc[1],
-                    rc[1] if (rc[0] + rc[1]) % 2 else rc[0])))
+                    rc[0] if (rc[0] + rc[1]) % 2 else rc[1])))
 
 # Orthonormal 8-point DCT-II matrix: block DCT = C @ B @ C.T with the
 # JPEG normalization (F(0,0) of a constant-v block = 8·v).
@@ -311,7 +314,7 @@ def _parse_dht(body: bytes) -> dict:
 
 def _huff_decode(br: _BitReader, table: dict) -> int:
     code, ln = 0, 0
-    while ln <= 16:
+    while ln < 16:               # T.81 max code length is 16 bits
         code = (code << 1) | br.read(1)
         ln += 1
         sym = table.get((code, ln))

@@ -599,7 +599,10 @@ def _lzw_decode(data: bytes, mcs: int) -> list[int]:
         return v
 
     out: list[int] = []
-    table: list[tuple] = []
+    # Pre-initialize to the post-clear state: a spec-legal stream may
+    # begin directly with data codes (a leading Clear is conventional,
+    # not mandatory).
+    table: list[tuple] = [(i,) for i in range(1 << mcs)] + [(), ()]
     width = mcs + 1
     prev: tuple | None = None
     while True:

@@ -478,3 +478,31 @@ def test_synth_gif_inventory_matches_oracle(spark):
     rows = _compare(synth_gif_inventory(docs), con,
                     SYNTH_GIF_INVENTORY_ORACLE)
     assert len(rows) == docs.count()
+
+
+def test_gif_lzw_stream_without_leading_clear():
+    """A spec-legal stream may start directly with data codes (the
+    leading Clear is conventional, not mandatory): the decoder must
+    begin from the post-clear table state, not crash."""
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode,
+    )
+    mcs = 2                       # clear=4, eoi=5, width starts at 3
+    # hand-pack codes [1, 2, 6, 5]: after (1),(2) the table holds
+    # entry 6=(1,2); code 6 emits it; 5 = EOI.  LSB-first packing,
+    # width grows 3→4 once the table reaches 7 entries (after the
+    # second code), so codes 6 and 5 are 4 bits wide.
+    bits = []
+    for code, width in ((1, 3), (2, 3), (6, 4), (5, 4)):
+        for k in range(width):
+            bits.append((code >> k) & 1)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            b |= bit << j
+        data.append(b)
+    assert _lzw_decode(bytes(data), mcs) == [1, 2, 1, 2]
+    # and the encoder's own output still round-trips unchanged
+    idx = [0, 1, 2, 3, 0, 1, 2, 3, 0, 0, 1, 1]
+    assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx
