@@ -80,6 +80,36 @@ def _store_index_hwm(index_path: str, table_path: str, version: int,
 # anti-join per drain) rather than growing an unbounded manifest.
 _PENDING_CAP = 10_000
 
+# CDC maintenance bucket pruning: above this many candidate ids the
+# signature path stops collecting them driver-side and falls back to
+# the full-index anti-join (still correct, just corpus-proportional).
+_PRUNE_CAP = 20_000
+
+
+def _murmur3_int(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt — bit-equal to SQL hash(v) for
+    INT columns (test-enforced), the function behind bucket assignment
+    of IntegerType bucket keys (the IVF index's _cell).  The LongType
+    twin lives in serving._murmur3_long; they differ (one mix round
+    and length 4 vs two rounds and length 8), so routing an int key
+    through the long hash reads the WRONG bucket."""
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    k1 = (v & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k1 = rotl(k1, 15)
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 = (seed & 0xFFFFFFFF) ^ k1
+    h1 = rotl(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
 
 def _sig_k(cols: list[str]) -> int:
     """k of a (doc_id, m0..mk-1) signature table from its columns —
@@ -304,11 +334,17 @@ class Engine:
                 # the extend contract under UPSERTS: a re-committed
                 # doc_id (latest-wins replacement) comes back through
                 # changes() but is already indexed — appending it
-                # again would grow duplicate assignment rows.  A
-                # single pruned-to-one-int64-column index scan is the
-                # price; the corpus TEXT read stays O(changed files).
-                new = (vecs.join(ids, "vec_id", "left_semi")
-                       .join(indexed, "vec_id", "left_anti"))
+                # again would grow duplicate assignment rows.  The
+                # check reads ONLY the bucket files of the cells the
+                # candidates probe into (frozen-model routing,
+                # _ivf_indexed_pruned) — O(batch buckets), never a
+                # full index scan; the corpus TEXT read stays
+                # O(changed files).
+                cand = vecs.join(ids, "vec_id", "left_semi")
+                chk = self._ivf_indexed_pruned(cand, ivf_table,
+                                               ivf_path)
+                new = cand.join(chk if chk is not None else indexed,
+                                "vec_id", "left_anti")
                 if not new.isEmpty():
                     self.extend_ivf(new, ivf_table, ivf_path)
                 # Docs whose embedding still hasn't arrived stay on
@@ -373,10 +409,31 @@ class Engine:
                                  in_progress=True)
                 # Anti-join vs signed ids for the same upsert reason
                 # as the IVF path: a re-committed doc_id must not
-                # grow a second signature row.
-                new_docs = (changed.select("doc_id", "text")
-                            .where(signable)
-                            .join(signed, "doc_id", "left_anti"))
+                # grow a second signature row.  The signature table
+                # is bucketed BY doc_id, so the candidates' own ids
+                # route straight to their Murmur3 buckets
+                # (point_lookup_fast's test-enforced hash) and the
+                # check reads only those bucket files — O(batch
+                # buckets).  Past _PRUNE_CAP candidates the
+                # driver-side id collect stops paying and the full
+                # anti-join takes over (correct either way).
+                cand = (changed.select("doc_id", "text")
+                        .where(signable))
+                cand_ids = [r[0] for r in
+                            cand.select("doc_id").distinct()
+                            .limit(_PRUNE_CAP + 1).collect()]
+                if len(cand_ids) <= _PRUNE_CAP:
+                    from data_ingestion_challenge_spark.serving import (
+                        _murmur3_long,
+                    )
+                    nb = self._table_bucket_count(sig_table)
+                    chk = self._pruned_index_keys(
+                        sig_table, sig_path, "doc_id",
+                        {_murmur3_long(int(i)) % nb
+                         for i in cand_ids})
+                else:
+                    chk = signed
+                new_docs = cand.join(chk, "doc_id", "left_anti")
                 if not new_docs.isEmpty():
                     self.extend_signatures(new_docs, sig_table,
                                            sig_path, n=n)
@@ -910,6 +967,69 @@ class Engine:
          .bucketBy(self._table_bucket_count(table), "_cell")
          .sortBy("_cell")
          .saveAsTable(table))
+
+    def _pruned_index_keys(self, table: str, path: str, key_col: str,
+                           buckets: set[int]) -> DataFrame:
+        """DISTINCT ``key_col`` read from ONLY the given bucket ids'
+        files of a bucketed index table — the O(batch-buckets)
+        replacement for the full-index id scan on the CDC maintenance
+        path.  Same layout contract point_lookup_fast rides: a
+        bucketed write routes every row of key k into bucket
+        pmod(hash(k), n) and nowhere else, so an anti-join against
+        just the candidates' buckets equals the full anti-join
+        restricted to those candidates.  Listed fresh per call (one
+        listdir) — index tables grow every drain, so a cached
+        manifest would go stale."""
+        from data_ingestion_challenge_spark.serving import (
+            _BUCKET_FILE_RE,
+        )
+        files = []
+        for fn in sorted(os.listdir(path)):
+            mt = _BUCKET_FILE_RE.match(fn)
+            if mt and int(mt.group(1)) in buckets:
+                files.append(os.path.join(path, fn))
+        if not files:
+            return self.spark.table(table).select(key_col).limit(0)
+        return (self.spark.read.parquet(*files)
+                .select(key_col).distinct())
+
+    def _ivf_indexed_pruned(self, cand_vecs: DataFrame, table: str,
+                            path: str) -> DataFrame | None:
+        """Bucket-pruned 'already indexed?' id set for the IVF CDC
+        path, or None → caller must use the full-index scan.  The
+        index is bucketed by _cell, and a vec_id's assignment cells
+        are a pure function of its embedding and the FROZEN centroid
+        matrix — so probing the candidates against the frozen model
+        names exactly the cells (→ buckets) any prior assignment of
+        those vec_ids lives in.  Soundness rides the vectors-lake
+        contract extend_ivf already assumes: embeddings are immutable
+        per vec_id (append-only lake) — a mutated embedding would
+        leave stale assignment rows under EITHER anti-join.  The
+        distinct-cell collect is bounded by nlist, never by corpus or
+        batch size."""
+        import json
+
+        import numpy as np
+
+        from data_ingestion_challenge_spark.operators.similarity import (
+            probe_against_matrix,
+        )
+        meta_path = os.path.join(path, "_ivf_meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if "centroids" not in meta:
+            return None        # two-level: rebuild-only, no frozen model
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        cells = {r[0] for r in
+                 probe_against_matrix(cand_vecs, C,
+                                      np.linalg.norm(C, axis=1),
+                                      meta["nprobe"])
+                 .select("_cell").distinct().collect()}
+        nb = self._table_bucket_count(table)
+        buckets = {_murmur3_int(int(c)) % nb for c in cells}
+        return self._pruned_index_keys(table, path, "vec_id", buckets)
 
     def _table_bucket_count(self, table: str) -> int:
         d = self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}") \

@@ -357,3 +357,150 @@ def test_cdc_upsert_never_duplicates_index_rows(spark, split_engine,
     finally:
         for t in (pt, st):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_murmur3_int_matches_spark_hash(spark):
+    """The IntegerType bucket hash (api._murmur3_int, routing the IVF
+    index's _cell buckets) must be bit-equal to Spark SQL hash() on an
+    INT column — the same enforcement serving's LongType twin carries."""
+    from data_ingestion_challenge_spark.api import _murmur3_int
+    vals = [0, 1, -1, 2, 7, 31, 127, 1024, 2**31 - 1, -2**31,
+            123456789, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r["v"]: r["h"] for r in
+           df.selectExpr("v", "hash(v) AS h").collect()}
+    for v in vals:
+        assert _murmur3_int(v) == got[v], v
+
+
+def test_sig_cdc_antijoin_is_bucket_pruned(spark, split_engine,
+                                           tmp_path, monkeypatch):
+    """The CDC drain's upsert-safety check must read ONLY the bucket
+    files the batch's candidate ids route to — never the full
+    signature table — while staying value-equivalent to the full
+    anti-join (the one-shot rebuild comparison)."""
+    from data_ingestion_challenge_spark.api import Engine as _E
+    from data_ingestion_challenge_spark.serving import (
+        _BUCKET_FILE_RE, _murmur3_long,
+    )
+    eng, d = split_engine
+    pt, st = "cdc_sig_pr", "cdc_sig_pr_tbl"
+    sig_path = str(tmp_path / "sig")
+    seen = []
+    orig = _E._pruned_index_keys
+
+    def _spy(self, table, path, key_col, buckets):
+        df = orig(self, table, path, key_col, buckets)
+        seen.append((table, key_col, set(buckets), df))
+        return df
+
+    monkeypatch.setattr(_E, "_pruned_index_keys", _spy)
+    try:
+        eng.materialize_postings(pt, str(tmp_path / "post"))
+        eng.materialize_signatures(pt, st, sig_path, k=16)
+        _stage_drop(spark, d["watch"], 400, 420)
+        _drain_sig(eng, d, st, sig_path)          # baseline (anti-join)
+        assert not seen                           # no pruning pre-mark
+        _stage_drop(spark, d["watch"], 420, 424)  # small CDC batch
+        corpus = _drain_sig(eng, d, st, sig_path)
+        sig_calls = [c for c in seen if c[0] == st]
+        assert len(sig_calls) == 1
+        _, key_col, buckets, df = sig_calls[0]
+        assert key_col == "doc_id"
+        nb = eng._table_bucket_count(st)
+        expect = {_murmur3_long(i) % nb for i in range(420, 424)}
+        assert buckets == expect
+        # the read touched ONLY those buckets' files, and skipped some
+        read = {os.path.basename(f) for f in df.inputFiles()}
+        all_files = {fn for fn in os.listdir(sig_path)
+                     if _BUCKET_FILE_RE.match(fn)}
+        assert read <= all_files
+        for fn in read:
+            assert int(_BUCKET_FILE_RE.match(fn).group(1)) in buckets
+        skipped = {fn for fn in all_files
+                   if int(_BUCKET_FILE_RE.match(fn).group(1))
+                   not in buckets}
+        assert skipped, "prune must actually skip index files"
+        # equivalence vs the full anti-join result
+        assert _sig_rows(spark, st) == _oneshot_sigs(spark, eng,
+                                                     corpus, st)
+    finally:
+        for t in (pt, st):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_cdc_antijoin_is_bucket_pruned(spark, cat, split_engine,
+                                           tmp_path, monkeypatch):
+    """The IVF CDC drain's 'already indexed?' check must read ONLY
+    the bucket files of the cells the candidates probe into under the
+    frozen centroid model — and the final index must still equal the
+    one-shot probe of all admitted vectors."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.api import (
+        Engine as _E, _murmur3_int,
+    )
+    from data_ingestion_challenge_spark.operators.similarity import (
+        probe_against_matrix,
+    )
+    from data_ingestion_challenge_spark.serving import _BUCKET_FILE_RE
+    eng, d = split_engine
+    table, path = "cdc_ivf_pr", str(tmp_path / "ivf")
+    vecs_path = str(tmp_path / "vectors.parquet")
+    seen = []
+    orig = _E._pruned_index_keys
+
+    def _spy(self, tbl, pth, key_col, buckets):
+        df = orig(self, tbl, pth, key_col, buckets)
+        seen.append((tbl, key_col, set(buckets), df))
+        return df
+
+    monkeypatch.setattr(_E, "_pruned_index_keys", _spy)
+    try:
+        eng.materialize_ivf(table, path)
+        (cat.embeddings.where((F.col("vec_id") >= 400)
+                              & (F.col("vec_id") < 440))
+         .select("vec_id", "embedding")
+         .write.mode("overwrite").parquet(vecs_path))
+        _stage_drop(spark, d["watch"], 400, 420)
+        eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        assert not [c for c in seen if c[0] == table]
+        _stage_drop(spark, d["watch"], 420, 424)
+        eng.ingest_documents(
+            d["watch"], d["corpus"], d["postings"], d["log"],
+            d["ckpt"], sizes_dir=d["sizes"], vectors_path=vecs_path,
+            ivf_table=table, ivf_path=path)
+        ivf_calls = [c for c in seen if c[0] == table]
+        assert len(ivf_calls) == 1
+        _, key_col, buckets, df = ivf_calls[0]
+        assert key_col == "vec_id"
+        # expected buckets: the candidates' frozen-model probe cells
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            meta = json.load(f)
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        cand = (spark.read.parquet(vecs_path)
+                .where((F.col("vec_id") >= 420)
+                       & (F.col("vec_id") < 424)))
+        cells = {r[0] for r in
+                 probe_against_matrix(cand, C,
+                                      np.linalg.norm(C, axis=1),
+                                      meta["nprobe"])
+                 .select("_cell").distinct().collect()}
+        nb = eng._table_bucket_count(table)
+        assert buckets == {_murmur3_int(int(c)) % nb for c in cells}
+        for f in df.inputFiles():
+            m = _BUCKET_FILE_RE.match(os.path.basename(f))
+            assert m and int(m.group(1)) in buckets
+        # the final index equals the one-shot probe of everything
+        got = spark.table(table).where("vec_id >= 400")
+        expect = probe_against_matrix(
+            spark.read.parquet(vecs_path).where("vec_id < 424"), C,
+            np.linalg.norm(C, axis=1), meta["nprobe"])
+        assert ({(r["vec_id"], r["_cell"]) for r in got.collect()}
+                == {(r["vec_id"], r["_cell"]) for r in
+                    expect.collect()})
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
