@@ -786,6 +786,138 @@ def _admission_corpus_ladder(spark, sf_dir: str,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _screen_store_ladder(spark, sf_dir: str,
+                         decades=(1, 10, 100),
+                         n_measure_batches: int = 2):
+    """The SCREEN-PATH twin of the corpus ladder (r12 verdict task 5):
+    the corpus/filler rungs isolated COMMIT cost against table growth;
+    this isolates the admission SCREEN against POSTING-STORE growth.
+    The screen's scale contract — bucket-pruned corpus posting reads
+    semi-filtered by a broadcast of the batch shingle set, every
+    downstream shuffle batch-bounded — says per-batch screen seconds
+    should stay ~flat as the store grows (the only growing term is
+    the pruned partitions' scan width).  This measures it.
+
+    Construction: a small real base state (one drain), then per
+    decade rung the posting store is grown DIRECTLY by a committed
+    filler run of globally-unique shingles (disjoint from every
+    batch shingle, like the ladder replicas' disjoint vocab) written
+    through _write_postings_layout — the one layout contract every
+    posting writer must ride — plus the matching sizes run so the
+    coverage check keeps the sizes store hot.  Admissions stay
+    IDENTICAL across rungs (same pinned measurement batches, drained
+    on a hardlink copy so the grown state never absorbs them); the
+    screen is timed by wrapping admission._screen_pairs and forcing
+    its result eagerly — the localCheckpoint the sink itself performs
+    next is then a no-op re-checkpoint of batch-sized data."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import data_ingestion_challenge_spark.streaming.admission as adm
+
+    docs = (spark.read
+            .parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text", "lang", "source"))
+    measure = (docs.where(F.col("doc_id") % 5 == 0)
+               .where(F.col("doc_id") % 10000 < 2500)
+               .localCheckpoint())
+    base = (docs.where(F.col("doc_id") % 5 != 0)
+            .where(F.col("doc_id") % 10000 < 2500)
+            .localCheckpoint())
+    m_batches = [
+        measure.where((F.col("doc_id") / 5).cast("long")
+                      % n_measure_batches == i).localCheckpoint()
+        for i in range(n_measure_batches)]
+    n_measure = measure.count()
+
+    root = tempfile.mkdtemp(prefix="screen_ladder_")
+    grow = {k: os.path.join(root, "grow", k)
+            for k in ("table", "postings", "log", "sizes")}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    orig_screen = adm._screen_pairs
+    try:
+        admit0, table0 = adm.document_admission_sink(
+            spark, grow["table"], grow["postings"], grow["log"],
+            sizes_dir=grow["sizes"], commit_mode="append")
+        admit0(base, 0)
+        adm.compact_store_in_place(spark, grow["postings"], table0,
+                                   sizes_dir=grow["sizes"],
+                                   level="major")
+        base_rows = spark.read.parquet(grow["postings"]).count()
+        mod = adm.store_bucket_mod(grow["postings"])
+
+        screen_s: list[float] = []
+
+        def _timed(*a, **kw):
+            t0 = time.perf_counter()
+            df = orig_screen(*a, **kw).localCheckpoint()
+            screen_s.append(time.perf_counter() - t0)
+            return df
+
+        adm._screen_pairs = _timed
+        rungs = []
+        have = base_rows
+        ftag = -9
+        for d in decades:
+            target = base_rows * d
+            if target > have:
+                k = target - have
+                # ~50 unique shingles per filler doc; doc_ids and
+                # shingles both disjoint from everything real.
+                filler = spark.range(k).select(
+                    (F.col("id") % ((k // 50) + 1)
+                     + 2_000_000_000).alias("doc_id"),
+                    F.concat(F.lit("zzfill"),
+                             F.col("id").cast("string")).alias("s"))
+                run = os.path.join(grow["postings"],
+                                   f"ingest_batch={ftag}")
+                adm._write_postings_layout(filler, run, mod)
+                adm._write_sizes_run(
+                    spark, run,
+                    os.path.join(grow["sizes"],
+                                 f"ingest_batch={ftag}"))
+                ftag -= 1
+                have = target
+            mdirs = {x: os.path.join(root, f"m{d}", x) for x in grow}
+            for x in grow:
+                shutil.copytree(grow[x], mdirs[x],
+                                copy_function=os.link)
+            admit, table = adm.document_admission_sink(
+                spark, mdirs["table"], mdirs["postings"],
+                mdirs["log"], sizes_dir=mdirs["sizes"],
+                commit_mode="append")
+            pre = table.read().count()
+            screen_s.clear()
+            t0 = time.perf_counter()
+            for i, mb in enumerate(m_batches):
+                admit(mb, 100 + i)
+            elapsed = time.perf_counter() - t0
+            kept = (table.read().count() - pre) / n_measure
+            rungs.append({
+                "decade": d,
+                "store_rows": have,
+                "screen_s_per_batch": round(
+                    sum(screen_s) / len(screen_s), 3)
+                if screen_s else None,
+                "drain_s": round(elapsed, 2),
+                "kept": round(kept, 4),
+            })
+            shutil.rmtree(os.path.join(root, f"m{d}"),
+                          ignore_errors=True)
+        return {"n_measure": n_measure, "rungs": rungs}
+    finally:
+        adm._screen_pairs = orig_screen
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        measure.unpersist()
+        base.unpersist()
+        for mb in m_batches:
+            mb.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _txn_commit_ladder(spark, base_rows: int = 100_000,
                        factor: int = 4, n_rungs: int = 4,
                        batch_rows: int = 5_000,
@@ -923,6 +1055,19 @@ def main() -> None:
 
     timings, spreads = _time_suite(spark, bench_queries, sf_dir)
 
+    # One-call pipeline number (r12 verdict stretch): the end-to-end
+    # dedup terminal (pairs → connected components → keep-list →
+    # filtered corpus) as the user runs it, against the same
+    # pre-materialized posting layout the stage queries ride.
+    try:
+        from data_ingestion_challenge_spark.api import Engine
+        _t0 = time.perf_counter()
+        Engine(sf_dir, spark=spark).dedup_corpus().count()
+        dedup_corpus_s = round(time.perf_counter() - _t0, 3)
+    except Exception as exc:
+        print(f"bench: dedup_corpus skipped: {exc!r}", file=sys.stderr)
+        dedup_corpus_s = None
+
     # ---- scaling evidence: same suite at a 10× smaller SF ----------
     scaling = None
     small_dir = "/root/testdata/sf0.01"
@@ -1059,6 +1204,15 @@ def main() -> None:
               file=sys.stderr)
         txn_ladder = None
 
+    # The screen-path twin: per-batch screen seconds vs posting-store
+    # growth across decades, admissions pinned (r12 verdict task 5).
+    try:
+        screen_ladder = _screen_store_ladder(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: screen store ladder skipped: {exc!r}",
+              file=sys.stderr)
+        screen_ladder = None
+
     try:
         probe_xover = _ivf_probe_crossover(spark, sf_dir)
     except Exception:
@@ -1094,7 +1248,9 @@ def main() -> None:
         "keyed_upsert_delta_rows_per_sec_minmax": _minmax("ku_delta"),
         "keyed_upsert_merge_rows_per_sec": _first(_med("ku_merge")),
         "keyed_upsert_merge_rows_per_sec_minmax": _minmax("ku_merge"),
+        "dedup_corpus_s": dedup_corpus_s,
         "admission_corpus_ladder": corpus_ladder,
+        "screen_store_ladder": screen_ladder,
         "txn_commit_ladder": txn_ladder,
         "point_lookup_p50_ms": p50_ms,
         "point_lookup_p99_ms": p99_ms,
@@ -1124,6 +1280,22 @@ def main() -> None:
     # this from regressing a third time.
     scalar_rates = {k: v for k, v in rates.items()
                     if isinstance(v, (int, float)) or v is None}
+    # Promote the structural-evidence scalars the 2000-char tail kept
+    # truncating off the full line (r12 verdict task 4): both sides of
+    # the corpus ladder's filler rung, and the screen-vs-store-decade
+    # series.
+    if corpus_ladder:
+        for rung in corpus_ladder.get("rungs", []):
+            if rung.get("grown_by") == "direct-append-filler":
+                for m in ("append", "merge"):
+                    scalar_rates[f"ladder_filler_{m}_docs_per_sec"] = \
+                        rung.get(f"{m}_docs_per_sec")
+                    scalar_rates[f"ladder_filler_{m}_commit_s"] = \
+                        rung.get(f"{m}_commit_s_per_batch")
+    if screen_ladder:
+        for rung in screen_ladder.get("rungs", []):
+            scalar_rates[f"screen_s_d{rung['decade']}"] = \
+                rung.get("screen_s_per_batch")
     compact_line = json.dumps({
         "metric": "headline_suite_runtime",
         "value": total,
