@@ -275,3 +275,45 @@ def pq_subspace_oracle_sql(m: int = 8) -> str:
            round(CAST(sum(var) AS DOUBLE), 6) AS var_total
     FROM v GROUP BY subspace ORDER BY subspace
     """
+
+
+def embedding_norm_percentiles_by_label(
+        embeddings: DataFrame) -> DataFrame:
+    """Norm-distribution health per label: n_vecs + interpolated
+    p50/p90 of the L2 norm — the first audit before cosine-based
+    dedup or ANN over a labeled corpus (a label whose norm
+    distribution collapses toward 0 came from a degenerate encoder
+    run; a fat p90/p50 ratio says normalize before IVF seeding).
+
+    Parity discipline: each norm rounds to 4dp FIRST (einsum vs
+    list_sum summation order differs in final ulps; the registered
+    embedding_norms query pins 4dp as the stable grid), then both
+    engines run the same linear-interpolation percentile (Spark
+    `percentile` == DuckDB quantile_cont, the
+    order_value_percentiles-pinned equivalence) over identical
+    inputs, rounded 4dp.  Scale shape: one Arrow pass for the norms,
+    map-side-combined groupBy to labels-sized output."""
+    from data_ingestion_challenge_spark.functions import vectors as V
+    norms = embeddings.select(
+        "label", F.round(V.norm2_batch(col("embedding")), 4)
+        .alias("_n"))
+    return (norms.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.round(F.percentile("_n", F.lit(0.5)), 4)
+                 .alias("p50_norm"),
+                 F.round(F.percentile("_n", F.lit(0.9)), 4)
+                 .alias("p90_norm")))
+
+
+EMBEDDING_NORM_PERCENTILES_ORACLE = """
+    WITH n AS (
+        SELECT label,
+               round(sqrt(list_sum(list_transform(
+                   embedding::DOUBLE[], x -> x*x))), 4) AS _n
+        FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(quantile_cont(_n, 0.5), 4) AS p50_norm,
+           round(quantile_cont(_n, 0.9), 4) AS p90_norm
+    FROM n GROUP BY label
+"""

@@ -1144,3 +1144,163 @@ ORDER_WEEKDAY_PROFILE_ORACLE = """
            round(revenue / n_orders, 6) AS avg_order_value
     FROM g
 """
+
+
+def supplier_part_breadth(lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame) -> DataFrame:
+    """Supply-base breadth per supplier nation: how many suppliers
+    shipped anything, how many DISTINCT (supplier, part) lanes they
+    cover, and the total quantity moved — the procurement-risk table
+    (a nation with few suppliers but many lanes is a concentration
+    risk; qty per lane is the utilization signal).
+
+    Parity discipline: counts are exact; quantity accumulates as
+    DECIMAL(30,6) and rounds 2dp before the one double cast.  Scale
+    shape: lineitem scans once, both dims broadcast, distinct-pair
+    count rides the same (suppkey, partkey) shuffle the groupBy
+    needs; output is nations-sized."""
+    li = lineitem.select("l_suppkey", "l_partkey", "l_quantity")
+    j = (li.join(F.broadcast(supplier.select("s_suppkey",
+                                             "s_nationkey")),
+                 col("l_suppkey") == col("s_suppkey"))
+         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+               col("s_nationkey") == col("n_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.countDistinct("l_suppkey", "l_partkey")
+                 .alias("n_supp_part_lanes"),
+                 F.round(F.sum(col("l_quantity")
+                               .cast("decimal(30,6)")), 2)
+                 .cast("double").alias("total_qty")))
+
+
+SUPPLIER_PART_BREADTH_ORACLE = """
+    SELECT n_name,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT (l_suppkey, l_partkey)) AS BIGINT)
+               AS n_supp_part_lanes,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2)
+                AS DOUBLE) AS total_qty
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def returns_by_nation(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame,
+                      nation: DataFrame) -> DataFrame:
+    """Return rate per CUSTOMER nation: lineitems flagged 'R' as a
+    share of all lineitems ordered by that nation's customers — the
+    market-quality table behind q10's per-customer returned-item
+    drill-down (read this first; chase customers second).
+
+    Exact integer counts; the rate is ONE double divide rounded 6dp.
+    Scale shape: the fact⋈fact order-key equi-join (bucketed layout
+    at 100 TB), customer/nation dims broadcast, map-side-combined
+    groupBy to nations-sized output."""
+    j = (lineitem.select("l_orderkey", "l_returnflag")
+         .join(orders.select("o_orderkey", "o_custkey"),
+               col("l_orderkey") == col("o_orderkey"))
+         .join(F.broadcast(customer.select("c_custkey",
+                                           "c_nationkey")),
+               col("o_custkey") == col("c_custkey"))
+         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+               col("c_nationkey") == col("n_nationkey")))
+    g = (j.groupBy("n_name")
+         .agg(F.count("*").alias("n_lines"),
+              F.count_if(col("l_returnflag") == "R")
+              .alias("n_returned")))
+    return g.withColumn(
+        "return_rate",
+        F.round(col("n_returned") / col("n_lines"), 6))
+
+
+RETURNS_BY_NATION_ORACLE = """
+    WITH g AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT)
+                   AS n_returned
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+    SELECT n_name, n_lines, n_returned,
+           round(n_returned / (1.0 * n_lines), 6) AS return_rate
+    FROM g
+"""
+
+
+def hour_of_week_profile(events: DataFrame) -> DataFrame:
+    """Traffic shape over the 168-slot week: (weekday, hour) →
+    events + distinct users — the capacity-planning heatmap every
+    ingestion operator keeps on a wall (quiet-slot maintenance
+    windows, load-shedding thresholds).  Weekday is days-since-epoch
+    mod 7 (0 = Thursday), the repo's portable spelling — Spark's
+    dayofweek() and DuckDB's dow disagree on origin and range.
+
+    Exact integers only.  Scale shape: one scan; the distinct-user
+    count rides a (slot, user) shuffle bounded by slots×users; output
+    is ≤ 168 rows."""
+    wd = F.pmod(F.datediff(F.to_date("ts"),
+                           F.to_date(F.lit("1970-01-01"))), F.lit(7))
+    return (events
+            .groupBy(wd.cast("int").alias("weekday"),
+                     F.hour("ts").cast("int").alias("hour"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+HOUR_OF_WEEK_PROFILE_ORACLE = """
+    SELECT CAST(((CAST(ts AS DATE) - DATE '1970-01-01')
+                 % 7 + 7) % 7 AS INT) AS weekday,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+"""
+
+
+def weekly_new_vs_returning(events: DataFrame) -> DataFrame:
+    """Weekly acquisition mix: per epoch-week, how many active users
+    were NEW (first week ever seen) vs RETURNING — the growth-vs-
+    retention split read next to dau_wau_stickiness (stickiness says
+    how often users come back; this says whether growth is
+    acquisition or habit).  Weeks are floor(days-since-epoch / 7) —
+    exact integer arithmetic, no week-truncation dialect.
+
+    Scale shape: one (user, week) distinct (map-side combined), a
+    per-user min-week groupBy on the SAME user-keyed shuffle, one
+    broadcast-sized join back, then a week-keyed rollup to
+    weeks-sized output.  Exact integers throughout."""
+    uw = (events.select(
+        "user_id",
+        (F.datediff(F.to_date("ts"),
+                    F.to_date(F.lit("1970-01-01"))) / 7)
+        .cast("long").alias("week")).distinct())
+    first = uw.groupBy("user_id").agg(F.min("week").alias("_w0"))
+    return (uw.join(first, "user_id")
+            .groupBy("week")
+            .agg(F.count_if(col("week") == col("_w0"))
+                 .alias("n_new"),
+                 F.count_if(col("week") != col("_w0"))
+                 .alias("n_returning")))
+
+
+WEEKLY_NEW_VS_RETURNING_ORACLE = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+                    AS BIGINT) AS week
+        FROM events),
+    f AS (SELECT user_id, min(week) AS w0 FROM uw GROUP BY user_id)
+    SELECT week,
+           CAST(count(*) FILTER (week = w0) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (week != w0) AS BIGINT)
+               AS n_returning
+    FROM uw JOIN f USING (user_id)
+    GROUP BY week
+"""
