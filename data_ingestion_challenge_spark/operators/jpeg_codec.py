@@ -399,9 +399,17 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG needs PIL")
             sof = (h, w, comps)
+        elif marker == 0xC2:
+            # Progressive frame: the full Annex-G decoder
+            # (operators/jpeg_progressive.py) takes the whole payload.
+            from data_ingestion_challenge_spark.operators import (
+                jpeg_progressive,
+            )
+            return jpeg_progressive.decode_jpeg_progressive(payload)
         elif 0xC1 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(
-                "non-baseline (progressive/arith) JPEG needs PIL")
+                "non-baseline (extended/lossless/arith) JPEG needs "
+                "PIL")
         elif marker == 0xDA:
             ns = body[0]
             tabs = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4,
@@ -437,9 +445,16 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         r0 = (my * sy + by) * 8
                         c0 = (mx * sx + bx) * 8
                         planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
-    # Upsample subsampled components to full resolution (nearest —
-    # sample replication, the baseline-decoder convention), then
-    # crop every plane to the image dims.
+    return _planes_to_pixels(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_pixels(planes, comps, h: int, w: int,
+                      hmax: int, vmax: int) -> np.ndarray:
+    """Shared decoder tail (baseline and progressive): upsample
+    subsampled components to full resolution (nearest — sample
+    replication, the baseline-decoder convention), crop to the image
+    dims, level-shift, and apply the JFIF YCbCr→RGB transform for
+    3-component images."""
     up = []
     for (cid, qid, sx, sy), p in zip(comps, planes):
         if sx < hmax:

@@ -65,13 +65,15 @@ HAS_MEDIA_LIBS = _PIL_Image is not None or _soundfile is not None
 
 def decode_real(payload: bytes):
     """Real media decode: every native stdlib parser below (WAV /
-    AIFF / au / BMP / PNG / JPEG / GIF — round-trip tested against
+    AIFF / au / BMP / PNG incl. palette/16-bit/Adam7 / JPEG / GIF
+    incl. interlaced / MP4 structure — round-trip tested against
     generated genuine bytes in tests/test_multimodal_real.py and
     test_jpeg_codec.py) runs first; other formats bind to
     PIL/soundfile when present.  Raises NotImplementedError only for
-    formats that genuinely need the absent libs (MP4, progressive
-    JPEG, exotic PNG, ...) — the registered multimodal queries still
-    run decode_stub (deterministic, oracle-replayable)."""
+    formats that genuinely need the absent libs (MP4 sample decode,
+    progressive JPEG, sub-8-bit PNG) — the registered multimodal
+    queries still run decode_stub (deterministic,
+    oracle-replayable)."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             d = decode_wav(payload)
@@ -84,7 +86,7 @@ def decode_real(payload: bytes):
             decode_bmp(payload)  # validates; images are 1 frame
             return len(payload), 1
         if payload[:8] == _PNG_SIG:
-            decode_png(payload)  # validates (typed: exotic variants)
+            decode_png(payload)  # validates (typed: sub-8-bit)
             return len(payload), 1
         if payload[:2] == b"\xff\xd8":
             decode_jpeg_header(payload)  # validates structure
@@ -92,6 +94,10 @@ def decode_real(payload: bytes):
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return (len(payload),
                     decode_gif_structure(payload)["n_frames"])
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            # structure-level: "frames" = duration in timescale units
+            return (len(payload),
+                    decode_mp4_structure(payload)["n_frames"])
     except Exception:
         # A recognized-but-natively-unparsable payload (e.g. a
         # palette PNG) must not SHADOW an installed PIL — fall
@@ -284,28 +290,21 @@ def decode_bmp(payload: bytes) -> dict:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(pixels, filter_type: int = 0) -> bytes:
-    """Minimal PNG writer for 8-bit grayscale (HxW) or RGB (HxWx3)
-    arrays — pure stdlib (zlib for deflate + CRC32).  ``filter_type``
-    applies the SAME scanline filter (0 None / 1 Sub / 2 Up /
-    3 Average / 4 Paeth) to every row, so the round-trip tests can
-    drive each unfilter path of decode_png individually."""
-    import zlib
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per the PNG spec's
+# pass order; a pass whose sub-image is empty contributes no scanlines.
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
+
+def _png_filter_block(raw, bpp: int, filter_type: int) -> bytes:
+    """Serialize one (sub-)image's byte rows with the given scanline
+    filter — the per-pass encoder body (interlaced images filter each
+    pass independently, prior row reset to zero)."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    gray = px.ndim == 2
-    if gray:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    if ch not in (1, 3):
-        raise ValueError("encode_png supports gray or RGB only")
-    bpp = ch
-    raw = px.reshape(h, w * ch).astype(np.int64)
-    prior = np.zeros(w * ch, dtype=np.int64)
     lines = bytearray()
-    for r in range(h):
+    prior = np.zeros(raw.shape[1], dtype=np.int64)
+    for r in range(raw.shape[0]):
         cur = raw[r]
         left = np.zeros_like(cur)
         left[bpp:] = cur[:-bpp]
@@ -326,14 +325,82 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
         lines.append(filter_type)
         lines += (flt % 256).astype(np.uint8).tobytes()
         prior = cur
+    return bytes(lines)
 
-    def _chunk(ctype: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + ctype + data
-                + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
-    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+def _sample_byte_rows(samples, depth16: bool):
+    """(h, w, ch) samples → (h, w·ch·bps) int64 BYTE rows (16-bit
+    samples serialize big-endian per the spec)."""
+    import numpy as np
+
+    h, w, ch = samples.shape
+    if depth16:
+        raw = np.frombuffer(samples.astype(">u2").tobytes(),
+                            dtype=np.uint8).reshape(h, w * ch * 2)
+    else:
+        raw = samples.astype(np.uint8).reshape(h, w * ch)
+    return raw.astype(np.int64)
+
+
+def encode_png(pixels, filter_type: int = 0, palette: bool = False,
+               interlace: bool = False) -> bytes:
+    """PNG writer, pure stdlib (zlib deflate + CRC32), covering the
+    full variant surface decode_png reads back: 8-bit and 16-bit
+    (uint16 input) grayscale / gray+alpha / RGB / RGBA, 8-bit palette
+    (``palette=True`` over ≤256-color RGB, deterministic sorted PLTE),
+    and Adam7 interlacing (``interlace=True`` — each pass filtered
+    independently per the spec).  ``filter_type`` applies the SAME
+    scanline filter (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) to
+    every row so round-trip tests can drive each unfilter path
+    individually."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    depth16 = px.dtype == np.uint16
+    px = px.astype(np.uint16 if depth16 else np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    plte = b""
+    if palette:
+        if depth16 or ch != 3:
+            raise ValueError("palette PNGs are 8-bit RGB")
+        flat = px.reshape(-1, 3)
+        colors = sorted({tuple(int(c) for c in row) for row in flat})
+        if len(colors) > 256:
+            raise ValueError("palette PNG needs <=256 distinct colors")
+        lut = {c: i for i, c in enumerate(colors)}
+        px = np.array([lut[tuple(int(c) for c in row)]
+                       for row in flat],
+                      dtype=np.uint8).reshape(h, w, 1)
+        ch, ctype = 1, 3
+        plte = b"".join(bytes(c) for c in colors)
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch * (2 if depth16 else 1)
+    lines = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_block(
+                    _sample_byte_rows(sub, depth16), bpp, filter_type)
+    else:
+        lines += _png_filter_block(
+            _sample_byte_rows(px, depth16), bpp, filter_type)
+
+    def _chunk(ct: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ct + data
+                + struct.pack(">I", zlib.crc32(ct + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16 if depth16 else 8,
+                       ctype, 0, 0, 1 if interlace else 0)
+    out = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte:
+        out += _chunk(b"PLTE", plte)
+    return (out + _chunk(b"IDAT", zlib.compress(bytes(lines)))
             + _chunk(b"IEND", b""))
 
 
@@ -348,48 +415,16 @@ def _paeth(a, b, c):
                     np.where(pb <= pc, b, c))
 
 
-def decode_png(payload: bytes) -> dict:
-    """REAL PNG decode in pure stdlib+numpy: chunk walk → IHDR →
-    concatenated IDAT → zlib inflate → per-row unfilter (all five
-    scanline filters per the spec; Sub reconstructs as a vectorized
-    per-channel modular cumsum, Average/Paeth walk the row's pixels
-    with vectorized channel math).  Supports the formats a synthetic
-    or screenshot-heavy crawl actually produces — 8-bit grayscale and
-    truecolor, non-interlaced; palette/16-bit/interlaced raise typed
-    (decode_media then classifies opaque; a PIL build handles them).
-    Returns the same stat dict shape as decode_bmp with the exact
-    integer mean pixel byte."""
-    import zlib
-
+def _png_unfilter(rows, bpp: int):
+    """(h, stride+1) filtered byte rows → (h, stride) reconstructed
+    bytes: all five scanline filters per the spec (Sub reconstructs
+    as a vectorized per-bpp-group modular prefix sum; Average/Paeth
+    walk the row's pixel groups with vectorized channel math)."""
     import numpy as np
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(payload):
-        size = struct.unpack_from(">I", payload, pos)[0]
-        ctype = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + size]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + size  # len + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG payload missing IHDR/IDAT")
-    w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if depth != 8 or ctype_ not in (0, 2) or interlace != 0:
-        raise NotImplementedError(
-            "decode_png handles 8-bit gray/RGB non-interlaced; "
-            "palette/16-bit/interlaced PNGs need PIL — absent here")
-    ch = 1 if ctype_ == 0 else 3
-    stride = w * ch
-    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(flat) != h * (stride + 1):
-        raise ValueError("PNG scanline payload length mismatch")
-    rows = flat.reshape(h, stride + 1)
+    h = rows.shape[0]
+    stride = rows.shape[1] - 1
+    ngrp = stride // bpp
     recon = np.zeros((h, stride), dtype=np.int64)
     prior = np.zeros(stride, dtype=np.int64)
     for r in range(h):
@@ -397,18 +432,18 @@ def decode_png(payload: bytes) -> dict:
         if ft == 0:
             cur = flt
         elif ft == 1:
-            # recon[i] = filt[i] + recon[i-ch]: per-channel modular
-            # prefix sum — vectorized, no per-pixel loop.
-            cur = np.cumsum(flt.reshape(w, ch), axis=0) % 256
+            # recon[i] = filt[i] + recon[i-bpp]: per-byte-lane
+            # modular prefix sum — vectorized, no per-pixel loop.
+            cur = np.cumsum(flt.reshape(ngrp, bpp), axis=0) % 256
             cur = cur.reshape(stride)
         elif ft == 2:
             cur = (flt + prior) % 256
         elif ft in (3, 4):
             cur = np.empty(stride, dtype=np.int64)
-            left = np.zeros(ch, dtype=np.int64)
-            upleft = np.zeros(ch, dtype=np.int64)
-            for x in range(w):
-                sl = slice(x * ch, (x + 1) * ch)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(ngrp):
+                sl = slice(x * bpp, (x + 1) * bpp)
                 up = prior[sl]
                 pred = ((left + up) // 2 if ft == 3
                         else _paeth(left, up, upleft))
@@ -418,7 +453,96 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"illegal PNG filter byte {ft}")
         recon[r] = cur
         prior = cur
-    mean_px = int(recon.sum() // (h * stride)) if h * stride else None
+    return recon
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode in pure stdlib+numpy: chunk walk → IHDR
+    (+PLTE) → concatenated IDAT → one zlib inflate → per-pass
+    unfilter → sample assembly.  Covers the full common variant
+    surface: 8-bit AND 16-bit grayscale / gray+alpha / truecolor /
+    RGBA, 8-bit palette (expanded through PLTE to RGB), and Adam7
+    interlacing (seven independently-filtered passes scattered back
+    by the spec geometry).  Sub-8-bit depths raise typed.  Returns
+    HxW (gray) or HxWxch arrays, uint16 when depth is 16."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if depth not in (8, 16) or ctype_ not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(
+            "decode_png handles 8/16-bit gray/RGB/alpha/palette; "
+            "sub-8-bit depths need PIL — absent here")
+    if ctype_ == 3 and (depth != 8 or plte is None):
+        raise NotImplementedError(
+            "palette PNGs decode at 8-bit with a PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_]
+    bps = 2 if depth == 16 else 1
+    bpp = ch * bps
+    flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    passes = ([(0, 0, 1, 1)] if interlace == 0 else _ADAM7)
+    out = np.zeros((h, w, ch),
+                   dtype=np.uint16 if depth == 16 else np.uint8)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        if off + need > len(flat):
+            raise ValueError("PNG scanline payload length mismatch")
+        recon = _png_unfilter(flat[off:off + need]
+                              .reshape(ph, stride + 1), bpp)
+        off += need
+        b = recon.astype(np.uint8).reshape(ph, pw, ch, bps)
+        if depth == 16:
+            samples = ((b[..., 0].astype(np.uint16) << 8)
+                       | b[..., 1])
+        else:
+            samples = b[..., 0]
+        out[y0::dy, x0::dx] = samples
+    if off != len(flat):
+        raise ValueError("PNG scanline payload length mismatch")
+    if ctype_ == 3:
+        out = plte[out[:, :, 0]]
+        ch = 3
+    return out[:, :, 0] if ch == 1 else out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Stat-dict wrapper over decode_png_pixels — the same shape as
+    decode_bmp, with the exact integer mean sample byte (16-bit
+    samples report their high byte so the stat stays on the 0-255
+    scale across depths)."""
+    import numpy as np
+
+    px = decode_png_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
+    vals = px.astype(np.int64)
+    if px.dtype == np.uint16:
+        vals = vals >> 8
+    mean_px = int(vals.sum() // vals.size) if vals.size else None
     return {"mime": "image/png", "n_frames": 1, "rate": None,
             "channels": None, "width": int(w), "height": int(h),
             "pcm_rms": mean_px}
@@ -635,14 +759,22 @@ def _lzw_decode(data: bytes, mcs: int) -> list[int]:
         prev = entry
 
 
-def encode_gif_rgb(pixels) -> bytes:
+def encode_gif_rgb(pixels, interlace: bool = False) -> bytes:
     """Single-frame GIF89a writer for an HxWx3 uint8 array with ≤256
     distinct colors: deterministic sorted palette, real LZW-packed
-    index stream, 255-byte sub-block chunking."""
+    index stream, 255-byte sub-block chunking.  ``interlace=True``
+    writes the rows in the spec's four-pass order with the interlace
+    flag set, driving decode_gif_pixels' scatter-back path."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     h, w, _ = px.shape
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8),
+                                np.arange(4, h, 8),
+                                np.arange(2, h, 4),
+                                np.arange(1, h, 2)])
+        px = px[order]
     flat = px.reshape(-1, 3)
     palette = sorted({tuple(int(c) for c in row) for row in flat})
     if len(palette) > 256:
@@ -656,7 +788,8 @@ def encode_gif_rgb(pixels) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
     for r, g, b in table:
         out += bytes((r, g, b))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
     out.append(mcs)
     lzw = _lzw_encode(indices, mcs)
     for i in range(0, len(lzw), 255):
@@ -670,9 +803,9 @@ def encode_gif_rgb(pixels) -> bytes:
 def decode_gif_pixels(payload: bytes) -> "object":
     """REAL pixel decode of a GIF's FIRST frame: header + color
     tables + the LZW-compressed index stream → HxWx3 uint8 RGB.
-    Interlaced frames raise typed (PIL territory); animation beyond
-    frame 1 is decode_gif_structure's job (exact frame counts without
-    decompression)."""
+    Interlaced frames scatter their four row passes back to display
+    order; animation beyond frame 1 is decode_gif_structure's job
+    (exact frame counts without decompression)."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -704,9 +837,6 @@ def decode_gif_pixels(payload: bytes) -> "object":
                 ct = np.frombuffer(payload[pos:pos + 3 * n],
                                    dtype=np.uint8).reshape(n, 3)
                 pos += 3 * n
-            if lflags & 0x40:
-                raise NotImplementedError(
-                    "interlaced GIF frames need PIL")
             if ct is None:
                 raise ValueError("GIF frame has no color table")
             mcs = payload[pos]
@@ -722,7 +852,19 @@ def decode_gif_pixels(payload: bytes) -> "object":
             arr = np.asarray(idx[:w * h], dtype=np.int64)
             if arr.max(initial=0) >= len(ct):
                 raise ValueError("GIF index beyond color table")
-            return ct[arr].reshape(h, w, 3)
+            px = ct[arr].reshape(h, w, 3)
+            if lflags & 0x40:
+                # Interlaced frame: rows arrive in the spec's four
+                # passes (0::8, 4::8, 2::4, 1::2) — scatter them back
+                # to display order.
+                out = np.empty_like(px)
+                srcs = np.concatenate([np.arange(0, h, 8),
+                                       np.arange(4, h, 8),
+                                       np.arange(2, h, 4),
+                                       np.arange(1, h, 2)])
+                out[srcs] = px
+                return out
+            return px
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("GIF payload holds no image descriptor")
@@ -819,6 +961,109 @@ def decode_gif_structure(payload: bytes) -> dict:
             "pcm_rms": None}
 
 
+def _walk_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO-BMFF box in
+    [pos, end) — size 1 pulls the 64-bit largesize, size 0 extends to
+    the enclosing end, short/garbage headers raise."""
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4 largesize header truncated")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("MP4 box overruns its container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def decode_mp4_structure(payload: bytes) -> dict:
+    """REAL ISO-BMFF (MP4/MOV) STRUCTURE parse, pure struct: the box
+    walk an intake inventory needs — brand from `ftyp`, movie
+    timescale + duration from `moov/mvhd` (v0 and v1), presentation
+    dims from the first non-degenerate `trak/tkhd` (16.16 fixed
+    point), and the track count — without touching a single coded
+    sample (frame/pixel decode genuinely needs ffmpeg/av, absent
+    here; same honest split as the pre-r12 JPEG/GIF structure
+    parses).  Returns the shared stat-dict shape: `rate` carries the
+    movie timescale, `n_frames` the duration in timescale units,
+    `channels` the track count, `pcm_rms` None."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    timescale = duration = None
+    width = height = None
+    n_tracks = 0
+    for btype, b0, b1 in _walk_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for t2, c0, c1 in _walk_boxes(payload, b0, b1):
+            if t2 == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    timescale, duration = struct.unpack_from(
+                        ">IQ", payload, c0 + 20)
+                else:
+                    timescale, duration = struct.unpack_from(
+                        ">II", payload, c0 + 12)
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, d0, d1 in _walk_boxes(payload, c0, c1):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = payload[d0]
+                    # width/height are the LAST 8 bytes of tkhd,
+                    # 16.16 fixed point — version-independent.
+                    wfx, hfx = struct.unpack_from(">II", payload,
+                                                  d1 - 8)
+                    if width is None and (wfx or hfx):
+                        width, height = wfx >> 16, hfx >> 16
+    if timescale is None:
+        raise ValueError("MP4 payload has no moov/mvhd")
+    return {"mime": "video/mp4",
+            "n_frames": int(duration),
+            "rate": int(timescale),
+            "channels": n_tracks or None,
+            "width": width, "height": height,
+            "pcm_rms": None}
+
+
+def encode_mp4_skeleton(width: int, height: int, duration: int,
+                        timescale: int = 600,
+                        n_tracks: int = 1) -> bytes:
+    """Minimal conforming ISO-BMFF skeleton (ftyp + moov(mvhd +
+    trak(tkhd)·n) + empty mdat) — the fixture generator for the
+    structure-parse tests, pure struct like the other encoders."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512)
+               + b"isomiso2mp41")
+    mvhd = box(b"mvhd", bytes(12)
+               + struct.pack(">II", timescale, duration)
+               + struct.pack(">I", 0x00010000)   # rate 1.0
+               + struct.pack(">H", 0x0100) + bytes(10)  # volume+pad
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                             0, 0, 0x40000000)   # identity matrix
+               + bytes(24) + struct.pack(">I", n_tracks + 1))
+    traks = b""
+    for i in range(n_tracks):
+        tkhd = box(b"tkhd", bytes(4)
+                   + struct.pack(">II", 0, 0)     # times
+                   + struct.pack(">I", i + 1) + bytes(4)
+                   + struct.pack(">I", duration) + bytes(8)
+                   + struct.pack(">4H", 0, 0, 0, 0)
+                   + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000,
+                                 0, 0, 0, 0x40000000)
+                   + struct.pack(">II", width << 16, height << 16))
+        traks += box(b"trak", tkhd)
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", b"")
+
+
 _NATIVE_SNIFFERS = (
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE",
      lambda p: decode_wav(p)),
@@ -830,15 +1075,18 @@ _NATIVE_SNIFFERS = (
     (lambda p: p[:4] == b"FORM" and p[8:12] == b"AIFF",
      lambda p: decode_aiff(p)),
     (lambda p: p[:4] == b".snd", lambda p: decode_au(p)),
+    (lambda p: len(p) >= 12 and p[4:8] == b"ftyp",
+     lambda p: decode_mp4_structure(p)),
 )
 
 
 def decode_media(payload: bytes) -> dict:
-    """Sniff-and-decode: REAL stdlib parsers for WAV/BMP/PNG plus
-    structure-level JPEG (SOF dims) and GIF (dims + exact frame
-    count); PIL / soundfile for anything further when present —
-    including variants the native parsers refuse (palette/16-bit/
-    interlaced PNG, DNL JPEGs): a native parse failure FALLS THROUGH
+    """Sniff-and-decode: REAL stdlib parsers for WAV/BMP/PNG (incl.
+    palette/16-bit/Adam7) plus structure-level JPEG (SOF dims), GIF
+    (dims + exact frame count), and MP4 (brand/timescale/duration/
+    dims box walk); PIL / soundfile for anything further when
+    present — including variants the native parsers refuse
+    (sub-8-bit PNG, DNL JPEGs): a native parse failure FALLS THROUGH
     to PIL rather than shadowing it.  Anything else (or every parser
     failing) classifies as opaque bytes rather than failing the
     batch — a 100 TB media crawl always contains garbage."""

@@ -61,12 +61,17 @@ def test_decoder_uses_file_tables_and_header_interops():
     assert decode_media(payload)["mime"] == "image/jpeg"
 
 
-def test_progressive_and_restart_raise_typed():
+def test_progressive_routing_and_restart_typed():
     img = np.full((8, 8), 100, dtype=np.uint8)
     payload = bytearray(encode_jpeg_gray(img))
-    # flip SOF0 (0xC0) to SOF2 (progressive)
+    # flip SOF0 (0xC0) to SOF2: routes to the r13 progressive decoder,
+    # which rejects the baseline scan header (a DC scan with Se=63)
     i = payload.index(b"\xff\xc0")
     payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg_gray(bytes(payload))
+    # a genuinely unhandled SOF (lossless, 0xC3) still refuses typed
+    payload[i + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg_gray(bytes(payload))
     # a DRI segment right after SOI

@@ -97,10 +97,10 @@ def test_decode_real_handles_wav_bmp_natively():
     bmp = encode_bmp24(np.zeros((2, 3, 3), dtype=np.uint8))
     assert decode_real(bmp) == (len(bmp), 1)
     if not HAS_MEDIA_LIBS:
-        # MP4 genuinely needs ffmpeg/PIL; PNG/JPEG no longer do
-        # (r12) — recognized-signature garbage now reaches the REAL
-        # parsers, which raise ValueError on broken structure.
-        with pytest.raises(NotImplementedError):
+        # Recognized-signature garbage reaches the REAL parsers
+        # (incl. the r13 MP4 box walk), which raise ValueError on
+        # broken structure.
+        with pytest.raises(ValueError):
             decode_real(b"\x00\x00\x00\x18ftypmp42 not a real mp4")
         with pytest.raises(ValueError):
             decode_real(b"\xff\xd8\xff\xe0 not really a jpeg")
@@ -169,9 +169,11 @@ def test_png_decode_media_and_decode_real():
     assert decode_media(junk)["mime"] == "application/octet-stream"
 
 
-def test_png_exotic_variants_raise_typed():
-    """16-bit / palette / interlaced stay honestly gated: typed
-    NotImplementedError from the parser (decode_media catches)."""
+def test_png_sub8bit_variant_raises_typed():
+    """The genuinely-ungated remainder (sub-8-bit depths) raises
+    typed NotImplementedError from the parser (decode_media
+    catches); 16-bit/palette/interlaced decode natively since
+    r13."""
     import struct
     import zlib
 
@@ -185,11 +187,11 @@ def test_png_exotic_variants_raise_typed():
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    payload = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 2, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr2)
                + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
                + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    with pytest.raises(NotImplementedError, match="sub-8-bit"):
         decode_png(payload)
 
 
@@ -447,11 +449,12 @@ def test_gif_pixel_typed_refusals():
         decode_gif_pixels, encode_gif_rgb,
     )
     img = np.full((4, 4, 3), 9, dtype=np.uint8)
+    # interlace is no longer a refusal (r13): a solid image decodes
+    # identically whichever row order the flag declares
     payload = bytearray(encode_gif_rgb(img))
     i = payload.index(b"\x2c")
-    payload[i + 9] |= 0x40  # interlace flag
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif_pixels(bytes(payload))
+    payload[i + 9] |= 0x40
+    assert (decode_gif_pixels(bytes(payload)) == img).all()
     with pytest.raises(ValueError):
         decode_gif_pixels(bytes(encode_gif_rgb(img))[:20])
     # >256 colors is a typed encoder refusal
@@ -506,3 +509,142 @@ def test_gif_lzw_stream_without_leading_clear():
     # and the encoder's own output still round-trips unchanged
     idx = [0, 1, 2, 3, 0, 1, 2, 3, 0, 0, 1, 1]
     assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx
+
+
+# ---------------------------------------------------------------
+# r13 codec widening: PNG palette / 16-bit / alpha / Adam7,
+# interlaced GIF, MP4 structure parse.
+# ---------------------------------------------------------------
+
+
+def _rng_img(shape, seed=7, dtype="uint8"):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    hi = 65536 if dtype == "uint16" else 256
+    return rng.randint(0, hi, size=shape).astype(dtype)
+
+
+def test_png_rgba_and_gray_alpha_roundtrip():
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_png_pixels, encode_png,
+    )
+    for ch in (2, 4):
+        img = _rng_img((9, 7, ch), seed=ch)
+        for f in range(5):
+            dec = decode_png_pixels(encode_png(img, filter_type=f))
+            assert dec.shape == img.shape and dec.dtype == np.uint8
+            assert (dec == img).all(), (ch, f)
+
+
+def test_png_16bit_roundtrip_all_filters():
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_png, decode_png_pixels, encode_png,
+    )
+    gray = _rng_img((6, 11), seed=1, dtype="uint16")
+    rgb = _rng_img((5, 8, 3), seed=2, dtype="uint16")
+    for img in (gray, rgb):
+        for f in range(5):
+            dec = decode_png_pixels(encode_png(img, filter_type=f))
+            assert dec.dtype == np.uint16
+            assert (dec == img).all(), f
+    # stat wrapper reports the high byte on the 0-255 scale
+    d = decode_png(encode_png(np.full((4, 4), 0xAB00,
+                                      dtype=np.uint16)))
+    assert d["pcm_rms"] == 0xAB
+
+
+def test_png_palette_roundtrip():
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_png_pixels, encode_png,
+    )
+    img = (_rng_img((10, 13, 3), seed=3) // 64) * 64  # ≤64 colors
+    for f in range(5):
+        dec = decode_png_pixels(encode_png(img, filter_type=f,
+                                           palette=True))
+        assert dec.shape == img.shape and (dec == img).all(), f
+
+
+def test_png_adam7_interlace_roundtrip():
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_png_pixels, encode_png,
+    )
+    # dims straddle the 8x8 pass grid (odd, < 8, and > 8 in each
+    # axis) so empty and partial passes are all exercised
+    for shape in ((3, 5, 3), (16, 16), (13, 9, 3), (1, 1), (7, 21)):
+        img = _rng_img(shape, seed=sum(shape))
+        for f in (0, 1, 4):
+            dec = decode_png_pixels(encode_png(img, filter_type=f,
+                                               interlace=True))
+            assert dec.shape == img.shape and (dec == img).all()
+    # 16-bit + palette both compose with interlacing
+    img16 = _rng_img((9, 6), seed=11, dtype="uint16")
+    assert (decode_png_pixels(encode_png(img16, interlace=True))
+            == img16).all()
+    imgp = (_rng_img((11, 4, 3), seed=12) // 32) * 32
+    assert (decode_png_pixels(encode_png(imgp, palette=True,
+                                         interlace=True))
+            == imgp).all()
+
+
+def test_png_sub8bit_depth_raises_typed():
+    import pytest as _pytest
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_png_pixels, encode_png,
+    )
+    payload = bytearray(encode_png(_rng_img((4, 4))))
+    i = payload.index(b"IHDR")
+    payload[i + 12] = 4                    # depth byte -> 4-bit
+    with _pytest.raises(NotImplementedError, match="sub-8-bit"):
+        decode_png_pixels(bytes(payload))
+
+
+def test_gif_interlaced_roundtrip():
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_gif_pixels, encode_gif_rgb,
+    )
+    for h, w in ((1, 3), (4, 5), (8, 2), (13, 7), (29, 3)):
+        img = ((_rng_img((h, w, 3), seed=h * w) // 32) * 32)
+        plain = decode_gif_pixels(encode_gif_rgb(img))
+        inter = decode_gif_pixels(encode_gif_rgb(img,
+                                                 interlace=True))
+        assert (plain == img).all()
+        assert (inter == img).all(), (h, w)
+
+
+def test_mp4_structure_parse_roundtrip():
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_media, decode_mp4_structure, decode_real,
+        encode_mp4_skeleton,
+    )
+    p = encode_mp4_skeleton(640, 360, duration=7200, timescale=600,
+                            n_tracks=2)
+    d = decode_mp4_structure(p)
+    assert d == {"mime": "video/mp4", "n_frames": 7200, "rate": 600,
+                 "channels": 2, "width": 640, "height": 360,
+                 "pcm_rms": None}
+    assert decode_real(p) == (len(p), 7200)
+    assert decode_media(p)["mime"] == "video/mp4"
+
+
+def test_mp4_garbage_and_truncation_raise():
+    import pytest as _pytest
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_mp4_structure, encode_mp4_skeleton,
+    )
+    with _pytest.raises(ValueError, match="not an ISO-BMFF"):
+        decode_mp4_structure(b"\x00" * 16)
+    p = encode_mp4_skeleton(64, 48, duration=10)
+    with _pytest.raises(ValueError):
+        decode_mp4_structure(p[:20])       # moov gone -> no mvhd
