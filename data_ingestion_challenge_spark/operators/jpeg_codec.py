@@ -4,9 +4,11 @@ DCT (SOF0) for single-component GRAYSCALE and three-component YCbCr
 COLOR at 4:4:4 or 4:2:0 (generalized interleaved-MCU loop over ≤2×2
 sampling factors, per-component DC predictors, chroma box-average
 down / sample-replicate up, the YCbCr↔RGB JFIF transform), tables
-read from the file's own DQT/DHT segments; sampling beyond 2×2,
-progressive scans, and restart markers still route to PIL when
-present.
+read from the file's own DQT/DHT segments, restart intervals
+(DRI + RSTn predictor resets — the camera-JPEG convention, r13).
+Progressive (SOF2) frames route to operators/jpeg_progressive.py;
+sampling beyond 2×2 and the lossless/arithmetic SOFs still route to
+PIL when present.
 
 Everything is the ITU T.81 pipeline: 8×8 blocks → level shift →
 orthonormal DCT-II → quantize (round) → zigzag → DC differential +
@@ -143,6 +145,19 @@ class _BitReader:
         self.nbits -= n
         return v
 
+    def restart(self, m: int):
+        """Consume an RSTm marker at a restart boundary: discard the
+        byte-alignment padding bits, verify the expected modulo-8
+        marker, and clear the accumulator (per T.81 §B.2.1.1 the
+        entropy stream byte-aligns before every RSTn)."""
+        self.acc = 0
+        self.nbits = 0
+        if (self.pos + 2 > len(self.data)
+                or self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + (m & 7)):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
 
 def _magnitude(v: int):
     """JPEG magnitude coding: (size, extra bits)."""
@@ -192,7 +207,8 @@ def _encode_block(bw, blk, dc_codes, ac_codes, prev_dc: int) -> int:
     return int(zz[0])
 
 
-def _encode_planes(planes, h: int, w: int, sampling=None) -> bytes:
+def _encode_planes(planes, h: int, w: int, sampling=None,
+                   restart_every: int = 0) -> bytes:
     """Shared encoder body: interleaved MCUs over per-component
     sampling factors (default 1×1 for every plane — grayscale SOF0
     or 4:4:4 color; pass ``sampling=[(2, 2), (1, 1), (1, 1)]`` for
@@ -216,8 +232,17 @@ def _encode_planes(planes, h: int, w: int, sampling=None) -> bytes:
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev = [0] * nc
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_every and mcu_i and mcu_i % restart_every == 0:
+                # byte-align (1-fill) then the raw RSTn marker —
+                # markers are never byte-stuffed
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + ((mcu_i // restart_every
+                                                - 1) & 7)])
+                prev = [0] * nc
+            mcu_i += 1
             for ci, ((sx, sy), plane) in enumerate(
                     zip(sampling, shifted)):
                 for by in range(sy):
@@ -246,16 +271,20 @@ def _encode_planes(planes, h: int, w: int, sampling=None) -> bytes:
               + b"".join(bytes([cid + 1, 0x00])
                          for cid in range(nc))
               + b"\x00\x3f\x00")
-    return (b"\xff\xd8" + dqt + sof + dht + sos
+    dri = (seg(b"\xff\xdd", struct.pack(">H", restart_every))
+           if restart_every else b"")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos
             + bytes(bw.out) + b"\xff\xd9")
 
 
-def encode_jpeg_gray(pixels) -> bytes:
+def encode_jpeg_gray(pixels, restart_every: int = 0) -> bytes:
     """Baseline JFIF encoder for an HxW uint8 grayscale array with
-    the Annex-K luminance tables — edge-replicated to 8×8 blocks."""
+    the Annex-K luminance tables — edge-replicated to 8×8 blocks.
+    ``restart_every`` emits a DRI segment + RSTn markers every N
+    MCUs (the camera-JPEG convention the decoder now handles)."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
-    return _encode_planes([px], h, w)
+    return _encode_planes([px], h, w, restart_every=restart_every)
 
 
 def _rgb_to_ycbcr_planes(pixels):
@@ -268,14 +297,15 @@ def _rgb_to_ycbcr_planes(pixels):
             for p in (y, cb, cr)]
 
 
-def encode_jpeg_rgb(pixels) -> bytes:
+def encode_jpeg_rgb(pixels, restart_every: int = 0) -> bytes:
     """Baseline 4:4:4 color encoder: JFIF YCbCr conversion, three
     full-resolution planes in interleaved MCUs (no subsampling)."""
     h, w, _ = np.asarray(pixels).shape
-    return _encode_planes(_rgb_to_ycbcr_planes(pixels), h, w)
+    return _encode_planes(_rgb_to_ycbcr_planes(pixels), h, w,
+                          restart_every=restart_every)
 
 
-def encode_jpeg_rgb_420(pixels) -> bytes:
+def encode_jpeg_rgb_420(pixels, restart_every: int = 0) -> bytes:
     """Baseline 4:2:0 color encoder — the dominant real-world JPEG
     shape: full-resolution Y (2×2 sampling), chroma box-averaged
     down 2× each way (1×1), four Y blocks + Cb + Cr per MCU."""
@@ -292,7 +322,8 @@ def encode_jpeg_rgb_420(pixels) -> bytes:
             0, 255).astype(np.uint8)
 
     return _encode_planes([y, _down2(cb), _down2(cr)], h, w,
-                          sampling=[(2, 2), (1, 1), (1, 1)])
+                          sampling=[(2, 2), (1, 1), (1, 1)],
+                          restart_every=restart_every)
 
 
 def _parse_dht(body: bytes) -> dict:
@@ -358,7 +389,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     typed NotImplementedError (PIL territory)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
-    pos, quant, huff, sof, scan = 2, {}, {}, None, None
+    pos, quant, huff, sof, scan, dri = 2, {}, {}, None, None, 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -418,7 +449,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             scan = (payload[pos + 2 + size:], tabs)
             break
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals need PIL")
+            dri = struct.unpack_from(">H", body, 0)[0]
         pos += 2 + size
     if sof is None or scan is None:
         raise ValueError("JPEG payload missing SOF0/SOS")
@@ -433,8 +464,15 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
               for _, _, sx, sy in comps]
     br = _BitReader(data)
     prev = [0] * len(comps)
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if dri and mcu_i and mcu_i % dri == 0:
+                # restart boundary: byte-align to the RSTn marker and
+                # reset every DC predictor (T.81 §E.2.4)
+                br.restart(mcu_i // dri - 1)
+                prev = [0] * len(comps)
+            mcu_i += 1
             for ci, (cid, qid, sx, sy) in enumerate(comps):
                 dc_id, ac_id = tabs[cid]
                 for by in range(sy):

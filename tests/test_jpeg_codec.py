@@ -74,12 +74,43 @@ def test_progressive_routing_and_restart_typed():
     payload[i + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg_gray(bytes(payload))
-    # a DRI segment right after SOI
+    # a DRI segment no longer refuses (r13) — an interval larger than
+    # the MCU count simply never fires a restart
     dri = b"\xff\xdd" + struct.pack(">H", 4) + b"\x00\x08"
     payload2 = (b"\xff\xd8" + dri
                 + bytes(encode_jpeg_gray(img))[2:])
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg_gray(payload2)
+    assert (decode_jpeg_gray(payload2) == img).all()
+
+
+def test_restart_interval_roundtrips():
+    """DRI + RSTn: every interval yields the same pixels as the
+    restart-free stream (byte-align, marker modulo cycle, DC
+    predictor resets) across all three codec shapes."""
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels, encode_jpeg_rgb, encode_jpeg_rgb_420,
+    )
+    rng = np.random.RandomState(4)
+    for trial in range(6):
+        h, w = rng.randint(1, 50), rng.randint(1, 50)
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        for ri in (1, 2, 7):
+            assert (decode_jpeg_pixels(
+                encode_jpeg_gray(img, restart_every=ri))
+                == decode_jpeg_pixels(encode_jpeg_gray(img))).all()
+    img = rng.randint(0, 256, size=(19, 23, 3)).astype(np.uint8)
+    for enc in (encode_jpeg_rgb, encode_jpeg_rgb_420):
+        assert (decode_jpeg_pixels(enc(img, restart_every=2))
+                == decode_jpeg_pixels(enc(img))).all()
+    # > 8 restarts so the RSTn marker number wraps its modulo
+    big = rng.randint(0, 256, size=(80, 80)).astype(np.uint8)
+    assert (decode_jpeg_pixels(encode_jpeg_gray(big, restart_every=1))
+            == decode_jpeg_pixels(encode_jpeg_gray(big))).all()
+    # a WRONG restart-marker number is a hard structural error
+    payload = bytearray(encode_jpeg_gray(big, restart_every=1))
+    i = payload.index(b"\xff\xd0")
+    payload[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_pixels(bytes(payload))
 
 
 def test_entropy_truncation_raises_typed():
