@@ -866,10 +866,12 @@ def _screen_store_ladder(spark, sf_dir: str,
             if target > have:
                 k = target - have
                 # ~50 unique shingles per filler doc; doc_ids and
-                # shingles both disjoint from everything real.
-                filler = spark.range(k).select(
+                # shingles disjoint from everything real AND from
+                # earlier rungs' filler (offset by the cumulative
+                # row count so no (doc_id, s) row ever repeats).
+                filler = spark.range(have, have + k).select(
                     (F.col("id") % ((k // 50) + 1)
-                     + 2_000_000_000).alias("doc_id"),
+                     + 2_000_000_000 + have).alias("doc_id"),
                     F.concat(F.lit("zzfill"),
                              F.col("id").cast("string")).alias("s"))
                 run = os.path.join(grow["postings"],

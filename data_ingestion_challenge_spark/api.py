@@ -85,30 +85,12 @@ _PENDING_CAP = 10_000
 # the full-index anti-join (still correct, just corpus-proportional).
 _PRUNE_CAP = 20_000
 
-
-def _murmur3_int(v: int, seed: int = 42) -> int:
-    """Spark's Murmur3_x86_32.hashInt — bit-equal to SQL hash(v) for
-    INT columns (test-enforced), the function behind bucket assignment
-    of IntegerType bucket keys (the IVF index's _cell).  The LongType
-    twin lives in serving._murmur3_long; they differ (one mix round
-    and length 4 vs two rounds and length 8), so routing an int key
-    through the long hash reads the WRONG bucket."""
-    def rotl(x: int, r: int) -> int:
-        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
-
-    k1 = (v & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
-    k1 = rotl(k1, 15)
-    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
-    h1 = (seed & 0xFFFFFFFF) ^ k1
-    h1 = rotl(h1, 13)
-    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
-    h1 ^= 4
-    h1 ^= h1 >> 16
-    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
-    h1 ^= h1 >> 13
-    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
-    h1 ^= h1 >> 16
-    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+# The bucket-layout contract (Murmur3 twins + filename routing) lives
+# in serving.py in ONE place; re-exported here for the CDC
+# maintenance callers and their tests.
+from data_ingestion_challenge_spark.serving import (  # noqa: E402
+    _murmur3_int,
+)
 
 
 def _sig_k(cols: list[str]) -> int:
@@ -977,17 +959,13 @@ class Engine:
         bucketed write routes every row of key k into bucket
         pmod(hash(k), n) and nowhere else, so an anti-join against
         just the candidates' buckets equals the full anti-join
-        restricted to those candidates.  Listed fresh per call (one
-        listdir) — index tables grow every drain, so a cached
-        manifest would go stale."""
+        restricted to those candidates.  File routing rides
+        serving.list_bucket_files — the one place the bucket-file
+        naming contract is spelled."""
         from data_ingestion_challenge_spark.serving import (
-            _BUCKET_FILE_RE,
+            list_bucket_files,
         )
-        files = []
-        for fn in sorted(os.listdir(path)):
-            mt = _BUCKET_FILE_RE.match(fn)
-            if mt and int(mt.group(1)) in buckets:
-                files.append(os.path.join(path, fn))
+        files = list_bucket_files(path, buckets)
         if not files:
             return self.spark.table(table).select(key_col).limit(0)
         return (self.spark.read.parquet(*files)

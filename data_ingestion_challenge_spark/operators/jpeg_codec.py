@@ -381,12 +381,15 @@ def _decode_block(br, dc_tbl, ac_tbl, Q, prev_dc: int):
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline 1×1-sampled JPEG to its uint8 pixel array —
-    HxW for single-component (grayscale), HxWx3 RGB for
-    three-component 4:4:4 YCbCr — using the payload's own DQT/DHT
-    tables, so any conforming file decodes, not just this encoder's
-    output.  Subsampled / progressive / restart-marker files raise
-    typed NotImplementedError (PIL territory)."""
+    """Decode a JPEG to its uint8 pixel array — HxW for
+    single-component (grayscale), HxWx3 RGB for three-component
+    YCbCr at any ≤2×2 sampling (4:4:4, 4:2:0, ...) — using the
+    payload's own DQT/DHT tables, restart intervals included, so any
+    conforming file in these shapes decodes, not just this encoder's
+    output.  Progressive (SOF2) frames route to the Annex-G decoder
+    in operators/jpeg_progressive.py; >2×2 sampling and the
+    lossless/arithmetic SOFs raise typed NotImplementedError (PIL
+    territory)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos, quant, huff, sof, scan, dri = 2, {}, {}, None, None, 0

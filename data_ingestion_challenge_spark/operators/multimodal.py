@@ -68,12 +68,13 @@ def decode_real(payload: bytes):
     AIFF / au / BMP / PNG incl. palette/16-bit/Adam7 / JPEG / GIF
     incl. interlaced / MP4 structure — round-trip tested against
     generated genuine bytes in tests/test_multimodal_real.py and
-    test_jpeg_codec.py) runs first; other formats bind to
-    PIL/soundfile when present.  Raises NotImplementedError only for
-    formats that genuinely need the absent libs (MP4 sample decode,
-    progressive JPEG, sub-8-bit PNG) — the registered multimodal
-    queries still run decode_stub (deterministic,
-    oracle-replayable)."""
+    test_jpeg_codec.py) runs first — JPEG now includes restart
+    intervals AND full progressive (Annex G) natively; other formats
+    bind to PIL/soundfile when present.  Raises NotImplementedError
+    only for formats that genuinely need the absent libs (MP4 SAMPLE
+    decode, sub-8-bit PNG, JPEG >2×2-sampling/lossless variants) —
+    the registered multimodal queries still run decode_stub
+    (deterministic, oracle-replayable)."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             d = decode_wav(payload)
@@ -525,7 +526,13 @@ def decode_png_pixels(payload: bytes):
     if off != len(flat):
         raise ValueError("PNG scanline payload length mismatch")
     if ctype_ == 3:
-        out = plte[out[:, :, 0]]
+        idx = out[:, :, 0]
+        if idx.size and int(idx.max()) >= len(plte):
+            # typed, like the GIF twin's beyond-color-table error —
+            # a corrupt crawl payload must not escape as a raw
+            # numpy IndexError
+            raise ValueError("PNG palette index beyond PLTE")
+        out = plte[idx]
         ch = 3
     return out[:, :, 0] if ch == 1 else out
 

@@ -1269,8 +1269,10 @@ def weekly_new_vs_returning(events: DataFrame) -> DataFrame:
     were NEW (first week ever seen) vs RETURNING — the growth-vs-
     retention split read next to dau_wau_stickiness (stickiness says
     how often users come back; this says whether growth is
-    acquisition or habit).  Weeks are floor(days-since-epoch / 7) —
-    exact integer arithmetic, no week-truncation dialect.
+    acquisition or habit).  Weeks are days-since-epoch / 7 truncated
+    toward zero on BOTH engines (Spark double-divide + long cast,
+    DuckDB `//`) — identical for the post-epoch timestamps events
+    carry, and no week-truncation dialect either way.
 
     Scale shape: one (user, week) distinct (map-side combined), a
     per-user min-week groupBy on the SAME user-keyed shuffle, one

@@ -123,6 +123,46 @@ def _murmur3_long(v: int, seed: int = 42) -> int:
     return h1 - (1 << 32) if h1 >= (1 << 31) else h1
 
 
+def _murmur3_int(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt — bit-equal to SQL hash(v) for
+    INT columns (test-enforced), the function behind bucket
+    assignment of IntegerType bucket keys (the IVF index's _cell).
+    Differs from the LongType twin above (one mix round and length 4
+    vs two rounds and length 8): routing an int key through the long
+    hash reads the WRONG bucket."""
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    k1 = (v & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k1 = rotl(k1, 15)
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 = (seed & 0xFFFFFFFF) ^ k1
+    h1 = rotl(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def list_bucket_files(path: str, buckets) -> list[str]:
+    """The bucket-file routing contract in ONE place: the data files
+    of a bucketed table directory whose filename-embedded bucket id
+    is in ``buckets``.  Listed fresh per call (index tables grow
+    every drain — a cached manifest would go stale); point_lookup's
+    cached _manifest and the CDC maintenance pruned reads both ride
+    this same filename convention."""
+    out = []
+    for fn in sorted(os.listdir(path)):
+        mt = _BUCKET_FILE_RE.match(fn)
+        if mt and int(mt.group(1)) in buckets:
+            out.append(os.path.join(path, fn))
+    return out
+
+
 def _manifest(spark: SparkSession, table: str) -> dict:
     """bucket id → [files], plus (n_buckets, location) — resolved once
     per table via the catalog, then served from the module cache."""

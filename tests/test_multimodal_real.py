@@ -648,3 +648,26 @@ def test_mp4_garbage_and_truncation_raise():
     p = encode_mp4_skeleton(64, 48, duration=10)
     with _pytest.raises(ValueError):
         decode_mp4_structure(p[:20])       # moov gone -> no mvhd
+
+
+def test_png_palette_index_beyond_plte_is_typed():
+    import pytest as _pytest
+
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_png_pixels, encode_png,
+    )
+    img = (_rng_img((4, 4, 3), seed=5) // 64) * 64
+    payload = bytearray(encode_png(img, palette=True))
+    # corrupt the PLTE length down to 1 entry (3 bytes), keeping the
+    # chunk framing valid: rebuild with a truncated palette
+    i = payload.index(b"PLTE")
+    size = int.from_bytes(payload[i - 4:i], "big")
+    import struct as _st
+    import zlib as _zl
+    body = payload[i + 4:i + 4 + 3]     # keep first color only
+    new_chunk = (_st.pack(">I", 3) + b"PLTE" + body
+                 + _st.pack(">I", _zl.crc32(b"PLTE" + bytes(body))))
+    rebuilt = (bytes(payload[:i - 4]) + new_chunk
+               + bytes(payload[i + 8 + size:]))
+    with _pytest.raises(ValueError, match="beyond PLTE"):
+        decode_png_pixels(rebuilt)
