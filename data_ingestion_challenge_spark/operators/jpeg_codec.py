@@ -326,6 +326,27 @@ def encode_jpeg_rgb_420(pixels, restart_every: int = 0) -> bytes:
                           restart_every=restart_every)
 
 
+def encode_jpeg_rgb_422(pixels, restart_every: int = 0) -> bytes:
+    """Baseline 4:2:2 color encoder — the broadcast-video still
+    shape: full-resolution Y (2×1 sampling), chroma box-averaged
+    down 2× HORIZONTALLY only (the decoder's generalized MCU loop
+    and sample-replicate upsample already handle 2×1 factors)."""
+    h, w, _ = np.asarray(pixels).shape
+    y, cb, cr = _rgb_to_ycbcr_planes(pixels)
+
+    def _down2h(p):
+        ph, pw = p.shape
+        q = np.pad(p, ((0, 0), (0, pw % 2)), mode="edge") \
+            .astype(np.float64)
+        return np.clip(np.round(
+            (q[:, 0::2] + q[:, 1::2]) / 2.0), 0, 255) \
+            .astype(np.uint8)
+
+    return _encode_planes([y, _down2h(cb), _down2h(cr)], h, w,
+                          sampling=[(2, 1), (1, 1), (1, 1)],
+                          restart_every=restart_every)
+
+
 def _parse_dht(body: bytes) -> dict:
     """One or more Huffman tables from a DHT body:
     {(class, id): prefix-decode map {(code, len): symbol}}."""

@@ -356,3 +356,27 @@ def test_externally_built_asymmetric_fixture_decodes_exactly():
     # decoder produces the transpose of this)
     assert (dec == dec[0:1, :]).all()
     assert dec[0, 0] != dec[0, 7]
+
+
+def test_rgb_422_roundtrip():
+    """4:2:2 — horizontal-only chroma subsampling through the same
+    generalized MCU loop: exact on the even-offset solid class,
+    bounded error on smooth content, restart-compatible."""
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        decode_jpeg_pixels, encode_jpeg_rgb_422,
+    )
+    for v in (0, 64, 130, 254):
+        img = np.full((9, 15, 3), v, dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_rgb_422(img))
+        assert dec.shape == (9, 15, 3)
+        assert (dec == img).all(), v
+    x = np.linspace(0, 255, 40)
+    g = np.clip(np.add.outer(x, x) / 2, 0, 255)
+    img = np.stack([g, g[::-1], np.full_like(g, 80)],
+                   axis=-1).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_rgb_422(img))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 16 and err.mean() < 4
+    assert (decode_jpeg_pixels(encode_jpeg_rgb_422(img,
+                                                   restart_every=2))
+            == dec).all()
