@@ -29,9 +29,10 @@ figures G.2/G.7 and pinned by tests):
   still consumes correction bits for its remaining nonzero-history
   coefficients.
 
-Scope: 8-bit Huffman progressive, ≤2×2 sampling factors, no restart
-intervals (DRI with a nonzero interval raises typed — the one
-remaining JPEG gap, like the baseline decoder).  Used automatically:
+Scope: 8-bit Huffman progressive, ≤2×2 sampling factors, restart
+intervals included (DRI + RSTn per scan: byte-align, modulo-8 marker
+verify, DC-predictor AND EOB-run resets at every boundary — an EOB
+run cannot span a restart, §G.1.2.2).  Used automatically:
 jpeg_codec.decode_jpeg_pixels routes SOF2 payloads here, so
 decode_real / decode_media / media_inventory pick it up with no
 caller change.
@@ -86,40 +87,50 @@ def _scan_end(payload: bytes, start: int) -> int:
 
 
 def _decode_dc_scan(br, scomps, geom, coefs, huff, Ah, Al,
-                    interleaved):
+                    interleaved, dri=0):
     preds = {cid: 0 for cid, _, _ in scomps}
     if interleaved:
         mcus_x, mcus_y = geom["mcus"]
-        order = []
+        mcus = []
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                mcu = []
                 for cid, dc_id, _ in scomps:
                     sx, sy = geom["samp"][cid]
                     for by in range(sy):
                         for bx in range(sx):
-                            order.append((cid, dc_id,
-                                          my * sy + by, mx * sx + bx))
+                            mcu.append((cid, dc_id,
+                                        my * sy + by, mx * sx + bx))
+                mcus.append(mcu)
     else:
         cid, dc_id, _ = scomps[0]
         bh, bw = geom["blocks"][cid]
-        order = [(cid, dc_id, by, bx)
-                 for by in range(bh) for bx in range(bw)]
-    for cid, dc_id, by, bx in order:
-        blk = coefs[cid][by, bx]
-        if Ah == 0:
-            s = _huff_decode(br, huff[(0, dc_id)])
-            diff = _extend(br.read(s), s) if s else 0
-            preds[cid] += diff
-            blk[0] = preds[cid] << Al
-        else:
-            if br.read(1):
-                blk[0] |= 1 << Al
-        coefs[cid][by, bx] = blk
+        mcus = [[(cid, dc_id, by, bx)]
+                for by in range(bh) for bx in range(bw)]
+    for mi, mcu in enumerate(mcus):
+        if dri and mi and mi % dri == 0:
+            br.restart(mi // dri - 1)
+            preds = {cid: 0 for cid, _, _ in scomps}
+        for cid, dc_id, by, bx in mcu:
+            blk = coefs[cid][by, bx]
+            if Ah == 0:
+                s = _huff_decode(br, huff[(0, dc_id)])
+                diff = _extend(br.read(s), s) if s else 0
+                preds[cid] += diff
+                blk[0] = preds[cid] << Al
+            else:
+                if br.read(1):
+                    blk[0] |= 1 << Al
+            coefs[cid][by, bx] = blk
 
 
-def _decode_ac_first(br, blocks, ac_tbl, Ss, Se, Al):
+def _decode_ac_first(br, blocks, ac_tbl, Ss, Se, Al, dri=0):
     eobrun = 0
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if dri and bi and bi % dri == 0:
+            # EOB runs cannot span a restart (T.81 §G.1.2.2)
+            br.restart(bi // dri - 1)
+            eobrun = 0
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -143,10 +154,13 @@ def _decode_ac_first(br, blocks, ac_tbl, Ss, Se, Al):
                 k += 16
 
 
-def _decode_ac_refine(br, blocks, ac_tbl, Ss, Se, Al):
+def _decode_ac_refine(br, blocks, ac_tbl, Ss, Se, Al, dri=0):
     p1, m1 = 1 << Al, -(1 << Al)
     eobrun = 0
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if dri and bi and bi % dri == 0:
+            br.restart(bi // dri - 1)
+            eobrun = 0
         k = Ss
         if eobrun == 0:
             while k <= Se:
@@ -194,7 +208,7 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
     Returns HxW grayscale or HxWx3 RGB uint8."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
-    pos, quant, huff = 2, {}, {}
+    pos, quant, huff, dri = 2, {}, {}, 0
     sof = None
     coefs = {}
     geom = {}
@@ -256,9 +270,7 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
             raise ValueError(
                 "decode_jpeg_progressive expects an SOF2 frame")
         elif marker == 0xDD:
-            if struct.unpack_from(">H", body, 0)[0]:
-                raise NotImplementedError(
-                    "restart intervals need PIL")
+            dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("SOS before SOF2")
@@ -276,7 +288,8 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                 if Se != 0:
                     raise ValueError("DC scan must have Se=0")
                 _decode_dc_scan(br, scomps, geom, coefs, huff,
-                                Ah, Al, interleaved=ns > 1)
+                                Ah, Al, interleaved=ns > 1,
+                                dri=dri)
             else:
                 if ns != 1:
                     raise ValueError("AC scans are single-component")
@@ -286,10 +299,10 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                           for by in range(bh) for bx in range(bw)]
                 if Ah == 0:
                     _decode_ac_first(br, blocks, huff[(1, ac_id)],
-                                     Ss, Se, Al)
+                                     Ss, Se, Al, dri=dri)
                 else:
                     _decode_ac_refine(br, blocks, huff[(1, ac_id)],
-                                      Ss, Se, Al)
+                                      Ss, Se, Al, dri=dri)
             pos = data_end
             continue
         pos += 2 + size
@@ -339,14 +352,26 @@ def _quantized_zz(plane: np.ndarray) -> np.ndarray:
     return out
 
 
-def _emit_dc_first(bw_, zzs, Al, dc_codes):
+def _emit_rst(bw_, n: int):
+    """Byte-align (1-fill) then the raw RSTn marker — markers are
+    never byte-stuffed."""
+    bw_.flush()
+    bw_.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+
+def _emit_dc_first(bw_, zzs, Al, dc_codes, dri=0):
     """Interleaved (our encoder is 1×1-sampled, so MCU order is plain
     raster with components inner-most) DC-first scan at point
     transform Al."""
     bh, bwid = zzs[0].shape[0], zzs[0].shape[1]
     preds = [0] * len(zzs)
+    mi = 0
     for by in range(bh):
         for bx in range(bwid):
+            if dri and mi and mi % dri == 0:
+                _emit_rst(bw_, mi // dri - 1)
+                preds = [0] * len(zzs)
+            mi += 1
             for ci, zz in enumerate(zzs):
                 v = int(zz[by, bx, 0]) >> Al      # arithmetic shift
                 s, bits = _magnitude(v - preds[ci])
@@ -357,10 +382,14 @@ def _emit_dc_first(bw_, zzs, Al, dc_codes):
                     bw_.write(bits, s)
 
 
-def _emit_dc_refine(bw_, zzs, Al):
+def _emit_dc_refine(bw_, zzs, Al, dri=0):
     bh, bwid = zzs[0].shape[0], zzs[0].shape[1]
+    mi = 0
     for by in range(bh):
         for bx in range(bwid):
+            if dri and mi and mi % dri == 0:
+                _emit_rst(bw_, mi // dri - 1)
+            mi += 1
             for zz in zzs:
                 bw_.write((int(zz[by, bx, 0]) >> Al) & 1, 1)
 
@@ -380,11 +409,17 @@ def _flush_eobrun(bw_, ac_codes, eobrun: int, br_bits) -> int:
     return 0
 
 
-def _emit_ac_first(bw_, zz, Ss, Se, Al, ac_codes):
+def _emit_ac_first(bw_, zz, Ss, Se, Al, ac_codes, dri=0):
     bh, bwid = zz.shape[0], zz.shape[1]
     eobrun, none_ = 0, []
+    mi = 0
     for by in range(bh):
         for bx in range(bwid):
+            if dri and mi and mi % dri == 0:
+                # an EOB run cannot span a restart: flush, align, mark
+                eobrun = _flush_eobrun(bw_, ac_codes, eobrun, none_)
+                _emit_rst(bw_, mi // dri - 1)
+            mi += 1
             blk = zz[by, bx]
             run = 0
             emitted = False
@@ -415,7 +450,7 @@ def _emit_ac_first(bw_, zz, Ss, Se, Al, ac_codes):
     _flush_eobrun(bw_, ac_codes, eobrun, none_)
 
 
-def _emit_ac_refine(bw_, zz, Ss, Se, Al, ac_codes):
+def _emit_ac_refine(bw_, zz, Ss, Se, Al, ac_codes, dri=0):
     """T.81 G.7 / libjpeg encode_mcu_AC_refine: (run, 1) codes whose
     runs count zero-history positions only, correction bits buffered
     and flushed after the next emitted code, ZRLs not emitted past
@@ -425,8 +460,13 @@ def _emit_ac_refine(bw_, zz, Ss, Se, Al, ac_codes):
     position order)."""
     bh, bwid = zz.shape[0], zz.shape[1]
     eobrun, pend = 0, []              # run + its buffered corrections
+    mi = 0
     for by in range(bh):
         for bx in range(bwid):
+            if dri and mi and mi % dri == 0:
+                eobrun = _flush_eobrun(bw_, ac_codes, eobrun, pend)
+                _emit_rst(bw_, mi // dri - 1)
+            mi += 1
             blk = zz[by, bx]
             absv = [abs(int(blk[k])) >> Al
                     for k in range(Ss, Se + 1)]
@@ -474,7 +514,8 @@ def _seg(marker: bytes, body: bytes) -> bytes:
     return marker + struct.pack(">H", 2 + len(body)) + body
 
 
-def encode_jpeg_progressive(planes, h: int, w: int) -> bytes:
+def encode_jpeg_progressive(planes, h: int, w: int,
+                            restart_every: int = 0) -> bytes:
     """Progressive encoder for 1×1-sampled planes (grayscale or
     YCbCr 4:4:4) with a libjpeg-style scan script: interleaved DC at
     Al=1, per-component AC bands 1-5 then 6-63 at Al=1, DC
@@ -496,6 +537,8 @@ def encode_jpeg_progressive(planes, h: int, w: int) -> bytes:
                 b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
                 + b"\x10" + bytes(_PROG_AC_BITS)
                 + bytes(_PROG_AC_VALS))
+    if restart_every:
+        out += _seg(b"\xff\xdd", struct.pack(">H", restart_every))
 
     def sos(comp_ids, Ss, Se, Ah, Al, emit):
         body = bytes([len(comp_ids)])
@@ -507,23 +550,25 @@ def encode_jpeg_progressive(planes, h: int, w: int) -> bytes:
         bw_.flush()
         return _seg(b"\xff\xda", body) + bytes(bw_.out)
 
+    ri = restart_every
     # 1. interleaved DC first at Al=1
     out += sos(list(range(nc)), 0, 0, 0, 1,
-               lambda b: _emit_dc_first(b, zzs, 1, dc_codes))
+               lambda b: _emit_dc_first(b, zzs, 1, dc_codes, dri=ri))
     # 2-3. per-component AC bands at Al=1
     for band in ((1, 5), (6, 63)):
         for ci in range(nc):
             out += sos([ci], band[0], band[1], 0, 1,
                        lambda b, ci=ci, bd=band: _emit_ac_first(
-                           b, zzs[ci], bd[0], bd[1], 1, ac_codes))
+                           b, zzs[ci], bd[0], bd[1], 1, ac_codes,
+                           dri=ri))
     # 4. DC refinement to Al=0
     out += sos(list(range(nc)), 0, 0, 1, 0,
-               lambda b: _emit_dc_refine(b, zzs, 0))
+               lambda b: _emit_dc_refine(b, zzs, 0, dri=ri))
     # 5. per-component full-band AC refinement to Al=0
     for ci in range(nc):
         out += sos([ci], 1, 63, 1, 0,
                    lambda b, ci=ci: _emit_ac_refine(
-                       b, zzs[ci], 1, 63, 0, ac_codes))
+                       b, zzs[ci], 1, 63, 0, ac_codes, dri=ri))
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -99,17 +99,39 @@ def test_progressive_routes_through_shared_surfaces():
 
 def test_progressive_typed_refusals():
     img = np.full((8, 8), 100, dtype=np.uint8)
-    payload = bytearray(encode_jpeg_progressive_gray(img))
-    # a nonzero restart interval stays honestly gated
-    import struct
-    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
-    i = payload.index(b"\xff\xda")
-    patched = bytes(payload[:i]) + dri + bytes(payload[i:])
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg_progressive(patched)
     # a baseline payload refuses at the progressive entrypoint
     with pytest.raises(ValueError, match="SOF2"):
         decode_jpeg_progressive(encode_jpeg_gray(img))
+
+
+def test_progressive_restart_intervals():
+    """DRI + RSTn inside progressive scans: every interval decodes
+    identically to the restart-free stream (per-scan byte-align,
+    marker modulo, DC-predictor AND EOB-run resets)."""
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        _rgb_to_ycbcr_planes,
+    )
+    from data_ingestion_challenge_spark.operators.jpeg_progressive \
+        import encode_jpeg_progressive
+
+    rng = np.random.RandomState(6)
+    for trial in range(6):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg_gray(img))
+        for ri in (1, 3, 7):
+            p = encode_jpeg_progressive([img], h, w,
+                                        restart_every=ri)
+            assert (decode_jpeg_pixels(p) == base).all(), (h, w, ri)
+    img = rng.randint(0, 256, size=(21, 17, 3)).astype(np.uint8)
+    p = encode_jpeg_progressive(_rgb_to_ycbcr_planes(img), 21, 17,
+                                restart_every=2)
+    assert (decode_jpeg_pixels(p)
+            == decode_jpeg_pixels(encode_jpeg_rgb(img))).all()
+    # long EOB runs truncated by restart boundaries (solid image)
+    big = np.full((64, 64), 130, dtype=np.uint8)
+    p = encode_jpeg_progressive([big], 64, 64, restart_every=3)
+    assert (decode_jpeg_pixels(p) == big).all()
 
 
 def test_dc_refinement_negative_values():
