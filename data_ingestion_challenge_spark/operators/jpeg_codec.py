@@ -347,6 +347,27 @@ def encode_jpeg_rgb_422(pixels, restart_every: int = 0) -> bytes:
                           restart_every=restart_every)
 
 
+def encode_jpeg_rgb_411(pixels, restart_every: int = 0) -> bytes:
+    """Baseline 4:1:1 color encoder — the DV-video still shape:
+    full-resolution Y at 4×1 sampling (four horizontally-adjacent Y
+    blocks per MCU, the T.81 Nb=4 maximum), chroma box-averaged down
+    4× horizontally."""
+    h, w, _ = np.asarray(pixels).shape
+    y, cb, cr = _rgb_to_ycbcr_planes(pixels)
+
+    def _down4h(p):
+        ph, pw = p.shape
+        q = np.pad(p, ((0, 0), (0, (-pw) % 4)), mode="edge") \
+            .astype(np.float64)
+        return np.clip(np.round(
+            (q[:, 0::4] + q[:, 1::4] + q[:, 2::4] + q[:, 3::4])
+            / 4.0), 0, 255).astype(np.uint8)
+
+    return _encode_planes([y, _down4h(cb), _down4h(cr)], h, w,
+                          sampling=[(4, 1), (1, 1), (1, 1)],
+                          restart_every=restart_every)
+
+
 def _parse_dht(body: bytes) -> dict:
     """One or more Huffman tables from a DHT body:
     {(class, id): prefix-decode map {(code, len): symbol}}."""
@@ -430,14 +451,18 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         if marker == 0xDB:
             p = 0
             while p < len(body):
-                if body[p] >> 4:
-                    raise NotImplementedError(
-                        "16-bit quantization tables need PIL")
-                zz = np.frombuffer(body[p + 1:p + 65], dtype=np.uint8)
+                if body[p] >> 4:          # Pq=1: 16-bit big-endian
+                    zz = np.frombuffer(body[p + 1:p + 129],
+                                       dtype=">u2")
+                    step = 129
+                else:
+                    zz = np.frombuffer(body[p + 1:p + 65],
+                                       dtype=np.uint8)
+                    step = 65
                 t = np.zeros((8, 8), dtype=np.int64)
                 t[_ZZ[:, 0], _ZZ[:, 1]] = zz
                 quant[body[p] & 0xF] = t
-                p += 65
+                p += step
         elif marker == 0xC4:
             huff.update(_parse_dht(body))
         elif marker == 0xC0:
@@ -446,9 +471,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
                 sx, sy = samp >> 4, samp & 0xF
-                if sx not in (1, 2) or sy not in (1, 2):
+                if (sx not in (1, 2, 4) or sy not in (1, 2, 4)
+                        or sx * sy > 4):
+                    # T.81 caps blocks per MCU component at 4 (Nb);
+                    # 1/2/4 factors cover 4:4:4, 4:2:2, 4:2:0, 4:1:1
                     raise NotImplementedError(
-                        "sampling factors beyond 2x2 need PIL")
+                        "sampling factors beyond the T.81 Nb<=4 "
+                        "shapes need PIL")
                 comps.append((cid, qid, sx, sy))
             if ncomp not in (1, 3):
                 raise NotImplementedError(

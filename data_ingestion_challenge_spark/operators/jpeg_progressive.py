@@ -228,12 +228,16 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
         if marker == 0xDB:
             p = 0
             while p < len(body):
-                if body[p] >> 4:
-                    raise NotImplementedError(
-                        "16-bit quantization tables need PIL")
-                zz = np.frombuffer(body[p + 1:p + 65], dtype=np.uint8)
+                if body[p] >> 4:          # Pq=1: 16-bit big-endian
+                    zz = np.frombuffer(body[p + 1:p + 129],
+                                       dtype=">u2")
+                    step = 129
+                else:
+                    zz = np.frombuffer(body[p + 1:p + 65],
+                                       dtype=np.uint8)
+                    step = 65
                 quant[body[p] & 0xF] = zz.astype(np.int64)
-                p += 65
+                p += step
         elif marker == 0xC4:
             huff.update(_parse_dht(body))
         elif marker == 0xC2:
@@ -245,9 +249,13 @@ def decode_jpeg_progressive(payload: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
                 sx, sy = samp >> 4, samp & 0xF
-                if sx not in (1, 2) or sy not in (1, 2):
+                if (sx not in (1, 2, 4) or sy not in (1, 2, 4)
+                        or sx * sy > 4):
+                    # T.81 caps blocks per MCU component at 4 (Nb);
+                    # 1/2/4 factors cover 4:4:4, 4:2:2, 4:2:0, 4:1:1
                     raise NotImplementedError(
-                        "sampling factors beyond 2x2 need PIL")
+                        "sampling factors beyond the T.81 Nb<=4 "
+                        "shapes need PIL")
                 comps.append((cid, qid, sx, sy))
             hmax = max(sx for _, _, sx, _ in comps)
             vmax = max(sy for _, _, _, sy in comps)

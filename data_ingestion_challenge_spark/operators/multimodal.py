@@ -72,9 +72,9 @@ def decode_real(payload: bytes):
     intervals AND full progressive (Annex G) natively; other formats
     bind to PIL/soundfile when present.  Raises NotImplementedError
     only for formats that genuinely need the absent libs (MP4 SAMPLE
-    decode, sub-8-bit PNG, JPEG >2×2-sampling/lossless variants) —
-    the registered multimodal queries still run decode_stub
-    (deterministic, oracle-replayable)."""
+    decode, JPEG lossless/arithmetic SOFs) or spec-illegal shape
+    combinations — the registered multimodal queries still run
+    decode_stub (deterministic, oracle-replayable)."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             d = decode_wav(payload)
@@ -329,31 +329,55 @@ def _png_filter_block(raw, bpp: int, filter_type: int) -> bytes:
     return bytes(lines)
 
 
-def _sample_byte_rows(samples, depth16: bool):
-    """(h, w, ch) samples → (h, w·ch·bps) int64 BYTE rows (16-bit
-    samples serialize big-endian per the spec)."""
+def _sample_byte_rows(samples, depth: int):
+    """(h, w, ch) samples → (h, scanline-bytes) int64 BYTE rows:
+    16-bit samples serialize big-endian, sub-8-bit samples pack
+    MSB-first within each byte with row-end padding, per the spec."""
     import numpy as np
 
     h, w, ch = samples.shape
-    if depth16:
+    if depth == 16:
         raw = np.frombuffer(samples.astype(">u2").tobytes(),
                             dtype=np.uint8).reshape(h, w * ch * 2)
-    else:
+    elif depth == 8:
         raw = samples.astype(np.uint8).reshape(h, w * ch)
+    else:                      # 1/2/4-bit: ch is always 1
+        vals = samples.reshape(h, w).astype(np.uint8)
+        bits = ((vals[:, :, None]
+                 >> np.arange(depth - 1, -1, -1)) & 1)
+        bits = bits.reshape(h, w * depth)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+        raw = np.packbits(bits, axis=1)
     return raw.astype(np.int64)
 
 
+def _unpack_sub8_rows(recon, pw: int, depth: int):
+    """(ph, stride) reconstructed scanline bytes → (ph, pw) raw
+    sub-8-bit sample values (MSB-first bit order)."""
+    import numpy as np
+
+    bits = np.unpackbits(recon.astype(np.uint8), axis=1)
+    bits = bits[:, :pw * depth].reshape(recon.shape[0], pw, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (bits * weights).sum(axis=2)
+
+
 def encode_png(pixels, filter_type: int = 0, palette: bool = False,
-               interlace: bool = False) -> bytes:
+               interlace: bool = False, depth: int = 0) -> bytes:
     """PNG writer, pure stdlib (zlib deflate + CRC32), covering the
     full variant surface decode_png reads back: 8-bit and 16-bit
-    (uint16 input) grayscale / gray+alpha / RGB / RGBA, 8-bit palette
-    (``palette=True`` over ≤256-color RGB, deterministic sorted PLTE),
-    and Adam7 interlacing (``interlace=True`` — each pass filtered
-    independently per the spec).  ``filter_type`` applies the SAME
-    scanline filter (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) to
-    every row so round-trip tests can drive each unfilter path
-    individually."""
+    (uint16 input) grayscale / gray+alpha / RGB / RGBA, palette
+    (``palette=True`` over RGB, deterministic sorted PLTE, packed at
+    1/2/4/8 bits per the color count when ``depth`` is set), sub-8-bit
+    GRAYSCALE (``depth`` ∈ 1/2/4 — input values must sit on the exact
+    presentation grid, multiples of 255/(2^depth−1), and decode back
+    to the same grid), and Adam7 interlacing (``interlace=True`` —
+    each pass filtered independently per the spec).  ``filter_type``
+    applies the SAME scanline filter (0 None / 1 Sub / 2 Up /
+    3 Average / 4 Paeth) to every row so round-trip tests can drive
+    each unfilter path individually."""
     import zlib
 
     import numpy as np
@@ -364,10 +388,11 @@ def encode_png(pixels, filter_type: int = 0, palette: bool = False,
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
+    bit_depth = 16 if depth16 else 8
     plte = b""
     if palette:
         if depth16 or ch != 3:
-            raise ValueError("palette PNGs are 8-bit RGB")
+            raise ValueError("palette PNGs are 8-bit RGB input")
         flat = px.reshape(-1, 3)
         colors = sorted({tuple(int(c) for c in row) for row in flat})
         if len(colors) > 256:
@@ -378,25 +403,42 @@ def encode_png(pixels, filter_type: int = 0, palette: bool = False,
                       dtype=np.uint8).reshape(h, w, 1)
         ch, ctype = 1, 3
         plte = b"".join(bytes(c) for c in colors)
+        if depth in (1, 2, 4):
+            if len(colors) > (1 << depth):
+                raise ValueError(
+                    f"{len(colors)} colors exceed a {depth}-bit "
+                    f"palette")
+            bit_depth = depth
+    elif depth in (1, 2, 4):
+        if depth16 or ch != 1:
+            raise ValueError("sub-8-bit PNGs are grayscale")
+        scale = 255 // ((1 << depth) - 1)
+        if (px % scale).any():
+            raise ValueError(
+                f"{depth}-bit grayscale input must sit on the "
+                f"{scale}-multiple presentation grid")
+        px = (px // scale).astype(np.uint8)
+        ctype, bit_depth = 0, depth
     else:
         ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bpp = ch * (2 if depth16 else 1)
+    bpp = max(1, ch * (2 if depth16 else 1))
     lines = bytearray()
     if interlace:
         for x0, y0, dx, dy in _ADAM7:
             sub = px[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
                 lines += _png_filter_block(
-                    _sample_byte_rows(sub, depth16), bpp, filter_type)
+                    _sample_byte_rows(sub, bit_depth), bpp,
+                    filter_type)
     else:
         lines += _png_filter_block(
-            _sample_byte_rows(px, depth16), bpp, filter_type)
+            _sample_byte_rows(px, bit_depth), bpp, filter_type)
 
     def _chunk(ct: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ct + data
                 + struct.pack(">I", zlib.crc32(ct + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 16 if depth16 else 8,
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth,
                        ctype, 0, 0, 1 if interlace else 0)
     out = _PNG_SIG + _chunk(b"IHDR", ihdr)
     if plte:
@@ -464,8 +506,11 @@ def decode_png_pixels(payload: bytes):
     surface: 8-bit AND 16-bit grayscale / gray+alpha / truecolor /
     RGBA, 8-bit palette (expanded through PLTE to RGB), and Adam7
     interlacing (seven independently-filtered passes scattered back
-    by the spec geometry).  Sub-8-bit depths raise typed.  Returns
-    HxW (gray) or HxWxch arrays, uint16 when depth is 16."""
+    by the spec geometry), and sub-8-bit (1/2/4) grayscale and
+    packed palette (MSB-first bit unpacking, byte-unit filtering,
+    exact presentation-grid scaling for gray).  Spec-illegal
+    depth/color-type combinations raise typed.  Returns HxW (gray)
+    or HxWxch arrays, uint16 when depth is 16."""
     import zlib
 
     import numpy as np
@@ -489,16 +534,18 @@ def decode_png_pixels(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG payload missing IHDR/IDAT")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or ctype_ not in (0, 2, 3, 4, 6):
+    ok = ((depth in (8, 16) and ctype_ in (0, 2, 4, 6))
+          or (depth in (1, 2, 4, 8) and ctype_ in (0, 3)))
+    if not ok:
         raise NotImplementedError(
-            "decode_png handles 8/16-bit gray/RGB/alpha/palette; "
-            "sub-8-bit depths need PIL — absent here")
-    if ctype_ == 3 and (depth != 8 or plte is None):
-        raise NotImplementedError(
-            "palette PNGs decode at 8-bit with a PLTE chunk")
+            "decode_png handles 1/2/4/8/16-bit gray, 8/16-bit "
+            "RGB/alpha, 1/2/4/8-bit palette — this depth/color-type "
+            "combination needs PIL")
+    if ctype_ == 3 and plte is None:
+        raise ValueError("palette PNG missing its PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_]
     bps = 2 if depth == 16 else 1
-    bpp = ch * bps
+    bpp = max(1, ch * bps)     # filter unit: 1 byte for sub-8-bit
     flat = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     passes = ([(0, 0, 1, 1)] if interlace == 0 else _ADAM7)
     out = np.zeros((h, w, ch),
@@ -509,19 +556,25 @@ def decode_png_pixels(payload: bytes):
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        stride = pw * bpp
+        stride = ((pw * ch * depth + 7) // 8 if depth < 8
+                  else pw * bpp)
         need = ph * (stride + 1)
         if off + need > len(flat):
             raise ValueError("PNG scanline payload length mismatch")
         recon = _png_unfilter(flat[off:off + need]
                               .reshape(ph, stride + 1), bpp)
         off += need
-        b = recon.astype(np.uint8).reshape(ph, pw, ch, bps)
-        if depth == 16:
-            samples = ((b[..., 0].astype(np.uint16) << 8)
-                       | b[..., 1])
+        if depth < 8:
+            samples = _unpack_sub8_rows(recon, pw, depth)                 .astype(np.uint8)[:, :, None]
+            if ctype_ == 0:    # gray: exact presentation-grid scale
+                samples = samples * (255 // ((1 << depth) - 1))
         else:
-            samples = b[..., 0]
+            b = recon.astype(np.uint8).reshape(ph, pw, ch, bps)
+            if depth == 16:
+                samples = ((b[..., 0].astype(np.uint16) << 8)
+                           | b[..., 1])
+            else:
+                samples = b[..., 0]
         out[y0::dy, x0::dx] = samples
     if off != len(flat):
         raise ValueError("PNG scanline payload length mismatch")
@@ -1089,14 +1142,15 @@ _NATIVE_SNIFFERS = (
 
 def decode_media(payload: bytes) -> dict:
     """Sniff-and-decode: REAL stdlib parsers for WAV/BMP/PNG (incl.
-    palette/16-bit/Adam7) plus structure-level JPEG (SOF dims), GIF
-    (dims + exact frame count), and MP4 (brand/timescale/duration/
-    dims box walk); PIL / soundfile for anything further when
-    present — including variants the native parsers refuse
-    (sub-8-bit PNG, DNL JPEGs): a native parse failure FALLS THROUGH
-    to PIL rather than shadowing it.  Anything else (or every parser
-    failing) classifies as opaque bytes rather than failing the
-    batch — a 100 TB media crawl always contains garbage."""
+    palette/16-bit/sub-8-bit/Adam7) plus structure-level JPEG (SOF
+    dims), GIF (dims + exact frame count), and MP4 (brand/timescale/
+    duration/dims box walk); PIL / soundfile for anything further
+    when present — including variants the native parsers refuse
+    (DNL JPEGs, spec-illegal combos): a native parse failure FALLS
+    THROUGH to PIL rather than shadowing it.  Anything else (or
+    every parser failing) classifies as opaque bytes rather than
+    failing the batch — a 100 TB media crawl always contains
+    garbage."""
     for sniff, parse in _NATIVE_SNIFFERS:
         try:
             if sniff(payload):

@@ -213,18 +213,44 @@ def test_420_solid_roundtrip_exact_and_bounded():
     assert err.max() <= 16 and err.mean() < 4
 
 
-def test_sampling_beyond_2x2_raises_typed():
+def test_rgb_411_and_16bit_dqt():
+    """The r13 widenings: 4:1:1 (Y at 4×1 — the T.81 Nb=4 maximum)
+    round-trips through the generalized MCU loop, and a DQT rewritten
+    at 16-bit precision (Pq=1) with the same values decodes
+    identically."""
     import struct as _st
 
     from data_ingestion_challenge_spark.operators.jpeg_codec import (
-        decode_jpeg_pixels, encode_jpeg_rgb_420,
+        STD_LUMA_QUANT, _ZZ, decode_jpeg_pixels, encode_jpeg_rgb_411,
     )
-    img = np.full((8, 8, 3), 100, dtype=np.uint8)
-    payload = bytearray(encode_jpeg_rgb_420(img))
-    i = payload.index(b"\xff\xc0")
-    payload[i + 11] = 0x41  # Y sampling 4x1
-    with pytest.raises(NotImplementedError, match="beyond 2x2"):
-        decode_jpeg_pixels(bytes(payload))
+    for v in (0, 64, 130, 254):
+        img = np.full((9, 21, 3), v, dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_rgb_411(img))
+        assert dec.shape == (9, 21, 3)
+        assert (dec == img).all(), v
+    x = np.linspace(0, 255, 40)
+    g = np.clip(np.add.outer(x, x) / 2, 0, 255)
+    img = np.stack([g, g[::-1], np.full_like(g, 80)],
+                   axis=-1).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_rgb_411(img))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 20 and err.mean() < 5
+    assert (decode_jpeg_pixels(encode_jpeg_rgb_411(img,
+                                                   restart_every=2))
+            == dec).all()
+    # rewrite the 8-bit DQT as a 16-bit-precision table (Pq=1)
+    gray = np.arange(120, dtype=np.uint8).reshape(10, 12)
+    payload = encode_jpeg_gray(gray)
+    zz_quant = STD_LUMA_QUANT[_ZZ[:, 0], _ZZ[:, 1]]
+    dqt16_body = b"\x10" + b"".join(
+        _st.pack(">H", int(q)) for q in zz_quant)
+    dqt16 = b"\xff\xdb" + _st.pack(">H", 2 + len(dqt16_body)) \
+        + dqt16_body
+    i = payload.index(b"\xff\xdb")
+    size = _st.unpack_from(">H", payload, i + 2)[0]
+    patched = payload[:i] + dqt16 + payload[i + 2 + size:]
+    assert (decode_jpeg_pixels(patched)
+            == decode_jpeg_pixels(payload)).all()
 
 
 # ---------------------------------------------------------------

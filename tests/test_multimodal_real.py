@@ -169,11 +169,12 @@ def test_png_decode_media_and_decode_real():
     assert decode_media(junk)["mime"] == "application/octet-stream"
 
 
-def test_png_sub8bit_variant_raises_typed():
-    """The genuinely-ungated remainder (sub-8-bit depths) raises
-    typed NotImplementedError from the parser (decode_media
-    catches); 16-bit/palette/interlaced decode natively since
-    r13."""
+def test_png_illegal_depth_combo_raises_typed():
+    """The genuinely-ungated remainder — a depth/color-type combo the
+    spec itself forbids (2-bit TRUECOLOR) — raises typed
+    NotImplementedError from the parser (decode_media catches);
+    16-bit / palette / interlaced / sub-8-bit gray all decode
+    natively since r13."""
     import struct
     import zlib
 
@@ -187,11 +188,11 @@ def test_png_sub8bit_variant_raises_typed():
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 2, 0, 0, 0, 0)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0)
     payload = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr2)
                + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
                + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="sub-8-bit"):
+    with pytest.raises(NotImplementedError, match="combination"):
         decode_png(payload)
 
 
@@ -594,17 +595,33 @@ def test_png_adam7_interlace_roundtrip():
             == imgp).all()
 
 
-def test_png_sub8bit_depth_raises_typed():
-    import pytest as _pytest
+def test_png_sub8bit_gray_roundtrips():
+    """1/2/4-bit grayscale (and packed palette) decode natively since
+    late r13: MSB-first bit unpacking, byte-unit filtering, exact
+    presentation-grid scaling."""
+    import numpy as np
 
     from data_ingestion_challenge_spark.operators.multimodal import (
         decode_png_pixels, encode_png,
     )
-    payload = bytearray(encode_png(_rng_img((4, 4))))
-    i = payload.index(b"IHDR")
-    payload[i + 12] = 4                    # depth byte -> 4-bit
-    with _pytest.raises(NotImplementedError, match="sub-8-bit"):
-        decode_png_pixels(bytes(payload))
+    rng = np.random.RandomState(8)
+    for d in (1, 2, 4):
+        scale = 255 // ((1 << d) - 1)
+        img = (rng.randint(0, 1 << d, size=(7, 11))
+               * scale).astype(np.uint8)
+        for f in range(5):
+            dec = decode_png_pixels(encode_png(img, filter_type=f,
+                                               depth=d))
+            assert (dec == img).all(), (d, f)
+        assert (decode_png_pixels(encode_png(img, depth=d,
+                                             interlace=True))
+                == img).all(), d
+        # packed palette at the same depth
+        pal = rng.randint(0, 256, size=(1 << d, 3)).astype(np.uint8)
+        pimg = pal[rng.randint(0, 1 << d, size=(9, 6))]
+        assert (decode_png_pixels(encode_png(pimg, palette=True,
+                                             depth=d))
+                == pimg).all(), d
 
 
 def test_gif_interlaced_roundtrip():
