@@ -6,9 +6,10 @@ sampling factors, per-component DC predictors, chroma box-average
 down / sample-replicate up, the YCbCr↔RGB JFIF transform), tables
 read from the file's own DQT/DHT segments, restart intervals
 (DRI + RSTn predictor resets — the camera-JPEG convention, r13).
-Progressive (SOF2) frames route to operators/jpeg_progressive.py;
-sampling beyond 2×2 and the lossless/arithmetic SOFs still route to
-PIL when present.
+Progressive (SOF2) frames route to operators/jpeg_progressive.py,
+lossless (SOF3) to operators/jpeg_lossless.py; sampling beyond the
+T.81 Nb=4 shapes and the arithmetic SOFs still route to PIL when
+present.
 
 Everything is the ITU T.81 pipeline: 8×8 blocks → level shift →
 orthonormal DCT-II → quantize (round) → zigzag → DC differential +
@@ -429,9 +430,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     payload's own DQT/DHT tables, restart intervals included, so any
     conforming file in these shapes decodes, not just this encoder's
     output.  Progressive (SOF2) frames route to the Annex-G decoder
-    in operators/jpeg_progressive.py; >2×2 sampling and the
-    lossless/arithmetic SOFs raise typed NotImplementedError (PIL
-    territory)."""
+    in operators/jpeg_progressive.py and lossless (SOF3) frames to
+    the Annex-H decoder in operators/jpeg_lossless.py; illegal
+    sampling shapes and the arithmetic SOFs raise typed
+    NotImplementedError (PIL territory)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos, quant, huff, sof, scan, dri = 2, {}, {}, None, None, 0
@@ -490,10 +492,16 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 jpeg_progressive,
             )
             return jpeg_progressive.decode_jpeg_progressive(payload)
+        elif marker == 0xC3:
+            # Lossless frame: the Annex-H predictive decoder
+            # (operators/jpeg_lossless.py) takes the whole payload.
+            from data_ingestion_challenge_spark.operators import (
+                jpeg_lossless,
+            )
+            return jpeg_lossless.decode_jpeg_lossless(payload)
         elif 0xC1 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(
-                "non-baseline (extended/lossless/arith) JPEG needs "
-                "PIL")
+                "non-baseline (extended/arithmetic) JPEG needs PIL")
         elif marker == 0xDA:
             ns = body[0]
             tabs = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4,

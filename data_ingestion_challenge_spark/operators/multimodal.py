@@ -66,13 +66,14 @@ HAS_MEDIA_LIBS = _PIL_Image is not None or _soundfile is not None
 def decode_real(payload: bytes):
     """Real media decode: every native stdlib parser below (WAV /
     AIFF / au / BMP / PNG incl. palette/16-bit/Adam7 / JPEG / GIF
-    incl. interlaced / MP4 structure — round-trip tested against
-    generated genuine bytes in tests/test_multimodal_real.py and
-    test_jpeg_codec.py) runs first — JPEG now includes restart
-    intervals AND full progressive (Annex G) natively; other formats
-    bind to PIL/soundfile when present.  Raises NotImplementedError
+    incl. interlaced / TIFF strips / MP4 structure — round-trip
+    tested against generated genuine bytes in
+    tests/test_multimodal_real.py, test_jpeg_codec.py and
+    test_tiff_codec.py) runs first — JPEG now includes restart
+    intervals, full progressive (Annex G) AND lossless (Annex H)
+    natively; other formats bind to PIL/soundfile when present.  Raises NotImplementedError
     only for formats that genuinely need the absent libs (MP4 SAMPLE
-    decode, JPEG lossless/arithmetic SOFs) or spec-illegal shape
+    decode, JPEG arithmetic SOFs) or spec-illegal shape
     combinations — the registered multimodal queries still run
     decode_stub (deterministic, oracle-replayable)."""
     try:
@@ -99,6 +100,9 @@ def decode_real(payload: bytes):
             # structure-level: "frames" = duration in timescale units
             return (len(payload),
                     decode_mp4_structure(payload)["n_frames"])
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            _decode_tiff_media(payload)   # validates pixel decode
+            return len(payload), 1
     except Exception:
         # A recognized-but-natively-unparsable payload (e.g. a
         # palette PNG) must not SHADOW an installed PIL — fall
@@ -1137,13 +1141,23 @@ _NATIVE_SNIFFERS = (
     (lambda p: p[:4] == b".snd", lambda p: decode_au(p)),
     (lambda p: len(p) >= 12 and p[4:8] == b"ftyp",
      lambda p: decode_mp4_structure(p)),
+    (lambda p: p[:4] in (b"II*\x00", b"MM\x00*"),
+     lambda p: _decode_tiff_media(p)),
 )
+
+
+def _decode_tiff_media(payload: bytes) -> dict:
+    from data_ingestion_challenge_spark.operators.tiff_codec import (
+        decode_tiff,
+    )
+    return decode_tiff(payload)
 
 
 def decode_media(payload: bytes) -> dict:
     """Sniff-and-decode: REAL stdlib parsers for WAV/BMP/PNG (incl.
-    palette/16-bit/sub-8-bit/Adam7) plus structure-level JPEG (SOF
-    dims), GIF (dims + exact frame count), and MP4 (brand/timescale/
+    palette/16-bit/sub-8-bit/Adam7) and TIFF (strip-organized, none/
+    PackBits/LZW) plus structure-level JPEG (SOF dims), GIF (dims +
+    exact frame count), and MP4 (brand/timescale/
     duration/dims box walk); PIL / soundfile for anything further
     when present — including variants the native parsers refuse
     (DNL JPEGs, spec-illegal combos): a native parse failure FALLS
@@ -1426,5 +1440,191 @@ SYNTH_GIF_INVENTORY_ORACLE = """
            CAST(n_chars % 9 + 1 AS BIGINT) AS height,
            CAST((n_chars % 256 + n_chars * 7 % 256
                  + n_chars * 13 % 256) // 3 AS BIGINT) AS px_mean
+    FROM documents
+"""
+
+
+def synth_jpeg_lossless_inventory(documents: DataFrame) -> DataFrame:
+    """The lossless-JPEG (SOF3, T.81 Annex H) codec witness — and a
+    STRICTER one than the baseline witness can be: the predictive
+    process is lossless, so the synthesized image need not sit in a
+    survives-quantization class.  Per doc a HORIZONTAL RAMP
+    (pixel[i,j] = base + j — nonzero diffs at every step, so the
+    predictor actually predicts), cycling through ALL SEVEN Annex-H
+    predictors by doc and both frame precisions (8-bit, and 16-bit
+    with samples scaled by 257), is encoded and pixel-decoded inside
+    one Arrow pass; the DuckDB oracle states the decoded pixel SUM in
+    closed form.  Any prediction / magnitude-extension / mod-2**16 /
+    Huffman bug lands as a driver hash mismatch."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.jpeg_lossless import (
+        decode_jpeg_lossless, encode_jpeg_lossless,
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, preds, sums = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                w, h = n % 19 + 2, n % 10 + 1
+                base = n % 200
+                predictor = n % 7 + 1
+                ramp = base + np.arange(w, dtype=np.int64)
+                img = np.broadcast_to(ramp, (h, w))
+                if n % 2:                  # 16-bit precision lane
+                    img = (img * 257).astype(np.uint16)
+                else:
+                    img = img.astype(np.uint8)
+                dec = decode_jpeg_lossless(
+                    encode_jpeg_lossless(np.ascontiguousarray(img),
+                                         predictor=predictor))
+                ids.append(doc_id)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                preds.append(predictor)
+                sums.append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "predictor": pd.Series(preds, dtype="int64"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return (documents.select("doc_id", "n_chars")
+            .mapInPandas(_synth, "doc_id bigint, width bigint, "
+                                 "height bigint, predictor bigint, "
+                                 "px_sum bigint"))
+
+
+SYNTH_JPEG_LOSSLESS_INVENTORY_ORACLE = """
+    SELECT doc_id,
+           CAST(n_chars % 19 + 2 AS BIGINT) AS width,
+           CAST(n_chars % 10 + 1 AS BIGINT) AS height,
+           CAST(n_chars % 7 + 1 AS BIGINT) AS predictor,
+           CAST((CASE WHEN n_chars % 2 = 1 THEN 257 ELSE 1 END)
+                * (n_chars % 10 + 1)
+                * ((n_chars % 19 + 2) * (n_chars % 200)
+                   + (n_chars % 19 + 2) * (n_chars % 19 + 1) // 2)
+                AS BIGINT) AS px_sum
+    FROM documents
+"""
+
+
+def synth_tiff_inventory(documents: DataFrame) -> DataFrame:
+    """The TIFF codec witness (operators/tiff_codec.py): per doc a
+    VERTICAL-RAMP grayscale image (constant rows — PackBits' favorite
+    material, real LZW dictionary churn) synthesized as genuine strip
+    TIFF bytes cycling all three supported compressions by doc
+    (none / LZW / PackBits), BOTH byte orders, and the horizontal
+    predictor on the LZW lane, then pixel-decoded in the same Arrow
+    pass.  TIFF is lossless, so the decoded pixel sum has the pure
+    closed form the DuckDB oracle states; any IFD-walk / strip /
+    PackBits / early-change-LZW / predictor bug is a driver hash
+    mismatch."""
+    import numpy as np
+
+    from data_ingestion_challenge_spark.operators.tiff_codec import (
+        decode_tiff_pixels, encode_tiff,
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, comps, sums = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                w, h = n % 15 + 1, n % 7 + 1
+                base = n % 240
+                comp = (1, 5, 32773)[n % 3]
+                ramp = base + np.arange(h, dtype=np.int64)
+                img = np.broadcast_to(ramp[:, None],
+                                      (h, w)).astype(np.uint8)
+                payload = encode_tiff(
+                    np.ascontiguousarray(img), compression=comp,
+                    byte_order="<" if n % 2 == 0 else ">",
+                    rows_per_strip=n % 4 + 1,
+                    predictor=2 if comp == 5 else 1)
+                dec = decode_tiff_pixels(payload)
+                ids.append(doc_id)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                comps.append(comp)
+                sums.append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "compression": pd.Series(comps, dtype="int64"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return (documents.select("doc_id", "n_chars")
+            .mapInPandas(_synth, "doc_id bigint, width bigint, "
+                                 "height bigint, compression bigint, "
+                                 "px_sum bigint"))
+
+
+SYNTH_TIFF_INVENTORY_ORACLE = """
+    SELECT doc_id,
+           CAST(n_chars % 15 + 1 AS BIGINT) AS width,
+           CAST(n_chars % 7 + 1 AS BIGINT) AS height,
+           CAST(CASE n_chars % 3 WHEN 0 THEN 1 WHEN 1 THEN 5
+                ELSE 32773 END AS BIGINT) AS compression,
+           CAST((n_chars % 15 + 1)
+                * ((n_chars % 7 + 1) * (n_chars % 240)
+                   + (n_chars % 7 + 1) * (n_chars % 7) // 2)
+                AS BIGINT) AS px_sum
+    FROM documents
+"""
+
+
+def synth_exif_inventory(documents: DataFrame) -> DataFrame:
+    """The EXIF-parser witness (operators/tiff_codec.py parse_exif /
+    build_exif_app1): per doc a genuine baseline JPEG with a
+    conforming APP1 segment (an embedded TIFF IFD, byte order
+    cycling by doc) spliced after SOI, then parsed BACK by the IFD
+    walker in the same Arrow pass — orientation and camera make are
+    doc-derived so the DuckDB oracle states them in closed form.
+    Any APP1-walk / byte-order / inline-vs-offset-value bug is a
+    driver hash mismatch, and the JPEG stays pixel-decodable with
+    the segment in place (pinned in tests/test_tiff_codec.py)."""
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        encode_jpeg_gray,
+    )
+    from data_ingestion_challenge_spark.operators.tiff_codec import (
+        build_exif_app1, parse_exif,
+    )
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = encode_jpeg_gray(np.full((4, 4), 128, dtype=np.uint8))
+        for pdf in batches:
+            ids, orients, makes = [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                app1 = build_exif_app1(
+                    orientation=n % 8 + 1,
+                    make=f"CAM-{n % 5}",
+                    byte_order="<" if n % 2 == 0 else ">")
+                meta = parse_exif(base[:2] + app1 + base[2:])
+                ids.append(doc_id)
+                orients.append(meta["orientation"])
+                makes.append(meta["make"])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "orientation": pd.Series(orients, dtype="int64"),
+                "make": pd.Series(makes, dtype=object),
+            })
+
+    return (documents.select("doc_id", "n_chars")
+            .mapInPandas(_synth, "doc_id bigint, orientation bigint, "
+                                 "make string"))
+
+
+SYNTH_EXIF_INVENTORY_ORACLE = """
+    SELECT doc_id,
+           CAST(n_chars % 8 + 1 AS BIGINT) AS orientation,
+           'CAM-' || CAST(n_chars % 5 AS VARCHAR) AS make
     FROM documents
 """

@@ -1306,3 +1306,105 @@ WEEKLY_NEW_VS_RETURNING_ORACLE = """
     FROM uw JOIN f USING (user_id)
     GROUP BY week
 """
+
+
+def brand_return_rate(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Return rate per part BRAND: 'R'-flagged lineitems as a share
+    of the brand's shipped lines, with the returned revenue priced —
+    the product-quality complement to returns_by_nation (WHO returns
+    vs WHAT gets returned; a rising brand is a supplier-defect or
+    catalog-mismatch signal).
+
+    Exact integer counts and DECIMAL(30,6) revenue sums on both
+    engines, then one rounded cast; the rate is ONE double divide
+    rounded 6dp.  Scale shape: fact⋈dim equi-join on partkey (the dim
+    broadcasts at dim<<fact; bucketed co-location at 100 TB),
+    map-side-combined groupBy to a brands-sized (~25-row) output."""
+    j = (lineitem.select("l_partkey", "l_returnflag",
+                         "l_extendedprice", "l_discount")
+         .join(F.broadcast(part.select("p_partkey", "p_brand")),
+               col("l_partkey") == col("p_partkey")))
+    charge = (col("l_extendedprice") * (1 - col("l_discount"))) \
+        .cast("decimal(30,6)")
+    g = (j.groupBy("p_brand")
+         .agg(F.count("*").alias("n_lines"),
+              F.count_if(col("l_returnflag") == "R")
+              .alias("n_returned"),
+              F.sum(F.when(col("l_returnflag") == "R", charge)
+                    .otherwise(F.lit(0).cast("decimal(30,6)")))
+              .alias("_rev")))
+    return (g.select(
+        "p_brand", "n_lines", "n_returned",
+        F.round(col("n_returned") / col("n_lines"), 6)
+        .alias("return_rate"),
+        F.round(col("_rev"), 2).cast("double")
+        .alias("returned_revenue")))
+
+
+BRAND_RETURN_RATE_ORACLE = """
+    WITH g AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT)
+                   AS n_returned,
+               sum(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(30,6))
+                        ELSE CAST(0 AS DECIMAL(30,6)) END) AS rev
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand)
+    SELECT p_brand, n_lines, n_returned,
+           round(n_returned / (1.0 * n_lines), 6) AS return_rate,
+           CAST(round(rev, 2) AS DOUBLE) AS returned_revenue
+    FROM g
+"""
+
+
+def basket_size_value_profile(lineitem: DataFrame) -> DataFrame:
+    """Basket size vs basket value: per order, the line count and
+    exact charge sum; then per LINE-COUNT bucket, how many orders
+    land there and what they're worth on average — the
+    order-composition curve a fulfillment planner reads (are big
+    baskets carrying the revenue, or a long tail of singles?).
+
+    Two-level aggregation, both map-side combinable; DECIMAL(30,6)
+    exact sums on both engines with ONE double divide for the mean.
+    Scale shape: first groupBy shuffles on the order key (bucketed
+    co-location at 100 TB since lineitem is already order-keyed),
+    second collapses to a ≤max-lines-sized output — no joins at
+    all."""
+    charge = (col("l_extendedprice") * (1 - col("l_discount"))) \
+        .cast("decimal(30,6)")
+    per_order = (lineitem
+                 .groupBy("l_orderkey")
+                 .agg(F.count("*").alias("n_lines"),
+                      F.sum(charge).alias("_val")))
+    g = (per_order.groupBy("n_lines")
+         .agg(F.count("*").alias("n_orders"),
+              F.sum("_val").alias("_rev")))
+    return (g.select(
+        "n_lines", "n_orders",
+        F.round(col("_rev"), 2).cast("double").alias("revenue"),
+        F.round(col("_rev").cast("double") / col("n_orders"), 6)
+        .alias("avg_basket_value")))
+
+
+BASKET_SIZE_VALUE_PROFILE_ORACLE = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,6))) AS val
+        FROM lineitem GROUP BY l_orderkey),
+    g AS (
+        SELECT n_lines,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(val) AS rev
+        FROM per_order GROUP BY n_lines)
+    SELECT n_lines, n_orders,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) / n_orders, 6)
+               AS avg_basket_value
+    FROM g
+"""

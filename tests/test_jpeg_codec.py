@@ -70,8 +70,14 @@ def test_progressive_routing_and_restart_typed():
     payload[i + 1] = 0xC2
     with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg_gray(bytes(payload))
-    # a genuinely unhandled SOF (lossless, 0xC3) still refuses typed
+    # lossless (0xC3) routes to the Annex-H decoder, which rejects
+    # this frankenstein payload's baseline scan header (Ss=0 is not
+    # a lossless predictor)
     payload[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg_gray(bytes(payload))
+    # a genuinely unhandled SOF (arithmetic, 0xC9) refuses typed
+    payload[i + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg_gray(bytes(payload))
     # a DRI segment no longer refuses (r13) — an interval larger than
