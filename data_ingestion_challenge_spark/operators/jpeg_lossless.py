@@ -20,8 +20,9 @@ coefficients (SSSS 16 codes the no-extra-bits 32768 case), and the
 entropy stream is canonical Huffman read from the file's own DHT.
 Positional rules (T.81 H.1.2): the scan's first sample is predicted
 as 2**(P-Pt-1); the rest of the first line uses predictor 1; each
-later line starts with predictor 2; a restart boundary resets
-prediction to the scan-start state.  The decoder trusts only the
+later line starts with predictor 2; a restart boundary restores the
+scan-start state — default prediction for the next sample, then the
+one-dimensional predictor for the remainder of that line.  The decoder trusts only the
 payload (its DHT, SOF3 precision/components, SOS predictor + point
 transform), so any conforming single-scan file with 1x1 sampling
 decodes — not just this encoder's output; interleaving with 1x1
@@ -95,6 +96,9 @@ def encode_jpeg_lossless(pixels, predictor: int = 1,
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, nc = px.shape
+    if not 1 <= nc <= 4:
+        raise ValueError(
+            f"{nc}-component scan exceeds the T.81 B.2.3 Ns<=4 limit")
     pt = point_transform
     if not 0 <= pt < prec:
         raise ValueError("point transform out of range")
@@ -102,7 +106,12 @@ def encode_jpeg_lossless(pixels, predictor: int = 1,
     default = 1 << (prec - pt - 1)
     codes = _canonical_codes(LL_BITS, LL_VALS)
     bw = _BitWriter()
+    # T.81 H.1.2: the first sample of the scan AND of every restart
+    # interval predicts from the default; the REST OF THAT LINE uses
+    # the one-dimensional predictor (Ra); later lines start with Rb
+    # then run the selected predictor.
     reset = True                     # scan start == restart state
+    line1d_y = 0                     # row where the last reset fired
     mcu = 0
     for y in range(h):
         for x in range(w):
@@ -111,12 +120,13 @@ def encode_jpeg_lossless(pixels, predictor: int = 1,
                 bw.out += bytes(
                     [0xFF, 0xD0 + ((mcu // restart_every - 1) & 7)])
                 reset = True
+                line1d_y = y
             mcu += 1
             for ci in range(nc):
                 v = int(samples[y, x, ci])
                 if reset:
                     p = default
-                elif y == 0:
+                elif y == line1d_y:
                     p = int(samples[y, x - 1, ci])
                 elif x == 0:
                     p = int(samples[y - 1, x, ci])
@@ -217,13 +227,18 @@ def decode_jpeg_lossless(payload: bytes) -> np.ndarray:
     tables = [huff[(0, tabs[cid])] for cid in comps]
     br = _BitReader(data)
     default = 1 << (prec - pt - 1)
+    # positional rules mirror the encoder (T.81 H.1.2): default at
+    # scan/restart start, Ra for the rest of the reset row, Rb at
+    # line starts, the selected predictor elsewhere
     reset = True
+    line1d_y = 0
     mcu = 0
     for y in range(h):
         for x in range(w):
             if dri and mcu and mcu % dri == 0:
                 br.restart(mcu // dri - 1)
                 reset = True
+                line1d_y = y
             mcu += 1
             for ci in range(nc):
                 s = _huff_decode(br, tables[ci])
@@ -233,7 +248,7 @@ def decode_jpeg_lossless(payload: bytes) -> np.ndarray:
                     d = _extend(br.read(s), s) if s else 0
                 if reset:
                     p = default
-                elif y == 0:
+                elif y == line1d_y:
                     p = int(out[y, x - 1, ci])
                 elif x == 0:
                     p = int(out[y - 1, x, ci])

@@ -101,8 +101,9 @@ def decode_real(payload: bytes):
             return (len(payload),
                     decode_mp4_structure(payload)["n_frames"])
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
-            _decode_tiff_media(payload)   # validates pixel decode
-            return len(payload), 1
+            # header-bounded IFD probe; frames = multi-page chain
+            return (len(payload),
+                    _decode_tiff_media(payload)["n_frames"])
     except Exception:
         # A recognized-but-natively-unparsable payload (e.g. a
         # palette PNG) must not SHADOW an installed PIL — fall
@@ -1628,3 +1629,54 @@ SYNTH_EXIF_INVENTORY_ORACLE = """
            'CAM-' || CAST(n_chars % 5 AS VARCHAR) AS make
     FROM documents
 """
+
+
+EXIF_SCHEMA = ("doc_id bigint, exif_ok boolean, orientation int, "
+               "make string, model string, datetime_original string")
+
+
+def exif_features(binary_table: DataFrame) -> DataFrame:
+    """EXIF metadata extraction over a binary media column — the
+    production column op behind synth_exif_inventory's witness: one
+    Arrow-batched mapInPandas pass running the APP1 IFD walk
+    (operators/tiff_codec.py parse_exif) per JPEG payload.
+    Non-JPEG payloads and JPEGs without EXIF yield exif_ok=false
+    with null fields; a MALFORMED APP1 also yields exif_ok=false
+    rather than failing the batch (a 100 TB crawl always contains
+    garbage — the caller quarantines on the flag).  Per-row work is
+    header-bounded: the walk stops at the first entropy byte."""
+    from data_ingestion_challenge_spark.operators.tiff_codec import (
+        parse_exif,
+    )
+
+    def _exif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "exif_ok", "orientation",
+                                   "make", "model",
+                                   "datetime_original")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = {}
+                try:
+                    meta = parse_exif(bytes(payload))
+                except ValueError:
+                    meta = {}
+                out["doc_id"].append(doc_id)
+                out["exif_ok"].append(bool(meta))
+                out["orientation"].append(meta.get("orientation"))
+                out["make"].append(meta.get("make"))
+                out["model"].append(meta.get("model"))
+                out["datetime_original"].append(
+                    meta.get("datetime_original",
+                             meta.get("datetime")))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "exif_ok": pd.Series(out["exif_ok"], dtype="bool"),
+                "orientation": pd.Series(out["orientation"],
+                                         dtype="Int32"),
+                "make": pd.Series(out["make"], dtype=object),
+                "model": pd.Series(out["model"], dtype=object),
+                "datetime_original": pd.Series(
+                    out["datetime_original"], dtype=object),
+            })
+
+    return binary_table.mapInPandas(_exif, EXIF_SCHEMA)

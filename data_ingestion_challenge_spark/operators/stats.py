@@ -1408,3 +1408,260 @@ BASKET_SIZE_VALUE_PROFILE_ORACLE = """
                AS avg_basket_value
     FROM g
 """
+
+
+def region_trade_flow(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame,
+                      region: DataFrame) -> DataFrame:
+    """The region×region trade-flow matrix: revenue by (supplier
+    region → customer region) — q5 asks "how much stays local", q7
+    drills nation pairs; this is the 25-cell board-level rollup both
+    start from (diagonal = intra-region trade).
+
+    DECIMAL(30,6) exact revenue both engines, one rounded cast.
+    Scale shape: the lineitem⋈orders fact⋈fact equi-join dominates
+    (order-key bucketed co-location at 100 TB); customer/supplier/
+    nation/region dims all broadcast; the final groupBy collapses to
+    a regions²-sized output."""
+    n2r = (nation
+           .join(F.broadcast(region),
+                 col("n_regionkey") == col("r_regionkey"))
+           .select("n_nationkey", col("r_name")))
+    cust_r = (customer.select("c_custkey", "c_nationkey")
+              .join(F.broadcast(n2r),
+                    col("c_nationkey") == col("n_nationkey"))
+              .select("c_custkey",
+                      col("r_name").alias("cust_region")))
+    supp_r = (supplier.select("s_suppkey", "s_nationkey")
+              .join(F.broadcast(n2r),
+                    col("s_nationkey") == col("n_nationkey"))
+              .select("s_suppkey",
+                      col("r_name").alias("supp_region")))
+    charge = (col("l_extendedprice") * (1 - col("l_discount"))) \
+        .cast("decimal(30,6)")
+    j = (lineitem.select("l_orderkey", "l_suppkey",
+                         charge.alias("_charge"))
+         .join(orders.select("o_orderkey", "o_custkey"),
+               col("l_orderkey") == col("o_orderkey"))
+         .join(F.broadcast(cust_r),
+               col("o_custkey") == col("c_custkey"))
+         .join(F.broadcast(supp_r),
+               col("l_suppkey") == col("s_suppkey")))
+    return (j.groupBy("supp_region", "cust_region")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum("_charge").alias("_rev"))
+            .select("supp_region", "cust_region", "n_lines",
+                    F.round(col("_rev"), 2).cast("double")
+                    .alias("revenue")))
+
+
+REGION_TRADE_FLOW_ORACLE = """
+    SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    GROUP BY sr.r_name, cr.r_name
+"""
+
+
+def order_fulfillment_days(lineitem: DataFrame,
+                           orders: DataFrame) -> DataFrame:
+    """Fulfillment-speed histogram: per order, the days from order
+    date to the LAST line shipped (the customer-visible completion
+    lag), bucketed by week — the distribution an ops team holds
+    against its shipping SLA (ship_lag_by_priority slices the
+    commit-to-ship leg; this is end-to-end order-to-done).
+
+    Exact integer day diffs and counts.  Scale shape: per-order max
+    is a map-side-combined groupBy on the order key, the fact⋈fact
+    join rides the same key (bucketed co-location at 100 TB), and
+    the week histogram collapses to a ≤dozens-row output."""
+    last = (lineitem.groupBy("l_orderkey")
+            .agg(F.max("l_shipdate").alias("_last")))
+    j = (orders.select("o_orderkey", "o_orderdate")
+         .join(last, col("o_orderkey") == col("l_orderkey")))
+    days = F.datediff(F.to_date("_last"), F.to_date("o_orderdate"))
+    # floor (not truncate): synthetic data carries some ship-before-
+    # order rows, and the two round negative weeks differently
+    wk = F.floor(days / 7).cast("long")
+    return (j.groupBy(wk.alias("fulfill_week"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(days.cast("bigint")).alias("total_days"))
+            .withColumn("avg_days",
+                        F.round(col("total_days").cast("double")
+                                / col("n_orders"), 6)))
+
+
+ORDER_FULFILLMENT_DAYS_ORACLE = """
+    WITH last AS (
+        SELECT l_orderkey, max(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey),
+    d AS (
+        SELECT CAST(CAST(last_ship AS DATE)
+                    - CAST(o_orderdate AS DATE) AS BIGINT) AS days
+        FROM orders JOIN last ON o_orderkey = l_orderkey)
+    SELECT CAST(floor(days / 7.0) AS BIGINT) AS fulfill_week,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(days) AS BIGINT) AS total_days,
+           round(CAST(sum(days) AS DOUBLE) / count(*), 6) AS avg_days
+    FROM d
+    GROUP BY 1
+"""
+
+
+def event_type_hour_entropy(events: DataFrame) -> DataFrame:
+    """Temporal concentration per event type: Shannon entropy (bits)
+    of the type's hour-of-day distribution plus its peak hour — flat
+    (≈log2 24 ≈ 4.58) means always-on machine traffic, spiky means
+    human rhythm; the monitor reads this next to bot_burst_flag when
+    triaging a new event type.
+
+    Parity discipline as user_event_type_entropy: exact BIGINT
+    counts, each entropy term rounds 1e-9 and sums as DECIMAL(30,9),
+    final 6dp; the peak hour tie-breaks to the SMALLEST hour so the
+    argmax is total cross-engine.  Scale shape: one map-side
+    groupBy (type, hour) — ≤24 rows per type — then one per-type
+    rollup; no joins, no unbounded windows."""
+    ct = (events.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour"))
+        .agg(F.count("*").cast("bigint").alias("c")))
+    w = Window.partitionBy("event_type")
+    ct = ct.withColumn("n", F.sum("c").over(w))
+    term = F.round(
+        (col("c") / col("n")) * F.log2(col("n") / col("c")),
+        9).cast("decimal(30,9)")
+    # total argmax order as ONE exact bigint (count first, then
+    # smallest hour wins ties) — identical spelling both engines
+    peak = F.expr("max_by(hour, c * 24 + (23 - hour))")
+    return (ct.groupBy("event_type", "n")
+            .agg(F.sum(term).alias("_h"), peak.alias("peak_hour"))
+            .select("event_type",
+                    col("n").alias("n_events"),
+                    col("peak_hour").cast("bigint"),
+                    F.round(col("_h").cast("double"), 6)
+                    .alias("entropy_bits")))
+
+
+EVENT_TYPE_HOUR_ENTROPY_ORACLE = """
+    WITH ct AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS INT) AS hour,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+          FROM ct GROUP BY event_type)
+    SELECT ct.event_type, t.n AS n_events,
+           CAST(max_by(ct.hour, ct.c * 24 + (23 - ct.hour))
+                AS BIGINT) AS peak_hour,
+           round(CAST(sum(CAST(round((ct.c / (1.0 * t.n))
+                                     * log2(t.n / (1.0 * ct.c)), 9)
+                               AS DECIMAL(30,9))) AS DOUBLE), 6)
+               AS entropy_bits
+    FROM ct JOIN t USING (event_type)
+    GROUP BY ct.event_type, t.n
+"""
+
+
+def part_type_revenue_share(lineitem: DataFrame,
+                            part: DataFrame) -> DataFrame:
+    """Revenue share by part-type FAMILY (the first word of p_type —
+    q14 prices the PROMO family against the total; this is the whole
+    family breakdown): exact revenue, line counts, and each family's
+    share of total revenue.
+
+    DECIMAL(30,6) exact sums; the share is ONE double divide against
+    the broadcast exact total, rounded 6dp.  Scale shape: fact⋈dim
+    on partkey, map-side-combined groupBy to a families-sized
+    output, then a 1-row broadcast total joined back (no second scan
+    and no window over unbounded rows)."""
+    fam = F.split(col("p_type"), " ").getItem(0).alias("type_family")
+    charge = (col("l_extendedprice") * (1 - col("l_discount"))) \
+        .cast("decimal(30,6)")
+    j = (lineitem.select("l_partkey", charge.alias("_charge"))
+         .join(F.broadcast(part.select("p_partkey", "p_type")),
+               col("l_partkey") == col("p_partkey")))
+    g = (j.groupBy(fam)
+         .agg(F.count("*").alias("n_lines"),
+              F.sum("_charge").alias("_rev")))
+    total = g.agg(F.sum("_rev").alias("_tot"))
+    return (g.join(F.broadcast(total))
+            .select("type_family", "n_lines",
+                    F.round(col("_rev"), 2).cast("double")
+                    .alias("revenue"),
+                    F.round(col("_rev").cast("double")
+                            / col("_tot").cast("double"), 6)
+                    .alias("revenue_share")))
+
+
+PART_TYPE_REVENUE_SHARE_ORACLE = """
+    WITH g AS (
+        SELECT split_part(p_type, ' ', 1) AS type_family,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,6))) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1),
+    t AS (SELECT sum(rev) AS tot FROM g)
+    SELECT type_family, n_lines,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS revenue_share
+    FROM g, t
+"""
+
+
+def customer_recency_bands(orders: DataFrame,
+                           customer: DataFrame) -> DataFrame:
+    """Customers bucketed by order recency — days from their LAST
+    order to the dataset horizon (the max order date, so the band is
+    deterministic, not wall-clock): ≤30 / ≤90 / ≤365 / older — the
+    churn-risk funnel a retention team sizes campaigns with, plus
+    never-ordered customers as their own band.
+
+    Exact integers; the horizon is a 1-row broadcast (computed once,
+    never a window).  Scale shape: per-customer max is map-side
+    combinable on the customer key; the customer dim left-joins the
+    aggregate (broadcast when dim fits, shuffle-hash co-located
+    otherwise); output is 5 rows."""
+    horizon = orders.agg(F.max("o_orderdate").alias("_h"))
+    last = (orders.groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("_last")))
+    j = (customer.select("c_custkey")
+         .join(last, col("c_custkey") == col("o_custkey"), "left")
+         .join(F.broadcast(horizon)))
+    days = F.datediff(F.to_date("_h"), F.to_date("_last"))
+    band = (F.when(col("_last").isNull(), "never")
+            .when(days <= 30, "d30")
+            .when(days <= 90, "d90")
+            .when(days <= 365, "d365")
+            .otherwise("older"))
+    return (j.groupBy(band.alias("recency_band"))
+            .agg(F.count("*").alias("n_customers")))
+
+
+CUSTOMER_RECENCY_BANDS_ORACLE = """
+    WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS horizon
+               FROM orders),
+    last AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS d
+             FROM orders GROUP BY o_custkey)
+    SELECT CASE WHEN d IS NULL THEN 'never'
+                WHEN horizon - d <= 30 THEN 'd30'
+                WHEN horizon - d <= 90 THEN 'd90'
+                WHEN horizon - d <= 365 THEN 'd365'
+                ELSE 'older' END AS recency_band,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    LEFT JOIN last ON c_custkey = o_custkey
+    CROSS JOIN h
+    GROUP BY 1
+"""

@@ -42,6 +42,7 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
+_TAG_COLORMAP = 320
 _TAG_MAKE = 271
 _TAG_MODEL = 272
 _TAG_DATETIME = 306
@@ -345,9 +346,11 @@ def encode_tiff(pixels, compression: int = 1,
 def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline strip-organized TIFF to uint8 pixels (HxW
     grayscale or HxWx3 RGB), honoring byte order, compression
-    (none / PackBits / LZW), and the horizontal predictor.  Tiled,
-    planar, >8-bit, and JPEG-compressed TIFFs raise typed
-    NotImplementedError."""
+    (none / PackBits / LZW), the horizontal predictor, and
+    PhotometricInterpretation — 0 (WhiteIsZero, the fax/scanner
+    default) inverts, 3 (palette) maps indices through the ColorMap
+    tag to RGB.  Tiled, planar, >8-bit, and JPEG-compressed TIFFs
+    raise typed NotImplementedError."""
     bo = _tiff_byte_order(payload)
     first_ifd = struct.unpack_from(bo + "I", payload, 4)[0]
     tags, _ = _read_ifd(payload, first_ifd, bo)
@@ -360,6 +363,8 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
     planar = tags.get(_TAG_PLANAR, [1])[0]
     pred = tags.get(_TAG_PREDICTOR, [1])[0]
+    photometric = tags.get(_TAG_PHOTOMETRIC,
+                           [1 if spp == 1 else 2])[0]
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"{bits}-bit TIFF needs PIL")
     if spp not in (1, 3):
@@ -372,6 +377,14 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             f"TIFF compression {comp} needs PIL")
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred} needs PIL")
+    if photometric not in (0, 1, 2, 3):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} needs PIL")
+    if (photometric == 2) != (spp == 3) and photometric != 3:
+        raise ValueError(
+            f"TIFF photometric {photometric} with {spp} samples")
+    if photometric == 3 and spp != 1:
+        raise ValueError("palette TIFF must be single-sample")
     offsets = tags[_TAG_STRIP_OFFSETS]
     counts = tags.get(_TAG_STRIP_COUNTS)
     if counts is None:
@@ -403,6 +416,16 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     px = np.concatenate(rows, axis=0)
     if px.shape[0] != h:
         raise ValueError("TIFF strips do not cover the image")
+    if photometric == 0:                   # WhiteIsZero: invert
+        px = (255 - px.astype(np.int64)).astype(np.uint8)
+    elif photometric == 3:                 # palette via ColorMap
+        cmap = tags.get(_TAG_COLORMAP)
+        if cmap is None or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF missing 8-bit ColorMap")
+        # ColorMap is 16-bit R|G|B blocks; fold to 8-bit channels
+        table = (np.asarray(cmap, dtype=np.int64)
+                 .reshape(3, 256).T >> 8).astype(np.uint8)
+        return table[px[:, :, 0]]
     return px[:, :, 0] if spp == 1 else px
 
 
@@ -423,14 +446,22 @@ def count_tiff_pages(payload: bytes) -> int:
 
 
 def decode_tiff(payload: bytes) -> dict:
-    """Structure-level TIFF probe in the decode_media dict shape:
-    page 0 is pixel-decoded (validating strips end-to-end) and
-    n_frames counts the full IFD chain (multi-page files)."""
-    px = decode_tiff_pixels(payload)
+    """Structure-level TIFF probe in the decode_media dict shape —
+    header-bounded like the JPEG/GIF structure parses (an intake
+    audit over a 100 TB crawl must not pay a full strip decode per
+    payload): dims/channels from page 0's IFD tags, n_frames from
+    the IFD chain.  Pixel decode is decode_tiff_pixels."""
+    bo = _tiff_byte_order(payload)
+    first_ifd = struct.unpack_from(bo + "I", payload, 4)[0]
+    tags, _ = _read_ifd(payload, first_ifd, bo)
+    if _TAG_WIDTH not in tags or _TAG_HEIGHT not in tags:
+        raise ValueError("TIFF IFD missing image dimensions")
+    spp = tags.get(_TAG_SAMPLES, [1])[0]
     return {"mime": "image/tiff",
             "n_frames": count_tiff_pages(payload), "rate": None,
-            "channels": 1 if px.ndim == 2 else px.shape[2],
-            "width": int(px.shape[1]), "height": int(px.shape[0]),
+            "channels": int(spp),
+            "width": int(tags[_TAG_WIDTH][0]),
+            "height": int(tags[_TAG_HEIGHT][0]),
             "pcm_rms": None}
 
 
@@ -451,6 +482,12 @@ def parse_exif(payload: bytes) -> dict:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             break
+        # T.81 B.1.1.2 allows 0xFF fill bytes before a marker code —
+        # skip them like the pixel decoders do
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -464,9 +501,12 @@ def parse_exif(payload: bytes) -> dict:
         pos += 2 + size
     if app1 is None:
         return {}
-    bo = _tiff_byte_order(app1)
-    ifd0_off = struct.unpack_from(bo + "I", app1, 4)[0]
-    ifd0, _ = _read_ifd(app1, ifd0_off, bo)
+    try:
+        bo = _tiff_byte_order(app1)
+        ifd0_off = struct.unpack_from(bo + "I", app1, 4)[0]
+        ifd0, _ = _read_ifd(app1, ifd0_off, bo)
+    except struct.error as exc:   # truncated header/IFD
+        raise ValueError(f"malformed EXIF APP1: {exc}") from exc
     out = {}
     if _TAG_ORIENTATION in ifd0:
         out["orientation"] = int(ifd0[_TAG_ORIENTATION][0])

@@ -90,6 +90,52 @@ def test_restart_interval_round_trip(predictor):
     np.testing.assert_array_equal(decode_jpeg_lossless(payload), px)
 
 
+def test_restart_resets_to_one_dimensional_line():
+    # T.81 H.1.2: after an RSTn the next sample predicts from the
+    # default and the REST OF THAT LINE uses Ra (predictor 1), even
+    # under a 2-D scan predictor.  This fixture is hand-packed with
+    # that rule; a decoder that resumes the 2-D predictor after the
+    # restart reconstructs (1,2) as 135 instead of 133.
+    import struct as _s
+
+    def seg(marker, body):
+        return marker + _s.pack(">H", 2 + len(body)) + body
+
+    bits = [0, 1, 5] + [0] * 13
+    vals = [0, 1, 2, 3, 4, 5]
+    sof = seg(b"\xff\xc3", _s.pack(">BHHB", 8, 2, 3, 1)
+              + bytes([1, 0x11, 0]))
+    dht = seg(b"\xff\xc4", b"\x00" + bytes(bits) + bytes(vals))
+    dri = seg(b"\xff\xdd", _s.pack(">H", 4))      # restart every 4
+    sos = seg(b"\xff\xda", bytes([1, 1, 0x00, 4, 0x00, 0]))  # Ss=4
+    # samples 128 130 127 / 126 130 133, predictor 4, restart at
+    # MCU 4 = sample (1,1):
+    #   (0,0) default->d0:00  (0,1) Ra->+2:011,10  (0,2) Ra->-3:011,00
+    #   (1,0) Rb->-2:011,01   [pad 1s, RST0]
+    #   (1,1) default->+2:011,10  (1,2) Ra(130)->+3:011,11
+    entropy = (bytes([0x1C, 0xC6, 0xFF, 0x00])    # 17 bits + 1-pad
+               + b"\xff\xd0"                       # RST0
+               + bytes([0x73, 0xFF, 0x00]))        # 10 bits + 1-pad
+    payload = (b"\xff\xd8" + sof + dht + dri + sos + entropy
+               + b"\xff\xd9")
+    expected = np.array([[128, 130, 127], [126, 130, 133]],
+                        dtype=np.uint8)
+    np.testing.assert_array_equal(decode_jpeg_lossless(payload),
+                                  expected)
+    # the encoder emits the identical positional rule: its bytes for
+    # these pixels under the same predictor/DRI round-trip
+    enc = encode_jpeg_lossless(expected, predictor=4,
+                               restart_every=4)
+    np.testing.assert_array_equal(decode_jpeg_lossless(enc),
+                                  expected)
+
+
+def test_five_component_scan_rejected():
+    px = np.zeros((2, 2, 5), dtype=np.uint8)
+    with pytest.raises(ValueError, match="Ns<=4"):
+        encode_jpeg_lossless(px)
+
+
 def test_decode_jpeg_pixels_routes_sof3():
     px = RNG.integers(0, 256, size=(5, 6), dtype=np.uint8)
     out = decode_jpeg_pixels(encode_jpeg_lossless(px, predictor=2))

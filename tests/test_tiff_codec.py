@@ -105,6 +105,73 @@ def test_unknown_compression_gated():
         decode_tiff_pixels(bytes(payload))
 
 
+def test_white_is_zero_inverts():
+    # flip PhotometricInterpretation (262) from BlackIsZero to
+    # WhiteIsZero: decoded intensities must invert
+    px = RNG.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    payload = bytearray(encode_tiff(px))
+    i = payload.find(struct.pack("<HHI", 262, 3, 1))
+    assert i > 0
+    payload[i + 8:i + 10] = struct.pack("<H", 0)
+    np.testing.assert_array_equal(decode_tiff_pixels(bytes(payload)),
+                                  255 - px)
+
+
+def test_palette_tiff_maps_colormap():
+    # hand-build: 2x2 indices 0..3 + a ColorMap whose 16-bit entries
+    # fold (>>8) to (idx, 2*idx, 3*idx)
+    idx = bytes([0, 1, 2, 3])
+    head = b"II*\x00" + struct.pack("<I", 12)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + val
+
+    n_tags = 10
+    cmap_off = 12 + 2 + 12 * n_tags + 4
+    e = [
+        entry(256, 3, 1, struct.pack("<HH", 2, 0)),
+        entry(257, 3, 1, struct.pack("<HH", 2, 0)),
+        entry(258, 3, 1, struct.pack("<HH", 8, 0)),
+        entry(259, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(262, 3, 1, struct.pack("<HH", 3, 0)),   # palette
+        entry(273, 4, 1, struct.pack("<I", 8)),
+        entry(277, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(278, 3, 1, struct.pack("<HH", 2, 0)),
+        entry(279, 4, 1, struct.pack("<I", 4)),
+        entry(320, 3, 768, struct.pack("<I", cmap_off)),
+    ]
+    ifd = (struct.pack("<H", len(e)) + b"".join(e)
+           + struct.pack("<I", 0))
+    cmap = ([(v << 8) for v in range(256)]
+            + [((2 * v) & 0xFF) << 8 for v in range(256)]
+            + [((3 * v) & 0xFF) << 8 for v in range(256)])
+    payload = (head + idx + ifd
+               + struct.pack("<768H", *cmap))
+    out = decode_tiff_pixels(payload)
+    assert out.shape == (2, 2, 3)
+    expect = np.array([[[0, 0, 0], [1, 2, 3]],
+                       [[2, 4, 6], [3, 6, 9]]], dtype=np.uint8)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_unknown_photometric_gated():
+    px = RNG.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    payload = bytearray(encode_tiff(px))
+    i = payload.find(struct.pack("<HHI", 262, 3, 1))
+    payload[i + 8:i + 10] = struct.pack("<H", 6)   # YCbCr
+    with pytest.raises(NotImplementedError):
+        decode_tiff_pixels(bytes(payload))
+
+
+def test_photometric_sample_mismatch_raises():
+    px = RNG.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_tiff(px))
+    i = payload.find(struct.pack("<HHI", 262, 3, 1))
+    payload[i + 8:i + 10] = struct.pack("<H", 1)   # gray w/ 3 spp
+    with pytest.raises(ValueError):
+        decode_tiff_pixels(bytes(payload))
+
+
 def test_not_a_tiff_raises():
     with pytest.raises(ValueError):
         decode_tiff_pixels(b"PK\x03\x04 not a tiff")
@@ -285,8 +352,56 @@ def test_exif_hand_built_fixture():
     assert meta == {"orientation": 8}
 
 
+def test_exif_tolerates_fill_bytes():
+    # a legal 0xFF fill byte before APP1 must not desync the walk
+    app1 = build_exif_app1(orientation=5)
+    jpg = _jpeg_with_exif(app1)
+    padded = jpg[:2] + b"\xff" + jpg[2:]
+    assert parse_exif(padded)["orientation"] == 5
+
+
+def test_decode_real_counts_tiff_pages():
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_real,
+    )
+    payload, _ = _hand_tiff()
+    second = payload[14:]
+    patched = bytearray(payload + second)
+    struct.pack_into("<I", patched, len(payload) - 4, len(payload))
+    n_bytes, n_frames = decode_real(bytes(patched))
+    assert (n_bytes, n_frames) == (len(patched), 2)
+
+
 def test_exif_malformed_raises():
     seg = b"Exif\x00\x00" + b"II*\x00" + struct.pack("<I", 9999)
     app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(seg)) + seg
     with pytest.raises(ValueError):
         parse_exif(_jpeg_with_exif(app1))
+
+
+def test_exif_features_column_op(spark):
+    from data_ingestion_challenge_spark.operators.jpeg_codec import (
+        encode_jpeg_gray,
+    )
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        exif_features,
+    )
+    with_exif = _jpeg_with_exif(build_exif_app1(
+        orientation=6, make="ACME",
+        datetime_str="2026:08:16 10:00:00"))
+    plain = bytes(encode_jpeg_gray(np.full((4, 4), 9, np.uint8)))
+    malformed = _jpeg_with_exif(
+        b"\xff\xe1" + struct.pack(">H", 12)
+        + b"Exif\x00\x00" + b"II*\x00")
+    df = spark.createDataFrame(
+        [(1, bytearray(with_exif)), (2, bytearray(plain)),
+         (3, bytearray(b"not media at all")),
+         (4, bytearray(malformed))],
+        "doc_id long, payload binary")
+    out = {r.doc_id: r for r in exif_features(df).collect()}
+    assert out[1].exif_ok and out[1].orientation == 6
+    assert out[1].make == "ACME"
+    assert out[1].datetime_original == "2026:08:16 10:00:00"
+    for bad in (2, 3, 4):
+        assert not out[bad].exif_ok
+        assert out[bad].orientation is None
