@@ -317,3 +317,41 @@ EMBEDDING_NORM_PERCENTILES_ORACLE = """
            round(quantile_cont(_n, 0.9), 4) AS p90_norm
     FROM n GROUP BY label
 """
+
+
+def embedding_clip_bounds(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension calibration table for CLIPPED int8 quantization:
+    exact p1/p99 (the clip bounds that beat min/max scaling when a
+    dimension has outliers) next to the raw min/max and the implied
+    outlier clip rate — read before embedding_quantize_int8 decides
+    its scale.  Strongly-tailed dims (wide max vs p99) are where
+    min/max int8 wastes its range.
+
+    Exact interpolated percentiles (Spark `percentile` ==
+    quantile_cont on identical doubles), rounded 6dp.  Scale shape:
+    posexplode to (dim, value) — dims × vectors rows — then ONE
+    map-side-combinable groupBy per dim; at 100 TB the approx path
+    swaps in approx_percentile with the same schema."""
+    e = embeddings.select(
+        F.posexplode("embedding").alias("i", "v"))
+    e = e.select("i", col("v").cast("double").alias("v"))
+    return (e.groupBy("i")
+            .agg(F.round(F.min("v"), 6).alias("v_min"),
+                 F.round(F.percentile("v", F.lit(0.01)), 6)
+                 .alias("p01"),
+                 F.round(F.percentile("v", F.lit(0.99)), 6)
+                 .alias("p99"),
+                 F.round(F.max("v"), 6).alias("v_max")))
+
+
+EMBEDDING_CLIP_BOUNDS_ORACLE = """
+    WITH e AS (SELECT generate_subscripts(embedding, 1) - 1 AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings)
+    SELECT i,
+           round(min(v), 6) AS v_min,
+           round(quantile_cont(v, 0.01), 6) AS p01,
+           round(quantile_cont(v, 0.99), 6) AS p99,
+           round(max(v), 6) AS v_max
+    FROM e GROUP BY i
+"""

@@ -1665,3 +1665,158 @@ CUSTOMER_RECENCY_BANDS_ORACLE = """
     CROSS JOIN h
     GROUP BY 1
 """
+
+
+def hourly_count_autocorr(events: DataFrame) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly count
+    series — the rhythm detector: near 1 means smooth diurnal load
+    (cache-friendly, forecastable), near 0 means bursty/arrival-
+    driven, negative means oscillation (a retry storm signature).
+    Read next to hourly_anomaly_zscore when tuning alert windows.
+
+    Pairs are CONSECUTIVE epoch hours only (a gap contributes no
+    pair, identically on both engines, via a self-join on hour+1).
+    All Pearson terms are exact BIGINT sums of exact counts; the
+    final correlation is ONE double expression rounded 6dp, and
+    degenerate series (zero variance, <2 pairs) are dropped rather
+    than emitting engine-dependent NaNs.  Scale shape: one groupBy
+    to (type, hour) — bounded rows — then an hours-sized equi-join
+    and a types-sized rollup."""
+    hc = (events.groupBy(
+        "event_type",
+        (F.unix_micros(col("ts")) / (3600 * 1000000))
+        .cast("long").alias("h"))
+        .agg(F.count("*").cast("bigint").alias("c")))
+    a, b = hc.alias("a"), hc.alias("b")
+    pairs = (a.join(b, (col("a.event_type") == col("b.event_type"))
+                    & (col("b.h") == col("a.h") + 1))
+             .select(col("a.event_type").alias("event_type"),
+                     col("a.c").alias("x"), col("b.c").alias("y")))
+    g = (pairs.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(col("x") * col("x")).alias("sxx"),
+              F.sum(col("y") * col("y")).alias("syy"),
+              F.sum(col("x") * col("y")).alias("sxy")))
+    num = (col("n") * col("sxy") - col("sx") * col("sy")) \
+        .cast("double")
+    den = F.sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                 .cast("double")
+                 * (col("n") * col("syy") - col("sy") * col("sy"))
+                 .cast("double"))
+    return (g.where((col("n") >= 2)
+                    & (col("n") * col("sxx") > col("sx") * col("sx"))
+                    & (col("n") * col("syy") > col("sy") * col("sy")))
+            .select("event_type", col("n").alias("n_pairs"),
+                    F.round(num / den, 6).alias("autocorr_lag1")))
+
+
+HOURLY_COUNT_AUTOCORR_ORACLE = """
+    WITH hc AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.event_type, a.c AS x, b.c AS y
+        FROM hc a JOIN hc b
+          ON a.event_type = b.event_type AND b.h = a.h + 1),
+    g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY event_type)
+    SELECT event_type, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS autocorr_lag1
+    FROM g
+    WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+"""
+
+
+def sessions_per_user_histogram(events: DataFrame) -> DataFrame:
+    """How many 30-minute-gap sessions each user accumulates,
+    rolled to a histogram (n_sessions → user count) — the engagement
+    frequency curve product teams read next to dau_wau_stickiness
+    (same session rule as the registered sessionize, so the two
+    reconcile).
+
+    Exact integers end-to-end.  Scale shape: ONE shuffle on user_id
+    feeds the lag window, the per-user sum, and nothing else; the
+    histogram rollup is a second tiny exchange to a ≤max-sessions
+    output."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros(col("ts"))
+           - F.unix_micros(F.lag("ts").over(w))
+           > 30 * 60 * 1000000), 1).otherwise(0)
+    per_user = (events.select("user_id", "ts", "event_id")
+                .withColumn("_new", new_sess)
+                .groupBy("user_id")
+                .agg(F.sum("_new").cast("bigint")
+                     .alias("n_sessions")))
+    return (per_user.groupBy("n_sessions")
+            .agg(F.count("*").alias("n_users")))
+
+
+SESSIONS_PER_USER_HISTOGRAM_ORACLE = """
+    WITH seq AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    pu AS (SELECT user_id, CAST(sum(new_sess) AS BIGINT)
+                      AS n_sessions
+           FROM seq GROUP BY user_id)
+    SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
+    FROM pu GROUP BY n_sessions
+"""
+
+
+def funnel_conversion_delay(events: DataFrame) -> DataFrame:
+    """Signup→purchase conversion DELAY distribution: for each user
+    whose first purchase follows their first signup, the hours
+    between, bucketed by day — funnel_signup_purchase reports HOW
+    MANY convert; this is HOW FAST (the activation-campaign timing
+    table).
+
+    Exact integer microsecond diffs floored to days.  Scale shape:
+    two filtered min-aggregations on user_id (same shuffle key →
+    one exchange each, co-partitioned equi-join), then a days-sized
+    histogram."""
+    first_s = (events.where(col("event_type") == "signup")
+               .groupBy("user_id")
+               .agg(F.min("ts").alias("_s")))
+    first_p = (events.where(col("event_type") == "purchase")
+               .groupBy("user_id")
+               .agg(F.min("ts").alias("_p")))
+    j = (first_s.join(first_p, "user_id")
+         .where(col("_p") > col("_s")))
+    days = F.floor((F.unix_micros(col("_p"))
+                    - F.unix_micros(col("_s")))
+                   / (86400.0 * 1000000)).cast("long")
+    return (j.groupBy(days.alias("delay_days"))
+            .agg(F.count("*").alias("n_users")))
+
+
+FUNNEL_CONVERSION_DELAY_ORACLE = """
+    WITH s AS (SELECT user_id, min(ts) AS fs FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, min(ts) AS fp FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT CAST(floor((epoch_us(fp) - epoch_us(fs))
+                      / (86400.0 * 1000000)) AS BIGINT)
+               AS delay_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM s JOIN p USING (user_id)
+    WHERE fp > fs
+    GROUP BY 1
+"""

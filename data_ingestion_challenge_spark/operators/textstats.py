@@ -643,3 +643,40 @@ ASCII_RATIO_BY_LANG_ORACLE = """
            min(r) AS min_ascii_ratio
     FROM t GROUP BY lang
 """
+
+
+def uppercase_ratio_by_source(documents: DataFrame) -> DataFrame:
+    """SHOUTING audit per source: the share of A-Z characters in all
+    text bytes — high caps ratio flags boilerplate banners, scraped
+    navigation, and OCR noise the quality battery's length/punct
+    ratios miss; read next to doc_quality before setting per-source
+    sampling weights.
+
+    Exact integer character counts on both engines (regexp strip +
+    length), ONE double divide rounded 6dp.  Scale shape: one scan,
+    two Catalyst string expressions, map-side-combined groupBy to a
+    sources-sized output."""
+    upper = F.length(F.regexp_replace(col("text"), "[^A-Z]", ""))
+    total = F.length(col("text"))
+    return (documents
+            .groupBy("source")
+            .agg(F.sum(upper.cast("bigint")).alias("n_upper"),
+                 F.sum(total.cast("bigint")).alias("n_chars_total"))
+            .withColumn("upper_ratio",
+                        F.round(col("n_upper").cast("double")
+                                / col("n_chars_total"), 6)))
+
+
+UPPERCASE_RATIO_BY_SOURCE_ORACLE = """
+    WITH g AS (
+        SELECT source,
+               CAST(sum(length(regexp_replace(text, '[^A-Z]', '',
+                                              'g'))) AS BIGINT)
+                   AS n_upper,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars_total
+        FROM documents GROUP BY source)
+    SELECT source, n_upper, n_chars_total,
+           round(CAST(n_upper AS DOUBLE) / n_chars_total, 6)
+               AS upper_ratio
+    FROM g
+"""
