@@ -1657,17 +1657,29 @@ def exif_features(binary_table: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 meta = {}
                 try:
+                    # broad catch ON PURPOSE: a hostile APP1 can
+                    # violate the IFD walker's tag-TYPE assumptions
+                    # in ways that surface as TypeError/struct.error,
+                    # and one garbage row must never fail the batch
                     meta = parse_exif(bytes(payload))
-                except ValueError:
+                except Exception:
                     meta = {}
+                orientation = meta.get("orientation")
+                if not (isinstance(orientation, int)
+                        and 1 <= orientation <= 8):
+                    orientation = None      # EXIF orientation domain
+
+                def _s(v):
+                    return v if isinstance(v, str) else None
+
                 out["doc_id"].append(doc_id)
                 out["exif_ok"].append(bool(meta))
-                out["orientation"].append(meta.get("orientation"))
-                out["make"].append(meta.get("make"))
-                out["model"].append(meta.get("model"))
+                out["orientation"].append(orientation)
+                out["make"].append(_s(meta.get("make")))
+                out["model"].append(_s(meta.get("model")))
                 out["datetime_original"].append(
-                    meta.get("datetime_original",
-                             meta.get("datetime")))
+                    _s(meta.get("datetime_original",
+                                meta.get("datetime"))))
             yield pd.DataFrame({
                 "doc_id": pd.Series(out["doc_id"], dtype="int64"),
                 "exif_ok": pd.Series(out["exif_ok"], dtype="bool"),

@@ -429,12 +429,10 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     return px[:, :, 0] if spp == 1 else px
 
 
-def count_tiff_pages(payload: bytes) -> int:
-    """Walk the IFD chain (multi-page TIFF — scanned-document
-    convention): number of linked IFDs, cycle-guarded."""
-    bo = _tiff_byte_order(payload)
-    off = struct.unpack_from(bo + "I", payload, 4)[0]
-    seen = set()
+def _count_chain(payload: bytes, off: int, bo: str,
+                 seen: set) -> int:
+    """Pages in the IFD chain starting at ``off`` (0 = end),
+    cycle-guarded; ``seen`` carries already-visited offsets."""
     pages = 0
     while off:
         if off in seen:
@@ -445,24 +443,45 @@ def count_tiff_pages(payload: bytes) -> int:
     return pages
 
 
+def count_tiff_pages(payload: bytes) -> int:
+    """Walk the IFD chain (multi-page TIFF — scanned-document
+    convention): number of linked IFDs, cycle-guarded."""
+    bo = _tiff_byte_order(payload)
+    off = struct.unpack_from(bo + "I", payload, 4)[0]
+    return _count_chain(payload, off, bo, set())
+
+
 def decode_tiff(payload: bytes) -> dict:
     """Structure-level TIFF probe in the decode_media dict shape —
     header-bounded like the JPEG/GIF structure parses (an intake
     audit over a 100 TB crawl must not pay a full strip decode per
     payload): dims/channels from page 0's IFD tags, n_frames from
-    the IFD chain.  Pixel decode is decode_tiff_pixels."""
+    the IFD chain (page 0's already-parsed next pointer seeds the
+    walk — one IFD parse per page, not two).  Garbage tag values
+    (zero / absurd dims, bad channel counts) raise ValueError so
+    decode_media classifies the payload as opaque bytes instead of
+    poisoning the batch's typed columns.  Pixel decode is
+    decode_tiff_pixels; a palette page reports channels=3 — what the
+    pixel decode actually returns after the ColorMap mapping."""
     bo = _tiff_byte_order(payload)
     first_ifd = struct.unpack_from(bo + "I", payload, 4)[0]
-    tags, _ = _read_ifd(payload, first_ifd, bo)
+    tags, nxt = _read_ifd(payload, first_ifd, bo)
     if _TAG_WIDTH not in tags or _TAG_HEIGHT not in tags:
         raise ValueError("TIFF IFD missing image dimensions")
-    spp = tags.get(_TAG_SAMPLES, [1])[0]
+    w, h = int(tags[_TAG_WIDTH][0]), int(tags[_TAG_HEIGHT][0])
+    spp = int(tags.get(_TAG_SAMPLES, [1])[0])
+    photometric = tags.get(_TAG_PHOTOMETRIC,
+                           [1 if spp == 1 else 2])[0]
+    if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+        raise ValueError(f"TIFF dimensions out of range: {w}x{h}")
+    if not 1 <= spp <= 16:
+        raise ValueError(f"TIFF SamplesPerPixel out of range: {spp}")
     return {"mime": "image/tiff",
-            "n_frames": count_tiff_pages(payload), "rate": None,
-            "channels": int(spp),
-            "width": int(tags[_TAG_WIDTH][0]),
-            "height": int(tags[_TAG_HEIGHT][0]),
-            "pcm_rms": None}
+            "n_frames": 1 + _count_chain(payload, nxt, bo,
+                                         {first_ifd}),
+            "rate": None,
+            "channels": 3 if photometric == 3 else spp,
+            "width": w, "height": h, "pcm_rms": None}
 
 
 # --------------------------------------------------------------- #

@@ -15,24 +15,8 @@ sf0.001 and sf0.01 and each op carries closed-form hand cases."""
 
 from __future__ import annotations
 
-import duckdb
-import pytest
-
 from tests.test_r9_candidates import _compare
 
-_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
-
-
-@pytest.fixture(scope="module", params=_SFS)
-def sf_pair(request, spark):
-    from data_ingestion_challenge_spark.catalog import Catalog
-    con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "orders",
-              "lineitem", "supplier", "customer", "nation", "part",
-              "region"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * "
-                f"FROM '{request.param}/{t}.parquet'")
-    return Catalog(spark, request.param), con
 
 
 # ------------------------------------- lossless-JPEG codec witness

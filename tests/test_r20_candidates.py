@@ -10,24 +10,8 @@ BOTH sf0.001 and sf0.01; each op carries a closed-form hand case."""
 
 from __future__ import annotations
 
-import duckdb
-import pytest
-
 from tests.test_r9_candidates import _compare
 
-_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
-
-
-@pytest.fixture(scope="module", params=_SFS)
-def sf_pair(request, spark):
-    from data_ingestion_challenge_spark.catalog import Catalog
-    con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "orders",
-              "lineitem", "supplier", "customer", "nation", "part",
-              "region"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * "
-                f"FROM '{request.param}/{t}.parquet'")
-    return Catalog(spark, request.param), con
 
 
 # ------------------------------------------------ caps audit
@@ -147,6 +131,7 @@ def test_funnel_conversion_delay_matches_oracle(spark, sf_pair):
     cat, duck = sf_pair
     sdf = funnel_conversion_delay(cat.events)
     rows = _compare(sdf, duck, FUNNEL_CONVERSION_DELAY_ORACLE)
+    assert rows                 # testdata always carries converters
     # alphabetical: delay_days, n_users
     for delay, n in rows:
         assert delay >= 0 and n >= 1
