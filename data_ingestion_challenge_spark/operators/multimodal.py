@@ -66,7 +66,7 @@ HAS_MEDIA_LIBS = _PIL_Image is not None or _soundfile is not None
 def decode_real(payload: bytes):
     """Real media decode: every native stdlib parser below (WAV /
     AIFF / au / BMP / PNG incl. palette/16-bit/Adam7 / JPEG / GIF
-    incl. interlaced / TIFF strips / MP4 structure — round-trip
+    incl. interlaced / TIFF strips / Netpbm / MP4 structure — round-trip
     tested against generated genuine bytes in
     tests/test_multimodal_real.py, test_jpeg_codec.py and
     test_tiff_codec.py) runs first — JPEG now includes restart
@@ -104,6 +104,10 @@ def decode_real(payload: bytes):
             # header-bounded IFD probe; frames = multi-page chain
             return (len(payload),
                     _decode_tiff_media(payload)["n_frames"])
+        if (payload[:1] == b"P" and payload[1:2] in b"123456"
+                and payload[2:3].isspace()):
+            decode_pnm(payload)           # full raster validates
+            return len(payload), 1
     except Exception:
         # A recognized-but-natively-unparsable payload (e.g. a
         # palette PNG) must not SHADOW an installed PIL — fall
@@ -935,6 +939,126 @@ def decode_gif_pixels(payload: bytes) -> "object":
     raise ValueError("GIF payload holds no image descriptor")
 
 
+def _pnm_tokens(payload: bytes, n: int, pos: int):
+    """Read ``n`` whitespace-separated ASCII integer tokens starting
+    at ``pos``, skipping ``#`` comments (Netpbm header grammar);
+    returns (values, next_pos)."""
+    vals = []
+    i = pos
+    while len(vals) < n:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i] == 0x23:      # '#'
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and payload[j:j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed Netpbm header")
+        vals.append(int(payload[i:j]))
+        i = j
+    return vals, i
+
+
+def decode_pnm_pixels(payload: bytes):
+    """Netpbm decode — all six magics: P1/P4 bitmaps (1 = black, so
+    output inverts to 0), P2/P5 graymaps, P3/P6 pixmaps; ASCII and
+    binary rasters, ``#`` comments, 16-bit (maxval > 255, big-endian
+    per spec) binary samples.  Returns uint8 (or uint16) HxW / HxWx3."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic[:1] != b"P" or magic[1:2] not in b"123456":
+        raise ValueError("not a Netpbm payload")
+    kind = int(magic[1:2])
+    if kind in (1, 4):                     # PBM: no maxval token
+        (w, h), pos = _pnm_tokens(payload, 2, 2)
+        maxval = 1
+    else:
+        (w, h, maxval), pos = _pnm_tokens(payload, 3, 2)
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF and
+            0 < maxval <= 65535):
+        raise ValueError("Netpbm header values out of range")
+    spp = 3 if kind in (3, 6) else 1
+    n = w * h * spp
+    if kind in (1, 2, 3):                  # ASCII rasters
+        if kind == 1:
+            # P1 digits may run together without whitespace
+            bits = [c - 0x30 for c in payload[pos:]
+                    if c in (0x30, 0x31)]
+            if len(bits) < n:
+                raise ValueError("P1 raster truncated")
+            arr = np.array(bits[:n], dtype=np.int64)
+        else:
+            vals, _ = _pnm_tokens(payload, n, pos)
+            arr = np.array(vals, dtype=np.int64)
+    else:                                  # binary: ONE ws after hdr
+        pos += 1
+        if kind == 4:
+            row_bytes = (w + 7) // 8
+            raw = payload[pos:pos + row_bytes * h]
+            if len(raw) < row_bytes * h:
+                raise ValueError("P4 raster truncated")
+            rows = np.unpackbits(
+                np.frombuffer(raw, dtype=np.uint8)
+                .reshape(h, row_bytes), axis=1)[:, :w]
+            arr = rows.astype(np.int64).reshape(-1)
+        elif maxval > 255:
+            raw = payload[pos:pos + 2 * n]
+            if len(raw) < 2 * n:
+                raise ValueError("P5/P6 16-bit raster truncated")
+            arr = np.frombuffer(raw, dtype=">u2").astype(np.int64)
+        else:
+            raw = payload[pos:pos + n]
+            if len(raw) < n:
+                raise ValueError("P5/P6 raster truncated")
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    if arr.max(initial=0) > maxval:
+        raise ValueError("Netpbm sample exceeds maxval")
+    if kind in (1, 4):                     # 1 = black -> intensity 0
+        arr = (1 - arr) * 255
+        maxval = 255
+    dtype = np.uint16 if maxval > 255 else np.uint8
+    px = arr.astype(dtype)
+    return (px.reshape(h, w) if spp == 1
+            else px.reshape(h, w, 3))
+
+
+def encode_pnm(pixels, ascii_format: bool = False) -> bytes:
+    """Netpbm encode: grayscale → P2/P5, RGB → P3/P6 (uint16 input
+    emits 16-bit big-endian binary samples per spec)."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.dtype not in (np.uint8, np.uint16):
+        raise ValueError("encode_pnm takes uint8 or uint16")
+    rgb = px.ndim == 3
+    h, w = px.shape[:2]
+    maxval = 65535 if px.dtype == np.uint16 else 255
+    if ascii_format:
+        magic = b"P3" if rgb else b"P2"
+        body = " ".join(str(int(v)) for v in px.reshape(-1))
+        return (magic + f"\n{w} {h}\n{maxval}\n".encode()
+                + body.encode() + b"\n")
+    magic = b"P6" if rgb else b"P5"
+    raster = (px.astype(">u2").tobytes() if maxval > 255
+              else px.astype(np.uint8).tobytes())
+    return magic + f"\n{w} {h}\n{maxval}\n".encode() + raster
+
+
+def decode_pnm(payload: bytes) -> dict:
+    """Netpbm probe in the decode_media dict shape (pixel decode —
+    the raster must parse; Netpbm has no structure-only level)."""
+    px = decode_pnm_pixels(payload)
+    return {"mime": "image/x-portable-anymap", "n_frames": 1,
+            "rate": None,
+            "channels": 1 if px.ndim == 2 else 3,
+            "width": int(px.shape[1]), "height": int(px.shape[0]),
+            "pcm_rms": None}
+
+
 def decode_jpeg_header(payload: bytes) -> dict:
     """REAL JPEG structure parse: the marker walk to the first SOF
     (start-of-frame) segment yields dimensions and channel count
@@ -1144,6 +1268,11 @@ _NATIVE_SNIFFERS = (
      lambda p: decode_mp4_structure(p)),
     (lambda p: p[:4] in (b"II*\x00", b"MM\x00*"),
      lambda p: _decode_tiff_media(p)),
+    # Netpbm magic must be followed by whitespace — bare "P5..."
+    # text must not sniff as an image
+    (lambda p: (p[:1] == b"P" and p[1:2] in b"123456"
+                and p[2:3].isspace()),
+     lambda p: decode_pnm(p)),
 )
 
 

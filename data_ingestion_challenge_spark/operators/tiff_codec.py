@@ -343,17 +343,27 @@ def encode_tiff(pixels, compression: int = 1,
             + ifd + bytes(overflow))
 
 
-def decode_tiff_pixels(payload: bytes) -> np.ndarray:
+def decode_tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
     """Decode a baseline strip-organized TIFF to uint8 pixels (HxW
     grayscale or HxWx3 RGB), honoring byte order, compression
     (none / PackBits / LZW), the horizontal predictor, and
     PhotometricInterpretation — 0 (WhiteIsZero, the fax/scanner
     default) inverts, 3 (palette) maps indices through the ColorMap
-    tag to RGB.  Tiled, planar, >8-bit, and JPEG-compressed TIFFs
-    raise typed NotImplementedError."""
+    tag to RGB.  ``page`` walks the multi-page IFD chain (scanned
+    documents); past-the-end raises ValueError.  Tiled, planar,
+    >8-bit, and JPEG-compressed TIFFs raise typed
+    NotImplementedError."""
     bo = _tiff_byte_order(payload)
-    first_ifd = struct.unpack_from(bo + "I", payload, 4)[0]
-    tags, _ = _read_ifd(payload, first_ifd, bo)
+    off = struct.unpack_from(bo + "I", payload, 4)[0]
+    seen: set = set()
+    for _skip in range(page):
+        if not off or off in seen:
+            raise ValueError(f"TIFF has no page {page}")
+        seen.add(off)
+        _, off = _read_ifd(payload, off, bo)
+    if not off:
+        raise ValueError(f"TIFF has no page {page}")
+    tags, _ = _read_ifd(payload, off, bo)
     if 322 in tags or 324 in tags:
         raise NotImplementedError("tiled TIFF needs PIL")
     w = tags[_TAG_WIDTH][0]
