@@ -100,8 +100,10 @@ def decode_real(payload: bytes):
             # structure-level: "frames" = duration in timescale units
             return (len(payload),
                     decode_mp4_structure(payload)["n_frames"])
-        if payload[:4] in (b"II*\x00", b"MM\x00*"):
-            # header-bounded IFD probe; frames = multi-page chain
+        if payload[:4] in (b"II*\x00", b"MM\x00*",
+                           b"II+\x00", b"MM\x00+"):
+            # header-bounded IFD probe (classic or BigTIFF);
+            # frames = multi-page chain
             return (len(payload),
                     _decode_tiff_media(payload)["n_frames"])
         if (payload[:1] == b"P" and payload[1:2] in b"123456"
@@ -1266,7 +1268,8 @@ _NATIVE_SNIFFERS = (
     (lambda p: p[:4] == b".snd", lambda p: decode_au(p)),
     (lambda p: len(p) >= 12 and p[4:8] == b"ftyp",
      lambda p: decode_mp4_structure(p)),
-    (lambda p: p[:4] in (b"II*\x00", b"MM\x00*"),
+    (lambda p: p[:4] in (b"II*\x00", b"MM\x00*",
+                         b"II+\x00", b"MM\x00+"),
      lambda p: _decode_tiff_media(p)),
     # Netpbm magic must be followed by whitespace — bare "P5..."
     # text must not sniff as an image

@@ -50,30 +50,41 @@ _TAG_EXIF_IFD = 34665
 _TAG_DT_ORIGINAL = 36867
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
-              9: 4, 10: 8}
+              9: 4, 10: 8, 16: 8, 17: 8, 18: 8}
 
 
-def _read_ifd(buf: bytes, off: int, bo: str) -> tuple[dict, int]:
+def _read_ifd(buf: bytes, off: int, bo: str,
+              big: bool = False) -> tuple[dict, int]:
     """One IFD at ``off``: {tag: list-of-values} plus the offset of
     the next IFD (0 = none).  Values are resolved through the
-    inline-vs-offset rule (payloads > 4 bytes live elsewhere)."""
-    if off + 2 > len(buf):
+    inline-vs-offset rule.  ``big`` selects the BigTIFF layout
+    (8-byte entry counts / offsets / inline capacity, 20-byte
+    entries, the LONG8/SLONG8/IFD8 types)."""
+    cnt_fmt, cnt_sz = ("Q", 8) if big else ("H", 2)
+    off_fmt, stride, inline = (("Q", 20, 8) if big
+                               else ("I", 12, 4))
+    if off + cnt_sz > len(buf):
         raise ValueError("TIFF IFD offset out of range")
-    n = struct.unpack_from(bo + "H", buf, off)[0]
+    n = struct.unpack_from(bo + cnt_fmt, buf, off)[0]
     entries = {}
-    pos = off + 2
-    if pos + 12 * n + 4 > len(buf):
+    pos = off + cnt_sz
+    if pos + stride * n + (8 if big else 4) > len(buf):
         raise ValueError("TIFF IFD runs off the payload")
     for _ in range(n):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, pos)
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", buf, pos)
+            cnt = struct.unpack_from(bo + "Q", buf, pos + 4)[0]
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, pos)
         size = _TYPE_SIZE.get(typ, 0) * cnt
         if size == 0:
-            pos += 12
+            pos += stride
             continue
-        if size <= 4:
-            voff = pos + 8
+        vfield = pos + (12 if big else 8)
+        if size <= inline:
+            voff = vfield
         else:
-            voff = struct.unpack_from(bo + "I", buf, pos + 8)[0]
+            voff = struct.unpack_from(bo + off_fmt, buf, vfield)[0]
             if voff + size > len(buf):
                 raise ValueError(f"TIFF tag {tag} value out of range")
         if typ == 2:                       # ASCII (NUL-terminated)
@@ -88,18 +99,41 @@ def _read_ifd(buf: bytes, off: int, bo: str) -> tuple[dict, int]:
         elif typ in (4, 9):                # LONG
             entries[tag] = list(struct.unpack_from(
                 bo + f"{cnt}{'I' if typ == 4 else 'i'}", buf, voff))
+        elif typ in (16, 17, 18):          # LONG8/SLONG8/IFD8
+            entries[tag] = list(struct.unpack_from(
+                bo + f"{cnt}{'q' if typ == 17 else 'Q'}", buf, voff))
         elif typ in (5, 10):               # RATIONAL: (num, den)
             flat = struct.unpack_from(
                 bo + f"{2 * cnt}{'I' if typ == 5 else 'i'}",
                 buf, voff)
             entries[tag] = [(flat[2 * i], flat[2 * i + 1])
                             for i in range(cnt)]
-        pos += 12
-    nxt = struct.unpack_from(bo + "I", buf, pos)[0]
+        pos += stride
+    nxt = struct.unpack_from(bo + off_fmt, buf, pos)[0]
     return entries, nxt
 
 
+def _tiff_layout(buf: bytes) -> tuple[str, bool, int]:
+    """(byte order, is_bigtiff, first IFD offset).  Classic headers
+    carry version 42 and a 4-byte IFD pointer at offset 4; BigTIFF
+    (version 43) declares an 8-byte offset size and parks a 64-bit
+    pointer at offset 8."""
+    if buf[:4] == b"II*\x00":
+        return "<", False, struct.unpack_from("<I", buf, 4)[0]
+    if buf[:4] == b"MM\x00*":
+        return ">", False, struct.unpack_from(">I", buf, 4)[0]
+    for bo, magic in (("<", b"II"), (">", b"MM")):
+        if (buf[:2] == magic
+                and struct.unpack_from(bo + "H", buf, 2)[0] == 43):
+            osz, pad = struct.unpack_from(bo + "HH", buf, 4)
+            if osz != 8 or pad != 0:
+                raise ValueError("malformed BigTIFF header")
+            return bo, True, struct.unpack_from(bo + "Q", buf, 8)[0]
+    raise ValueError("not a TIFF payload")
+
+
 def _tiff_byte_order(buf: bytes) -> str:
+    """Classic-TIFF byte-order probe (EXIF APP1 is always classic)."""
     if buf[:4] == b"II*\x00":
         return "<"
     if buf[:4] == b"MM\x00*":
@@ -261,11 +295,14 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
 def encode_tiff(pixels, compression: int = 1,
                 byte_order: str = "<",
                 rows_per_strip: int = 8,
-                predictor: int = 1) -> bytes:
+                predictor: int = 1,
+                bigtiff: bool = False) -> bytes:
     """Strip-organized baseline TIFF: HxW grayscale or HxWx3 RGB
     uint8 in, conforming bytes out.  ``compression``: 1 none,
     32773 PackBits, 5 LZW (optionally with ``predictor=2``
-    horizontal differencing).  ``byte_order``: '<' II, '>' MM."""
+    horizontal differencing).  ``byte_order``: '<' II, '>' MM.
+    ``bigtiff`` emits the version-43 layout (16-byte header,
+    8-byte IFD counts/offsets, 20-byte entries)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -297,9 +334,14 @@ def encode_tiff(pixels, compression: int = 1,
             strips.append(raw)
     n_strips = len(strips)
 
-    # layout: header (8) | pixel strips | IFD | out-of-line values
-    header = (b"II*\x00" if bo == "<" else b"MM\x00*")
-    data_off = 8
+    # layout: header | pixel strips | IFD | out-of-line values
+    if bigtiff:
+        header = ((b"II" if bo == "<" else b"MM")
+                  + struct.pack(bo + "HHH", 43, 8, 0))
+        data_off = 16
+    else:
+        header = (b"II*\x00" if bo == "<" else b"MM\x00*")
+        data_off = 8
     offsets, counts = [], []
     blob = bytearray()
     for s in strips:
@@ -323,24 +365,33 @@ def encode_tiff(pixels, compression: int = 1,
     if predictor == 2:
         tags.append((_TAG_PREDICTOR, 3, [2]))
     tags.sort()
+    cnt_sz, stride, inline, off_fmt = \
+        (8, 20, 8, "Q") if bigtiff else (2, 12, 4, "I")
     entry_bytes = bytearray()
     overflow = bytearray()
-    overflow_base = ifd_off + 2 + 12 * len(tags) + 4
+    overflow_base = (ifd_off + cnt_sz + stride * len(tags)
+                     + _TYPE_SIZE[16 if bigtiff else 4])
     for tag, typ, vals in tags:
         fmt = "H" if typ == 3 else "I"
         size = _TYPE_SIZE[typ] * len(vals)
         packed = struct.pack(bo + fmt * len(vals), *vals)
-        entry_bytes += struct.pack(bo + "HHI", tag, typ, len(vals))
-        if size <= 4:
-            entry_bytes += packed + b"\x00" * (4 - size)
+        if bigtiff:
+            entry_bytes += struct.pack(bo + "HHQ", tag, typ,
+                                       len(vals))
+        else:
+            entry_bytes += struct.pack(bo + "HHI", tag, typ,
+                                       len(vals))
+        if size <= inline:
+            entry_bytes += packed + b"\x00" * (inline - size)
         else:
             entry_bytes += struct.pack(
-                bo + "I", overflow_base + len(overflow))
+                bo + off_fmt, overflow_base + len(overflow))
             overflow += packed
-    ifd = (struct.pack(bo + "H", len(tags)) + bytes(entry_bytes)
-           + struct.pack(bo + "I", 0))
-    return (header + struct.pack(bo + "I", ifd_off) + bytes(blob)
-            + ifd + bytes(overflow))
+    ifd = (struct.pack(bo + ("Q" if bigtiff else "H"), len(tags))
+           + bytes(entry_bytes)
+           + struct.pack(bo + off_fmt, 0))
+    return (header + struct.pack(bo + off_fmt, ifd_off)
+            + bytes(blob) + ifd + bytes(overflow))
 
 
 def decode_tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
@@ -350,20 +401,20 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
     PhotometricInterpretation — 0 (WhiteIsZero, the fax/scanner
     default) inverts, 3 (palette) maps indices through the ColorMap
     tag to RGB.  ``page`` walks the multi-page IFD chain (scanned
-    documents); past-the-end raises ValueError.  Tiled, planar,
-    >8-bit, and JPEG-compressed TIFFs raise typed
+    documents); past-the-end raises ValueError.  BigTIFF (version
+    43, 8-byte offsets) decodes through the same path.  Tiled,
+    planar, >8-bit, and JPEG-compressed TIFFs raise typed
     NotImplementedError."""
-    bo = _tiff_byte_order(payload)
-    off = struct.unpack_from(bo + "I", payload, 4)[0]
+    bo, big, off = _tiff_layout(payload)
     seen: set = set()
     for _skip in range(page):
         if not off or off in seen:
             raise ValueError(f"TIFF has no page {page}")
         seen.add(off)
-        _, off = _read_ifd(payload, off, bo)
+        _, off = _read_ifd(payload, off, bo, big)
     if not off:
         raise ValueError(f"TIFF has no page {page}")
-    tags, _ = _read_ifd(payload, off, bo)
+    tags, _ = _read_ifd(payload, off, bo, big)
     if 322 in tags or 324 in tags:
         raise NotImplementedError("tiled TIFF needs PIL")
     w = tags[_TAG_WIDTH][0]
@@ -440,7 +491,7 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
 
 
 def _count_chain(payload: bytes, off: int, bo: str,
-                 seen: set) -> int:
+                 seen: set, big: bool = False) -> int:
     """Pages in the IFD chain starting at ``off`` (0 = end),
     cycle-guarded; ``seen`` carries already-visited offsets."""
     pages = 0
@@ -448,7 +499,7 @@ def _count_chain(payload: bytes, off: int, bo: str,
         if off in seen:
             raise ValueError("TIFF IFD chain cycles")
         seen.add(off)
-        _, off = _read_ifd(payload, off, bo)
+        _, off = _read_ifd(payload, off, bo, big)
         pages += 1
     return pages
 
@@ -456,9 +507,8 @@ def _count_chain(payload: bytes, off: int, bo: str,
 def count_tiff_pages(payload: bytes) -> int:
     """Walk the IFD chain (multi-page TIFF — scanned-document
     convention): number of linked IFDs, cycle-guarded."""
-    bo = _tiff_byte_order(payload)
-    off = struct.unpack_from(bo + "I", payload, 4)[0]
-    return _count_chain(payload, off, bo, set())
+    bo, big, off = _tiff_layout(payload)
+    return _count_chain(payload, off, bo, set(), big)
 
 
 def decode_tiff(payload: bytes) -> dict:
@@ -473,9 +523,8 @@ def decode_tiff(payload: bytes) -> dict:
     poisoning the batch's typed columns.  Pixel decode is
     decode_tiff_pixels; a palette page reports channels=3 — what the
     pixel decode actually returns after the ColorMap mapping."""
-    bo = _tiff_byte_order(payload)
-    first_ifd = struct.unpack_from(bo + "I", payload, 4)[0]
-    tags, nxt = _read_ifd(payload, first_ifd, bo)
+    bo, big, first_ifd = _tiff_layout(payload)
+    tags, nxt = _read_ifd(payload, first_ifd, bo, big)
     if _TAG_WIDTH not in tags or _TAG_HEIGHT not in tags:
         raise ValueError("TIFF IFD missing image dimensions")
     w, h = int(tags[_TAG_WIDTH][0]), int(tags[_TAG_HEIGHT][0])

@@ -293,6 +293,75 @@ except ImportError:  # pragma: no cover
 
 
 # ---------------------------------------------------------------- #
+# BigTIFF (version 43, 8-byte offsets)                               #
+# ---------------------------------------------------------------- #
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+def test_bigtiff_round_trip(bo, comp):
+    px = RNG.integers(0, 256, size=(9, 14), dtype=np.uint8)
+    payload = encode_tiff(px, compression=comp, byte_order=bo,
+                          bigtiff=True)
+    assert payload[2:4] in (b"+\x00", b"\x00+")   # version 43
+    np.testing.assert_array_equal(decode_tiff_pixels(payload), px)
+
+
+def test_bigtiff_rgb_and_dict():
+    px = RNG.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    payload = encode_tiff(px, bigtiff=True)
+    np.testing.assert_array_equal(decode_tiff_pixels(payload), px)
+    d = decode_tiff(payload)
+    assert (d["width"], d["height"], d["channels"],
+            d["n_frames"]) == (6, 5, 3, 1)
+
+
+def test_bigtiff_hand_built_with_long8_offsets():
+    # 2x2 grayscale, strips declared via the BigTIFF LONG8 type (16)
+    pixels = bytes([7, 8, 9, 10])
+    head = (b"II" + struct.pack("<HHH", 43, 8, 0)
+            + struct.pack("<Q", 20))       # IFD at 20
+
+    def entry(tag, typ, cnt, val8):
+        return struct.pack("<HHQ", tag, typ, cnt) + val8
+
+    def q(v):
+        return struct.pack("<Q", v)
+
+    e = [
+        entry(256, 3, 1, struct.pack("<HHI", 2, 0, 0)),
+        entry(257, 3, 1, struct.pack("<HHI", 2, 0, 0)),
+        entry(258, 3, 1, struct.pack("<HHI", 8, 0, 0)),
+        entry(259, 3, 1, struct.pack("<HHI", 1, 0, 0)),
+        entry(262, 3, 1, struct.pack("<HHI", 1, 0, 0)),
+        entry(273, 16, 1, q(16)),          # LONG8 strip offset
+        entry(277, 3, 1, struct.pack("<HHI", 1, 0, 0)),
+        entry(278, 3, 1, struct.pack("<HHI", 2, 0, 0)),
+        entry(279, 16, 1, q(4)),           # LONG8 byte count
+    ]
+    ifd = q(len(e)) + b"".join(e) + q(0)
+    payload = head + pixels + ifd
+    np.testing.assert_array_equal(
+        decode_tiff_pixels(payload),
+        np.array([[7, 8], [9, 10]], dtype=np.uint8))
+    assert decode_tiff(payload)["n_frames"] == 1
+
+
+def test_bigtiff_malformed_offset_size_rejected():
+    bad = b"II" + struct.pack("<HHH", 43, 4, 0) + struct.pack("<Q", 16)
+    with pytest.raises(ValueError):
+        decode_tiff_pixels(bad)
+
+
+def test_bigtiff_sniffed_by_decode_media():
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_media,
+    )
+    px = RNG.integers(0, 256, size=(3, 3), dtype=np.uint8)
+    d = decode_media(encode_tiff(px, bigtiff=True))
+    assert d["mime"] == "image/tiff" and d["width"] == 3
+
+
+# ---------------------------------------------------------------- #
 # EXIF                                                              #
 # ---------------------------------------------------------------- #
 
