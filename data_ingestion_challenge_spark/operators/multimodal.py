@@ -62,6 +62,19 @@ except ImportError:
 
 HAS_MEDIA_LIBS = _PIL_Image is not None or _soundfile is not None
 
+# Shared format-recognition predicates: decode_real and the
+# _NATIVE_SNIFFERS table MUST agree on what each format looks like —
+# one definition per format, used by both.
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*",       # classic
+                b"II+\x00", b"MM\x00+")       # BigTIFF (version 43)
+
+
+def _is_pnm(p: bytes) -> bool:
+    """Netpbm magic must be followed by whitespace — bare "P5..."
+    TEXT must never sniff as an image."""
+    return (p[:1] == b"P" and p[1:2] in b"123456"
+            and p[2:3].isspace())
+
 
 def decode_real(payload: bytes):
     """Real media decode: every native stdlib parser below (WAV /
@@ -100,15 +113,13 @@ def decode_real(payload: bytes):
             # structure-level: "frames" = duration in timescale units
             return (len(payload),
                     decode_mp4_structure(payload)["n_frames"])
-        if payload[:4] in (b"II*\x00", b"MM\x00*",
-                           b"II+\x00", b"MM\x00+"):
+        if payload[:4] in _TIFF_MAGICS:
             # header-bounded IFD probe (classic or BigTIFF);
             # frames = multi-page chain
             return (len(payload),
                     _decode_tiff_media(payload)["n_frames"])
-        if (payload[:1] == b"P" and payload[1:2] in b"123456"
-                and payload[2:3].isspace()):
-            decode_pnm(payload)           # full raster validates
+        if _is_pnm(payload):
+            decode_pnm_structure(payload)  # header-bounded validate
             return len(payload), 1
     except Exception:
         # A recognized-but-natively-unparsable payload (e.g. a
@@ -987,12 +998,23 @@ def decode_pnm_pixels(payload: bytes):
     n = w * h * spp
     if kind in (1, 2, 3):                  # ASCII rasters
         if kind == 1:
-            # P1 digits may run together without whitespace
-            bits = [c - 0x30 for c in payload[pos:]
-                    if c in (0x30, 0x31)]
+            # P1 digits may run together without whitespace, but
+            # comments still apply and non-0/1 content is an error
+            bits = []
+            i = pos
+            while i < len(payload) and len(bits) < n:
+                c = payload[i]
+                if c == 0x23:              # '#' comment to EOL
+                    while i < len(payload) and payload[i] != 0x0A:
+                        i += 1
+                elif c in (0x30, 0x31):
+                    bits.append(c - 0x30)
+                elif not payload[i:i + 1].isspace():
+                    raise ValueError("invalid P1 raster byte")
+                i += 1
             if len(bits) < n:
                 raise ValueError("P1 raster truncated")
-            arr = np.array(bits[:n], dtype=np.int64)
+            arr = np.array(bits, dtype=np.int64)
         else:
             vals, _ = _pnm_tokens(payload, n, pos)
             arr = np.array(vals, dtype=np.int64)
@@ -1036,6 +1058,12 @@ def encode_pnm(pixels, ascii_format: bool = False) -> bytes:
     px = np.asarray(pixels)
     if px.dtype not in (np.uint8, np.uint16):
         raise ValueError("encode_pnm takes uint8 or uint16")
+    if px.ndim == 3 and px.shape[2] != 3:
+        raise ValueError(
+            f"encode_pnm takes HxW or HxWx3, got {px.shape}")
+    if px.ndim not in (2, 3):
+        raise ValueError(
+            f"encode_pnm takes HxW or HxWx3, got {px.shape}")
     rgb = px.ndim == 3
     h, w = px.shape[:2]
     maxval = 65535 if px.dtype == np.uint16 else 255
@@ -1051,14 +1079,47 @@ def encode_pnm(pixels, ascii_format: bool = False) -> bytes:
 
 
 def decode_pnm(payload: bytes) -> dict:
-    """Netpbm probe in the decode_media dict shape (pixel decode —
-    the raster must parse; Netpbm has no structure-only level)."""
+    """Netpbm probe in the decode_media dict shape via a FULL pixel
+    decode (strict validation path; the intake hot path uses
+    decode_pnm_structure instead)."""
     px = decode_pnm_pixels(payload)
     return {"mime": "image/x-portable-anymap", "n_frames": 1,
             "rate": None,
             "channels": 1 if px.ndim == 2 else 3,
             "width": int(px.shape[1]), "height": int(px.shape[0]),
             "pcm_rms": None}
+
+
+def decode_pnm_structure(payload: bytes) -> dict:
+    """Header-bounded Netpbm probe — what decode_media runs (an
+    intake audit must not pay an O(pixels) ASCII token loop per
+    payload): magic + dims + maxval parse, and for the binary
+    rasters an exact length check (the raster size is pure
+    arithmetic); ASCII raster content is validated only by the full
+    decoder."""
+    magic = payload[:2]
+    if magic[:1] != b"P" or magic[1:2] not in b"123456":
+        raise ValueError("not a Netpbm payload")
+    kind = int(magic[1:2])
+    if kind in (1, 4):
+        (w, h), pos = _pnm_tokens(payload, 2, 2)
+        maxval = 1
+    else:
+        (w, h, maxval), pos = _pnm_tokens(payload, 3, 2)
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF and
+            0 < maxval <= 65535):
+        raise ValueError("Netpbm header values out of range")
+    spp = 3 if kind in (3, 6) else 1
+    if kind in (4, 5, 6):                  # exact binary length
+        if kind == 4:
+            need = (w + 7) // 8 * h
+        else:
+            need = w * h * spp * (2 if maxval > 255 else 1)
+        if len(payload) - (pos + 1) < need:
+            raise ValueError("Netpbm raster truncated")
+    return {"mime": "image/x-portable-anymap", "n_frames": 1,
+            "rate": None, "channels": spp,
+            "width": int(w), "height": int(h), "pcm_rms": None}
 
 
 def decode_jpeg_header(payload: bytes) -> dict:
@@ -1268,14 +1329,9 @@ _NATIVE_SNIFFERS = (
     (lambda p: p[:4] == b".snd", lambda p: decode_au(p)),
     (lambda p: len(p) >= 12 and p[4:8] == b"ftyp",
      lambda p: decode_mp4_structure(p)),
-    (lambda p: p[:4] in (b"II*\x00", b"MM\x00*",
-                         b"II+\x00", b"MM\x00+"),
+    (lambda p: p[:4] in _TIFF_MAGICS,
      lambda p: _decode_tiff_media(p)),
-    # Netpbm magic must be followed by whitespace — bare "P5..."
-    # text must not sniff as an image
-    (lambda p: (p[:1] == b"P" and p[1:2] in b"123456"
-                and p[2:3].isspace()),
-     lambda p: decode_pnm(p)),
+    (_is_pnm, lambda p: decode_pnm_structure(p)),
 )
 
 

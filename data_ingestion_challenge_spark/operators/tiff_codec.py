@@ -119,12 +119,18 @@ def _tiff_layout(buf: bytes) -> tuple[str, bool, int]:
     (version 43) declares an 8-byte offset size and parks a 64-bit
     pointer at offset 8."""
     if buf[:4] == b"II*\x00":
+        if len(buf) < 8:
+            raise ValueError("TIFF header truncated")
         return "<", False, struct.unpack_from("<I", buf, 4)[0]
     if buf[:4] == b"MM\x00*":
+        if len(buf) < 8:
+            raise ValueError("TIFF header truncated")
         return ">", False, struct.unpack_from(">I", buf, 4)[0]
     for bo, magic in (("<", b"II"), (">", b"MM")):
-        if (buf[:2] == magic
+        if (len(buf) >= 4 and buf[:2] == magic
                 and struct.unpack_from(bo + "H", buf, 2)[0] == 43):
+            if len(buf) < 16:
+                raise ValueError("BigTIFF header truncated")
             osz, pad = struct.unpack_from(bo + "HH", buf, 4)
             if osz != 8 or pad != 0:
                 raise ValueError("malformed BigTIFF header")
@@ -408,10 +414,13 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
     bo, big, off = _tiff_layout(payload)
     seen: set = set()
     for _skip in range(page):
-        if not off or off in seen:
+        if off in seen:
+            raise ValueError("TIFF IFD chain cycles")
+        if not off:
             raise ValueError(f"TIFF has no page {page}")
         seen.add(off)
-        _, off = _read_ifd(payload, off, bo, big)
+        # light walk: skipped pages need only the next pointer
+        off = _next_ifd(payload, off, bo, big)
     if not off:
         raise ValueError(f"TIFF has no page {page}")
     tags, _ = _read_ifd(payload, off, bo, big)
@@ -490,6 +499,24 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
     return px[:, :, 0] if spp == 1 else px
 
 
+def _next_ifd(payload: bytes, off: int, bo: str,
+              big: bool) -> int:
+    """Next-IFD pointer of the IFD at ``off`` WITHOUT resolving tag
+    values — the light walk chain counting and page skipping need
+    (read the entry count, hop over the entries, read the
+    pointer)."""
+    cnt_fmt, cnt_sz = ("Q", 8) if big else ("H", 2)
+    off_fmt, stride = ("Q", 20) if big else ("I", 12)
+    ptr_sz = 8 if big else 4
+    if off + cnt_sz > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    n = struct.unpack_from(bo + cnt_fmt, payload, off)[0]
+    pos = off + cnt_sz + stride * n
+    if pos + ptr_sz > len(payload):
+        raise ValueError("TIFF IFD runs off the payload")
+    return struct.unpack_from(bo + off_fmt, payload, pos)[0]
+
+
 def _count_chain(payload: bytes, off: int, bo: str,
                  seen: set, big: bool = False) -> int:
     """Pages in the IFD chain starting at ``off`` (0 = end),
@@ -499,7 +526,7 @@ def _count_chain(payload: bytes, off: int, bo: str,
         if off in seen:
             raise ValueError("TIFF IFD chain cycles")
         seen.add(off)
-        _, off = _read_ifd(payload, off, bo, big)
+        off = _next_ifd(payload, off, bo, big)
         pages += 1
     return pages
 
@@ -537,7 +564,7 @@ def decode_tiff(payload: bytes) -> dict:
         raise ValueError(f"TIFF SamplesPerPixel out of range: {spp}")
     return {"mime": "image/tiff",
             "n_frames": 1 + _count_chain(payload, nxt, bo,
-                                         {first_ifd}),
+                                         {first_ifd}, big),
             "rate": None,
             "channels": 3 if photometric == 3 else spp,
             "width": w, "height": h, "pcm_rms": None}

@@ -75,6 +75,45 @@ def test_hand_built_p3_color():
         out, np.array([[[255, 0, 0], [0, 0, 255]]], dtype=np.uint8))
 
 
+def test_p1_comment_inside_raster_skipped():
+    # '#' comments are legal ANYWHERE in plain formats — '0'/'1'
+    # characters inside one must not become pixels
+    payload = b"P1\n2 2\n# row 1 note: 1011\n10\n01\n"
+    expected = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    np.testing.assert_array_equal(decode_pnm_pixels(payload), expected)
+
+
+def test_p1_invalid_digit_rejected():
+    with pytest.raises(ValueError):
+        decode_pnm_pixels(b"P1\n2 2\n1 2 0 1 1\n")
+
+
+def test_encode_pnm_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        encode_pnm(np.zeros((2, 2, 4), dtype=np.uint8))   # RGBA
+    with pytest.raises(ValueError):
+        encode_pnm(np.zeros((2, 2, 1), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_pnm(np.zeros(4, dtype=np.uint8))           # 1-D
+
+
+def test_structure_probe_header_bounded():
+    from data_ingestion_challenge_spark.operators.multimodal import (
+        decode_pnm_structure,
+    )
+    px = RNG.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    d = decode_pnm_structure(encode_pnm(px))
+    assert (d["width"], d["height"], d["channels"]) == (4, 6, 3)
+    # binary raster truncation IS caught by the length arithmetic
+    with pytest.raises(ValueError):
+        decode_pnm_structure(encode_pnm(px)[:-5])
+    # 16-bit binary needs 2 bytes per sample
+    wide = RNG.integers(0, 65536, size=(3, 3), dtype=np.uint16)
+    assert decode_pnm_structure(encode_pnm(wide))["channels"] == 1
+    with pytest.raises(ValueError):
+        decode_pnm_structure(encode_pnm(wide)[:-1])
+
+
 def test_sample_exceeding_maxval_rejected():
     with pytest.raises(ValueError):
         decode_pnm_pixels(b"P2\n1 1\n100\n200\n")

@@ -352,6 +352,48 @@ def test_bigtiff_malformed_offset_size_rejected():
         decode_tiff_pixels(bad)
 
 
+def test_truncated_headers_raise_valueerror_not_struct_error():
+    for frag in (b"II+\x00", b"II+\x00\x08\x00", b"II*\x00",
+                 b"MM\x00*\x00"):
+        with pytest.raises(ValueError):
+            decode_tiff_pixels(frag)
+
+
+def test_multipage_bigtiff_chain_counted():
+    # splice a second BigTIFF page and patch page 1's next pointer:
+    # the chain count must use the BigTIFF IFD layout throughout
+    a = RNG.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    b = RNG.integers(0, 256, size=(2, 5), dtype=np.uint8)
+    pa, pb = (encode_tiff(a, bigtiff=True),
+              encode_tiff(b, bigtiff=True))
+    base = len(pa)
+    b_ifd = struct.unpack_from("<Q", pb, 8)[0]
+    patched = bytearray(pa + pb)
+    # page 1's next-IFD pointer is the trailing 8 bytes of pa
+    struct.pack_into("<Q", patched, len(pa) - 8, base + b_ifd)
+    # rebase page 2's strip offsets (inline, 20-byte entries)
+    ifd_pos = base + b_ifd
+    n = struct.unpack_from("<Q", patched, ifd_pos)[0]
+    for k in range(n):
+        e = ifd_pos + 8 + 20 * k
+        tag, typ = struct.unpack_from("<HH", patched, e)
+        cnt = struct.unpack_from("<Q", patched, e + 4)[0]
+        size = {3: 2, 4: 4, 16: 8}.get(typ, 1) * cnt
+        if size > 8:
+            off = struct.unpack_from("<Q", patched, e + 12)[0]
+            struct.pack_into("<Q", patched, e + 12, base + off)
+        elif tag == 273:
+            off = struct.unpack_from("<I", patched, e + 12)[0]
+            struct.pack_into("<I", patched, e + 12, base + off)
+    payload = bytes(patched)
+    from data_ingestion_challenge_spark.operators.tiff_codec import (
+        count_tiff_pages,
+    )
+    assert count_tiff_pages(payload) == 2
+    assert decode_tiff(payload)["n_frames"] == 2
+    np.testing.assert_array_equal(decode_tiff_pixels(payload, 1), b)
+
+
 def test_bigtiff_sniffed_by_decode_media():
     from data_ingestion_challenge_spark.operators.multimodal import (
         decode_media,
