@@ -121,6 +121,9 @@ def decode_real(payload: bytes):
         if _is_pnm(payload):
             decode_pnm_structure(payload)  # header-bounded validate
             return len(payload), 1
+        if payload[-18:] == _TGA_FOOTER:
+            decode_tga(payload)            # validates
+            return len(payload), 1
     except Exception:
         # A recognized-but-natively-unparsable payload (e.g. a
         # palette PNG) must not SHADOW an installed PIL — fall
@@ -952,6 +955,144 @@ def decode_gif_pixels(payload: bytes) -> "object":
     raise ValueError("GIF payload holds no image descriptor")
 
 
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(pixels, rle: bool = False) -> bytes:
+    """Truevision TGA encoder: HxW uint8 grayscale (type 3/11), or
+    HxWx3 / HxWx4 truecolor (type 2/10, BGR(A) on the wire),
+    top-to-bottom row order, optional RLE packets, and the TGA 2.0
+    footer (TGA has no leading magic — the footer is the only
+    reliable sniff, so decode_media keys on it)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        ch, imgtype = 1, 3
+        raw = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] in (3, 4):
+        ch = px.shape[2]
+        imgtype = 2
+        raw = px[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    else:
+        raise ValueError(f"encode_tga takes HxW/HxWx3/HxWx4, "
+                         f"got {px.shape}")
+    h, w = px.shape[:2]
+    descriptor = 0x20 | (8 if ch == 4 else 0)   # top-to-bottom
+    body = raw.tobytes()
+    if rle:
+        imgtype += 8
+        out = bytearray()
+        flat = raw.reshape(-1, ch)
+        for r0 in range(h):                     # packets per row
+            row = flat[r0 * w:(r0 + 1) * w]
+            i = 0
+            while i < w:
+                j = i
+                while (j + 1 < w and j - i < 127
+                       and (row[j + 1] == row[i]).all()):
+                    j += 1
+                if j > i:                       # run of j-i+1
+                    out.append(0x80 | (j - i))
+                    out += row[i].tobytes()
+                    i = j + 1
+                    continue
+                j = i + 1                       # raw literal stretch
+                while (j < w and j - i < 128
+                       and not (j + 1 < w
+                                and (row[j + 1] == row[j]).all())):
+                    j += 1
+                out.append(j - i - 1)
+                out += row[i:j].tobytes()
+                i = j
+        body = bytes(out)
+    header = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, imgtype, 0, 0, 0, 0, 0, w, h,
+        8 * ch, descriptor)
+    footer = (struct.pack("<II", 0, 0) + _TGA_FOOTER)
+    return header + body + footer
+
+
+def decode_tga_pixels(payload: bytes):
+    """TGA decode: uncompressed and RLE grayscale/truecolor (types
+    2/3/10/11; 8/24/32 bpp), both vertical origins; color-mapped
+    types raise typed NotImplementedError.  Works with or without
+    the TGA 2.0 footer."""
+    import numpy as np
+
+    if len(payload) < 18:
+        raise ValueError("TGA header truncated")
+    (idlen, cmaptype, imgtype, _cmo, _cml, _cmb, _xo, _yo,
+     w, h, bpp, desc) = struct.unpack_from("<BBBHHBHHHHBB",
+                                           payload, 0)
+    if cmaptype not in (0, 1):
+        raise ValueError("not a TGA payload")
+    if imgtype in (1, 9):
+        raise NotImplementedError("color-mapped TGA needs PIL")
+    if imgtype not in (2, 3, 10, 11):
+        raise ValueError(f"unknown TGA image type {imgtype}")
+    if bpp not in (8, 24, 32) or (imgtype in (3, 11)) != (bpp == 8):
+        raise ValueError(f"unsupported TGA depth {bpp} "
+                         f"for type {imgtype}")
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError("TGA dimensions out of range")
+    ch = bpp // 8
+    pos = 18 + idlen + (cmaptype and _cml * ((_cmb + 7) // 8))
+    n = w * h
+    if imgtype >= 10:                          # RLE packets
+        vals = np.empty((n, ch), dtype=np.uint8)
+        got = 0
+        while got < n:
+            if pos >= len(payload):
+                raise ValueError("TGA RLE stream truncated")
+            pk = payload[pos]
+            pos += 1
+            cnt = (pk & 0x7F) + 1
+            if pk & 0x80:                      # run packet
+                if pos + ch > len(payload):
+                    raise ValueError("TGA RLE stream truncated")
+                vals[got:got + cnt] = np.frombuffer(
+                    payload[pos:pos + ch], dtype=np.uint8)
+                pos += ch
+            else:                              # raw packet
+                need = cnt * ch
+                if pos + need > len(payload):
+                    raise ValueError("TGA RLE stream truncated")
+                vals[got:got + cnt] = np.frombuffer(
+                    payload[pos:pos + need],
+                    dtype=np.uint8).reshape(cnt, ch)
+                pos += need
+            got += cnt
+        if got != n:
+            raise ValueError("TGA RLE packets overrun the image")
+        arr = vals.reshape(h, w, ch)
+    else:
+        need = n * ch
+        raw = payload[pos:pos + need]
+        if len(raw) < need:
+            raise ValueError("TGA raster truncated")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    if not desc & 0x20:                        # bottom-up origin
+        arr = arr[::-1]
+    if ch == 1:
+        return np.ascontiguousarray(arr[:, :, 0])
+    rgb = arr[:, :, [2, 1, 0]]                 # BGR(A) -> RGB(A)
+    if ch == 4:
+        rgb = np.concatenate([rgb, arr[:, :, 3:4]], axis=2)
+    return np.ascontiguousarray(rgb)
+
+
+def decode_tga(payload: bytes) -> dict:
+    """TGA probe in the decode_media dict shape (header fields;
+    RLE content validated only by the full decoder — TGA's raster
+    length is not header-predictable under RLE)."""
+    px = decode_tga_pixels(payload)
+    return {"mime": "image/x-tga", "n_frames": 1, "rate": None,
+            "channels": 1 if px.ndim == 2 else px.shape[2],
+            "width": int(px.shape[1]), "height": int(px.shape[0]),
+            "pcm_rms": None}
+
+
 def _pnm_tokens(payload: bytes, n: int, pos: int):
     """Read ``n`` whitespace-separated ASCII integer tokens starting
     at ``pos``, skipping ``#`` comments (Netpbm header grammar);
@@ -1332,6 +1473,9 @@ _NATIVE_SNIFFERS = (
     (lambda p: p[:4] in _TIFF_MAGICS,
      lambda p: _decode_tiff_media(p)),
     (_is_pnm, lambda p: decode_pnm_structure(p)),
+    # TGA has NO leading magic — only footer-bearing (TGA 2.0)
+    # files sniff; headerless-magic formats must never guess
+    (lambda p: p[-18:] == _TGA_FOOTER, lambda p: decode_tga(p)),
 )
 
 
