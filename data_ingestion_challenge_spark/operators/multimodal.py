@@ -122,7 +122,7 @@ def decode_real(payload: bytes):
             decode_pnm_structure(payload)  # header-bounded validate
             return len(payload), 1
         if payload[-18:] == _TGA_FOOTER:
-            decode_tga(payload)            # validates
+            decode_tga_structure(payload)  # header-bounded validate
             return len(payload), 1
     except Exception:
         # A recognized-but-natively-unparsable payload (e.g. a
@@ -1093,6 +1093,58 @@ def decode_tga(payload: bytes) -> dict:
             "pcm_rms": None}
 
 
+def decode_tga_structure(payload: bytes) -> dict:
+    """Header-bounded TGA structure probe for the decode_media
+    intake path — the posture the JPEG/GIF/TIFF/PNM probes use
+    (never an O(pixels) raster materialization on the hot path).
+    Uncompressed types 2/3: header validation + the exact
+    header-predicted raster length check.  RLE types 10/11: the
+    raster length is NOT header-predictable, so the packet stream
+    is WALKED (position/count arithmetic only, the same bounds
+    checks as decode_tga_pixels) without ever allocating the pixel
+    array.  Same validation outcomes as the full decoder on every
+    supported/unsupported class (pinned in tests)."""
+    if len(payload) < 18:
+        raise ValueError("TGA header truncated")
+    (idlen, cmaptype, imgtype, _cmo, _cml, _cmb, _xo, _yo,
+     w, h, bpp, _desc) = struct.unpack_from("<BBBHHBHHHHBB",
+                                            payload, 0)
+    if cmaptype not in (0, 1):
+        raise ValueError("not a TGA payload")
+    if imgtype in (1, 9):
+        raise NotImplementedError("color-mapped TGA needs PIL")
+    if imgtype not in (2, 3, 10, 11):
+        raise ValueError(f"unknown TGA image type {imgtype}")
+    if bpp not in (8, 24, 32) or (imgtype in (3, 11)) != (bpp == 8):
+        raise ValueError(f"unsupported TGA depth {bpp} "
+                         f"for type {imgtype}")
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError("TGA dimensions out of range")
+    ch = bpp // 8
+    pos = 18 + idlen + (cmaptype and _cml * ((_cmb + 7) // 8))
+    n = w * h
+    if imgtype >= 10:                          # RLE: walk, don't build
+        got = 0
+        while got < n:
+            if pos >= len(payload):
+                raise ValueError("TGA RLE stream truncated")
+            pk = payload[pos]
+            pos += 1
+            cnt = (pk & 0x7F) + 1
+            step = ch if pk & 0x80 else cnt * ch
+            if pos + step > len(payload):
+                raise ValueError("TGA RLE stream truncated")
+            pos += step
+            got += cnt
+        if got != n:
+            raise ValueError("TGA RLE packets overrun the image")
+    elif pos + n * ch > len(payload):
+        raise ValueError("TGA raster truncated")
+    return {"mime": "image/x-tga", "n_frames": 1, "rate": None,
+            "channels": ch, "width": int(w), "height": int(h),
+            "pcm_rms": None}
+
+
 def _pnm_tokens(payload: bytes, n: int, pos: int):
     """Read ``n`` whitespace-separated ASCII integer tokens starting
     at ``pos``, skipping ``#`` comments (Netpbm header grammar);
@@ -1474,8 +1526,11 @@ _NATIVE_SNIFFERS = (
      lambda p: _decode_tiff_media(p)),
     (_is_pnm, lambda p: decode_pnm_structure(p)),
     # TGA has NO leading magic — only footer-bearing (TGA 2.0)
-    # files sniff; headerless-magic formats must never guess
-    (lambda p: p[-18:] == _TGA_FOOTER, lambda p: decode_tga(p)),
+    # files sniff; headerless-magic formats must never guess.
+    # Structure probe (header-bounded), NOT the full raster decode:
+    # intake stays consistent with the JPEG/GIF/TIFF posture.
+    (lambda p: p[-18:] == _TGA_FOOTER,
+     lambda p: decode_tga_structure(p)),
 )
 
 

@@ -1684,7 +1684,10 @@ def hourly_count_autocorr(events: DataFrame) -> DataFrame:
     and a types-sized rollup."""
     hc = (events.groupBy(
         "event_type",
-        (F.unix_micros(col("ts")) / (3600 * 1000000))
+        # floor, not truncate-toward-zero: the oracle's `//` floors,
+        # and the two diverge for pre-1970 timestamps (same reason
+        # order_fulfillment_days floors).
+        F.floor(F.unix_micros(col("ts")) / (3600 * 1000000))
         .cast("long").alias("h"))
         .agg(F.count("*").cast("bigint").alias("c")))
     a, b = hc.alias("a"), hc.alias("b")

@@ -75,6 +75,29 @@ def test_hourly_count_autocorr_hand_case(spark):
     assert abs(r.autocorr_lag1 + 1.0) < 1e-9
 
 
+def test_hourly_count_autocorr_pre_epoch_floor(spark):
+    # Pre-1970 timestamps have NEGATIVE epoch micros: floor division
+    # must bucket 23:30 and 23:45 of 1969-12-31 into the SAME hour
+    # (h = -1), where truncate-toward-zero would land them in h = 0
+    # with the 00:10/00:20 events and break the hour pairing — the
+    # oracle's `//` floors, so the engines would diverge.
+    rows = [("e", "1969-12-31 23:30:00"), ("e", "1969-12-31 23:45:00"),
+            ("e", "1970-01-01 00:10:00"),
+            ("e", "1970-01-01 01:05:00"), ("e", "1970-01-01 01:25:00")]
+    df = spark.createDataFrame(rows, "event_type string, ts string") \
+        .selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    from data_ingestion_challenge_spark.operators.stats import (
+        hourly_count_autocorr,
+    )
+    # hourly counts under FLOOR: h=-1 -> 2, h=0 -> 1, h=1 -> 2: two
+    # lag pairs (2,1) and (1,2) -> perfect alternation, autocorr -1.
+    # Truncation would merge h=-1 into h=0 (count 3), leaving a
+    # single pair -> n<2 -> no row at all.
+    [r] = hourly_count_autocorr(df).collect()
+    assert r.n_pairs == 2
+    assert abs(r.autocorr_lag1 + 1.0) < 1e-9
+
+
 def test_hourly_count_autocorr_drops_degenerate(spark):
     # constant series: zero variance -> no row (never a NaN)
     rows = [("e", f"2024-01-01 0{h}:00:00") for h in range(4)]

@@ -15,6 +15,7 @@ from data_ingestion_challenge_spark.operators.multimodal import (
     decode_media,
     decode_tga,
     decode_tga_pixels,
+    decode_tga_structure,
     encode_tga,
 )
 
@@ -94,6 +95,42 @@ def test_footer_sniff_contract():
     assert decode_media(bare)["mime"] == "application/octet-stream"
     np.testing.assert_array_equal(decode_tga_pixels(bare), px)
     assert decode_tga(bare)["channels"] == 3
+
+
+@pytest.mark.parametrize("rle", [False, True])
+@pytest.mark.parametrize("shape", [(9, 7), (6, 5, 3), (4, 8, 4)])
+def test_structure_probe_matches_full_decode(rle, shape):
+    """The header-bounded intake probe (no raster materialization)
+    must report exactly what the full decoder reports on every
+    supported class — the hot decode_media path rides the probe."""
+    px = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+    payload = encode_tga(px, rle=rle)
+    assert decode_tga_structure(payload) == decode_tga(payload)
+
+
+def test_structure_probe_same_refusals_as_decoder():
+    # color-mapped: typed gate, both paths
+    header = struct.pack("<BBBHHBHHHHBB",
+                         0, 1, 1, 0, 4, 24, 0, 0, 2, 2, 8, 0)
+    with pytest.raises(NotImplementedError):
+        decode_tga_structure(header + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        decode_tga_structure(b"definitely not a tga")
+    # truncated RLE stream caught by the packet WALK (no pixels)
+    with pytest.raises(ValueError):
+        decode_tga_structure(struct.pack(
+            "<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, 8, 8, 24,
+            0x20) + b"\x81")
+    # truncated uncompressed raster caught by the exact length check
+    good = encode_tga(RNG.integers(0, 256, (4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_tga_structure(good[:20])
+    # RLE packets overrunning the declared image
+    overrun = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0, 2, 1, 8,
+        0x20) + bytes([0x83, 50])               # run of 4 into 2 px
+    with pytest.raises(ValueError):
+        decode_tga_structure(overrun)
 
 
 try:
