@@ -89,8 +89,8 @@ Round-14 additions (r13 verdict tasks 3/5/8):
 - EVERY headline scalar is now median-of-3: "media_decode_docs_per_sec"
   and "dedup_corpus_s" (single-run until r13) join the interleaved
   meter rotation, and the COMPACT last line carries a "spread" dict —
-  one relative (max−min)/median scalar per meter plus the suite's
-  worst per-query spread — so a throughput swing in the driver
+  one relative (max−min)/median scalar per meter plus the suite
+  total's run-indexed spread — so a throughput swing in the driver
   artifact is classifiable as noise vs regression from the artifact
   alone (the full line's *_minmax pairs truncate out of the 2000-char
   tail capture).
@@ -364,22 +364,32 @@ def _time_suite(spark, bench_queries, sf_dir: str, n_runs: int = 3):
     """Median-of-n wall time per query at sf_dir: the box carries
     variable external load (observed 2-8× swings); the median keeps
     one noise spike from reading as a regression across rounds.
-    Returns (medians, spreads) — spread = (max−min)/median per query,
-    so a reader can tell a real regression from a loaded-box run."""
+    Returns (medians, spreads, total_spread) — spread =
+    (max−min)/median per query, and total_spread is the same
+    statistic over the RUN-INDEXED suite totals (run i's total = sum
+    of every query's i-th run): the headline `value` is a sum of
+    medians, so its noise classifier must aggregate per run, not
+    take the worst single query (a 0.1 s query swinging 3× says
+    nothing about a 10 s suite)."""
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    run_totals = [0.0] * n_runs
     for name, q in bench_queries.items():
         runs = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
             t0 = time.perf_counter()
             df = q(spark, sf_dir)
             df.count()  # full execution; avoids collect-to-driver cost
             runs.append(time.perf_counter() - t0)
+            run_totals[i] += runs[-1]
         med = sorted(runs)[len(runs) // 2]
         timings[name] = round(med, 3)
         spreads[name] = round((max(runs) - min(runs)) / med, 2) \
             if med > 0 else 0.0
-    return timings, spreads
+    tmed = sorted(run_totals)[n_runs // 2]
+    total_spread = (round((max(run_totals) - min(run_totals)) / tmed, 2)
+                    if tmed > 0 else 0.0)
+    return timings, spreads, total_spread
 
 
 def _streaming_ingest(spark, sf_dir: str, n_files: int = 8):
@@ -1129,7 +1139,8 @@ def main() -> None:
     except Exception:
         pass
 
-    timings, spreads = _time_suite(spark, bench_queries, sf_dir)
+    timings, spreads, suite_spread = _time_suite(
+        spark, bench_queries, sf_dir)
 
     # One-call pipeline number (r12 verdict stretch): the end-to-end
     # dedup terminal (pairs → connected components → keep-list →
@@ -1155,7 +1166,7 @@ def main() -> None:
             _ivf_for(spark, small_dir)
         except Exception:
             pass
-        small, _ = _time_suite(spark, bench_queries, small_dir)
+        small, _, _ = _time_suite(spark, bench_queries, small_dir)
         import math
         step = math.log10(sf / sf_small)
         per_q = {}
@@ -1184,7 +1195,7 @@ def main() -> None:
                 _ivf_for(spark, big_dir)
             except Exception:
                 pass
-            t10, _ = _time_suite(spark, bench_queries, big_dir,
+            t10, _, _ = _time_suite(spark, bench_queries, big_dir,
                                  n_runs=2)
             xs = [math.log10(sf_small), math.log10(sf),
                   math.log10(sf * 10)]
@@ -1402,10 +1413,10 @@ def main() -> None:
             scalar_rates[f"screen_s_d{sc['decade']}_scaled"] = \
                 sc.get("screen_s_per_batch")
     # Run spreads, compactly (r13 verdict task 3): one relative
-    # (max−min)/median scalar per interleaved meter + the suite's
-    # worst per-query spread — the artifact-side noise-vs-regression
-    # classifier the full line's *_minmax pairs can't provide once
-    # the tail capture truncates them.
+    # (max−min)/median scalar per interleaved meter + the suite
+    # total's RUN-INDEXED spread — the artifact-side
+    # noise-vs-regression classifier the full line's *_minmax pairs
+    # can't provide once the tail capture truncates them.
     scalar_rates["spread"] = {
         "ing": _rspread("ingest"),
         "adm": _rspread("admission"),
@@ -1415,7 +1426,7 @@ def main() -> None:
         "kum": _rspread("ku_merge"),
         "med": _rspread("media"),
         "dcs": _rspread("dedup_corpus"),
-        "suite": max(spreads.values()) if spreads else None,
+        "suite": suite_spread,
     }
     compact_line = json.dumps({
         "metric": "headline_suite_runtime",

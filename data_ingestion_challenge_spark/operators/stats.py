@@ -1823,3 +1823,273 @@ FUNNEL_CONVERSION_DELAY_ORACLE = """
     WHERE fp > fs
     GROUP BY 1
 """
+
+
+# ================================================== r21 pool (r14-built)
+# Six registration candidates built in round 14 to keep the pool one
+# full round deep past r20 (verdict cadence: ≤5 registrations/round).
+# Each follows the house parity discipline: exact integer / DECIMAL
+# sufficient statistics on both engines, ONE double expression at the
+# end, NULL guards spelled identically in the SQL twin.
+
+
+def order_line_value_corr(lineitem: DataFrame,
+                          orders: DataFrame) -> DataFrame:
+    """Pearson correlation between an order's LINE COUNT and its
+    total value, one row — the order-composition sanity check behind
+    basket analytics: near-1 means value is line-driven (wide
+    baskets), near-0 means a few expensive lines dominate.
+
+    Parity discipline: x = exact BIGINT line count, y = order value
+    rounded to WHOLE currency units as BIGINT (o_totalprice carries
+    2dp; whole units keep y² sums within BIGINT through sf10 —
+    ~4e18 at 15M orders), all five sufficient statistics exact
+    BIGINT sums, correlation is ONE double expression token-matched
+    in the SQL twin, 6dp.  Scale shape: map-side-combined
+    groupBy(orderkey), orderkey equi-join (co-partitioned; bucketed
+    layout at scale), single-row agg."""
+    per_order = (lineitem.groupBy("l_orderkey")
+                 .agg(F.count("*").cast("bigint").alias("x")))
+    j = per_order.join(
+        orders.select(
+            "o_orderkey",
+            F.round(col("o_totalprice"), 0).cast("bigint").alias("y")),
+        col("l_orderkey") == col("o_orderkey"))
+    s = j.agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(col("x") * col("x")).alias("sxx"),
+              F.sum(col("y") * col("y")).alias("syy"),
+              F.sum(col("x") * col("y")).alias("sxy"))
+    vx = 1.0 * col("n") * col("sxx") - 1.0 * col("sx") * col("sx")
+    vy = 1.0 * col("n") * col("syy") - 1.0 * col("sy") * col("sy")
+    r = ((1.0 * col("n") * col("sxy") - 1.0 * col("sx") * col("sy"))
+         / F.sqrt(vx * vy))
+    return s.select(
+        col("n").alias("n_orders"),
+        F.round(1.0 * col("sx") / col("n"), 6).alias("avg_lines"),
+        F.when((vx > 0) & (vy > 0), F.round(r, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("corr_lines_value"))
+
+
+ORDER_LINE_VALUE_CORR_ORACLE = """
+    WITH per_order AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY l_orderkey),
+    j AS (SELECT x, CAST(round(o_totalprice, 0) AS BIGINT) AS y
+          FROM per_order JOIN orders ON l_orderkey = o_orderkey),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM j)
+    SELECT n AS n_orders,
+           round(1.0 * sx / n, 6) AS avg_lines,
+           CASE WHEN 1.0 * n * sxx - 1.0 * sx * sx > 0
+                 AND 1.0 * n * syy - 1.0 * sy * sy > 0
+                THEN round((1.0 * n * sxy - 1.0 * sx * sy)
+                           / sqrt((1.0 * n * sxx - 1.0 * sx * sx)
+                                  * (1.0 * n * syy - 1.0 * sy * sy)),
+                           6)
+                ELSE NULL END AS corr_lines_value
+    FROM s
+"""
+
+
+def weekly_event_type_share_drift(events: DataFrame) -> DataFrame:
+    """Week-over-week drift of each event type's TRAFFIC SHARE — the
+    mix-shift monitor: a type whose share moves several points in one
+    week signals a product change, an instrumentation break, or a bot
+    cohort, even when total volume looks flat.
+
+    Parity discipline: counts and week totals are exact BIGINTs;
+    share = 1.0·c/total is one double expression; drift subtracts the
+    previous CONSECUTIVE week's unrounded share before the single
+    6dp round (gap weeks yield NULL drift on both engines).  Scale
+    shape: one map-side-combined groupBy to a (weeks × types)-sized
+    frame; both windows partition over that tiny frame."""
+    wk = F.floor(F.datediff(F.to_date("ts"),
+                            F.to_date(F.lit("1970-01-01"))) / 7)
+    c = (events.groupBy(wk.cast("bigint").alias("week"), "event_type")
+         .agg(F.count("*").alias("n_events")))
+    share0 = (1.0 * col("n_events")
+              / F.sum("n_events").over(Window.partitionBy("week")))
+    lagw = Window.partitionBy("event_type").orderBy("week")
+    out = (c.withColumn("_s", share0)
+           .withColumn("_prev_s", F.lag("_s").over(lagw))
+           .withColumn("_prev_w", F.lag("week").over(lagw)))
+    return out.select(
+        "week", "event_type", "n_events",
+        F.round(col("_s"), 6).alias("share"),
+        F.when(col("_prev_w") == col("week") - 1,
+               F.round(col("_s") - col("_prev_s"), 6))
+        .otherwise(F.lit(None).cast("double")).alias("share_drift"))
+
+
+WEEKLY_EVENT_TYPE_SHARE_DRIFT_ORACLE = """
+    WITH c AS (
+        SELECT (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week,
+               event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    s0 AS (SELECT week, event_type, n_events,
+                  1.0 * n_events
+                  / sum(n_events) OVER (PARTITION BY week) AS s0
+           FROM c),
+    s AS (SELECT week, event_type, n_events, s0,
+                 lag(s0) OVER (PARTITION BY event_type ORDER BY week)
+                     AS prev_s,
+                 lag(week) OVER (PARTITION BY event_type ORDER BY week)
+                     AS prev_w
+          FROM s0)
+    SELECT CAST(week AS BIGINT) AS week, event_type, n_events,
+           round(s0, 6) AS share,
+           CASE WHEN prev_w = week - 1 THEN round(s0 - prev_s, 6)
+                ELSE NULL END AS share_drift
+    FROM s
+"""
+
+
+def brand_price_spread(part: DataFrame) -> DataFrame:
+    """Per-brand catalog price profile: part count, min/max/avg
+    retail price and the min-to-max spread — the assortment-width
+    table a pricing analyst reads before the q14/q19 promo queries.
+
+    min/max are exact selections of stored doubles (no accumulation);
+    avg is an exact DECIMAL(30,6) sum with ONE double divide; spread
+    subtracts the two selected doubles — every expression
+    token-matched in the twin.  Scale shape: one map-side-combined
+    groupBy to |brands| rows."""
+    return (part.groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"),
+                 F.min("p_retailprice").alias("min_price"),
+                 F.max("p_retailprice").alias("max_price"),
+                 F.round(F.sum(col("p_retailprice")
+                               .cast("decimal(30,6)")).cast("double")
+                         / F.count("*"), 6).alias("avg_price"))
+            .withColumn("price_spread",
+                        F.round(col("max_price") - col("min_price"),
+                                6)))
+
+
+BRAND_PRICE_SPREAD_ORACLE = """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+           min(p_retailprice) AS min_price,
+           max(p_retailprice) AS max_price,
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(30,6)))
+                      AS DOUBLE) / count(*), 6) AS avg_price,
+           round(max(p_retailprice) - min(p_retailprice), 6)
+               AS price_spread
+    FROM part GROUP BY p_brand
+"""
+
+
+def cohort_first_week_share(events: DataFrame) -> DataFrame:
+    """Per signup-cohort week: how much of the cohort's LIFETIME
+    activity happened in each user's first 7 days — the
+    front-loadedness curve (high share = drive-by cohorts, low =
+    durable habit), read next to signup_cohort_retention.
+
+    Parity discipline: the 7-day window is an exact integer-micros
+    comparison; cohort week is floor(first-event micros / week
+    micros); the share is a ratio of exact BIGINT sums (never an
+    average of per-user doubles) with ONE double divide.  Scale
+    shape: two user-keyed shuffles (per-user rollup + first-week
+    recount on the same key) and a co-partitioned join, then a
+    weeks-sized rollup."""
+    wk_us = 7 * 86400 * 1000000
+    eu = events.select("user_id", F.unix_micros("ts").alias("tus"))
+    pu = (eu.groupBy("user_id")
+          .agg(F.count("*").alias("total"), F.min("tus").alias("t0")))
+    fw = (eu.join(pu, "user_id")
+          .where(col("tus") < col("t0") + F.lit(wk_us))
+          .groupBy("user_id").agg(F.count("*").alias("fw")))
+    j = pu.join(fw, "user_id")
+    return (j.groupBy(F.floor(col("t0") / F.lit(wk_us))
+                      .cast("bigint").alias("cohort_week"))
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("total").alias("n_events"),
+                 F.round(1.0 * F.sum("fw") / F.sum("total"), 6)
+                 .alias("first_week_share")))
+
+
+COHORT_FIRST_WEEK_SHARE_ORACLE = """
+    WITH eu AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS total,
+                  min(tus) AS t0
+           FROM eu GROUP BY user_id),
+    fw AS (SELECT eu.user_id, CAST(count(*) AS BIGINT) AS fw
+           FROM eu JOIN pu ON eu.user_id = pu.user_id
+           WHERE eu.tus < pu.t0 + CAST(604800000000 AS BIGINT)
+           GROUP BY eu.user_id)
+    SELECT CAST(pu.t0 // CAST(604800000000 AS BIGINT) AS BIGINT)
+               AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(pu.total) AS BIGINT) AS n_events,
+           round(1.0 * sum(fw.fw) / sum(pu.total), 6)
+               AS first_week_share
+    FROM pu JOIN fw ON pu.user_id = fw.user_id
+    GROUP BY 1
+"""
+
+
+def quantity_discount_profile(lineitem: DataFrame) -> DataFrame:
+    """Average discount and exact revenue by integer QUANTITY band —
+    the quantity→discount interaction surface (is bulk actually
+    discounted?), the inverse axis of discount_band_revenue.
+
+    avg_discount is an exact DECIMAL(30,6) sum with ONE double
+    divide; revenue rides the q1 msum discipline.  One map-side-
+    combined groupBy to ≤ ~50 quantity rows."""
+    rev = (col("l_extendedprice").cast("decimal(30,6)")
+           * (F.lit(1).cast("decimal(30,6)")
+              - col("l_discount").cast("decimal(30,6)")))
+    return (lineitem
+            .groupBy(F.round(col("l_quantity"), 0).cast("int")
+                     .alias("quantity"))
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.sum(col("l_discount")
+                               .cast("decimal(30,6)")).cast("double")
+                         / F.count("*"), 6).alias("avg_discount"),
+                 F.round(F.sum(rev), 2).cast("double").alias("revenue")))
+
+
+QUANTITY_DISCOUNT_PROFILE_ORACLE = """
+    SELECT CAST(round(l_quantity, 0) AS INT) AS quantity,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,6)))
+                      AS DOUBLE) / count(*), 6) AS avg_discount,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))
+                          * (CAST(1 AS DECIMAL(30,6))
+                             - CAST(l_discount AS DECIMAL(30,6)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY 1
+"""
+
+
+def value_percentiles_by_type(events: DataFrame) -> DataFrame:
+    """Per event type: exact interpolated p50/p90/p99 of `value` plus
+    volume — the per-type value SLA table (hourly_value_p95 slices by
+    hour; this is the type-level planning view).  Spark `percentile`
+    == DuckDB quantile_cont interpolation (the order_value_percentiles
+    precedent); 4dp round.  One percentile shuffle per type group,
+    |types| output rows."""
+    from pyspark.sql.functions import lit
+    return (events.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.percentile("value", lit(0.5)), 4)
+                 .alias("p50_value"),
+                 F.round(F.percentile("value", lit(0.9)), 4)
+                 .alias("p90_value"),
+                 F.round(F.percentile("value", lit(0.99)), 4)
+                 .alias("p99_value")))
+
+
+VALUE_PERCENTILES_BY_TYPE_ORACLE = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(quantile_cont(value, 0.5), 4) AS p50_value,
+           round(quantile_cont(value, 0.9), 4) AS p90_value,
+           round(quantile_cont(value, 0.99), 4) AS p99_value
+    FROM events GROUP BY event_type
+"""
