@@ -886,6 +886,30 @@ def _screen_store_ladder(spark, sf_dir: str,
             return df
 
         adm._screen_pairs = _timed
+
+        def _measure_rung(dirs: dict, bid_base: int) -> dict:
+            # ONE measurement body for the fixed-mod rungs AND the
+            # scaled-mod rung: same sink build, same pinned batches,
+            # same kept accounting — the comparison is only valid
+            # if both sides ride identical plumbing.
+            admit, table = adm.document_admission_sink(
+                spark, dirs["table"], dirs["postings"], dirs["log"],
+                sizes_dir=dirs["sizes"], commit_mode="append")
+            pre = table.read().count()
+            screen_s.clear()
+            t0 = time.perf_counter()
+            for i, mb in enumerate(m_batches):
+                admit(mb, bid_base + i)
+            elapsed = time.perf_counter() - t0
+            kept = (table.read().count() - pre) / n_measure
+            return {
+                "screen_s_per_batch": round(
+                    sum(screen_s) / len(screen_s), 3)
+                if screen_s else None,
+                "drain_s": round(elapsed, 2),
+                "kept": round(kept, 4),
+            }
+
         rungs = []
         have = base_rows
         ftag = -9
@@ -915,26 +939,8 @@ def _screen_store_ladder(spark, sf_dir: str,
             for x in grow:
                 shutil.copytree(grow[x], mdirs[x],
                                 copy_function=os.link)
-            admit, table = adm.document_admission_sink(
-                spark, mdirs["table"], mdirs["postings"],
-                mdirs["log"], sizes_dir=mdirs["sizes"],
-                commit_mode="append")
-            pre = table.read().count()
-            screen_s.clear()
-            t0 = time.perf_counter()
-            for i, mb in enumerate(m_batches):
-                admit(mb, 100 + i)
-            elapsed = time.perf_counter() - t0
-            kept = (table.read().count() - pre) / n_measure
-            rungs.append({
-                "decade": d,
-                "store_rows": have,
-                "screen_s_per_batch": round(
-                    sum(screen_s) / len(screen_s), 3)
-                if screen_s else None,
-                "drain_s": round(elapsed, 2),
-                "kept": round(kept, 4),
-            })
+            rungs.append({"decade": d, "store_rows": have,
+                          **_measure_rung(mdirs, 100 + 10 * d)})
             shutil.rmtree(os.path.join(root, f"m{d}"),
                           ignore_errors=True)
 
@@ -971,27 +977,9 @@ def _screen_store_ladder(spark, sf_dir: str,
             adm._write_sizes_run(
                 spark, run,
                 os.path.join(sdirs["sizes"], "ingest_batch=-1"))
-            admit, table = adm.document_admission_sink(
-                spark, sdirs["table"], sdirs["postings"],
-                sdirs["log"], sizes_dir=sdirs["sizes"],
-                commit_mode="append")
-            pre = table.read().count()
-            screen_s.clear()
-            t0 = time.perf_counter()
-            for i, mb in enumerate(m_batches):
-                admit(mb, 200 + i)
-            elapsed = time.perf_counter() - t0
-            kept = (table.read().count() - pre) / n_measure
-            scaled = {
-                "decade": d,
-                "s_bucket_mod": smod,
-                "store_rows": have,
-                "screen_s_per_batch": round(
-                    sum(screen_s) / len(screen_s), 3)
-                if screen_s else None,
-                "drain_s": round(elapsed, 2),
-                "kept": round(kept, 4),
-            }
+            scaled = {"decade": d, "s_bucket_mod": smod,
+                      "store_rows": have,
+                      **_measure_rung(sdirs, 2000)}
         return {"n_measure": n_measure, "rungs": rungs,
                 "scaled_rung": scaled}
     finally:
@@ -1561,13 +1549,24 @@ def _point_lookup_latency(spark, sf_dir: str, n_lookups: int = 40):
             lock = threading.Lock()
 
             def _reader():
+                # Per-call guard: a transient failure in one reader
+                # must neither discard that thread's collected
+                # samples nor (if every thread failed) crash the
+                # bench after the expensive ladders already ran —
+                # the percentiles degrade to None instead.
                 local = []
-                for k in keys:
-                    t0 = time.perf_counter()
-                    fn(spark, table, "user_id", k)
-                    local.append((time.perf_counter() - t0) * 1000.0)
-                with lock:
-                    lat.extend(local)
+                try:
+                    for k in keys:
+                        t0 = time.perf_counter()
+                        fn(spark, table, "user_id", k)
+                        local.append(
+                            (time.perf_counter() - t0) * 1000.0)
+                except Exception as exc:
+                    print(f"bench: concurrent lookup reader "
+                          f"failed: {exc!r}", file=sys.stderr)
+                finally:
+                    with lock:
+                        lat.extend(local)
 
             threads = [threading.Thread(target=_reader)
                        for _ in range(n_threads)]
@@ -1575,6 +1574,8 @@ def _point_lookup_latency(spark, sf_dir: str, n_lookups: int = 40):
                 t.start()
             for t in threads:
                 t.join()
+            if not lat:
+                return (None, None)
             lat.sort()
             return (round(lat[len(lat) // 2], 2),
                     round(lat[min(len(lat) - 1,

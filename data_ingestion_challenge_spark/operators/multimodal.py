@@ -1013,13 +1013,13 @@ def encode_tga(pixels, rle: bool = False) -> bytes:
     return header + body + footer
 
 
-def decode_tga_pixels(payload: bytes):
-    """TGA decode: uncompressed and RLE grayscale/truecolor (types
-    2/3/10/11; 8/24/32 bpp), both vertical origins; color-mapped
-    types raise typed NotImplementedError.  Works with or without
-    the TGA 2.0 footer."""
-    import numpy as np
-
+def _tga_header(payload: bytes):
+    """Shared TGA header validation — the ONE place the supported
+    type/depth/dimension envelope and the raster start offset are
+    defined, so the full decoder (decode_tga_pixels) and the
+    header-bounded intake probe (decode_tga_structure) can never
+    drift on what they accept.  Returns (imgtype, w, h, ch, desc,
+    pos) with pos = first raster byte."""
     if len(payload) < 18:
         raise ValueError("TGA header truncated")
     (idlen, cmaptype, imgtype, _cmo, _cml, _cmb, _xo, _yo,
@@ -1038,6 +1038,17 @@ def decode_tga_pixels(payload: bytes):
         raise ValueError("TGA dimensions out of range")
     ch = bpp // 8
     pos = 18 + idlen + (cmaptype and _cml * ((_cmb + 7) // 8))
+    return imgtype, w, h, ch, desc, pos
+
+
+def decode_tga_pixels(payload: bytes):
+    """TGA decode: uncompressed and RLE grayscale/truecolor (types
+    2/3/10/11; 8/24/32 bpp), both vertical origins; color-mapped
+    types raise typed NotImplementedError.  Works with or without
+    the TGA 2.0 footer."""
+    import numpy as np
+
+    imgtype, w, h, ch, desc, pos = _tga_header(payload)
     n = w * h
     if imgtype >= 10:                          # RLE packets
         vals = np.empty((n, ch), dtype=np.uint8)
@@ -1103,25 +1114,9 @@ def decode_tga_structure(payload: bytes) -> dict:
     is WALKED (position/count arithmetic only, the same bounds
     checks as decode_tga_pixels) without ever allocating the pixel
     array.  Same validation outcomes as the full decoder on every
-    supported/unsupported class (pinned in tests)."""
-    if len(payload) < 18:
-        raise ValueError("TGA header truncated")
-    (idlen, cmaptype, imgtype, _cmo, _cml, _cmb, _xo, _yo,
-     w, h, bpp, _desc) = struct.unpack_from("<BBBHHBHHHHBB",
-                                            payload, 0)
-    if cmaptype not in (0, 1):
-        raise ValueError("not a TGA payload")
-    if imgtype in (1, 9):
-        raise NotImplementedError("color-mapped TGA needs PIL")
-    if imgtype not in (2, 3, 10, 11):
-        raise ValueError(f"unknown TGA image type {imgtype}")
-    if bpp not in (8, 24, 32) or (imgtype in (3, 11)) != (bpp == 8):
-        raise ValueError(f"unsupported TGA depth {bpp} "
-                         f"for type {imgtype}")
-    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
-        raise ValueError("TGA dimensions out of range")
-    ch = bpp // 8
-    pos = 18 + idlen + (cmaptype and _cml * ((_cmb + 7) // 8))
+    supported/unsupported class (shared _tga_header + pinned in
+    tests)."""
+    imgtype, w, h, ch, _desc, pos = _tga_header(payload)
     n = w * h
     if imgtype >= 10:                          # RLE: walk, don't build
         got = 0

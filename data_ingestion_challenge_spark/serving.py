@@ -200,6 +200,14 @@ def point_lookup_fast(spark: SparkSession, table: str, key: str,
     bucket = _murmur3_long(int(value)) % m["n_buckets"]
     out: list = []
     for f in m["files"].get(bucket, []):
-        t = pq.read_table(f, filters=[(key, "==", value)])
+        # use_threads=False: bucket files are small (one key's row
+        # groups), so Arrow's internal pool only adds dispatch
+        # overhead — and under concurrent readers (the endpoint's
+        # real shape) 8 external threads × the default pool
+        # oversubscribes the box.  Measured at sf0.1: single-client
+        # p50 1.6 → 1.1 ms, 8-reader p50 9.8 → 5.7 ms, 8-reader
+        # wall −45 %.
+        t = pq.read_table(f, filters=[(key, "==", value)],
+                          use_threads=False)
         out.extend(Row(**r) for r in t.to_pylist())
     return out
