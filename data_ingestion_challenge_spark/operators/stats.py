@@ -1844,10 +1844,15 @@ def order_line_value_corr(lineitem: DataFrame,
     rounded to WHOLE currency units as BIGINT (o_totalprice carries
     2dp; whole units keep y² sums within BIGINT through sf10 —
     ~4e18 at 15M orders), all five sufficient statistics exact
-    BIGINT sums, correlation is ONE double expression token-matched
-    in the SQL twin, 6dp.  Scale shape: map-side-combined
-    groupBy(orderkey), orderkey equi-join (co-partitioned; bucketed
-    layout at scale), single-row agg."""
+    BIGINT sums.  The correlation itself is computed in DOUBLE on
+    BOTH engines with the promotion forced BEFORE any product (the
+    SQL twin spells CAST(... AS DOUBLE) explicitly — a bare
+    `1.0 * n * sxx` binds to exact DECIMAL(38,1) in DuckDB, which
+    would diverge from Spark's double once products pass 2^53), so
+    the floating-point lossiness is bit-identical at any scale, 6dp.
+    Scale shape: map-side-combined groupBy(orderkey), orderkey
+    equi-join (co-partitioned; bucketed layout at scale),
+    single-row agg."""
     per_order = (lineitem.groupBy("l_orderkey")
                  .agg(F.count("*").cast("bigint").alias("x")))
     j = per_order.join(
@@ -1886,12 +1891,17 @@ ORDER_LINE_VALUE_CORR_ORACLE = """
                  CAST(sum(x * y) AS BIGINT) AS sxy
           FROM j)
     SELECT n AS n_orders,
-           round(1.0 * sx / n, 6) AS avg_lines,
-           CASE WHEN 1.0 * n * sxx - 1.0 * sx * sx > 0
-                 AND 1.0 * n * syy - 1.0 * sy * sy > 0
-                THEN round((1.0 * n * sxy - 1.0 * sx * sy)
-                           / sqrt((1.0 * n * sxx - 1.0 * sx * sx)
-                                  * (1.0 * n * syy - 1.0 * sy * sy)),
+           round(CAST(sx AS DOUBLE) / n, 6) AS avg_lines,
+           CASE WHEN CAST(n AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n AS DOUBLE) * syy
+                     - CAST(sy AS DOUBLE) * sy > 0
+                THEN round((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n AS DOUBLE) * syy
+                                     - CAST(sy AS DOUBLE) * sy)),
                            6)
                 ELSE NULL END AS corr_lines_value
     FROM s

@@ -27,9 +27,15 @@ WITNESSES = [
 
 
 def _plan(spark, name: str) -> str:
+    # Scoped: the spark fixture is session-wide, so a leaked metadata
+    # length would make later plan-string tests order-dependent.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
-    df = QUERIES[name](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    try:
+        df = QUERIES[name](spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 @pytest.mark.parametrize("name", WITNESSES)
