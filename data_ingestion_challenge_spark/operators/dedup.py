@@ -1090,3 +1090,60 @@ def dedup_prefix_oracle_sql(k_tokens: int = 16) -> str:
     FROM documents
     GROUP BY 1 HAVING count(*) >= 2
     """
+
+
+def dup_rate_by_length_bucket(documents: DataFrame, n: int = 3,
+                              tau: float = 0.8,
+                              posting: DataFrame | None = None,
+                              pairs: DataFrame | None = None
+                              ) -> DataFrame:
+    """Near-dup incidence by document LENGTH: per floor(log2(n_chars))
+    bucket, how many docs exist and what fraction participates in at
+    least one verified near-dup pair — the length-bias audit read
+    before committing to a dedup policy (shingle dedup over-fires on
+    short docs, whose shingle sets are small; a rate cliff at the low
+    buckets says raise the length floor or the τ for short docs
+    rather than globally).
+
+    Exact integers end to end (floor(log2) on BIGINT n_chars — the
+    shingle_df_distribution precedent); the rate is ONE double
+    divide at 6dp.  Scale shape: pair endpoints are near-dup-sized,
+    one distinct + one broadcast-able join onto the docs scan, one
+    tiny groupBy(bucket) — linear in documents."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents, n=n, tau=tau,
+                                    posting=posting)
+    dups = (pairs.select(col("doc_a").alias("doc_id"))
+            .unionAll(pairs.select(col("doc_b").alias("doc_id")))
+            .distinct()
+            .withColumn("_dup", F.lit(1)))
+    j = (documents.select("doc_id", "n_chars")
+         .join(dups, "doc_id", "left"))
+    return (j.groupBy(F.floor(F.log2("n_chars")).cast("int")
+                      .alias("len_bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce(col("_dup"), F.lit(0)))
+                 .cast("bigint").alias("n_dup_docs"))
+            .withColumn("dup_rate",
+                        F.round(1.0 * col("n_dup_docs")
+                                / col("n_docs"), 6)))
+
+
+def dup_rate_by_length_oracle_sql(sh_cte: str,
+                                  tau: float = 0.8) -> str:
+    """DuckDB twin of dup_rate_by_length_bucket over the shared
+    shingle CTE: same verified pairs, same distinct endpoints, same
+    exact bucketing and single-divide rate."""
+    return f"""
+    WITH {sh_cte},
+    {_PAIR_ORACLE_CTE.format(tau=tau)},
+    dups AS (SELECT DISTINCT doc_id FROM
+             (SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs))
+    SELECT CAST(floor(log2(n_chars)) AS INT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dups.doc_id) AS BIGINT) AS n_dup_docs,
+           round(1.0 * count(dups.doc_id) / count(*), 6) AS dup_rate
+    FROM documents LEFT JOIN dups USING (doc_id)
+    GROUP BY 1
+    """

@@ -680,3 +680,47 @@ UPPERCASE_RATIO_BY_SOURCE_ORACLE = """
                AS upper_ratio
     FROM g
 """
+
+
+def ttr_percentiles_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source type-token-ratio distribution: exact interpolated
+    p10/p50/p90 of each doc's distinct-tokens/tokens ratio — the
+    repetitiveness profile behind length_vocab_corr's single summary
+    number (a low p10 tail flags template/boilerplate pockets inside
+    an otherwise healthy source; a p90 near 1.0 at length says
+    synthetic text).  Per-doc TTR is ONE double divide over exact
+    integer counts (identical IEEE both engines); the percentile is
+    Spark `percentile` == DuckDB quantile_cont interpolation (the
+    order_value_percentiles precedent), 6dp.  Scale shape: one
+    narrow map over documents, one percentile shuffle per source,
+    |sources| output rows."""
+    from pyspark.sql.functions import col, lit
+
+    from data_ingestion_challenge_spark.functions import text as T
+
+    w = T.words(col("text"))
+    per_doc = documents.select(
+        "source",
+        (1.0 * F.size(F.array_distinct(w)) / F.size(w)).alias("ttr"))
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.percentile("ttr", lit(0.1)), 6)
+                 .alias("p10_ttr"),
+                 F.round(F.percentile("ttr", lit(0.5)), 6)
+                 .alias("p50_ttr"),
+                 F.round(F.percentile("ttr", lit(0.9)), 6)
+                 .alias("p90_ttr")))
+
+
+TTR_PERCENTILES_BY_SOURCE_ORACLE = """
+    WITH per_doc AS (
+        SELECT source,
+               1.0 * len(list_distinct(string_split(text, ' ')))
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(ttr, 0.1), 6) AS p10_ttr,
+           round(quantile_cont(ttr, 0.5), 6) AS p50_ttr,
+           round(quantile_cont(ttr, 0.9), 6) AS p90_ttr
+    FROM per_doc GROUP BY source
+"""

@@ -1,10 +1,13 @@
 """r21 overflow pool (built + parity-tested in r14, UNREGISTERED —
 keeps the ≤5/round registration budget stocked one full round past
-r20).  Six candidates: order_line_value_corr (order-composition
+r20).  Eight candidates: order_line_value_corr (order-composition
 Pearson), weekly_event_type_share_drift (traffic mix-shift monitor),
 brand_price_spread (assortment-width table), cohort_first_week_share
 (front-loadedness curve), quantity_discount_profile (bulk-discount
-interaction), value_percentiles_by_type (per-type value SLA).
+interaction), value_percentiles_by_type (per-type value SLA),
+dup_rate_by_length_bucket (dedup length-bias audit, rides the shared
+shingle/pair CTEs), ttr_percentiles_by_source (repetitiveness
+profile).
 Oracle parity pinned at BOTH sf0.001 and sf0.01; closed-form hand
 cases per op."""
 
@@ -215,3 +218,79 @@ def test_value_percentiles_by_type_hand_case(spark):
     [r] = value_percentiles_by_type(df).collect()
     # quantile_cont over 1..5: p50=3, p90=4.6, p99=4.96
     assert (r.p50_value, r.p90_value, r.p99_value) == (3.0, 4.6, 4.96)
+
+
+# -------------------------------------------- dedup length bias
+
+
+def test_dup_rate_by_length_bucket_matches_oracle(spark, sf_pair):
+    from data_ingestion_challenge_spark.operators.dedup import (
+        dup_rate_by_length_bucket, dup_rate_by_length_oracle_sql,
+    )
+    from data_ingestion_challenge_spark.plans.llm import _SH_CTE
+    cat, duck = sf_pair
+    sdf = dup_rate_by_length_bucket(cat.documents, n=3, tau=0.8)
+    rows = _compare(sdf, duck, dup_rate_by_length_oracle_sql(_SH_CTE))
+    assert rows
+    # alphabetical: dup_rate, len_bucket, n_docs, n_dup_docs
+    total = sum(r[2] for r in rows)
+    assert total == cat.documents.count()   # every doc in one bucket
+    for rate, _, n_docs, n_dup in rows:
+        assert 0 <= n_dup <= n_docs
+        assert abs(rate - round(1.0 * n_dup / n_docs, 6)) < 1e-9
+
+
+def test_dup_rate_by_length_hand_case(spark):
+    # two identical docs (a verified pair) + one unique doc of the
+    # same length bucket + one long unique doc: bucket of the dups
+    # shows rate 2/3, the long doc's bucket shows 0.
+    dup = "alpha beta gamma delta epsilon zeta eta theta"   # 46 ch
+    uniq = "one two three four five six seven eight nine!"  # 46 ch
+    long_u = " ".join(f"w{i}" for i in range(40))            # >128 ch
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, uniq), (4, long_u)],
+        "doc_id long, text string") \
+        .selectExpr("doc_id", "text",
+                    "CAST(length(text) AS BIGINT) AS n_chars")
+    from data_ingestion_challenge_spark.operators.dedup import (
+        dup_rate_by_length_bucket,
+    )
+    got = {r.len_bucket: r
+           for r in dup_rate_by_length_bucket(docs).collect()}
+    b46 = 5                                   # floor(log2(46)) = 5
+    assert got[b46].n_docs == 3 and got[b46].n_dup_docs == 2
+    assert got[b46].dup_rate == round(2 / 3, 6)
+    blong = [b for b in got if b != b46]
+    assert len(blong) == 1 and got[blong[0]].n_dup_docs == 0
+
+
+# -------------------------------------------- repetitiveness profile
+
+
+def test_ttr_percentiles_by_source_matches_oracle(spark, sf_pair):
+    from data_ingestion_challenge_spark.operators.textstats import (
+        TTR_PERCENTILES_BY_SOURCE_ORACLE, ttr_percentiles_by_source,
+    )
+    cat, duck = sf_pair
+    rows = _compare(ttr_percentiles_by_source(cat.documents), duck,
+                    TTR_PERCENTILES_BY_SOURCE_ORACLE)
+    assert rows
+    # alphabetical: n_docs, p10_ttr, p50_ttr, p90_ttr, source
+    for n, p10, p50, p90, _ in rows:
+        assert n > 0 and 0.0 < p10 <= p50 <= p90 <= 1.0
+
+
+def test_ttr_percentiles_hand_case(spark):
+    # source A: three docs with TTR 1.0, 0.5, 0.25 -> p50 = 0.5,
+    # p10/p90 interpolate between neighbours.
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "A"),             # 4 distinct / 4 = 1.0
+         (2, "a a b b", "A"),             # 2 / 4 = 0.5
+         (3, "a a a a", "A")],            # 1 / 4 = 0.25
+        "doc_id long, text string, source string")
+    from data_ingestion_challenge_spark.operators.textstats import (
+        ttr_percentiles_by_source,
+    )
+    [r] = ttr_percentiles_by_source(docs).collect()
+    assert r.n_docs == 3 and r.p50_ttr == 0.5
+    assert r.p10_ttr == 0.3 and r.p90_ttr == 0.9   # linear interp
