@@ -1574,7 +1574,13 @@ def _point_lookup_latency(spark, sf_dir: str, n_lookups: int = 40):
                 t.start()
             for t in threads:
                 t.join()
-            if not lat:
+            if len(lat) != n_threads * len(keys):
+                # Any lost sample means the surviving threads ran at
+                # reduced contention — publishing their percentiles
+                # as a full n-reader figure would under-report
+                # latency with no marker in the tail-captured
+                # artifact.  Degrade to None (stderr carries the
+                # reader error above).
                 return (None, None)
             lat.sort()
             return (round(lat[len(lat) // 2], 2),

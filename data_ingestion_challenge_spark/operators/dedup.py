@@ -1106,10 +1106,13 @@ def dup_rate_by_length_bucket(documents: DataFrame, n: int = 3,
     rather than globally).
 
     Exact integers end to end (floor(log2) on BIGINT n_chars — the
-    shingle_df_distribution precedent); the rate is ONE double
-    divide at 6dp.  Scale shape: pair endpoints are near-dup-sized,
-    one distinct + one broadcast-able join onto the docs scan, one
-    tiny groupBy(bucket) — linear in documents."""
+    shingle_df_distribution precedent, except n_chars has no df≥1
+    guarantee: an empty doc is legal, and log2(0) RAISES in DuckDB
+    while Spark yields NULL, so both engines bucket through
+    greatest(n_chars, 1) — empty docs land in bucket 0); the rate is
+    ONE double divide at 6dp.  Scale shape: pair endpoints are
+    near-dup-sized, one distinct + one broadcast-able join onto the
+    docs scan, one tiny groupBy(bucket) — linear in documents."""
     if pairs is None:
         pairs = ngram_jaccard_pairs(documents, n=n, tau=tau,
                                     posting=posting)
@@ -1119,8 +1122,9 @@ def dup_rate_by_length_bucket(documents: DataFrame, n: int = 3,
             .withColumn("_dup", F.lit(1)))
     j = (documents.select("doc_id", "n_chars")
          .join(dups, "doc_id", "left"))
-    return (j.groupBy(F.floor(F.log2("n_chars")).cast("int")
-                      .alias("len_bucket"))
+    return (j.groupBy(F.floor(F.log2(F.greatest(col("n_chars"),
+                                                F.lit(1))))
+                      .cast("int").alias("len_bucket"))
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.coalesce(col("_dup"), F.lit(0)))
                  .cast("bigint").alias("n_dup_docs"))
@@ -1140,7 +1144,8 @@ def dup_rate_by_length_oracle_sql(sh_cte: str,
     dups AS (SELECT DISTINCT doc_id FROM
              (SELECT doc_a AS doc_id FROM pairs
               UNION ALL SELECT doc_b FROM pairs))
-    SELECT CAST(floor(log2(n_chars)) AS INT) AS len_bucket,
+    SELECT CAST(floor(log2(greatest(n_chars, 1))) AS INT)
+               AS len_bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(dups.doc_id) AS BIGINT) AS n_dup_docs,
            round(1.0 * count(dups.doc_id) / count(*), 6) AS dup_rate

@@ -294,3 +294,20 @@ def test_ttr_percentiles_hand_case(spark):
     [r] = ttr_percentiles_by_source(docs).collect()
     assert r.n_docs == 3 and r.p50_ttr == 0.5
     assert r.p10_ttr == 0.3 and r.p90_ttr == 0.9   # linear interp
+
+
+def test_dup_rate_by_length_empty_doc_guard(spark):
+    """n_chars = 0 is legal; log2(0) raises in DuckDB and NULLs in
+    Spark, so both engines bucket through greatest(n_chars, 1) —
+    empty docs land in bucket 0 and parity holds."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        dup_rate_by_length_bucket,
+    )
+    docs = spark.createDataFrame(
+        [(1, "", 0), (2, "alpha beta gamma delta", 22),
+         (3, "alpha beta gamma delta", 22)],
+        "doc_id long, text string, n_chars long")
+    got = {r.len_bucket: r
+           for r in dup_rate_by_length_bucket(docs).collect()}
+    assert got[0].n_docs == 1 and got[0].n_dup_docs == 0
+    assert got[4].n_dup_docs == 2          # floor(log2(22)) = 4
