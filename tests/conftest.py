@@ -22,6 +22,22 @@ def cat(spark):
     return Catalog(spark, SF_DIR)
 
 
+def plan_string(spark, name: str) -> str:
+    """Executed-plan string for a registered query at SF_DIR — the
+    shared helper behind the plan-pin modules (test_r12/r13/r15_plans
+    carried drifting copies before r15).  Scoped: the spark fixture is
+    session-wide, so a leaked metadata length would make later
+    plan-string tests order-dependent."""
+    from data_ingestion_challenge_spark.plans import QUERIES
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = QUERIES[name](spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
 @pytest.fixture(scope="module", params=("/root/testdata/sf0.001",
                                         "/root/testdata/sf0.01"))
 def sf_pair(request, spark):

@@ -9,21 +9,7 @@ from __future__ import annotations
 
 import re
 
-from data_ingestion_challenge_spark.plans import QUERIES
-
-from tests.conftest import SF_DIR
-
-
-def _plan(spark, name: str) -> str:
-    # Scoped: the spark fixture is session-wide, so a leaked metadata
-    # length would make later plan-string tests order-dependent.
-    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
-    try:
-        df = QUERIES[name](spark, SF_DIR)
-        return df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+from tests.conftest import plan_string as _plan
 
 
 def test_synth_wav_inventory_no_exchange(spark):

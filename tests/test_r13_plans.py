@@ -12,9 +12,7 @@ import re
 
 import pytest
 
-from data_ingestion_challenge_spark.plans import QUERIES
-
-from tests.conftest import SF_DIR
+from tests.conftest import plan_string as _plan
 
 WITNESSES = [
     "synth_png_inventory",
@@ -24,18 +22,6 @@ WITNESSES = [
     "synth_tiff_inventory",
     "synth_exif_inventory",
 ]
-
-
-def _plan(spark, name: str) -> str:
-    # Scoped: the spark fixture is session-wide, so a leaked metadata
-    # length would make later plan-string tests order-dependent.
-    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
-    try:
-        df = QUERIES[name](spark, SF_DIR)
-        return df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 @pytest.mark.parametrize("name", WITNESSES)
