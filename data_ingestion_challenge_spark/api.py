@@ -479,7 +479,8 @@ class Engine:
                                    table_path: str | None = None,
                                    sizes_dir: str | None = None,
                                    sizes_out: str | None = None,
-                                   allow_uncommitted: bool = False
+                                   allow_uncommitted: bool = False,
+                                   bloom_sidecars: bool = True
                                    ) -> None:
         """Maintenance for the admission pipeline's posting store:
         fold all per-batch increments under ``postings_dir`` into one
@@ -507,7 +508,10 @@ class Engine:
         explicit ``allow_uncommitted=True`` opt-in.  Pass
         ``sizes_dir``/``sizes_out`` to compact the sizes store
         alongside (required for the screen's coverage check to keep
-        accepting it)."""
+        accepting it).  ``bloom_sidecars`` (default True) also
+        publishes the new base run's bloom sidecar (screen lever #2,
+        streaming/sidecar.py); False skips the build for
+        deployments screening without them."""
         import shutil
 
         from pyspark.sql import functions as F
@@ -577,6 +581,21 @@ class Engine:
             _write_postings_layout,
         )
         _write_postings_layout(post, base, mod, n_files=n_files)
+        # Bloom sidecar for the new generation's base run (screen
+        # lever #2) — same best-effort rule and the same opt-out
+        # flag as the in-place fold: a build failure (or
+        # bloom_sidecars=False) leaves a run the screen simply scans.
+        if bloom_sidecars:
+            try:
+                from data_ingestion_challenge_spark.streaming import (
+                    sidecar as _sc,
+                )
+                _sc.build_run_sidecar(self.spark, out_dir, "-1")
+            except Exception as exc:
+                import sys
+                print(f"compact_admission_postings: bloom sidecar "
+                      f"build failed (screen degrades to full "
+                      f"scan): {exc!r}", file=sys.stderr)
         if sizes_dir is not None and sizes_out is not None:
             sz = (self.spark.read.option("basePath", sizes_dir)
                   .parquet(sizes_dir).select("doc_id", "n"))

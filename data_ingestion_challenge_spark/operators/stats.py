@@ -1841,10 +1841,14 @@ def order_line_value_corr(lineitem: DataFrame,
     baskets), near-0 means a few expensive lines dominate.
 
     Parity discipline: x = exact BIGINT line count, y = order value
-    rounded to WHOLE currency units as BIGINT (o_totalprice carries
-    2dp; whole units keep y² sums within BIGINT through sf10 —
-    ~4e18 at 15M orders), all five sufficient statistics exact
-    BIGINT sums.  The correlation itself is computed in DOUBLE on
+    rounded to WHOLE currency units as BIGINT.  The y-weighted sums
+    (Σy², Σxy) accumulate as DECIMAL(38,0) on BOTH engines (the msum
+    precedent): a BIGINT Σy² overflows past roughly sf10, and the
+    failure modes DIVERGE — DuckDB's CAST raises while non-ANSI Spark
+    silently wraps into a wrong correlation (r14 advice).  DECIMAL
+    keeps both exact to 1e38 (≈ sf10^11) and overflow beyond that is
+    a loud NULL/error on both engines, never a silent wrap.  The
+    correlation itself is computed in DOUBLE on
     BOTH engines with the promotion forced BEFORE any product (the
     SQL twin spells CAST(... AS DOUBLE) explicitly — a bare
     `1.0 * n * sxx` binds to exact DECIMAL(38,1) in DuckDB, which
@@ -1863,8 +1867,12 @@ def order_line_value_corr(lineitem: DataFrame,
     s = j.agg(F.count("*").alias("n"),
               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
               F.sum(col("x") * col("x")).alias("sxx"),
-              F.sum(col("y") * col("y")).alias("syy"),
-              F.sum(col("x") * col("y")).alias("sxy"))
+              # per-row products fit BIGINT (y ≤ ~6e5 whole units);
+              # only the SUMS need the DECIMAL(38,0) headroom
+              F.sum((col("y") * col("y")).cast("decimal(38,0)"))
+              .alias("syy"),
+              F.sum((col("x") * col("y")).cast("decimal(38,0)"))
+              .alias("sxy"))
     vx = 1.0 * col("n") * col("sxx") - 1.0 * col("sx") * col("sx")
     vy = 1.0 * col("n") * col("syy") - 1.0 * col("sy") * col("sy")
     r = ((1.0 * col("n") * col("sxy") - 1.0 * col("sx") * col("sy"))
@@ -1887,8 +1895,8 @@ ORDER_LINE_VALUE_CORR_ORACLE = """
                  CAST(sum(x) AS BIGINT) AS sx,
                  CAST(sum(y) AS BIGINT) AS sy,
                  CAST(sum(x * x) AS BIGINT) AS sxx,
-                 CAST(sum(y * y) AS BIGINT) AS syy,
-                 CAST(sum(x * y) AS BIGINT) AS sxy
+                 sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                 sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
           FROM j)
     SELECT n AS n_orders,
            round(CAST(sx AS DOUBLE) / n, 6) AS avg_lines,

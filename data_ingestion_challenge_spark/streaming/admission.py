@@ -213,7 +213,8 @@ _COMPACT_MANIFEST = "_compact_manifest.json"
 
 def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
                            n_files: int | None = None,
-                           sort: bool = True) -> None:
+                           sort: bool = True,
+                           shard_col: str | None = None) -> None:
     """The posting store's on-disk layout contract in ONE place —
     bucket key ``pmod(hash(s), mod)``, repartition ON the bucket
     before partitionBy (one file per bucket instead of tasks×mod),
@@ -223,20 +224,38 @@ def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
     break the screen's PartitionFilters pruning and admit true
     duplicates.  Flat (legacy) stores: ``n_files`` set → an s-sorted
     n-file rewrite (compacted base); unset → a plain write (batch
-    increment)."""
+    increment).
+
+    ``shard_col`` (screen lever #1, docs/SCREEN_SCALING.md — design
+    spike, not wired into the sink): an ADDITIVE outer partition
+    level ``<shard_col>=<k>/s_bucket=<b>`` by a coarse corpus
+    dimension (source, time window, language).  Near-duplicates
+    overwhelmingly share the shard key in crawl corpora, so a screen
+    can prune its corpus read to the batch's shard(s) + a global
+    shard — scanned rows ∝ shard fraction — with plain partition
+    pruning and no reader logic change; the cross-shard dedup sweep
+    stays a batch job over the full store.  Equivalence of the
+    shard-pruned screen is pinned on a two-shard toy in
+    tests/test_shard_layout.py."""
     from pyspark.sql.functions import col
 
+    parts = ([shard_col] if shard_col else [])
+    if shard_col and mod is None:
+        raise ValueError(
+            "shard_col requires a bucketed store (mod): the shard "
+            "level exists to compose with s_bucket pruning — a flat "
+            "store has no pruning contract to extend")
     if mod is not None:
         w = (df.withColumn("s_bucket", F.pmod(F.hash("s"),
                                               F.lit(mod)))
-             .repartition(col("s_bucket")))
+             .repartition(*[col(c) for c in parts + ["s_bucket"]]))
         if sort:
-            w = w.sortWithinPartitions("s_bucket", "s")
-        (w.write.mode("overwrite").partitionBy("s_bucket")
-         .parquet(dst))
+            w = w.sortWithinPartitions(*parts, "s_bucket", "s")
+        (w.write.mode("overwrite")
+         .partitionBy(*parts, "s_bucket").parquet(dst))
     elif n_files:
         (df.repartition(n_files, col("s"))
-         .sortWithinPartitions("s")
+         .sortWithinPartitions(*parts, "s")
          .write.mode("overwrite").parquet(dst))
     else:
         df.write.mode("overwrite").parquet(dst)
@@ -383,7 +402,8 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
                            table, sizes_dir: str | None = None,
                            n_files: int = 8,
                            level: str = "major",
-                           major_ratio: float = 0.5) -> int:
+                           major_ratio: float = 0.5,
+                           bloom_sidecars: bool = True) -> int:
     """Fold the admission posting store's per-batch increments into a
     base partition IN PLACE — the maintenance a long-lived ingest
     stream needs so its corpus reads stop paying one tiny file per
@@ -441,6 +461,12 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
     heals instead of forcing the screen's full-aggregation fallback
     forever.
 
+    ``bloom_sidecars`` (default True) refreshes each folded run's
+    per-bucket bloom sidecar after its swap (streaming/sidecar.py):
+    the screen uses them to skip (run, bucket) partitions provably
+    free of batch shingles.  Build failures degrade to the sidecar-
+    less scan; pass False to A/B the screen without them.
+
     Returns the number of folded increments.  A 0 return does NOT
     mean nothing ran: the auto cascade and the sizes backfill execute
     regardless, so a call on a quiesced store still heals a crashed
@@ -457,7 +483,8 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
 
     def _fold(folded: list[str], base_tag: str) -> None:
         """One atomic fold: read the folded partitions, stage the new
-        run (+ recomputed sizes run), publish the manifest, swap."""
+        run (+ recomputed sizes run), publish the manifest, swap —
+        then (best-effort) refresh the new run's bloom sidecar."""
         paths = [os.path.join(postings_dir, f"ingest_batch={t}")
                  for t in folded]
         dst = os.path.join(postings_dir, _COMPACTING,
@@ -495,6 +522,28 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         if sizes_dir is not None:
             _finish_swap(sizes_dir, sfolded, base_tag)
         os.unlink(manifest)
+        # Bloom sidecar (screen lever #2, docs/SCREEN_SCALING.md):
+        # built AFTER the swap publishes the run, from the run's own
+        # files, so the bloom covers exactly what screens will read.
+        # Best-effort by design — a missing sidecar only costs a
+        # scan, and sidecars must never fail a completed fold.  The
+        # folded tags' sidecars are dropped UNCONDITIONALLY,
+        # INCLUDING a reused base tag's (the runs are gone/rewritten
+        # whatever the flag; fingerprint validation would reject a
+        # stale one, but each rejection costs an os.walk per batch
+        # forever) — the build below then re-publishes the base's.
+        from data_ingestion_challenge_spark.streaming import (
+            sidecar as _sc,
+        )
+        _sc.drop_sidecars(postings_dir, list(folded) + [base_tag])
+        if bloom_sidecars:
+            try:
+                _sc.build_run_sidecar(spark, postings_dir, base_tag)
+            except Exception as exc:
+                import sys
+                print(f"admission: bloom sidecar build failed for "
+                      f"run {base_tag} (screen degrades to full "
+                      f"scan): {exc!r}", file=sys.stderr)
 
     def _run_rows() -> dict[str, int]:
         return {t: _dir_rows(os.path.join(postings_dir,
@@ -826,7 +875,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                             run_id: str | None = None,
                             adaptive: bool = False,
                             compact_every: int | None = None,
-                            commit_mode: str = "append"):
+                            commit_mode: str = "append",
+                            bloom_sidecars: bool = True):
     """Build the foreachBatch admission callback.  Returns
     (admit_fn, table): admit_fn(batch_df, batch_id) runs one
     micro-batch through screen→commit→maintain; `table` is the
@@ -885,7 +935,18 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     ladder (``table.compact_runs(level="auto")``) on the same
     cadence as the posting store — bucket-rewrite table ops work
     over live runs either way (run-aware reads since r10,
-    docs/TXN_RUNS_DESIGN.md)."""
+    docs/TXN_RUNS_DESIGN.md).
+
+    ``bloom_sidecars`` (default True) enables screen lever #2
+    (docs/SCREEN_SCALING.md, streaming/sidecar.py): folds write
+    per-run per-bucket bloom sidecars, and the screen's corpus read
+    skips every (run, bucket) partition whose bloom proves it holds
+    no batch shingle — converting the linear-in-store screen scan
+    into one proportional to the batch's corpus-OVERLAPPING
+    partitions.  Verdict-identical by construction (a bloom has no
+    false negatives; a missing/corrupt/stale sidecar degrades to the
+    full scan of that run); pass False to A/B the unassisted
+    screen."""
     if commit_mode not in ("merge", "append"):
         raise ValueError(
             f"commit_mode must be merge|append, got {commit_mode!r}")
@@ -938,7 +999,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                     # cadence tick.
                     compact_store_in_place(spark, postings_dir,
                                            table, sizes_dir=sizes_dir,
-                                           level="auto")
+                                           level="auto",
+                                           bloom_sidecars=bloom_sidecars)
                     if (commit_mode == "append"
                             and table.run_generations() >= 3):
                         # The corpus table's run ladder folds on the
@@ -1009,18 +1071,94 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                    .where(col("ingest_batch").cast("string")
                           != F.lit(tag)))
             pruned = mod is not None and "s_bucket" in raw.columns
-            corpus_posting = raw.select("doc_id", "s")
+            # Bloom-sidecar skip (screen lever #2): a compacted run
+            # with a VALID sidecar gets a DROP predicate for the
+            # (run, bucket) partitions whose blooms prove no batch
+            # shingle can live there — zero contribution to `rel`,
+            # so dropping is value-identical (see
+            # streaming/sidecar.py for the full safety argument).
+            # FAIL-OPEN by construction: only explicit proven-miss
+            # pairs are subtracted, so a run the predicate fails to
+            # match (no/corrupt/stale sidecar, builds disabled, even
+            # a tag whose directory string and Spark-unescaped
+            # partition value disagree) is simply scanned — an
+            # allowlist here would silently drop such runs and admit
+            # true duplicates.  All skipping rides partition-column
+            # predicates, so it composes with the batch-bucket
+            # pruning below inside the same PartitionFilters — the
+            # corpus side is still scanned exactly once and never
+            # shuffled.
+            scs = {}
+            if bloom_sidecars:
+                from data_ingestion_challenge_spark.streaming import (
+                    sidecar as _sc,
+                )
+                for t in _batch_tags(postings_dir) - {tag}:
+                    loaded = _sc.load_run_sidecar(postings_dir, t)
+                    if loaded is not None:
+                        scs[t] = loaded
+            ib = col("ingest_batch").cast("string")
+            drop_pred = None
+            fully_dropped: list[str] = []
+            buckets: list | None = None
+            if scs:
+                import numpy as np
+
+                from data_ingestion_challenge_spark.streaming.sidecar \
+                    import _as_u64, hit_buckets
+                # Batch shingle hashes, hashed BY SPARK (the sidecar
+                # build hashes with the same engine, so a bloom miss
+                # is exact).  Batch-bounded collect off the persisted
+                # batch postings — the same frame the broadcast
+                # semi-join ships anyway.
+                hrows = (new_post.select(F.xxhash64("s").alias("h1"),
+                                         F.hash("s").alias("h2"))
+                         .distinct().toPandas())
+                h1u, h2u = _as_u64(hrows["h1"]), _as_u64(hrows["h2"])
+                if pruned:
+                    h2i = np.asarray(hrows["h2"], dtype=np.int64)
+                    bucket_of = (h2i % mod + mod) % mod
+                    buckets = sorted(int(b)
+                                     for b in np.unique(bucket_of))
+                else:
+                    bucket_of = np.full(len(h1u), -1, dtype=np.int64)
+                for t, blooms in scs.items():
+                    hb = hit_buckets(blooms, h1u, h2u, bucket_of)
+                    if not hb:
+                        # no (bucket) of this run can hold a batch
+                        # shingle → the run contributes no posting
+                        # row, hence no candidate, hence its SIZES
+                        # rows can never be consulted either
+                        fully_dropped.append(t)
+                    if pruned:
+                        # drop the run everywhere EXCEPT its hit
+                        # buckets (a bucket absent from the sidecar
+                        # held no shingles at build time → droppable)
+                        miss = ((ib == t)
+                                & ~col("s_bucket").isin(sorted(hb))
+                                if hb else (ib == t))
+                    elif hb:
+                        continue  # flat run with a possible hit
+                    else:
+                        miss = ib == t
+                    drop_pred = (miss if drop_pred is None
+                                 else drop_pred | miss)
+            filtered = raw
             if pruned:
                 # Shingle-bucket pruning (PartitionFilters): all
                 # corpus occurrences of any batch shingle live in the
                 # batch's buckets; other shingles can never join.
-                # Bounded collect: ≤ mod ids.
-                buckets = [r[0] for r in new_post.select(
-                    F.pmod(F.hash("s"), F.lit(mod)).alias("b"))
-                    .distinct().collect()]
-                corpus_posting = (raw
-                                  .where(col("s_bucket").isin(buckets))
-                                  .select("doc_id", "s"))
+                # Bounded collect: ≤ mod ids (derived locally from
+                # the already-collected hashes when sidecars ran —
+                # s_bucket IS pmod(hash(s), mod)).
+                if buckets is None:
+                    buckets = [r[0] for r in new_post.select(
+                        F.pmod(F.hash("s"), F.lit(mod)).alias("b"))
+                        .distinct().collect()]
+                filtered = filtered.where(col("s_bucket").isin(buckets))
+            if drop_pred is not None:
+                filtered = filtered.where(~drop_pred)
+            corpus_posting = filtered.select("doc_id", "s")
             # The sizes store is only SOUND if it covers every
             # posting increment: the size join is what ratifies a
             # candidate, so a corpus doc missing from it could never
@@ -1048,8 +1186,21 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                                 .option("basePath", sizes_dir)
                                 .parquet(sizes_dir)
                                 .where(col("ingest_batch")
-                                       .cast("string") != F.lit(tag))
-                                .select("doc_id", "n"))
+                                       .cast("string") != F.lit(tag)))
+                if fully_dropped:
+                    # A run whose EVERY batch-bucket bloom missed
+                    # contributes no posting rows → none of its docs
+                    # can become candidates → its sizes rows are
+                    # never consulted by the ratify join.  Same
+                    # fail-open drop-list form as the posting skip:
+                    # an unmatchable tag keeps its sizes.  (Corpus
+                    # sizes stay FULL counts — whole docs drop, a
+                    # doc's count is never partially pruned: a doc's
+                    # postings live in exactly one run.)
+                    corpus_sizes = corpus_sizes.where(
+                        ~col("ingest_batch").cast("string")
+                        .isin(sorted(fully_dropped)))
+                corpus_sizes = corpus_sizes.select("doc_id", "n")
             else:
                 corpus_sizes = (raw.groupBy("doc_id")
                                 .agg(F.count("*").alias("n")))

@@ -1,0 +1,289 @@
+"""Per-run bloom sidecars for the admission posting store — screen
+lever #2 from docs/SCREEN_SCALING.md.
+
+The admission screen's corpus cost is linear in posting rows scanned
+(measured ~0.17 s per M rows at bench geometry).  A 100 TB store
+cannot be rescanned per batch, but most of a deduplicated crawl
+batch's shingles are corpus-novel (the screen's own kept fraction is
+~0.95), so most (run, bucket) partitions contain NO batch shingle at
+all — scanning them buys nothing.  Each compacted run therefore
+carries a sidecar of per-bucket bloom filters over its distinct
+shingles; the screen tests the batch's shingles against the sidecars
+first and drops every (run, bucket) with no hit from the corpus read,
+via a partition-column predicate (PartitionFilters — the same pruning
+mechanism the s_bucket layout already rides).
+
+Safety argument (why a skip can never change a verdict):
+- The bloom is built over EVERY distinct shingle in the run (read
+  back from the run's own files after the fold writes them), and the
+  screen-side membership test uses the exact same hash pipeline
+  (Spark ``xxhash64(s)`` / ``hash(s)`` computed by Spark on BOTH
+  sides, positions derived in one shared numpy helper) — so a bloom
+  "no hit" is a PROOF that the (run, bucket) holds no batch shingle.
+  Such a partition contributes zero rows to ``rel`` (the corpus
+  occurrences of batch shingles), hence nothing to rarity ranking,
+  candidates, or verification: skipping it is value-identical.
+- False POSITIVES only cost an unnecessary scan.
+- A missing, corrupt, truncated, or stale sidecar degrades to the
+  current full scan of that run — never a skip (load returns None and
+  the run is read unconditionally).
+- Staleness: fold target tags are REUSED ("-1", "-2"), so a sidecar
+  alone cannot identify content.  Every sidecar embeds a fingerprint
+  of the run directory's data files (relative name + size); a
+  mismatch (tag rewritten by a later fold, manual edit) invalidates
+  the sidecar.  Fingerprints use relative paths, so the staged→live
+  rename of the compaction swap does not invalidate them.
+
+Crash windows (all degrade, none lie): sidecars are written AFTER the
+compaction swap publishes the run — a crash before the write leaves a
+run with no sidecar (scanned); a crash that leaves an orphan sidecar
+(its run folded away) leaves a file nobody consults; a crashed
+half-written ``.npz`` fails to parse (scanned).  Writes are
+tmp+rename atomic anyway.
+
+Sizing (why 32 bits/key, not the textbook 10): the skip decision is
+per (run, bucket), and a bucket skips only if ALL of the batch's
+shingles in that bucket miss.  An analytics-sized batch carries ~10^5
+distinct shingles ≈ 1.5k per bucket at mod=64, so the per-shingle
+false-positive rate must be ≲1e-6 for a truly-disjoint partition to
+survive 1.5k trials: m/n = 32 bits per key with k = 16 gives
+fp = (1 − e^{−k·n/m})^k ≈ 3.4e-7, i.e. a disjoint (run, bucket) is
+falsely kept with probability ~5e-4 per batch.  The textbook
+10-bits/key bloom (fp ≈ 1%) would be falsely hit on essentially
+every batch and skip nothing.  Cost: 4 bytes per distinct shingle,
+~1-2% of the posting rows they summarize.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+
+import numpy as np
+
+BLOOM_DIR = "_blooms"
+
+BITS_PER_KEY = 32
+K_HASHES = 16
+
+# A bucket whose distinct-shingle count exceeds this writes NO bloom
+# for that bucket (the sidecar marks it always-hit): the bitmap and
+# the driver-side collect stay bounded.  4 bytes/key → 256 MB cap.
+MAX_KEYS_PER_BLOOM = 64_000_000
+
+_FORMAT_VERSION = 1
+
+# Parsed-sidecar cache keyed by (path, mtime_ns, size): the sink
+# loads sidecars once per micro-batch and they change only at fold
+# time.  Fingerprint validation against the run dir still happens on
+# every load (it is an os.scandir, not a parse).
+_CACHE: dict[tuple, dict] = {}
+
+
+def _bloom_m_bits(n_keys: int) -> int:
+    """Bitmap size for n keys: BITS_PER_KEY per key, power of two
+    (so position extraction is a mask), floor 1024 bits."""
+    m = max(1024, n_keys * BITS_PER_KEY)
+    return 1 << (m - 1).bit_length()
+
+
+def _positions(h1u: np.ndarray, h2u: np.ndarray, m_bits: int,
+               k: int = K_HASHES) -> np.ndarray:
+    """The ONE position derivation both the build and the membership
+    test use: double hashing pos_i = (h1 + i·stride) & (m−1) with an
+    ODD stride from h2 (odd strides are units mod a power of two, so
+    the k probes never collapse onto one slot).  Inputs are the
+    uint64 reinterpretations of Spark's xxhash64(s) and hash(s).
+    Returns an (n, k) uint64 array of bit positions."""
+    stride = (h2u << np.uint64(1)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (h1u[:, None] + i * stride[:, None]) & np.uint64(m_bits - 1)
+
+
+def _set_bits(bits: np.ndarray, idx: np.ndarray) -> None:
+    """OR the (n, k) positions into the packed uint8 bitmap."""
+    flat = idx.reshape(-1)
+    np.bitwise_or.at(bits, (flat >> np.uint64(3)).astype(np.int64),
+                     (np.uint64(1) << (flat & np.uint64(7)))
+                     .astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Membership test: per input row, whether ALL k probed bits are
+    set.  idx is (n, k); returns an (n,) bool array."""
+    byte = (idx >> np.uint64(3)).astype(np.int64)
+    bit = (idx & np.uint64(7)).astype(np.uint8)
+    probes = (bits[byte] >> bit) & np.uint8(1)
+    return probes.all(axis=1)
+
+
+def _as_u64(col) -> np.ndarray:
+    """Reinterpret a pandas/arrow int column as uint64 (Spark hashes
+    are SIGNED; bloom arithmetic wants the bit pattern)."""
+    return np.asarray(col, dtype=np.int64).astype(np.uint64)
+
+
+def run_fingerprint(run_dir: str) -> str | None:
+    """Content identity of a run directory: md5 over the sorted
+    (relative path, size) list of its DATA files.  Relative paths
+    survive the compaction swap's staged→live rename; hidden/marker
+    files (_SUCCESS, .crc) are excluded because Spark rewrites them
+    freely.  None if the dir is missing or empty of data files."""
+    entries: list[str] = []
+    for base, dirs, files in os.walk(run_dir):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            rel = os.path.relpath(os.path.join(base, f), run_dir)
+            try:
+                size = os.path.getsize(os.path.join(base, f))
+            except OSError:
+                return None
+            entries.append(f"{rel}:{size}")
+    if not entries:
+        return None
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+
+
+def sidecar_path(postings_dir: str, tag: str) -> str:
+    return os.path.join(postings_dir, BLOOM_DIR, f"{tag}.npz")
+
+
+def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
+    """Build and atomically publish the bloom sidecar for run
+    ``ingest_batch=<tag>``.  Reads the run's own files (so the bloom
+    covers exactly its content), hashes IN SPARK (xxhash64 + hash —
+    the same engine the membership test hashes with), builds one
+    bloom per s_bucket via applyInPandas, and embeds the run-dir
+    fingerprint.  Returns False (writing nothing) when the run dir is
+    missing/empty.  Intended to run right after a compaction swap,
+    under the admission lease; a failure should be caught by the
+    caller — sidecars are an optimization, never worth failing a
+    fold over."""
+    from pyspark.sql import functions as F
+
+    run_dir = os.path.join(postings_dir, f"ingest_batch={tag}")
+    fp = run_fingerprint(run_dir)
+    if fp is None:
+        return False
+    df = spark.read.parquet(run_dir)
+    bucket = (F.col("s_bucket").cast("long") if "s_bucket" in df.columns
+              else F.lit(-1).cast("long"))
+    hashed = (df.select(bucket.alias("b"),
+                        F.xxhash64("s").alias("h1"),
+                        F.hash("s").alias("h2"))
+              .distinct())
+
+    def _build(pdf):
+        import pandas as pd
+        n = len(pdf)
+        b = int(pdf["b"].iloc[0])
+        if n > MAX_KEYS_PER_BLOOM:
+            # Mark always-hit instead of building an unbounded bitmap.
+            return pd.DataFrame({"b": [b], "n": [n],
+                                 "bits": [b"".join([])]})
+        m = _bloom_m_bits(n)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        h1, h2 = _as_u64(pdf["h1"]), _as_u64(pdf["h2"])
+        for lo in range(0, n, 65536):  # bound the (chunk, k) matrix
+            sl = slice(lo, lo + 65536)
+            _set_bits(bits, _positions(h1[sl], h2[sl], m))
+        return pd.DataFrame({"b": [b], "n": [n],
+                             "bits": [bits.tobytes()]})
+
+    rows = (hashed.groupBy("b")
+            .applyInPandas(_build, "b long, n long, bits binary")
+            .collect())
+    payload: dict[str, np.ndarray] = {
+        "version": np.array([_FORMAT_VERSION]),
+        "k": np.array([K_HASHES]),
+        "fingerprint": np.array([fp]),
+        "buckets": np.array([r["b"] for r in rows], dtype=np.int64),
+        "counts": np.array([r["n"] for r in rows], dtype=np.int64),
+    }
+    for r in rows:
+        payload[f"bits_{r['b']}"] = np.frombuffer(r["bits"],
+                                                  dtype=np.uint8)
+    out = sidecar_path(postings_dir, tag)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(buf.getvalue())
+    os.replace(tmp, out)
+    return True
+
+
+def load_run_sidecar(postings_dir: str, tag: str) -> dict | None:
+    """Parse + validate the sidecar for a run.  Returns
+    {bucket: (m_bits, bits_array_or_None)} — None bits = the
+    over-cap always-hit marker — or None when the sidecar is missing,
+    unparsable, version-unknown, or its fingerprint no longer matches
+    the run dir (tag reused by a later fold): every failure mode
+    degrades to scanning the run."""
+    path = sidecar_path(postings_dir, tag)
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (path, st.st_mtime_ns, st.st_size)
+    cached = _CACHE.get(key)
+    if cached is None:
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                if int(z["version"][0]) != _FORMAT_VERSION:
+                    return None
+                if int(z["k"][0]) != K_HASHES:
+                    return None
+                cached = {"fingerprint": str(z["fingerprint"][0]),
+                          "blooms": {}}
+                for b, n in zip(z["buckets"], z["counts"]):
+                    bits = z[f"bits_{int(b)}"]
+                    if bits.size == 0:  # always-hit marker
+                        cached["blooms"][int(b)] = (0, None)
+                    else:
+                        cached["blooms"][int(b)] = (int(bits.size) * 8,
+                                                    bits)
+        except Exception:
+            return None
+        _CACHE.clear() if len(_CACHE) > 256 else None
+        _CACHE[key] = cached
+    run_dir = os.path.join(postings_dir, f"ingest_batch={tag}")
+    if run_fingerprint(run_dir) != cached["fingerprint"]:
+        return None
+    return cached["blooms"]
+
+
+def hit_buckets(blooms: dict, h1u: np.ndarray, h2u: np.ndarray,
+                bucket_of: np.ndarray) -> set[int]:
+    """The (store) buckets of this run that at least one batch
+    shingle may live in.  ``bucket_of`` assigns each batch shingle to
+    its store bucket (pmod(hash(s), store mod); -1 everywhere for a
+    flat run).  A bucket absent from ``blooms`` held NO shingles when
+    the sidecar was built → never hit.  An over-cap bucket (bits
+    None) is always hit."""
+    out: set[int] = set()
+    for b, (m, bits) in blooms.items():
+        if bits is None:
+            out.add(b)
+            continue
+        mask = bucket_of == b
+        if not mask.any():
+            continue
+        idx = _positions(h1u[mask], h2u[mask], m)
+        if _test_bits(bits, idx).any():
+            out.add(b)
+    return out
+
+
+def drop_sidecars(postings_dir: str, tags: list[str]) -> None:
+    """Remove sidecars for folded-away tags (best-effort; an orphan
+    is harmless — nobody consults a sidecar whose run is gone)."""
+    for t in tags:
+        try:
+            os.unlink(sidecar_path(postings_dir, t))
+        except OSError:
+            pass
