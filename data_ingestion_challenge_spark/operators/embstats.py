@@ -355,3 +355,83 @@ EMBEDDING_CLIP_BOUNDS_ORACLE = """
            round(max(v), 6) AS v_max
     FROM e GROUP BY i
 """
+
+
+def label_centroid_confusion(embeddings: DataFrame) -> DataFrame:
+    """Label confusability map: cosine similarity between every pair
+    of LABEL CENTROIDS (a < b) — two labels whose centroids sit close
+    are the ones a classifier (or knn_label_vote) will confuse, and
+    the pair list is what a curation pass reads before merging or
+    re-annotating classes (label_centroid_drift watches one label
+    move; this is the cross-label geometry at a point in time).
+
+    Parity discipline (the dim_covariance pattern end to end):
+    per-(label, dim) element sums round to 1e-9 and accumulate as
+    DECIMAL(30,9) — exact and order-free on both engines — the mean
+    is one double divide rounded 1e-9; the dot / norm accumulations
+    over the MEANS round each product to 1e-9 into DECIMAL(30,9)
+    again, so the final cosine is one double expression over exact
+    decimals, rounded 6dp.  Scale shape: one posexplode (n·d rows),
+    ONE map-side-combined groupBy to the |labels|·d centroid frame —
+    everything after is model-sized (broadcast self-join over
+    |labels|·d rows, |labels|² output)."""
+    e = embeddings.select(
+        "label", F.posexplode("embedding").alias("i", "v"))
+    cent = (e.groupBy("label", "i")
+            .agg(F.sum(F.round(col("v").cast("double"), 9)
+                       .cast("decimal(30,9)")).alias("sv"),
+                 F.count("*").alias("n"))
+            .select("label", "i",
+                    F.round(col("sv").cast("double") / col("n"), 9)
+                    .alias("m")))
+    cent = F.broadcast(cent)
+    nsq = (cent.groupBy("label")
+           .agg(F.sum(F.round(col("m") * col("m"), 9)
+                      .cast("decimal(30,9)")).alias("nsq")))
+    a, b = [cent.select(col("label").alias(f"label_{x}"), "i",
+                        col("m").alias(f"m_{x}")) for x in "ab"]
+    dots = (a.join(b, "i")
+            .where(col("label_a") < col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(F.round(col("m_a") * col("m_b"), 9)
+                       .cast("decimal(30,9)")).alias("dot")))
+    na = nsq.select(col("label").alias("label_a"),
+                    col("nsq").alias("_na"))
+    nb = nsq.select(col("label").alias("label_b"),
+                    col("nsq").alias("_nb"))
+    cos = (col("dot").cast("double")
+           / (F.sqrt(col("_na").cast("double"))
+              * F.sqrt(col("_nb").cast("double"))))
+    return (dots.join(F.broadcast(na), "label_a")
+            .join(F.broadcast(nb), "label_b")
+            .select("label_a", "label_b",
+                    F.round(cos, 6).alias("centroid_cos")))
+
+
+LABEL_CENTROID_CONFUSION_ORACLE = """
+    WITH e AS (SELECT label,
+                      generate_subscripts(embedding, 1) - 1 AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    cent AS (SELECT label, i,
+                    round(CAST(sum(CAST(round(v, 9) AS DECIMAL(30,9)))
+                               AS DOUBLE) / count(*), 9) AS m
+             FROM e GROUP BY label, i),
+    nsq AS (SELECT label,
+                   sum(CAST(round(m * m, 9) AS DECIMAL(30,9))) AS nsq
+            FROM cent GROUP BY label),
+    dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                    sum(CAST(round(a.m * b.m, 9) AS DECIMAL(30,9)))
+                        AS dot
+             FROM cent a JOIN cent b
+               ON a.i = b.i AND a.label < b.label
+             GROUP BY a.label, b.label)
+    SELECT label_a, label_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nsq AS DOUBLE))
+                    * sqrt(CAST(nb.nsq AS DOUBLE))), 6)
+               AS centroid_cos
+    FROM dots
+    JOIN nsq na ON dots.label_a = na.label
+    JOIN nsq nb ON dots.label_b = nb.label
+"""

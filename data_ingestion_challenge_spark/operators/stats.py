@@ -2111,3 +2111,135 @@ VALUE_PERCENTILES_BY_TYPE_ORACLE = """
            round(quantile_cont(value, 0.99), 4) AS p99_value
     FROM events GROUP BY event_type
 """
+
+
+# ================================================== r22 pool (r15-built)
+# Registration candidates built in round 15, keeping the pool one-plus
+# round deep past r20.  House parity discipline throughout: exact
+# integer / DECIMAL sufficient statistics on both engines, ONE double
+# expression at the end, identical NULL/tie spellings in the SQL twin.
+
+
+def tax_discount_grid(lineitem: DataFrame) -> DataFrame:
+    """The pricing-interaction surface: charged revenue and volume by
+    (integer tax band × integer discount band) — discount_band_revenue
+    slices one axis; this 2-D grid is what a pricing analyst reads to
+    see whether discounts concentrate in particular tax regimes
+    (evidence of channel- or region-specific promo policy).
+
+    Exact: bands are integer percents (round-half-up on both engines
+    for non-negative inputs), the charge sums as DECIMAL(30,6) with
+    ONE rounded cast.  Scale shape: ONE map-side-combined groupBy
+    collapsing lineitem into ≤ ~101×~9 grid rows — no joins, no
+    windows."""
+    charge = (col("l_extendedprice") * (1 - col("l_discount"))
+              * (1 + col("l_tax"))).cast("decimal(30,6)")
+    return (lineitem.groupBy(
+        F.round(col("l_tax") * 100).cast("int").alias("tax_band"),
+        F.round(col("l_discount") * 100).cast("int")
+        .alias("discount_band"))
+        .agg(F.count("*").alias("n_lines"),
+             F.round(F.sum(charge), 2).cast("double").alias("revenue")))
+
+
+TAX_DISCOUNT_GRID_ORACLE = """
+    SELECT CAST(round(l_tax * 100) AS INT) AS tax_band,
+           CAST(round(l_discount * 100) AS INT) AS discount_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) AS DECIMAL(30,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+"""
+
+
+def size_revenue_profile(lineitem: DataFrame,
+                         part: DataFrame) -> DataFrame:
+    """Revenue by part SIZE: how much charged revenue each p_size
+    carries, over how many distinct parts and lines — the
+    assortment-physicality readout next to brand_price_spread's
+    price-width table (does revenue ride a few sizes, i.e. packaging
+    / logistics concentration?).
+
+    Exact BIGINT counts + DECIMAL(30,6) revenue; the per-line mean is
+    ONE double divide rounded 6dp.  Scale shape: fact⋈broadcast(part)
+    equi-join on partkey, one map-side-combined groupBy to a
+    ≤ |sizes| (~50-row) output."""
+    charge = (col("l_extendedprice") * (1 - col("l_discount"))) \
+        .cast("decimal(30,6)")
+    j = (lineitem.select("l_partkey", charge.alias("_c"))
+         .join(F.broadcast(part.select("p_partkey", "p_size")),
+               col("l_partkey") == col("p_partkey")))
+    g = (j.groupBy("p_size")
+         .agg(F.count("*").alias("n_lines"),
+              F.countDistinct("l_partkey").alias("n_parts"),
+              F.sum("_c").alias("_rev")))
+    return g.select(
+        "p_size", "n_parts", "n_lines",
+        F.round(col("_rev"), 2).cast("double").alias("revenue"),
+        F.round(col("_rev").cast("double") / col("n_lines"), 6)
+        .alias("avg_line_revenue"))
+
+
+SIZE_REVENUE_PROFILE_ORACLE = """
+    WITH g AS (
+        SELECT p_size,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,6))) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_size)
+    SELECT p_size, n_parts, n_lines,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) / n_lines, 6) AS avg_line_revenue
+    FROM g
+"""
+
+
+def value_zero_rate_by_type(events: DataFrame) -> DataFrame:
+    """Per event type: how much of the value column is zero vs null
+    vs informative, with the mean of the NONZERO values — the
+    instrumentation-health readout a pipeline owner checks before
+    trusting any value-weighted metric (a type whose zero rate jumps
+    is a client emitting defaults, not activity).
+
+    Exact BIGINT counts; the nonzero mean sums as DECIMAL(30,6)
+    (msum discipline) with ONE double divide rounded 6dp; the zero
+    rate is ONE divide over exact counts.  Scale shape: ONE
+    map-side-combined groupBy to |types| rows."""
+    nz = F.when((col("value") != 0) & col("value").isNotNull(),
+                col("value").cast("decimal(30,6)"))
+    g = (events.groupBy("event_type")
+         .agg(F.count("*").alias("n_events"),
+              F.count_if(col("value") == 0).alias("n_zero"),
+              F.count_if(col("value").isNull()).alias("n_null"),
+              F.sum(nz).alias("_s"),
+              F.count(nz).alias("_n")))
+    return g.select(
+        "event_type", "n_events", "n_zero", "n_null",
+        F.round(col("n_zero") / col("n_events"), 6).alias("zero_rate"),
+        F.when(col("_n") > 0,
+               F.round(col("_s").cast("double") / col("_n"), 6))
+        .alias("mean_nonzero_value"))
+
+
+VALUE_ZERO_RATE_BY_TYPE_ORACLE = """
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (value = 0) AS BIGINT) AS n_zero,
+               CAST(count(*) FILTER (value IS NULL) AS BIGINT)
+                   AS n_null,
+               sum(CAST(value AS DECIMAL(30,6)))
+                   FILTER (value != 0 AND value IS NOT NULL) AS s,
+               CAST(count(*) FILTER (value != 0 AND value IS NOT NULL)
+                    AS BIGINT) AS n
+        FROM events GROUP BY event_type)
+    SELECT event_type, n_events, n_zero, n_null,
+           round(n_zero / (1.0 * n_events), 6) AS zero_rate,
+           CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE) / n, 6)
+                ELSE NULL END AS mean_nonzero_value
+    FROM g
+"""

@@ -724,3 +724,54 @@ TTR_PERCENTILES_BY_SOURCE_ORACLE = """
            round(quantile_cont(ttr, 0.9), 6) AS p90_ttr
     FROM per_doc GROUP BY source
 """
+
+
+def digit_ratio_by_source(documents: DataFrame) -> DataFrame:
+    """Numeric-noise audit per source: the share of 0-9 characters in
+    all text bytes, plus how many docs are digit-HEAVY (>10 % digits)
+    — tables, serial dumps, price scrapes, and log spam carry digit
+    densities prose never reaches, so a source whose heavy-doc count
+    grows is drifting away from trainable text; read next to
+    uppercase_ratio_by_source before setting sampling weights.
+
+    Exact integer character counts (regexp strip + length); the
+    heavy-doc test is the INTEGER comparison 10·digits > chars, so no
+    float ever decides membership cross-engine; the ratio is ONE
+    double divide rounded 6dp.  Scale shape: one scan, two Catalyst
+    string expressions, map-side-combined groupBy to a sources-sized
+    output."""
+    digits = F.length(F.regexp_replace(col("text"), "[^0-9]", ""))
+    total = F.length(col("text"))
+    return (documents
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(digits.cast("bigint")).alias("n_digits"),
+                 F.sum(total.cast("bigint")).alias("n_chars_total"),
+                 F.count_if(digits.cast("bigint") * 10
+                            > total.cast("bigint"))
+                 .alias("n_digit_heavy"))
+            .withColumn("digit_ratio",
+                        F.round(col("n_digits").cast("double")
+                                / col("n_chars_total"), 6)))
+
+
+DIGIT_RATIO_BY_SOURCE_ORACLE = """
+    WITH t AS (
+        SELECT source,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS d,
+               CAST(length(text) AS BIGINT) AS c
+        FROM documents),
+    g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(d) AS BIGINT) AS n_digits,
+               CAST(sum(c) AS BIGINT) AS n_chars_total,
+               CAST(count(*) FILTER (d * 10 > c) AS BIGINT)
+                   AS n_digit_heavy
+        FROM t GROUP BY source)
+    SELECT source, n_docs, n_digits, n_chars_total, n_digit_heavy,
+           round(CAST(n_digits AS DOUBLE) / n_chars_total, 6)
+               AS digit_ratio
+    FROM g
+"""
