@@ -254,8 +254,9 @@ def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
         (w.write.mode("overwrite")
          .partitionBy(*parts, "s_bucket").parquet(dst))
     elif n_files:
+        # (shard_col is rejected above for flat stores — no *parts)
         (df.repartition(n_files, col("s"))
-         .sortWithinPartitions(*parts, "s")
+         .sortWithinPartitions("s")
          .write.mode("overwrite").parquet(dst))
     else:
         df.write.mode("overwrite").parquet(dst)
@@ -1054,7 +1055,12 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         handles = [new_post]
         batch_sizes = new_post.groupBy("doc_id").agg(
             F.count("*").alias("n"))
-        have_corpus = bool(_batch_tags(postings_dir))
+        # ONE store listing per batch: the corpus check, the sidecar
+        # loop, and the sizes-coverage check all read this same set
+        # (three scandirs per batch otherwise, plus a needless window
+        # where the listings could disagree under the lease).
+        corpus_tags = _batch_tags(postings_dir)
+        have_corpus = bool(corpus_tags)
         corpus_posting = corpus_sizes = None
         if have_corpus:
             # basePath surfaces the ingest_batch partition column;
@@ -1093,7 +1099,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                 from data_ingestion_challenge_spark.streaming import (
                     sidecar as _sc,
                 )
-                for t in _batch_tags(postings_dir) - {tag}:
+                for t in corpus_tags - {tag}:
                     loaded = _sc.load_run_sidecar(postings_dir, t)
                     if loaded is not None:
                         scs[t] = loaded
@@ -1180,8 +1186,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             sizes_tags = (_batch_tags(sizes_dir)
                           if sizes_dir is not None else set())
             if (sizes_tags
-                    and _batch_tags(postings_dir) - {tag}
-                    <= sizes_tags):
+                    and corpus_tags - {tag} <= sizes_tags):
                 corpus_sizes = (spark.read
                                 .option("basePath", sizes_dir)
                                 .parquet(sizes_dir)

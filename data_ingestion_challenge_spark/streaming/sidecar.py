@@ -68,8 +68,11 @@ BITS_PER_KEY = 32
 K_HASHES = 16
 
 # A bucket whose distinct-shingle count exceeds this writes NO bloom
-# for that bucket (the sidecar marks it always-hit): the bitmap and
-# the driver-side collect stay bounded.  4 bytes/key → 256 MB cap.
+# for that bucket (the sidecar marks it always-hit): the bitmap, the
+# executor-side pandas group, and the driver-side collect all stay
+# bounded — over-cap buckets are routed to the marker from a COUNT
+# aggregate BEFORE the build UDF ever materializes them.
+# 4 bytes/key → 256 MB bitmap cap.
 MAX_KEYS_PER_BLOOM = 64_000_000
 
 _FORMAT_VERSION = 1
@@ -171,19 +174,30 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
     df = spark.read.parquet(run_dir)
     bucket = (F.col("s_bucket").cast("long") if "s_bucket" in df.columns
               else F.lit(-1).cast("long"))
+    # Persisted: the count aggregate below and the build pass both
+    # consume this frame — without the cache the expensive distinct
+    # over the run's rows would run twice per fold.
     hashed = (df.select(bucket.alias("b"),
                         F.xxhash64("s").alias("h1"),
                         F.hash("s").alias("h2"))
-              .distinct())
+              .distinct().persist())
+    # Over-cap buckets are decided from a COUNT aggregate and routed
+    # straight to the always-hit marker: deciding inside the build
+    # UDF would first materialize the whole bucket group as one
+    # pandas frame — the exact memory blowup the cap exists to
+    # avoid.  Bounded collect: ≤ |buckets| rows.
+    counts = {int(r["b"]): int(r["n"]) for r in
+              hashed.groupBy("b").agg(F.count("*").alias("n"))
+              .collect()}
+    over = sorted(b for b, n in counts.items()
+                  if n > MAX_KEYS_PER_BLOOM)
+    under = (hashed.where(~F.col("b").isin(over)) if over
+             else hashed)
 
     def _build(pdf):
         import pandas as pd
         n = len(pdf)
         b = int(pdf["b"].iloc[0])
-        if n > MAX_KEYS_PER_BLOOM:
-            # Mark always-hit instead of building an unbounded bitmap.
-            return pd.DataFrame({"b": [b], "n": [n],
-                                 "bits": [b"".join([])]})
         m = _bloom_m_bits(n)
         bits = np.zeros(m // 8, dtype=np.uint8)
         h1, h2 = _as_u64(pdf["h1"]), _as_u64(pdf["h2"])
@@ -193,9 +207,16 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
         return pd.DataFrame({"b": [b], "n": [n],
                              "bits": [bits.tobytes()]})
 
-    rows = (hashed.groupBy("b")
-            .applyInPandas(_build, "b long, n long, bits binary")
-            .collect())
+    try:
+        rows = (under.groupBy("b")
+                .applyInPandas(_build, "b long, n long, bits binary")
+                .collect())
+    finally:
+        hashed.unpersist()
+    rows = ([{"b": r["b"], "n": r["n"], "bits": r["bits"]}
+             for r in rows]
+            + [{"b": b, "n": counts[b], "bits": b""}  # always-hit
+               for b in over])
     payload: dict[str, np.ndarray] = {
         "version": np.array([_FORMAT_VERSION]),
         "k": np.array([K_HASHES]),
@@ -249,7 +270,16 @@ def load_run_sidecar(postings_dir: str, tag: str) -> dict | None:
                                                     bits)
         except Exception:
             return None
-        _CACHE.clear() if len(_CACHE) > 256 else None
+        # Evict any prior entry for the SAME path first: fold-tag
+        # reuse rewrites `-1.npz` every cadence tick, and keeping the
+        # dead multi-MB bitmap dicts keyed by stale (mtime, size)
+        # would grow driver memory by one sidecar per fold until the
+        # count-bound clear fired — on a long-lived stream with a
+        # large base run that is a driver OOM, not hygiene.
+        for k in [k for k in _CACHE if k[0] == path]:
+            del _CACHE[k]
+        if len(_CACHE) > 256:
+            _CACHE.clear()
         _CACHE[key] = cached
     run_dir = os.path.join(postings_dir, f"ingest_batch={tag}")
     if run_fingerprint(run_dir) != cached["fingerprint"]:

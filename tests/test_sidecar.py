@@ -215,8 +215,12 @@ def test_fold_refreshes_sidecar_and_drops_folded(spark, dirs):
 
 
 def test_degraded_sidecars_never_change_verdicts(spark, tmp_path):
-    """Corrupt ONE sidecar and stale-ify another mid-pipeline: the
-    next batch's verdicts must equal the sidecar-less run's."""
+    """Corrupt EVERY sidecar mid-pipeline on a blooms-ON sink and
+    compare against a sink that never built sidecars at all: the
+    next batch's verdicts must equal the sidecar-LESS run's (the
+    degraded screen must land on the unassisted scan, not some third
+    behavior).  The earlier spelling compared two healthy blooms-on
+    runs — a shared-cache bug could have passed it."""
     d_deg = {k: str(tmp_path / "deg" / k)
              for k in ("table", "postings", "log", "sizes")}
     d_ref = {k: str(tmp_path / "ref" / k)
@@ -226,12 +230,14 @@ def test_degraded_sidecars_never_change_verdicts(spark, tmp_path):
         admit, table = adm.document_admission_sink(
             spark, dirs["table"], dirs["postings"], dirs["log"],
             sizes_dir=dirs["sizes"], compact_every=1,
-            bloom_sidecars=not degrade or True)
+            bloom_sidecars=degrade)  # ref run: sidecars never built
         admit(_batch(spark, [(i, _TEXTS[i % 3] + f" v{i}", "en", "web")
                              for i in range(9)]), 0)
         if degrade:
-            for p in glob.glob(os.path.join(
-                    dirs["postings"], sc.BLOOM_DIR, "*.npz"))[:1]:
+            paths = glob.glob(os.path.join(
+                dirs["postings"], sc.BLOOM_DIR, "*.npz"))
+            assert paths  # the blooms-on fold must have built one
+            for p in paths:
                 with open(p, "r+b") as fh:
                     fh.truncate(8)
         admit(_batch(spark, [(100 + i, _TEXTS[i % 3] + f" v{i}",
@@ -386,3 +392,26 @@ def test_unmatchable_tag_fails_open_to_scan(spark, tmp_path):
     # matched, so no drop may apply to it.  An allowlist
     # formulation would yield 0 here.
     assert seen and seen[0] > 0, seen
+
+
+def test_over_cap_bucket_marks_always_hit(spark, tmp_path,
+                                          monkeypatch):
+    """A bucket past MAX_KEYS_PER_BLOOM gets the always-hit marker
+    (decided from a count aggregate, never materialized as a pandas
+    group) — it is always scanned, while the under-cap buckets still
+    bloom and still skip."""
+    monkeypatch.setattr(sc, "MAX_KEYS_PER_BLOOM", 100)
+    pdir = str(tmp_path / "p")
+    mod = 4
+    _write_run(spark, pdir, "-1",
+               _postings_df(spark, 0, 2000, "big"), mod)
+    assert sc.build_run_sidecar(spark, pdir, "-1")
+    blooms = sc.load_run_sidecar(pdir, "-1")
+    # every bucket holds ~500 > 100 keys → all are markers
+    assert blooms and all(bits is None for _, bits in blooms.values())
+    probes = [f"unrelated{i}" for i in range(50)]
+    h1u, h2u, h2i = _spark_hashes(spark, probes)
+    bucket_of = (h2i % mod + mod) % mod
+    # markers hit for every probed bucket: nothing is ever skipped
+    assert sc.hit_buckets(blooms, h1u, h2u, bucket_of) \
+        == set(int(b) for b in np.unique(bucket_of))
