@@ -59,6 +59,7 @@ from __future__ import annotations
 import hashlib
 import io
 import os
+import threading
 
 import numpy as np
 
@@ -67,12 +68,13 @@ BLOOM_DIR = "_blooms"
 BITS_PER_KEY = 32
 K_HASHES = 16
 
-# A bucket whose distinct-shingle count exceeds this writes NO bloom
-# for that bucket (the sidecar marks it always-hit): the bitmap, the
+# A bucket whose ROW count exceeds this writes NO bloom for that
+# bucket (the sidecar marks it always-hit): the bitmap, the
 # executor-side pandas group, and the driver-side collect all stay
-# bounded — over-cap buckets are routed to the marker from a COUNT
-# aggregate BEFORE the build UDF ever materializes them.
-# 4 bytes/key → 256 MB bitmap cap.
+# bounded — over-cap buckets are routed to the marker from parquet
+# FOOTER row counts BEFORE the build UDF ever materializes them
+# (rows ≥ distinct keys → conservative).  4 bytes/key → ≤256 MB
+# bitmap cap.
 MAX_KEYS_PER_BLOOM = 64_000_000
 
 _FORMAT_VERSION = 1
@@ -80,8 +82,14 @@ _FORMAT_VERSION = 1
 # Parsed-sidecar cache keyed by (path, mtime_ns, size): the sink
 # loads sidecars once per micro-batch and they change only at fold
 # time.  Fingerprint validation against the run dir still happens on
-# every load (it is an os.scandir, not a parse).
+# every load (it is an os.scandir, not a parse).  Guarded by a lock:
+# two admission sinks over different stores share this module global
+# from separate foreachBatch threads, and an unsynchronized
+# iterate-while-mutate would raise out of load_run_sidecar — every
+# sidecar failure mode must degrade to a scan, never an error.
 _CACHE: dict[tuple, dict] = {}
+
+_CACHE_LOCK = threading.Lock()
 
 
 def _bloom_m_bits(n_keys: int) -> int:
@@ -154,6 +162,36 @@ def sidecar_path(postings_dir: str, tag: str) -> str:
     return os.path.join(postings_dir, BLOOM_DIR, f"{tag}.npz")
 
 
+def _bucket_row_counts(run_dir: str) -> dict[int, int]:
+    """Per-bucket ROW counts from parquet footers only (no Spark
+    job): {bucket: rows} keyed by the ``s_bucket=`` partition dirs,
+    or {-1: total} for a flat run.  The over-cap routing's signal —
+    rows upper-bound distinct keys, so the cap stays conservative."""
+    import pyarrow.parquet as pq
+
+    def _dir_rows(d: str) -> int:
+        total = 0
+        for base, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith((".", "_"))]
+            for f in files:
+                if f.startswith((".", "_")) or not f.endswith(
+                        (".parquet", ".snappy.parquet")):
+                    continue
+                total += pq.ParquetFile(
+                    os.path.join(base, f)).metadata.num_rows
+        return total
+
+    out: dict[int, int] = {}
+    bucketed = False
+    for e in os.scandir(run_dir):
+        if e.is_dir() and e.name.startswith("s_bucket="):
+            bucketed = True
+            out[int(e.name.split("=", 1)[1])] = _dir_rows(e.path)
+    if not bucketed:
+        out[-1] = _dir_rows(run_dir)
+    return out
+
+
 def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
     """Build and atomically publish the bloom sidecar for run
     ``ingest_batch=<tag>``.  Reads the run's own files (so the bloom
@@ -174,21 +212,20 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
     df = spark.read.parquet(run_dir)
     bucket = (F.col("s_bucket").cast("long") if "s_bucket" in df.columns
               else F.lit(-1).cast("long"))
-    # Persisted: the count aggregate below and the build pass both
-    # consume this frame — without the cache the expensive distinct
-    # over the run's rows would run twice per fold.
     hashed = (df.select(bucket.alias("b"),
                         F.xxhash64("s").alias("h1"),
                         F.hash("s").alias("h2"))
-              .distinct().persist())
-    # Over-cap buckets are decided from a COUNT aggregate and routed
-    # straight to the always-hit marker: deciding inside the build
-    # UDF would first materialize the whole bucket group as one
-    # pandas frame — the exact memory blowup the cap exists to
-    # avoid.  Bounded collect: ≤ |buckets| rows.
-    counts = {int(r["b"]): int(r["n"]) for r in
-              hashed.groupBy("b").agg(F.count("*").alias("n"))
-              .collect()}
+              .distinct())
+    # Over-cap buckets are decided from PARQUET FOOTER row counts —
+    # zero Spark jobs, zero caching — and routed straight to the
+    # always-hit marker: deciding inside the build UDF would first
+    # materialize the whole bucket group as one pandas frame, the
+    # exact memory blowup the cap exists to avoid.  Rows ≥ distinct
+    # keys, so routing on rows is CONSERVATIVE: a duplicate-heavy
+    # bucket may get a marker it didn't strictly need (loses some
+    # skipping power), but an under-cap-by-rows bucket is provably
+    # under-cap by keys.
+    counts = _bucket_row_counts(run_dir)
     over = sorted(b for b, n in counts.items()
                   if n > MAX_KEYS_PER_BLOOM)
     under = (hashed.where(~F.col("b").isin(over)) if over
@@ -207,15 +244,14 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
         return pd.DataFrame({"b": [b], "n": [n],
                              "bits": [bits.tobytes()]})
 
-    try:
-        rows = (under.groupBy("b")
-                .applyInPandas(_build, "b long, n long, bits binary")
-                .collect())
-    finally:
-        hashed.unpersist()
+    rows = (under.groupBy("b")
+            .applyInPandas(_build, "b long, n long, bits binary")
+            .collect())
     rows = ([{"b": r["b"], "n": r["n"], "bits": r["bits"]}
              for r in rows]
-            + [{"b": b, "n": counts[b], "bits": b""}  # always-hit
+            # n for a marker is the footer ROW count (≥ its key
+            # count) — informational only
+            + [{"b": b, "n": counts[b], "bits": b""}
                for b in over])
     payload: dict[str, np.ndarray] = {
         "version": np.array([_FORMAT_VERSION]),
@@ -251,7 +287,8 @@ def load_run_sidecar(postings_dir: str, tag: str) -> dict | None:
     except OSError:
         return None
     key = (path, st.st_mtime_ns, st.st_size)
-    cached = _CACHE.get(key)
+    with _CACHE_LOCK:
+        cached = _CACHE.get(key)
     if cached is None:
         try:
             with np.load(path, allow_pickle=False) as z:
@@ -276,11 +313,12 @@ def load_run_sidecar(postings_dir: str, tag: str) -> dict | None:
         # would grow driver memory by one sidecar per fold until the
         # count-bound clear fired — on a long-lived stream with a
         # large base run that is a driver OOM, not hygiene.
-        for k in [k for k in _CACHE if k[0] == path]:
-            del _CACHE[k]
-        if len(_CACHE) > 256:
-            _CACHE.clear()
-        _CACHE[key] = cached
+        with _CACHE_LOCK:
+            for k in [k for k in _CACHE if k[0] == path]:
+                del _CACHE[k]
+            if len(_CACHE) > 256:
+                _CACHE.clear()
+            _CACHE[key] = cached
     run_dir = os.path.join(postings_dir, f"ingest_batch={tag}")
     if run_fingerprint(run_dir) != cached["fingerprint"]:
         return None

@@ -396,22 +396,35 @@ def test_unmatchable_tag_fails_open_to_scan(spark, tmp_path):
 
 def test_over_cap_bucket_marks_always_hit(spark, tmp_path,
                                           monkeypatch):
-    """A bucket past MAX_KEYS_PER_BLOOM gets the always-hit marker
-    (decided from a count aggregate, never materialized as a pandas
-    group) — it is always scanned, while the under-cap buckets still
-    bloom and still skip."""
-    monkeypatch.setattr(sc, "MAX_KEYS_PER_BLOOM", 100)
+    """Over-cap buckets get the always-hit marker (decided from
+    parquet FOOTER row counts, never materialized as a pandas
+    group), while under-cap buckets in the SAME sidecar still bloom
+    and still skip disjoint probes — the mixed marker+bloom payload
+    is the case a regression would break."""
     pdir = str(tmp_path / "p")
     mod = 4
     _write_run(spark, pdir, "-1",
                _postings_df(spark, 0, 2000, "big"), mod)
+    # cap between the smallest and largest actual bucket row count:
+    # at least one bucket over (marker), at least one under (bloom)
+    counts = sc._bucket_row_counts(
+        os.path.join(pdir, "ingest_batch=-1"))
+    assert len(counts) == mod
+    cap = max(counts.values()) - 1
+    assert min(counts.values()) <= cap  # mixed case really exists
+    monkeypatch.setattr(sc, "MAX_KEYS_PER_BLOOM", cap)
     assert sc.build_run_sidecar(spark, pdir, "-1")
     blooms = sc.load_run_sidecar(pdir, "-1")
-    # every bucket holds ~500 > 100 keys → all are markers
-    assert blooms and all(bits is None for _, bits in blooms.values())
-    probes = [f"unrelated{i}" for i in range(50)]
+    over = {b for b, n in counts.items() if n > cap}
+    under = set(counts) - over
+    assert over and under
+    assert {b for b, (_, bits) in blooms.items()
+            if bits is None} == over
+    assert {b for b, (_, bits) in blooms.items()
+            if bits is not None} == under
+    # disjoint probes: markers always hit, real blooms all miss
+    probes = [f"unrelated{i}" for i in range(200)]
     h1u, h2u, h2i = _spark_hashes(spark, probes)
     bucket_of = (h2i % mod + mod) % mod
-    # markers hit for every probed bucket: nothing is ever skipped
-    assert sc.hit_buckets(blooms, h1u, h2u, bucket_of) \
-        == set(int(b) for b in np.unique(bucket_of))
+    assert set(int(b) for b in np.unique(bucket_of)) == set(counts)
+    assert sc.hit_buckets(blooms, h1u, h2u, bucket_of) == over
