@@ -157,3 +157,44 @@ def test_label_centroid_confusion_hand_case(spark):
     assert got[("x", "y")] == 0.0
     assert abs(got[("x", "z")] - round(1 / math.sqrt(2), 6)) < 1e-9
     assert abs(got[("y", "z")] - round(1 / math.sqrt(2), 6)) < 1e-9
+
+
+# ------------------- property: confusion matrix vs numpy brute force
+
+
+def test_label_centroid_confusion_matches_numpy(spark):
+    """The distributed DECIMAL-summed formulation must agree with a
+    plain numpy centroid-cosine to ~1e-6 on adversarial-ish data
+    (mixed signs, magnitudes across 4 orders, ragged label sizes) —
+    the property that pins the optimized plan to the definition
+    rather than to its own oracle twin."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows, expected_vecs = [], {}
+    d = 12
+    for li, (label, n) in enumerate([("a", 1), ("b", 3), ("c", 17)]):
+        vecs = (rng.standard_normal((n, d))
+                * (10.0 ** rng.integers(-2, 2, size=(n, 1))))
+        expected_vecs[label] = vecs
+        for j in range(n):
+            rows.append((li * 100 + j,
+                         [float(x) for x in vecs[j]], label))
+    from data_ingestion_challenge_spark.operators.embstats import (
+        label_centroid_confusion,
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    got = {(r.label_a, r.label_b): r.centroid_cos
+           for r in label_centroid_confusion(emb).collect()}
+    # numpy reference: float32-quantized inputs (the column is
+    # array<float>), full-precision centroids and cosine
+    for (a, b), cos in got.items():
+        ca = expected_vecs[a].astype(np.float32).astype(np.float64) \
+            .mean(axis=0)
+        cb = expected_vecs[b].astype(np.float32).astype(np.float64) \
+            .mean(axis=0)
+        want = float(ca @ cb / (np.linalg.norm(ca)
+                                * np.linalg.norm(cb)))
+        assert abs(cos - want) < 5e-6, (a, b, cos, want)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}

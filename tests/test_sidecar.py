@@ -428,3 +428,41 @@ def test_over_cap_bucket_marks_always_hit(spark, tmp_path,
     bucket_of = (h2i % mod + mod) % mod
     assert set(int(b) for b in np.unique(bucket_of)) == set(counts)
     assert sc.hit_buckets(blooms, h1u, h2u, bucket_of) == over
+
+
+def test_drop_predicate_keeps_corpus_side_unshuffled(spark, tmp_path):
+    """The screen's single most load-bearing plan property — corpus
+    postings stream through ONE file scan into the broadcast semi
+    join with no corpus-side shuffle — must survive the sidecar drop
+    predicate: the drop is partition-column-only, so it lands in the
+    scan's PartitionFilters, adds no Exchange, and the plan shape is
+    byte-for-byte the unassisted one apart from the filter."""
+    pdir = str(tmp_path / "p")
+    mod = 8
+    _write_run(spark, pdir, "-1", _postings_df(spark, 0, 500, "a"),
+               mod)
+    _write_run(spark, pdir, "-9", _postings_df(spark, 0, 400, "z"),
+               mod)
+    raw = spark.read.option("basePath", pdir).parquet(pdir)
+    ib = F.col("ingest_batch").cast("string")
+    drop = (ib == "-9") & ~F.col("s_bucket").isin([0, 1])
+    corpus = (raw.where(F.col("s_bucket").isin([0, 1, 2, 3]))
+              .where(~drop).select("doc_id", "s"))
+    bsh = (spark.createDataFrame([("a1",), ("z2",)], "s string")
+           .localCheckpoint())
+    rel = adm._batch_shingle_rel(
+        corpus.withColumn("_corp", F.lit(True)), bsh)
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        plan = rel._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastExchange" in plan  # batch side only
+    # the drop predicate reached the scan's partition filters —
+    # evaluated at listing time, not per row after a full read
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ingest_batch" in m.group(1), plan
