@@ -20,6 +20,7 @@ from data_ingestion_challenge_spark.plans import r12       # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import r13       # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import r14       # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import r15       # noqa: F401,E402
+from data_ingestion_challenge_spark.plans import r16       # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import monitors  # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import curation_q  # noqa: F401,E402
 from data_ingestion_challenge_spark.plans import events6   # noqa: F401,E402
