@@ -569,7 +569,15 @@ class Engine:
         raw = (self.spark.read
                .option("basePath", postings_dir)
                .parquet(postings_dir))
-        post = raw.select("doc_id", "s")
+        # Sharded stores fold sharded (the meta copied above carries
+        # shard_col into the new generation): the s_shard partition
+        # column rides the read and the layout write below.
+        from data_ingestion_challenge_spark.streaming.admission import (
+            SHARD_COL, store_shard_col,
+        )
+        sharded = store_shard_col(postings_dir) is not None
+        post = raw.select("doc_id", "s",
+                          *([SHARD_COL] if sharded else []))
         if committed is not None:
             post = post.join(committed, "doc_id", "left_semi")
         base = os.path.join(out_dir, "ingest_batch=-1")
@@ -580,7 +588,9 @@ class Engine:
         from data_ingestion_challenge_spark.streaming.admission import (
             _write_postings_layout,
         )
-        _write_postings_layout(post, base, mod, n_files=n_files)
+        _write_postings_layout(post, base, mod, n_files=n_files,
+                               shard_col=SHARD_COL if sharded
+                               else None)
         # Bloom sidecar for the new generation's base run (screen
         # lever #2) — same best-effort rule and the same opt-out
         # flag as the in-place fold: a build failure (or
@@ -1162,6 +1172,33 @@ class Engine:
                         _add("posting_store", "bucket_skew",
                              round(max(bb) / (sum(bb) / len(bb)), 3),
                              "max/mean postings per s_bucket")
+                # Screen lever #2 health (r15 verdict "wrong" #2): an
+                # undersized s_bucket_mod silently neutralizes the
+                # bloom skip — every over-cap bucket is an always-hit
+                # marker — so both failure shapes get a row: coverage
+                # (runs whose screens fall back to full scans) and
+                # the over-cap fraction (buckets that can't skip).
+                # Constraint: mod ≳ store_rows / 64e6 (the per-bloom
+                # key cap); docs/SCREEN_SCALING.md "Sizing guidance".
+                from data_ingestion_challenge_spark.streaming import (
+                    sidecar as _sc,
+                )
+                sh = _sc.sidecar_health(postings_dir)
+                if sh["base_runs"]:
+                    _add("posting_store", "sidecar_coverage",
+                         round(sh["covered_runs"] / sh["base_runs"],
+                               3),
+                         "uncovered runs scan fully: " + ",".join(
+                             sh["uncovered"][:8]) if sh["uncovered"]
+                         else "every base run has a valid sidecar")
+                if sh["buckets"]:
+                    _add("posting_store", "sidecar_overcap_fraction",
+                         round(sh["overcap_buckets"]
+                               / sh["buckets"], 3),
+                         "always-hit markers skip nothing — raise "
+                         "s_bucket_mod past store_rows/64e6"
+                         if sh["overcap_buckets"] else
+                         "all blooms under the 64M-key cap")
         if ivf_table is not None:
             occ = self.ivf_index_stats(ivf_table).collect()[0]
             for m in ("n_cells", "n_assignments", "mean_occupancy",

@@ -210,6 +210,15 @@ _COMPACTING = "_compacting"
 
 _COMPACT_MANIFEST = "_compact_manifest.json"
 
+# Screen lever #1 (docs/SCREEN_SCALING.md): the posting store's
+# OPTIONAL outer partition level.  The store-internal partition
+# column is always named s_shard (the SOURCE column it derives from
+# is a sink parameter, persisted in the store meta); docs whose
+# shard value is NULL route to the reserved GLOBAL shard, which
+# every screen scans unconditionally.
+SHARD_COL = "s_shard"
+GLOBAL_SHARD = "__global__"
+
 
 def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
                            n_files: int | None = None,
@@ -226,17 +235,18 @@ def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
     n-file rewrite (compacted base); unset → a plain write (batch
     increment).
 
-    ``shard_col`` (screen lever #1, docs/SCREEN_SCALING.md — design
-    spike, not wired into the sink): an ADDITIVE outer partition
-    level ``<shard_col>=<k>/s_bucket=<b>`` by a coarse corpus
-    dimension (source, time window, language).  Near-duplicates
-    overwhelmingly share the shard key in crawl corpora, so a screen
-    can prune its corpus read to the batch's shard(s) + a global
-    shard — scanned rows ∝ shard fraction — with plain partition
-    pruning and no reader logic change; the cross-shard dedup sweep
-    stays a batch job over the full store.  Equivalence of the
-    shard-pruned screen is pinned on a two-shard toy in
-    tests/test_shard_layout.py."""
+    ``shard_col`` (screen lever #1, docs/SCREEN_SCALING.md — wired
+    into the sink since r16 via document_admission_sink(shard_col=)):
+    an ADDITIVE outer partition level ``<shard_col>=<k>/s_bucket=<b>``
+    by a coarse corpus dimension (source, time window, language).
+    Near-duplicates overwhelmingly share the shard key in crawl
+    corpora, so a screen can prune its corpus read to the batch's
+    shard(s) + the global shard — scanned rows ∝ shard fraction —
+    with plain partition pruning and no reader logic change; the
+    cross-shard dedup sweep stays a batch job over the full store.
+    Layout + pruning composition pinned in tests/test_shard_layout
+    .py; the sink-level equivalence/crash battery lives in
+    tests/test_shard_sink.py."""
     from pyspark.sql.functions import col
 
     parts = ([shard_col] if shard_col else [])
@@ -481,6 +491,10 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
     incs = [t for t in committed if not _is_base(t)]
     n_inc = len(incs)
     mod = store_bucket_mod(postings_dir)
+    # Sharded stores fold sharded: the s_shard partition column rides
+    # the read and the fold re-partitions by it — the layout is a
+    # store property (meta), identical for every writer.
+    sharded = store_shard_col(postings_dir) is not None
 
     def _fold(folded: list[str], base_tag: str) -> None:
         """One atomic fold: read the folded partitions, stage the new
@@ -490,11 +504,14 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
                  for t in folded]
         dst = os.path.join(postings_dir, _COMPACTING,
                            f"ingest_batch={base_tag}")
+        cols = ["doc_id", "s"] + ([SHARD_COL] if sharded else [])
         post = (spark.read.option("basePath", postings_dir)
-                .parquet(*paths).select("doc_id", "s"))
+                .parquet(*paths).select(*cols))
         # Bucketed: one s-sorted file per shingle bucket.  Flat:
         # n_files s-sorted files.
-        _write_postings_layout(post, dst, mod, n_files=n_files)
+        _write_postings_layout(post, dst, mod, n_files=n_files,
+                               shard_col=SHARD_COL if sharded
+                               else None)
         sfolded: list[str] = []
         if sizes_dir is not None:
             # The sizes run comes from the folded POSTINGS, not a
@@ -686,7 +703,9 @@ def store_bucket_mod(postings_dir: str) -> int | None:
     for tag in tags:
         batch_dir = os.path.join(postings_dir, f"ingest_batch={tag}")
         try:
-            bucketed = any(e.name.startswith("s_bucket=")
+            # s_shard= implies bucketed too (the shard level only
+            # exists above s_bucket) — both prove a lost meta.
+            bucketed = any(e.name.startswith(("s_bucket=", "s_shard="))
                            for e in os.scandir(batch_dir))
         except OSError:
             continue
@@ -704,6 +723,65 @@ def store_bucket_mod(postings_dir: str) -> int | None:
         json.dump({"s_bucket_mod": mod}, fh)
     os.replace(tmp, meta)
     return mod
+
+
+def store_shard_col(postings_dir: str) -> str | None:
+    """The SOURCE column the store's ``s_shard=`` partition level
+    derives from, or None for an unsharded store.  Like the bucket
+    modulus, shardedness is a property of the STORED layout — read
+    from the persisted meta, never from the caller's argument — so a
+    reader can never prune with a shard function the writer didn't
+    use."""
+    try:
+        with open(os.path.join(postings_dir, _META)) as fh:
+            return json.load(fh).get("shard_col")
+    except (OSError, ValueError):
+        return None
+
+
+def _resolve_shard(postings_dir: str,
+                   shard_col: str | None) -> str | None:
+    """Reconcile a sink's requested ``shard_col`` with the store's
+    persisted layout at build time (stamping a fresh store).  Rules:
+    the layout is STICKY — a store written sharded screens sharded
+    even when the caller omits shard_col (the partition depth is on
+    disk); a conflicting column name raises; sharding an EXISTING
+    unsharded store raises (its runs lack the s_shard level — mixed
+    partition depths break Spark's discovery; re-ingest or rebuild
+    into a fresh store instead); a flat (mod-less) store cannot
+    shard (the level exists to compose with s_bucket pruning)."""
+    mod = store_bucket_mod(postings_dir)  # stamps meta if absent
+    stored = store_shard_col(postings_dir)
+    if stored is not None:
+        if shard_col is not None and shard_col != stored:
+            raise ValueError(
+                f"{postings_dir}: store is sharded by {stored!r}; a "
+                f"sink requesting shard_col={shard_col!r} would "
+                f"route the same doc's postings to different shards "
+                f"across ingests — screens would then prune away "
+                f"true duplicates.")
+        return stored
+    if shard_col is None:
+        return None
+    if mod is None:
+        raise ValueError(
+            "shard_col requires a bucketed store (mod): the shard "
+            "level exists to compose with s_bucket pruning")
+    if _batch_tags(postings_dir):
+        raise ValueError(
+            f"{postings_dir}: cannot shard an existing unsharded "
+            f"store — its runs lack the s_shard partition level and "
+            f"mixed depths break partition discovery.  Start a "
+            f"fresh store (or fold this one into it) instead.")
+    meta_path = os.path.join(postings_dir, _META)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["shard_col"] = shard_col
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return shard_col
 
 
 def _collapse_exact(batch: DataFrame) -> DataFrame:
@@ -877,7 +955,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                             adaptive: bool = False,
                             compact_every: int | None = None,
                             commit_mode: str = "append",
-                            bloom_sidecars: bool = True):
+                            bloom_sidecars: bool = True,
+                            shard_col: str | None = None):
     """Build the foreachBatch admission callback.  Returns
     (admit_fn, table): admit_fn(batch_df, batch_id) runs one
     micro-batch through screen→commit→maintain; `table` is the
@@ -947,7 +1026,27 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     partitions.  Verdict-identical by construction (a bloom has no
     false negatives; a missing/corrupt/stale sidecar degrades to the
     full scan of that run); pass False to A/B the unassisted
-    screen."""
+    screen.
+
+    ``shard_col`` (screen lever #1, docs/SCREEN_SCALING.md) names a
+    BATCH COLUMN (e.g. ``source``) whose value routes each doc's
+    postings to an outer ``s_shard=`` partition level above
+    ``s_bucket=``; the screen then prunes its corpus read to the
+    batch's shard values plus the reserved GLOBAL shard, so scanned
+    corpus rows scale with the batch's shard fraction REGARDLESS of
+    shingle overlap — the lever for high-overlap batches, where
+    blooms by design skip nothing.  Cross-shard policy: a NULL shard
+    value routes to the global shard, which every screen scans
+    unconditionally.  SEMANTIC CONTRACT (unlike blooms, this lever
+    is not verdict-free): the screen only sees corpus near-dups that
+    share the batch doc's shard value or live in the global shard —
+    choose a key near-dups overwhelmingly share (source/host/time
+    window in crawl corpora) and route unknown provenance to NULL;
+    the full cross-shard dedup sweep stays a batch job
+    (dedup_minhash_lsh et al over the unpruned store).  The layout
+    is STICKY store meta: a sharded store screens sharded even when
+    a later sink omits the argument, a conflicting column raises,
+    and an existing unsharded store refuses to convert in place."""
     if commit_mode not in ("merge", "append"):
         raise ValueError(
             f"commit_mode must be merge|append, got {commit_mode!r}")
@@ -957,6 +1056,11 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     # read the store: a published-but-unfinished manifest means the
     # store may transiently miss (or double-count) folded postings.
     recover_compaction(postings_dir, sizes_dir)
+
+    # Reconcile the requested shard layout with the store's persisted
+    # one (sticky; conflicts raise; stamps a fresh store) — ONCE at
+    # build time, like the recovery above.
+    shard_src = _resolve_shard(postings_dir, shard_col)
 
     # checkpoint_every: one commit per micro-batch means the log
     # grows with stream lifetime; the cadence keeps the per-batch
@@ -1048,6 +1152,40 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         mod = store_bucket_mod(postings_dir)
         batch = batch_df.localCheckpoint()
         exact = _collapse_exact(batch)
+        # Shard routing (lever #1): one per-doc (doc_id, s_shard) map
+        # drives BOTH the increment write and the corpus pruning, so
+        # a doc's postings always land in the shard its screens scan.
+        # NULL → the reserved global shard (always scanned).
+        doc_shard = None
+        if shard_src is not None:
+            if shard_src not in batch.columns:
+                raise ValueError(
+                    f"admission: shard column {shard_src!r} (store "
+                    f"meta) is not in the batch schema "
+                    f"{batch.columns} — every ingested batch must "
+                    f"carry the store's shard key")
+            # NULL → global, and ALSO every string value that cannot
+            # round-trip through a partition DIRECTORY (probed
+            # empirically, pinned by tests/test_shard_sink.py):
+            # "" and the literal __HIVE_DEFAULT_PARTITION__ are both
+            # read back as NULL (the fail-closed isin prune would
+            # then hide those postings from every future screen —
+            # true dups admitted silently); control characters FAIL
+            # the parquet write outright (would fail the
+            # micro-batch); long values overflow the 255-byte
+            # dirname limit once %-escaped (worst case 3 dirname
+            # bytes per value byte → cap value at 80 utf-8 bytes so
+            # 8+240 ≤ 255).  All of them route to the always-scanned
+            # global shard: correctness preserved, pruning forgone.
+            src = col(shard_src).cast("string")
+            unrep = (src.isNull() | (src == "")
+                     | (src == "__HIVE_DEFAULT_PARTITION__")
+                     | (F.octet_length(src) > 80)
+                     | src.rlike("[\\x00-\\x1F\\x7F]"))
+            doc_shard = exact.select(
+                "doc_id",
+                F.when(unrep, F.lit(GLOBAL_SHARD))
+                .otherwise(src).alias(SHARD_COL))
         # Batch postings built ONCE (persisted): the fused screen,
         # the posting/sizes maintenance writes, and the batch-bucket
         # collect all read this same cache.
@@ -1105,7 +1243,6 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                         scs[t] = loaded
             ib = col("ingest_batch").cast("string")
             drop_pred = None
-            fully_dropped: list[str] = []
             buckets: list | None = None
             if scs:
                 import numpy as np
@@ -1130,12 +1267,6 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                     bucket_of = np.full(len(h1u), -1, dtype=np.int64)
                 for t, blooms in scs.items():
                     hb = hit_buckets(blooms, h1u, h2u, bucket_of)
-                    if not hb:
-                        # no (bucket) of this run can hold a batch
-                        # shingle → the run contributes no posting
-                        # row, hence no candidate, hence its SIZES
-                        # rows can never be consulted either
-                        fully_dropped.append(t)
                     if pruned:
                         # drop the run everywhere EXCEPT its hit
                         # buckets (a bucket absent from the sidecar
@@ -1150,6 +1281,21 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                     drop_pred = (miss if drop_pred is None
                                  else drop_pred | miss)
             filtered = raw
+            if shard_src is not None and SHARD_COL in raw.columns:
+                # Shard pruning (lever #1, PartitionFilters like the
+                # rest): corpus near-dups are only sought in the
+                # batch's own shards plus the global shard — the
+                # documented semantic contract of shard_col.  Bounded
+                # collect: ≤ distinct shard values in the batch.
+                # Corpus SIZES stay unsharded/unpruned (they read
+                # `raw`): a doc's sizes row is only consulted via
+                # candidates, and candidates only arise from scanned
+                # shards.
+                batch_shards = sorted(
+                    {str(r[0]) for r in doc_shard.select(SHARD_COL)
+                     .distinct().collect()} | {GLOBAL_SHARD})
+                filtered = filtered.where(
+                    col(SHARD_COL).isin(batch_shards))
             if pruned:
                 # Shingle-bucket pruning (PartitionFilters): all
                 # corpus occurrences of any batch shingle live in the
@@ -1192,19 +1338,22 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                                 .parquet(sizes_dir)
                                 .where(col("ingest_batch")
                                        .cast("string") != F.lit(tag)))
-                if fully_dropped:
-                    # A run whose EVERY batch-bucket bloom missed
-                    # contributes no posting rows → none of its docs
-                    # can become candidates → its sizes rows are
-                    # never consulted by the ratify join.  Same
-                    # fail-open drop-list form as the posting skip:
-                    # an unmatchable tag keeps its sizes.  (Corpus
-                    # sizes stay FULL counts — whole docs drop, a
-                    # doc's count is never partially pruned: a doc's
-                    # postings live in exactly one run.)
-                    corpus_sizes = corpus_sizes.where(
-                        ~col("ingest_batch").cast("string")
-                        .isin(sorted(fully_dropped)))
+                # Sizes are NEVER pruned by the bloom skip — not even
+                # for fully-dropped runs.  The r15 spelling dropped a
+                # fully-missed run's sizes partition, reasoning its
+                # docs can't become candidates; that silently assumed
+                # a doc's postings live in exactly one run, which
+                # RE-INGESTED doc_ids violate (changed content below
+                # τ re-admits the same id: old postings+sizes stay in
+                # the original run, new rows land in a later one,
+                # until a fold merges them).  If only the NEW run
+                # overlaps the batch, the old run is fully dropped —
+                # but the ratify join on doc_id must still see BOTH n
+                # values to stay bit-identical with the unassisted
+                # screen (the smaller old n can cross τ alone).  The
+                # sizes read is one row per doc per run — orders
+                # below the posting scan the blooms actually skip —
+                # so the sound read costs ~nothing.
                 corpus_sizes = corpus_sizes.select("doc_id", "n")
             else:
                 corpus_sizes = (raw.groupBy("doc_id")
@@ -1281,6 +1430,12 @@ def document_admission_sink(spark: SparkSession, table_path: str,
 
         adm_post = handles[0].join(admitted.select("doc_id"),
                                    "doc_id", "left_semi")
+        if doc_shard is not None:
+            # 1:1 on doc_id (exact is doc-unique), so posting rows
+            # and the sizes groupBy are unchanged — the join only
+            # pins each admitted doc's shard onto its posting rows
+            # for the partitioned write below.
+            adm_post = adm_post.join(doc_shard, "doc_id")
 
         def _write_log():
             # One file: the per-batch log is verdict-row-sized, and
@@ -1300,7 +1455,9 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             _write_postings_layout(
                 adm_post,
                 os.path.join(postings_dir, f"ingest_batch={tag}"),
-                mod, sort=False)
+                mod, sort=False,
+                shard_col=SHARD_COL if doc_shard is not None
+                else None)
 
         def _write_sizes():
             # One file: batch-doc-count rows.
@@ -1367,7 +1524,8 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
                            adaptive: bool = False,
                            compact_every: int | None = None,
                            commit_mode: str = "append",
-                           max_files_per_trigger: int = 64):
+                           max_files_per_trigger: int = 64,
+                           shard_col: str | None = None):
     """Drain jsonl document drops from watch_dir through the admission
     sink (availableNow; re-call to pick up new drops).  Returns the
     corpus TxnTable.
@@ -1427,7 +1585,8 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
             spark, table_path, postings_dir, log_dir,
             n_buckets=n_buckets, n=n, tau=tau, sizes_dir=sizes_dir,
             run_id=run_id, adaptive=adaptive,
-            compact_every=compact_every, commit_mode=commit_mode)
+            compact_every=compact_every, commit_mode=commit_mode,
+            shard_col=shard_col)
         q = (spark.readStream.schema(DOCS_SCHEMA)
              .option("maxFilesPerTrigger", max_files_per_trigger)
              .json(watch_dir)

@@ -30,13 +30,26 @@ Safety argument (why a skip can never change a verdict):
 - Staleness: fold target tags are REUSED ("-1", "-2"), so a sidecar
   alone cannot identify content.  Every sidecar embeds a fingerprint
   of the run directory's data files (relative name + size); a
-  mismatch (tag rewritten by a later fold, manual edit) invalidates
-  the sidecar.  Fingerprints use relative paths, so the staged→live
-  rename of the compaction swap does not invalidate them.
+  mismatch (tag rewritten by a later fold) invalidates the sidecar.
+  Fingerprints use relative paths, so the staged→live rename of the
+  compaction swap does not invalidate them.  Validation is O(1) on
+  the happy path (r16): the build persists the fingerprint as a
+  RECORD file inside the run dir (FINGERPRINT_FILE — it lives and
+  dies with the dir, so a record can never describe content it
+  wasn't computed from), and the screen compares sidecar-embedded vs
+  record with one small read; record-less runs fall back to the full
+  os.walk.  The narrowing this buys: an out-of-band edit to a
+  managed run's data files no longer invalidates the sidecar — such
+  edits are outside the store contract (the same trust parquet
+  footers already get).
 
 Crash windows (all degrade, none lie): sidecars are written AFTER the
 compaction swap publishes the run — a crash before the write leaves a
-run with no sidecar (scanned); a crash that leaves an orphan sidecar
+run with no sidecar (scanned); a crash after the record write but
+before the sidecar publish leaves a record nobody consults (no
+sidecar → scanned); a crash BETWEEN the swap and the old sidecar's
+drop leaves a stale sidecar against a record-less new dir (walk
+fallback → mismatch → scanned); a crash that leaves an orphan sidecar
 (its run folded away) leaves a file nobody consults; a crashed
 half-written ``.npz`` fails to parse (scanned).  Writes are
 tmp+rename atomic anyway.
@@ -57,13 +70,22 @@ every batch and skip nothing.  Cost: 4 bytes per distinct shingle,
 from __future__ import annotations
 
 import hashlib
-import io
+import json
 import os
 import threading
+import zipfile
 
 import numpy as np
 
 BLOOM_DIR = "_blooms"
+
+# Per-run fingerprint record, written INSIDE the run directory (so it
+# lives and dies with the dir: the compaction swap's rmtree+rename and
+# Spark's mode("overwrite") both replace the whole dir, record
+# included — a record can never describe a dir it wasn't computed
+# from).  Underscore prefix: invisible to Spark listings, excluded
+# from the fingerprint itself.
+FINGERPRINT_FILE = "_fingerprint.json"
 
 BITS_PER_KEY = 32
 K_HASHES = 16
@@ -158,6 +180,36 @@ def run_fingerprint(run_dir: str) -> str | None:
     return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
 
 
+def stored_fingerprint(run_dir: str) -> str | None:
+    """The run's PERSISTED fingerprint record (one small file read —
+    the O(1) replacement for the per-batch os.walk the r15 screen
+    paid on every sidecar load).  None when absent/unparsable: the
+    caller falls back to the full run_fingerprint walk."""
+    try:
+        with open(os.path.join(run_dir, FINGERPRINT_FILE)) as fh:
+            v = json.load(fh).get("fingerprint")
+        return v if isinstance(v, str) else None
+    except (OSError, ValueError):
+        return None
+
+
+def write_fingerprint_record(run_dir: str, fp: str) -> None:
+    """Persist the run-dir fingerprint next to the data it describes
+    (tmp+rename atomic).  Called by the sidecar build right after a
+    fold's swap, under the admission lease — the one writer that owns
+    the dir at that moment.  The record is authoritative for sidecar
+    validation from then on: out-of-band edits to a managed run's
+    data files are outside the store contract (the same trust already
+    extended to parquet footers), and the only in-contract rewrite —
+    a later fold reusing the tag — replaces the whole dir, record
+    included."""
+    path = os.path.join(run_dir, FINGERPRINT_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"fingerprint": fp}, fh)
+    os.replace(tmp, path)
+
+
 def sidecar_path(postings_dir: str, tag: str) -> str:
     return os.path.join(postings_dir, BLOOM_DIR, f"{tag}.npz")
 
@@ -183,10 +235,21 @@ def _bucket_row_counts(run_dir: str) -> dict[int, int]:
 
     out: dict[int, int] = {}
     bucketed = False
-    for e in os.scandir(run_dir):
-        if e.is_dir() and e.name.startswith("s_bucket="):
-            bucketed = True
-            out[int(e.name.split("=", 1)[1])] = _dir_rows(e.path)
+    # Sharded layout (screen lever #1) nests s_shard= above s_bucket=;
+    # blooms stay keyed by BUCKET across shards (a bucket with no
+    # batch shingle anywhere in the run is droppable in every shard),
+    # so per-bucket rows SUM across the shard dirs.
+    roots = [run_dir]
+    shard_dirs = [e.path for e in os.scandir(run_dir)
+                  if e.is_dir() and e.name.startswith("s_shard=")]
+    if shard_dirs:
+        roots = shard_dirs
+    for root in roots:
+        for e in os.scandir(root):
+            if e.is_dir() and e.name.startswith("s_bucket="):
+                bucketed = True
+                b = int(e.name.split("=", 1)[1])
+                out[b] = out.get(b, 0) + _dir_rows(e.path)
     if not bucketed:
         out[-1] = _dir_rows(run_dir)
     return out
@@ -209,6 +272,12 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
     fp = run_fingerprint(run_dir)
     if fp is None:
         return False
+    # Persist the fingerprint as the run's record FIRST: from now on
+    # every screen load validates with one file read instead of
+    # re-walking the run dir per micro-batch (r15 "wrong" #1).  A
+    # crash after this write but before the sidecar publish leaves a
+    # record nobody consults (no sidecar → scanned).
+    write_fingerprint_record(run_dir, fp)
     df = spark.read.parquet(run_dir)
     bucket = (F.col("s_bucket").cast("long") if "s_bucket" in df.columns
               else F.lit(-1).cast("long"))
@@ -244,32 +313,56 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
         return pd.DataFrame({"b": [b], "n": [n],
                              "bits": [bits.tobytes()]})
 
-    rows = (under.groupBy("b")
-            .applyInPandas(_build, "b long, n long, bits binary")
-            .collect())
-    rows = ([{"b": r["b"], "n": r["n"], "bits": r["bits"]}
-             for r in rows]
-            # n for a marker is the footer ROW count (≥ its key
-            # count) — informational only
-            + [{"b": b, "n": counts[b], "bits": b""}
-               for b in over])
-    payload: dict[str, np.ndarray] = {
-        "version": np.array([_FORMAT_VERSION]),
-        "k": np.array([K_HASHES]),
-        "fingerprint": np.array([fp]),
-        "buckets": np.array([r["b"] for r in rows], dtype=np.int64),
-        "counts": np.array([r["n"] for r in rows], dtype=np.int64),
-    }
-    for r in rows:
-        payload[f"bits_{r['b']}"] = np.frombuffer(r["bits"],
-                                                  dtype=np.uint8)
+    # STREAM the bitmaps to the driver instead of one collect(): the
+    # cap bounds each bloom (≤256 MB) but not their SUM — a
+    # right-sized-mod 100 TB store is mod × 256 MB, a driver OOM as
+    # one list (r15 "wrong" #3).  The hash repartition spreads the
+    # ≤1-row-per-bucket frames so a fetched partition carries ~1
+    # bitmap; members are written straight into the zip (npz IS a
+    # zip of .npy members) as they arrive — peak driver residency ≈
+    # one bucket's bitmap, and the old BytesIO full-payload second
+    # copy is gone with it.
+    built = (under.groupBy("b")
+             .applyInPandas(_build, "b long, n long, bits binary"))
+    n_under = max(1, len(counts) - len(over))
+    built = built.repartition(2 * n_under, "b")
     out = sidecar_path(postings_dir, tag)
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    buf = io.BytesIO()
-    np.savez(buf, **payload)
     tmp = out + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(buf.getvalue())
+    bs: list[int] = []
+    ns: list[int] = []
+
+    def _member(zf: zipfile.ZipFile, key: str, arr) -> None:
+        with zf.open(f"{key}.npy", "w", force_zip64=True) as fh:
+            np.lib.format.write_array(fh, np.asanyarray(arr),
+                                      allow_pickle=False)
+
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+            for row in built.toLocalIterator():
+                b = int(row["b"])
+                bs.append(b)
+                ns.append(int(row["n"]))
+                _member(zf, f"bits_{b}",
+                        np.frombuffer(row["bits"], dtype=np.uint8))
+            for b in over:
+                # n for a marker is the footer ROW count (≥ its key
+                # count) — informational only
+                bs.append(b)
+                ns.append(counts[b])
+                _member(zf, f"bits_{b}",
+                        np.empty(0, dtype=np.uint8))
+            _member(zf, "version", np.array([_FORMAT_VERSION]))
+            _member(zf, "k", np.array([K_HASHES]))
+            _member(zf, "fingerprint", np.array([fp]))
+            _member(zf, "buckets", np.array(bs, dtype=np.int64))
+            _member(zf, "counts", np.array(ns, dtype=np.int64))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     os.replace(tmp, out)
     return True
 
@@ -319,8 +412,18 @@ def load_run_sidecar(postings_dir: str, tag: str) -> dict | None:
             if len(_CACHE) > 256:
                 _CACHE.clear()
             _CACHE[key] = cached
+    # Happy path: validate against the PERSISTED record — one small
+    # file read, not the per-batch os.walk + per-file stat the r15
+    # screen paid (at 10⁵-10⁶ files per base run that walk is the
+    # dominant metadata term, multiplied by the live-run count).
+    # Record-less runs (pre-record stores, hand-built test runs) keep
+    # the full walk as the fallback; either source mismatching the
+    # sidecar's embedded fingerprint degrades to a scan.
     run_dir = os.path.join(postings_dir, f"ingest_batch={tag}")
-    if run_fingerprint(run_dir) != cached["fingerprint"]:
+    fp = stored_fingerprint(run_dir)
+    if fp is None:
+        fp = run_fingerprint(run_dir)
+    if fp != cached["fingerprint"]:
         return None
     return cached["blooms"]
 
@@ -345,6 +448,79 @@ def hit_buckets(blooms: dict, h1u: np.ndarray, h2u: np.ndarray,
         if _test_bits(bits, idx).any():
             out.add(b)
     return out
+
+
+def sidecar_health(postings_dir: str) -> dict:
+    """Coverage/efficacy summary for Engine.health_report — the
+    operator-visible answer to the silent failure mode of r15's cap
+    design: an undersized ``s_bucket_mod`` puts every bucket of a big
+    base run over MAX_KEYS_PER_BLOOM, every bucket becomes an
+    always-hit marker, and lever #2 skips NOTHING with zero signal
+    anywhere.  Returns {base_runs, covered_runs, uncovered (tags with
+    no VALID sidecar), buckets, overcap_buckets}; health_report turns
+    these into `sidecar_coverage` and `sidecar_overcap_fraction`
+    rows.  Constraint (docs/SCREEN_SCALING.md "Sizing guidance"):
+    rows-per-bucket ≈ store_rows / mod must stay under the 64 M-key
+    cap, i.e. mod ≳ store_rows / 64e6 — at 10¹² posting rows that is
+    mod ≥ ~16k, not the bench default 64."""
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _batch_tags, _is_base,
+    )
+
+    # Metadata-only probe: tiny members (version/k/fingerprint) load
+    # lazily via np.load; per-bucket marker detection reads ZIP
+    # member SIZES (ZIP_STORED: an always-hit marker's bits member is
+    # exactly an empty uint8 .npy).  Never materializes a bitmap and
+    # never touches the screen's parsed-sidecar cache — at a
+    # right-sized-mod store a full load here would be GBs per run
+    # and could evict the warm screen entries.
+    import io as _io
+    buf = _io.BytesIO()
+    np.lib.format.write_array(buf, np.empty(0, dtype=np.uint8),
+                              allow_pickle=False)
+    empty_npy = buf.tell()
+
+    base = sorted(t for t in _batch_tags(postings_dir) if _is_base(t))
+    covered: list[str] = []
+    uncovered: list[str] = []
+    buckets = overcap = 0
+
+    def _summary(path: str, run_dir: str):
+        """(n_buckets, n_markers) for a VALID sidecar, else None."""
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                if int(z["version"][0]) != _FORMAT_VERSION:
+                    return None
+                if int(z["k"][0]) != K_HASHES:
+                    return None
+                emb = str(z["fingerprint"][0])
+                bs = z["buckets"]
+                infos = {i.filename: i.file_size
+                         for i in z.zip.infolist()}
+        except Exception:
+            return None
+        fp = stored_fingerprint(run_dir)
+        if fp is None:
+            fp = run_fingerprint(run_dir)
+        if fp != emb:
+            return None
+        nb = len(bs)
+        nm = sum(1 for b in bs
+                 if infos.get(f"bits_{int(b)}.npy") == empty_npy)
+        return nb, nm
+
+    for t in base:
+        run_dir = os.path.join(postings_dir, f"ingest_batch={t}")
+        s = _summary(sidecar_path(postings_dir, t), run_dir)
+        if s is None:
+            uncovered.append(t)
+            continue
+        covered.append(t)
+        buckets += s[0]
+        overcap += s[1]
+    return {"base_runs": len(base), "covered_runs": len(covered),
+            "uncovered": uncovered, "buckets": buckets,
+            "overcap_buckets": overcap}
 
 
 def drop_sidecars(postings_dir: str, tags: list[str]) -> None:

@@ -86,6 +86,9 @@ NON_EQUI_OK = {
     "customer_value_deciles",  # 1-row grand-total value scalar
     "vocab_coverage_curve",    # 1-row total-occurrences scalar +
                                # |ks|-row cutoff join onto ≤max(k) rows
+    "user_retention_curve",    # 1-row horizon scalar + ≤|days|²-row
+                               # eligibility range join (both tiny,
+                               # pinned in tests/test_r16_plans.py)
 }
 
 STREAMING = {"streaming_hourly_rollup", "streaming_sessionize",

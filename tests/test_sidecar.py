@@ -466,3 +466,209 @@ def test_drop_predicate_keeps_corpus_side_unshuffled(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ingest_batch" in m.group(1), plan
+
+
+# --------------------- r16: O(1) record validation + streamed build
+
+
+def test_load_validates_with_record_not_walk(spark, tmp_path,
+                                             monkeypatch):
+    """The r15 screen re-walked the run dir (os.walk + per-file
+    stat) on EVERY sidecar load; since r16 the build persists a
+    fingerprint RECORD inside the run dir and the load validates
+    with one small read.  Pin: happy-path loads never call
+    run_fingerprint; deleting the record falls back to the walk
+    (and still validates)."""
+    pdir = str(tmp_path / "p")
+    _write_run(spark, pdir, "-1", _postings_df(spark, 0, 500, "a"), 8)
+    assert sc.build_run_sidecar(spark, pdir, "-1")
+    run = os.path.join(pdir, "ingest_batch=-1")
+    record = os.path.join(run, sc.FINGERPRINT_FILE)
+    assert os.path.exists(record)
+
+    calls = []
+    orig = sc.run_fingerprint
+    monkeypatch.setattr(sc, "run_fingerprint",
+                        lambda d: (calls.append(d) or orig(d)))
+    assert sc.load_run_sidecar(pdir, "-1") is not None
+    assert calls == [], "happy path must not walk the run dir"
+    os.unlink(record)
+    assert sc.load_run_sidecar(pdir, "-1") is not None
+    assert calls, "record-less load must fall back to the walk"
+
+
+def test_stale_record_crash_window_degrades(spark, tmp_path):
+    """Crash window: a later fold rewrote the run but crashed before
+    dropping the old sidecar.  The rewrite replaced the whole dir —
+    record included — so the old sidecar validates against either
+    the NEW record (mismatch) or the walk (mismatch): never a lie."""
+    pdir = str(tmp_path / "p")
+    _write_run(spark, pdir, "-1", _postings_df(spark, 0, 400, "a"), 8)
+    assert sc.build_run_sidecar(spark, pdir, "-1")
+    # rewrite the run in place (a fold reusing the tag), keeping the
+    # OLD sidecar — first without a new record, then with one
+    run = os.path.join(pdir, "ingest_batch=-1")
+    shutil.rmtree(run)
+    _write_run(spark, pdir, "-1", _postings_df(spark, 0, 400, "b"), 8)
+    assert sc.load_run_sidecar(pdir, "-1") is None  # walk fallback
+    sc.write_fingerprint_record(run, sc.run_fingerprint(run))
+    assert sc.load_run_sidecar(pdir, "-1") is None  # record mismatch
+
+
+def test_build_failure_publishes_nothing(spark, tmp_path,
+                                         monkeypatch):
+    """A crash mid-stream (the toLocalIterator fetch dies) must leave
+    neither a sidecar nor a tmp file — the screen scans the run."""
+    pdir = str(tmp_path / "p")
+    _write_run(spark, pdir, "-1", _postings_df(spark, 0, 300, "a"), 4)
+
+    def _boom(self, *a, **kw):
+        raise RuntimeError("simulated fetch death")
+
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.DataFrame is
+    # the abstract parent; the classic subclass defines its own)
+    monkeypatch.setattr(type(spark.range(1)), "toLocalIterator",
+                        _boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        sc.build_run_sidecar(spark, pdir, "-1")
+    monkeypatch.undo()
+    path = sc.sidecar_path(pdir, "-1")
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+    assert sc.load_run_sidecar(pdir, "-1") is None
+
+
+def test_sharded_run_sidecar_sums_buckets_across_shards(spark,
+                                                        tmp_path):
+    """Sharded layout (lever #1): blooms stay keyed by BUCKET across
+    the s_shard level — per-bucket footer counts sum over shards,
+    membership covers every shard's shingles, disjoint probes still
+    skip."""
+    pdir = str(tmp_path / "p")
+    mod = 4
+    run = os.path.join(pdir, "ingest_batch=-1")
+    df = (_postings_df(spark, 0, 800, "sh")
+          .withColumn("s_shard",
+                      F.when(F.col("doc_id") % 2 == 0, "web")
+                      .otherwise("books")))
+    adm._write_postings_layout(df, run, mod, shard_col="s_shard")
+    counts = sc._bucket_row_counts(run)
+    assert set(counts) == set(range(mod))
+    assert sum(counts.values()) == 800
+    import json as _json
+    with open(os.path.join(pdir, adm._META), "w") as fh:
+        _json.dump({"s_bucket_mod": mod, "shard_col": "source"}, fh)
+    assert sc.build_run_sidecar(spark, pdir, "-1")
+    blooms = sc.load_run_sidecar(pdir, "-1")
+    present = [f"sh{i}" for i in range(800)]
+    h1u, h2u, h2i = _spark_hashes(spark, present)
+    bucket_of = (h2i % mod + mod) % mod
+    assert sc.hit_buckets(blooms, h1u, h2u, bucket_of) \
+        == set(int(b) for b in np.unique(bucket_of))
+    novel = [f"nv{i}" for i in range(500)]
+    h1u, h2u, h2i = _spark_hashes(spark, novel)
+    assert sc.hit_buckets(blooms, h1u, h2u,
+                          (h2i % mod + mod) % mod) == set()
+
+
+# ------------------- r16: the re-ingested-id sizes regression (the
+# r15 ADVICE medium): a doc re-admitted with changed content leaves
+# postings+sizes in TWO runs until a fold merges them; if the batch
+# overlaps only the new run, the old run is fully bloom-dropped —
+# but its SIZES row must still reach the ratify join, because the
+# smaller old n can cross τ alone.
+
+
+def test_reingested_id_verdicts_identical_with_blooms(spark,
+                                                      tmp_path):
+    alpha = " ".join(f"alpha{i}" for i in range(8))    # 6 shingles
+    beta = " ".join(f"beta{i}" for i in range(32))     # 30 shingles
+    # 12 of beta's words + 2 novel → 12 shingles, 10 shared with beta:
+    # j vs new n (30) = 10/32 < 0.5;  j vs old n (6) = 10/8 ≥ 0.5
+    probe = " ".join([f"beta{i}" for i in range(12)] + ["qq1", "qq2"])
+
+    def _pipeline(dirs, blooms):
+        admit, table = adm.document_admission_sink(
+            spark, dirs["table"], dirs["postings"], dirs["log"],
+            sizes_dir=dirs["sizes"], tau=0.5, bloom_sidecars=blooms)
+        admit(_batch(spark, [(7, alpha, "en", "web")]), 0)
+        adm.compact_store_in_place(spark, dirs["postings"], table,
+                                   sizes_dir=dirs["sizes"],
+                                   level="major",
+                                   bloom_sidecars=blooms)
+        # re-ingest id 7 with disjoint content (j=0 → admitted):
+        # new postings+sizes land in increment '1'; the old live in
+        # folded run -1 (sidecar-covered on the blooms side)
+        admit(_batch(spark, [(7, beta, "en", "web")]), 1)
+        admit(_batch(spark, [(99, probe, "en", "web")]), 2)
+        tbl = sorted((r.doc_id, r.text)
+                     for r in table.read().collect())
+        log = sorted((r.doc_id, r.kept, r.dup_of, r.jaccard)
+                     for r in spark.read
+                     .option("basePath", dirs["log"])
+                     .parquet(dirs["log"]).collect())
+        return tbl, log
+
+    d_on = {k: str(tmp_path / "on" / k)
+            for k in ("table", "postings", "log", "sizes")}
+    d_off = {k: str(tmp_path / "off" / k)
+             for k in ("table", "postings", "log", "sizes")}
+
+    seen = []
+    orig = adm._screen_pairs
+
+    def _spy(new_post, batch_sizes, corpus_post, corpus_sizes, tau,
+             caches=None):
+        if corpus_post is not None:
+            seen.append(corpus_post
+                        .where(F.col("s").startswith("alpha"))
+                        .count())
+        return orig(new_post, batch_sizes, corpus_post, corpus_sizes,
+                    tau, caches=caches)
+
+    adm._screen_pairs = _spy
+    try:
+        on = _pipeline(d_on, True)
+    finally:
+        adm._screen_pairs = orig
+    off = _pipeline(d_off, False)
+    assert on == off
+    # the scenario actually triggered: the probe's screen (last spy
+    # sample) saw ZERO of the old run's alpha shingles — run -1 was
+    # fully bloom-dropped — yet the verdict still used the old n
+    verdicts = {d: (k, dup) for d, k, dup, _ in on[1]}
+    assert verdicts[99] == (False, 7), on[1]
+    assert seen[-1] == 0, seen
+
+
+def test_sidecar_health_rows(spark, tmp_path, monkeypatch):
+    """sidecar_health + the Engine.health_report rows (r15 verdict
+    task 4): coverage counts runs with VALID sidecars; the over-cap
+    fraction surfaces the undersized-mod failure mode that would
+    otherwise neutralize the lever silently."""
+    pdir = str(tmp_path / "p")
+    _write_run(spark, pdir, "-1", _postings_df(spark, 0, 500, "a"), 4)
+    _write_run(spark, pdir, "-2", _postings_df(spark, 0, 400, "z"), 4)
+    assert sc.build_run_sidecar(spark, pdir, "-1")
+    h = sc.sidecar_health(pdir)
+    assert (h["base_runs"], h["covered_runs"]) == (2, 1)
+    assert h["uncovered"] == ["-2"]
+    assert h["buckets"] == 4 and h["overcap_buckets"] == 0
+
+    # undersize the cap → every -1 bucket becomes a marker
+    counts = sc._bucket_row_counts(os.path.join(pdir,
+                                                "ingest_batch=-1"))
+    monkeypatch.setattr(sc, "MAX_KEYS_PER_BLOOM",
+                        min(counts.values()) - 1)
+    assert sc.build_run_sidecar(spark, pdir, "-1")
+    h = sc.sidecar_health(pdir)
+    assert h["overcap_buckets"] == h["buckets"] == 4
+
+    from data_ingestion_challenge_spark.api import Engine
+    eng = Engine("/root/testdata/sf0.001", spark=spark)
+    rows = {(r.component, r.metric): (r.value, r.note)
+            for r in eng.health_report(postings_dir=pdir).collect()}
+    cov = rows[("posting_store", "sidecar_coverage")]
+    assert cov[0] == 0.5 and "-2" in cov[1]
+    over = rows[("posting_store", "sidecar_overcap_fraction")]
+    assert over[0] == 1.0 and "s_bucket_mod" in over[1]
