@@ -435,3 +435,44 @@ LABEL_CENTROID_CONFUSION_ORACLE = """
     JOIN nsq na ON dots.label_a = na.label
     JOIN nsq nb ON dots.label_b = nb.label
 """
+
+
+def embedding_sparsity_by_label(embeddings: DataFrame,
+                                eps: float = 0.01) -> DataFrame:
+    """Near-zero coordinate fraction per label — the encoder-health
+    twin of the norm percentiles: a label whose vectors suddenly
+    carry many ~0 coordinates points at a truncation/quantization
+    bug or dead dimensions in the upstream encoder.
+
+    Exact integers end to end: per vector the near-zero COUNT and
+    the dimension count (both ints), per label their BIGINT sums;
+    the fraction is ONE 6dp divide.  The float-vs-threshold compare
+    promotes the stored float32 to double identically in both
+    engines.  Scale shape: one linear scan (the lambda walks each
+    vector once), map-side-combined groupBy to |labels| rows."""
+    nz = F.size(F.filter("embedding", lambda x: F.abs(x) < eps))
+    return (embeddings
+            .groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.sum(F.size("embedding")).alias("n_coords"),
+                 F.sum(nz).alias("n_near_zero"))
+            .withColumn("near_zero_frac",
+                        F.round(col("n_near_zero")
+                                / col("n_coords"), 6)))
+
+
+def embedding_sparsity_oracle_sql(eps: float = 0.01) -> str:
+    """DuckDB twin: list_filter + len mirror the Spark lambda."""
+    return f"""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(len(embedding)) AS BIGINT) AS n_coords,
+           CAST(sum(len(list_filter(embedding,
+                                    x -> abs(x) < {eps})))
+                AS BIGINT) AS n_near_zero,
+           round(CAST(sum(len(list_filter(embedding,
+                                          x -> abs(x) < {eps})))
+                      AS DOUBLE)
+                 / sum(len(embedding)), 6) AS near_zero_frac
+    FROM embeddings GROUP BY label
+    """

@@ -2243,3 +2243,158 @@ VALUE_ZERO_RATE_BY_TYPE_ORACLE = """
                 ELSE NULL END AS mean_nonzero_value
     FROM g
 """
+
+
+# ------------------------------------------------- r23 pool
+
+
+def event_value_cv_by_type(events: DataFrame) -> DataFrame:
+    """Per event type: mean / population stddev / coefficient of
+    variation of the value column — the instrumentation-stability
+    audit next to value_zero_rate_by_type: a type whose cv jumps
+    between snapshots changed its value semantics (unit change,
+    client bug), even if its mean looks plausible.
+
+    Parity discipline (the order_line_value_corr precedent): per-row
+    value and value² round to 6dp and accumulate as exact DECIMALs;
+    mean/E[x²] are then each ONE double divide, variance/stddev/cv
+    the identical closing float expressions token-for-token in both
+    engines.  NULL values are excluded by count(value) (an all-NULL
+    type yields NULL stats in both engines); cv is NULL when the
+    mean is exactly 0.  Scale shape: one linear scan, map-side
+    combined groupBy to |types| rows."""
+    g = (events.groupBy("event_type")
+         .agg(F.count("*").alias("n_events"),
+              F.count("value").alias("n_valued"),
+              F.sum(F.round(col("value"), 6)
+                    .cast("decimal(30,6)")).alias("_s"),
+              F.sum(F.round(col("value") * col("value"), 6)
+                    .cast("decimal(38,6)")).alias("_s2")))
+    mean = col("_s").cast("double") / col("n_valued")
+    ex2 = col("_s2").cast("double") / col("n_valued")
+    var = F.greatest(ex2 - mean * mean, F.lit(0.0))
+    sd = F.sqrt(var)
+    return (g.select("event_type", "n_events", "n_valued",
+                     F.round(mean, 6).alias("mean_value"),
+                     F.round(sd, 6).alias("stddev_value"),
+                     F.when(mean != 0, F.round(sd / mean, 6))
+                     .alias("value_cv")))
+
+
+EVENT_VALUE_CV_BY_TYPE_ORACLE = """
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(value) AS BIGINT) AS n_valued,
+               sum(CAST(round(value, 6) AS DECIMAL(30,6))) AS s,
+               sum(CAST(round(value * value, 6) AS DECIMAL(38,6)))
+                   AS s2
+        FROM events GROUP BY event_type)
+    SELECT event_type, n_events, n_valued,
+           round(CAST(s AS DOUBLE) / n_valued, 6) AS mean_value,
+           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n_valued
+                               - (CAST(s AS DOUBLE) / n_valued)
+                               * (CAST(s AS DOUBLE) / n_valued),
+                               0.0)), 6) AS stddev_value,
+           CASE WHEN CAST(s AS DOUBLE) / n_valued <> 0
+                THEN round(sqrt(greatest(CAST(s2 AS DOUBLE) / n_valued
+                                - (CAST(s AS DOUBLE) / n_valued)
+                                * (CAST(s AS DOUBLE) / n_valued),
+                                0.0))
+                           / (CAST(s AS DOUBLE) / n_valued), 6)
+                ELSE NULL END AS value_cv
+    FROM g
+"""
+
+
+def orderstatus_mix_by_month(orders: DataFrame) -> DataFrame:
+    """Order-status mix per order month: (month, o_orderstatus,
+    n_orders, revenue, status_share) — the fulfillment-pipeline
+    health trend (a rising 'O' share says fulfillment is falling
+    behind intake; 'F'/'P' drift dates a process change).
+
+    month is date_trunc cast to DATE on BOTH engines (DuckDB yields
+    DATE, Spark TIMESTAMP — the monthly_order_growth dialect note);
+    revenue rides the exact-DECIMAL msum discipline; status_share is
+    ONE divide over the month's window total, computed on the tiny
+    (months × ≤3 statuses) rollup only."""
+    g = (orders.groupBy(
+            F.date_trunc("month", col("o_orderdate")).cast("date")
+            .alias("month"),
+            "o_orderstatus")
+         .agg(F.count("*").alias("n_orders"),
+              F.round(F.sum(col("o_totalprice")
+                            .cast("decimal(30,6)")), 2)
+              .cast("double").alias("revenue")))
+    w = Window.partitionBy("month")
+    return g.withColumn(
+        "status_share",
+        F.round(col("n_orders") / F.sum("n_orders").over(w), 6))
+
+
+ORDERSTATUS_MIX_BY_MONTH_ORACLE = """
+    WITH g AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                   AS month,
+               o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1, 2)
+    SELECT month, o_orderstatus, n_orders, revenue,
+           round(CAST(n_orders AS DOUBLE)
+                 / sum(n_orders) OVER (PARTITION BY month), 6)
+               AS status_share
+    FROM g
+"""
+
+
+def monthly_return_rate(lineitem: DataFrame,
+                        orders: DataFrame) -> DataFrame:
+    """Returned-line share and priced returned revenue per ORDER
+    month — the time axis brand_return_rate lacks: a return-rate
+    regression dates to the month it shipped, which is how an ops
+    team bisects a packaging/supplier change.
+
+    Scale shape: ONE fact⋈fact join on the order key (bucket
+    co-located at 100 TB — the same shape as order_fulfillment_days),
+    then a map-side-combined groupBy to ≤|months| rows.  Counts are
+    exact BIGINTs, returned revenue exact DECIMAL with one rounded
+    cast, the rate ONE 6dp divide."""
+    ret = (col("l_returnflag") == "R").cast("long")
+    rev = (F.when(col("l_returnflag") == "R",
+                  col("l_extendedprice") * (1 - col("l_discount")))
+           .otherwise(0.0))
+    return (lineitem.join(orders,
+                          col("l_orderkey") == col("o_orderkey"))
+            .groupBy(F.date_trunc("month", col("o_orderdate"))
+                     .cast("date").alias("month"))
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(ret).alias("returned_lines"),
+                 F.round(F.sum(F.round(rev, 6)
+                               .cast("decimal(30,6)")), 2)
+                 .cast("double").alias("returned_revenue"))
+            .withColumn("return_rate",
+                        F.round(col("returned_lines")
+                                / col("n_lines"), 6)))
+
+
+MONTHLY_RETURN_RATE_ORACLE = """
+    WITH g AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                   AS month,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                             ELSE 0 END) AS BIGINT) AS returned_lines,
+               CAST(round(sum(CAST(round(
+                        CASE WHEN l_returnflag = 'R'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END, 6) AS DECIMAL(30,6))), 2)
+                    AS DOUBLE) AS returned_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1)
+    SELECT month, n_lines, returned_lines, returned_revenue,
+           round(CAST(returned_lines AS DOUBLE) / n_lines, 6)
+               AS return_rate
+    FROM g
+"""

@@ -775,3 +775,57 @@ DIGIT_RATIO_BY_SOURCE_ORACLE = """
                AS digit_ratio
     FROM g
 """
+
+
+# ------------------------------------------------- r23 pool
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+def doc_web_artifacts(documents: DataFrame) -> DataFrame:
+    """Web-artifact density per source: docs carrying URLs / email
+    addresses and the URL occurrences per doc — the
+    scrape-cleanliness audit read next to pii_redaction_audit (a
+    source whose email density jumps needs the PII pass re-run; a
+    URL-dense source is navigation boilerplate the quality filters
+    under-penalize).
+
+    Parity: the URL probe is a plain substring contains ('http://'
+    or 'https://'); the email probe and the occurrence count share
+    ONE regex literal evaluated on lowercased text in both engines
+    (the character-class subset of Java and RE2 that agrees).  All
+    counts exact BIGINTs; the density is ONE 6dp divide.  Scale
+    shape: one linear scan, map-side-combined groupBy to |sources|
+    rows."""
+    has_url = (col("text").contains("http://")
+               | col("text").contains("https://")).cast("long")
+    has_email = F.lower(col("text")).rlike(_EMAIL_RE).cast("long")
+    n_urls = F.regexp_count(col("text"), F.lit("https?://"))
+    return (documents
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(has_url).alias("docs_with_url"),
+                 F.sum(has_email).alias("docs_with_email"),
+                 F.sum(n_urls).alias("n_urls"))
+            .withColumn("urls_per_doc",
+                        F.round(col("n_urls") / col("n_docs"), 6)))
+
+
+DOC_WEB_ARTIFACTS_ORACLE = f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN contains(text, 'http://')
+                          OR contains(text, 'https://')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_url,
+           CAST(sum(CASE WHEN regexp_matches(lower(text),
+                                             '{_EMAIL_RE}')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_email,
+           CAST(sum(len(regexp_extract_all(text, 'https?://')))
+                AS BIGINT) AS n_urls,
+           round(CAST(sum(len(regexp_extract_all(text, 'https?://')))
+                      AS DOUBLE) / count(*), 6) AS urls_per_doc
+    FROM documents GROUP BY source
+"""
