@@ -907,21 +907,28 @@ def _screen_store_ladder(spark, sf_dir: str,
 
         screen_s: list[float] = []
         scan_rows: list[int] = []
+        count_s: list[float] = []
 
         def _timed(*a, **kw):
             t0 = time.perf_counter()
             df = orig_screen(*a, **kw).localCheckpoint()
             screen_s.append(time.perf_counter() - t0)
-            # Rows the pruned corpus frame actually carries — counted
-            # OUTSIDE the timed region (a separate scan).  At toy
+            # Rows the pruned corpus frame actually carries — an
+            # EXTRA accounting scan, excluded from screen_s here and
+            # subtracted from drain_s below (it runs inside admit(),
+            # so the drain wall-clock would otherwise inflate by a
+            # full corpus re-scan per batch — up to ~7.7M rows on
+            # the hot rung vs ~100k on the shard rung, skewing the
+            # drain comparison and the r13-r15 series).  At toy
             # geometry the screen is fixed-cost dominated and a
             # lever's wall-clock win can vanish into listing
             # overhead; the row count shows the prune itself
-            # (shard rung: ~store/decade rows vs the hot rung's
-            # full store) regardless of box noise.
+            # regardless of box noise.
             corpus_post = a[2] if len(a) > 2 else kw.get("corpus_post")
+            c0 = time.perf_counter()
             scan_rows.append(int(corpus_post.count())
                              if corpus_post is not None else 0)
+            count_s.append(time.perf_counter() - c0)
             return df
 
         adm._screen_pairs = _timed
@@ -940,10 +947,11 @@ def _screen_store_ladder(spark, sf_dir: str,
             pre = table.read().count()
             screen_s.clear()
             scan_rows.clear()
+            count_s.clear()
             t0 = time.perf_counter()
             for i, mb in enumerate(m_batches):
                 admit(mb, bid_base + i)
-            elapsed = time.perf_counter() - t0
+            elapsed = time.perf_counter() - t0 - sum(count_s)
             kept = (table.read().count() - pre) / n_measure
             return {
                 "screen_s_per_batch": round(

@@ -243,7 +243,8 @@ def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
     corpora, so a screen can prune its corpus read to the batch's
     shard(s) + the global shard — scanned rows ∝ shard fraction —
     with plain partition pruning and no reader logic change; the
-    cross-shard dedup sweep stays a batch job over the full store.
+    cross-shard dedup sweep (sweep_cross_shard_dups) stays a
+    batch job over the full store.
     Layout + pruning composition pinned in tests/test_shard_layout
     .py; the sink-level equivalence/crash battery lives in
     tests/test_shard_sink.py."""
@@ -739,6 +740,16 @@ def store_shard_col(postings_dir: str) -> str | None:
         return None
 
 
+def _shard_conflict(postings_dir: str, stored: str,
+                    requested: str) -> ValueError:
+    return ValueError(
+        f"{postings_dir}: store is sharded by {stored!r}; a "
+        f"sink requesting shard_col={requested!r} would "
+        f"route the same doc's postings to different shards "
+        f"across ingests — screens would then prune away "
+        f"true duplicates.")
+
+
 def _resolve_shard(postings_dir: str,
                    shard_col: str | None) -> str | None:
     """Reconcile a sink's requested ``shard_col`` with the store's
@@ -749,17 +760,22 @@ def _resolve_shard(postings_dir: str,
     unsharded store raises (its runs lack the s_shard level — mixed
     partition depths break Spark's discovery; re-ingest or rebuild
     into a fresh store instead); a flat (mod-less) store cannot
-    shard (the level exists to compose with s_bucket pruning)."""
+    shard (the level exists to compose with s_bucket pruning).
+
+    The stamp of a FRESH store runs under an O_EXCL lock with the
+    checks RE-RUN inside it: two concurrent sink builds must not
+    each stamp a different column (read-modify-write last-wins
+    would route postings by two keys into one store, and a screen
+    pruning by one key would never scan the other's shards — true
+    duplicates silently admitted).  The race loser re-reads the
+    winner's stamp and either agrees or raises the conflict."""
+    import time as _time
+
     mod = store_bucket_mod(postings_dir)  # stamps meta if absent
     stored = store_shard_col(postings_dir)
     if stored is not None:
         if shard_col is not None and shard_col != stored:
-            raise ValueError(
-                f"{postings_dir}: store is sharded by {stored!r}; a "
-                f"sink requesting shard_col={shard_col!r} would "
-                f"route the same doc's postings to different shards "
-                f"across ingests — screens would then prune away "
-                f"true duplicates.")
+            raise _shard_conflict(postings_dir, stored, shard_col)
         return stored
     if shard_col is None:
         return None
@@ -767,21 +783,52 @@ def _resolve_shard(postings_dir: str,
         raise ValueError(
             "shard_col requires a bucketed store (mod): the shard "
             "level exists to compose with s_bucket pruning")
-    if _batch_tags(postings_dir):
+    lock = os.path.join(postings_dir, _META + ".stamp")
+    for _ in range(100):
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL
+                             | os.O_WRONLY))
+            break
+        except FileExistsError:
+            # A crashed stamper's lock (the critical section is
+            # sub-millisecond) ages out after 30 s.
+            try:
+                if _time.time() - os.path.getmtime(lock) > 30:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                continue
+            _time.sleep(0.05)
+    else:
         raise ValueError(
-            f"{postings_dir}: cannot shard an existing unsharded "
-            f"store — its runs lack the s_shard partition level and "
-            f"mixed depths break partition discovery.  Start a "
-            f"fresh store (or fold this one into it) instead.")
-    meta_path = os.path.join(postings_dir, _META)
-    with open(meta_path) as fh:
-        meta = json.load(fh)
-    meta["shard_col"] = shard_col
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, meta_path)
-    return shard_col
+            f"{postings_dir}: persistent contention on the shard "
+            f"stamp lock {lock}")
+    try:
+        stored = store_shard_col(postings_dir)
+        if stored is not None:
+            if stored != shard_col:
+                raise _shard_conflict(postings_dir, stored, shard_col)
+            return stored
+        if _batch_tags(postings_dir):
+            raise ValueError(
+                f"{postings_dir}: cannot shard an existing unsharded "
+                f"store — its runs lack the s_shard partition level "
+                f"and mixed depths break partition discovery.  Start "
+                f"a fresh store (or fold this one into it) instead.")
+        meta_path = os.path.join(postings_dir, _META)
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        meta["shard_col"] = shard_col
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
+        return shard_col
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _collapse_exact(batch: DataFrame) -> DataFrame:
@@ -1043,7 +1090,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
     choose a key near-dups overwhelmingly share (source/host/time
     window in crawl corpora) and route unknown provenance to NULL;
     the full cross-shard dedup sweep stays a batch job
-    (dedup_minhash_lsh et al over the unpruned store).  The layout
+    (sweep_cross_shard_dups over the unpruned store).  The layout
     is STICKY store meta: a sharded store screens sharded even when
     a later sink omits the argument, a conflicting column raises,
     and an existing unsharded store refuses to convert in place."""
@@ -1598,6 +1645,78 @@ def run_document_admission(spark: SparkSession, watch_dir: str,
     finally:
         release_admission_lease(lease)
     return table
+
+
+def sweep_cross_shard_dups(spark: SparkSession, postings_dir: str,
+                           tau: float = 0.8,
+                           table_path: str | None = None
+                           ) -> DataFrame:
+    """The BATCH job the sharded screen's contract defers to: find
+    admitted near-dup pairs whose shard sets are DISJOINT — exactly
+    the pairs a shard-pruned incremental screen could never have
+    seen (intra-shard and global-shard pairs are screened at
+    admission, so ≥τ pairs sharing a shard cannot both be in the
+    store).  Returns (doc_a, doc_b, jaccard, shards_a, shards_b);
+    feed the verdicts to dedup_keep_list-style pruning or use them
+    to pick a better shard key.
+
+    Semantics notes: pairs come from the store's OWN postings via
+    the PPJoin inverted index (operators/dedup.ngram_jaccard_pairs —
+    sub-quadratic, df-capped prefixes, exact verify), so a
+    re-ingested doc_id's shingle set is the UNION of its runs'
+    postings, and its shard set is every shard it was ever routed
+    to.  With ``table_path`` the sweep restricts to COMMITTED docs
+    (crashed batches' orphan postings are excluded).
+
+    Runs under the admission lease like every non-sink store reader
+    (heals a crashed swap first; raises ConcurrentAdmissionError
+    while a drain is live); results are materialized before release
+    so a later fold cannot swap directories mid-scan.  Refuses an
+    unsharded store — there the incremental screen already sees
+    every pair, and the full audit is dedup_ngram_jaccard."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    if store_shard_col(postings_dir) is None:
+        raise ValueError(
+            f"{postings_dir}: store is not sharded — the incremental "
+            f"screen already sees every pair; run the "
+            f"dedup_ngram_jaccard audit instead.")
+    lease = _acquire_admission_lease(postings_dir)
+    try:
+        recover_compaction(postings_dir)
+        raw = (spark.read.option("basePath", postings_dir)
+               .parquet(postings_dir))
+        if table_path is not None:
+            from data_ingestion_challenge_spark.txn import TxnTable
+            committed = (TxnTable(spark, table_path, key="doc_id")
+                         .read().select("doc_id"))
+            raw = raw.join(committed, "doc_id", "left_semi")
+        post = raw.select("doc_id", "s").distinct()
+        shards = (raw.select("doc_id",
+                             col(SHARD_COL).cast("string")
+                             .alias("_sh"))
+                  .distinct()
+                  .groupBy("doc_id")
+                  .agg(F.collect_set("_sh").alias("shards")))
+        pairs = ngram_jaccard_pairs(None, tau=tau, posting=post)
+        out = (pairs
+               .join(shards.select(col("doc_id").alias("doc_a"),
+                                   col("shards").alias("shards_a")),
+                     "doc_a")
+               .join(shards.select(col("doc_id").alias("doc_b"),
+                                   col("shards").alias("shards_b")),
+                     "doc_b")
+               .where(F.size(F.array_intersect("shards_a",
+                                               "shards_b")) == 0)
+               .select("doc_a", "doc_b", "jaccard",
+                       F.array_sort("shards_a").alias("shards_a"),
+                       F.array_sort("shards_b").alias("shards_b"))
+               .localCheckpoint())
+        return out
+    finally:
+        release_admission_lease(lease)
 
 
 def admission_e2e_oracle_sql(n_batches: int = 3, n: int = 3,

@@ -467,23 +467,30 @@ def sidecar_health(postings_dir: str) -> dict:
         _batch_tags, _is_base,
     )
 
-    # Metadata-only probe: tiny members (version/k/fingerprint) load
-    # lazily via np.load; per-bucket marker detection reads ZIP
-    # member SIZES (ZIP_STORED: an always-hit marker's bits member is
-    # exactly an empty uint8 .npy).  Never materializes a bitmap and
-    # never touches the screen's parsed-sidecar cache — at a
+    # Streaming probe, never a bitmap in memory: tiny members
+    # (version/k/fingerprint/buckets) load lazily via np.load;
+    # member integrity is CRC-checked with zipfile's chunked
+    # testzip() (a sidecar whose bits member is truncated/corrupt
+    # would be REJECTED by the screen's load — coverage must not
+    # report it healthy); marker detection parses each bits
+    # member's 128-byte .npy HEADER for its shape (robust across
+    # numpy header-padding versions, unlike a byte-size compare).
+    # Never touches the screen's parsed-sidecar cache — at a
     # right-sized-mod store a full load here would be GBs per run
     # and could evict the warm screen entries.
-    import io as _io
-    buf = _io.BytesIO()
-    np.lib.format.write_array(buf, np.empty(0, dtype=np.uint8),
-                              allow_pickle=False)
-    empty_npy = buf.tell()
-
     base = sorted(t for t in _batch_tags(postings_dir) if _is_base(t))
     covered: list[str] = []
     uncovered: list[str] = []
     buckets = overcap = 0
+
+    def _bits_is_marker(zf: zipfile.ZipFile, name: str) -> bool:
+        with zf.open(name) as fh:
+            ver = np.lib.format.read_magic(fh)
+            if ver == (1, 0):
+                shape, _, _ = np.lib.format.read_array_header_1_0(fh)
+            else:
+                shape, _, _ = np.lib.format.read_array_header_2_0(fh)
+        return int(np.prod(shape)) == 0
 
     def _summary(path: str, run_dir: str):
         """(n_buckets, n_markers) for a VALID sidecar, else None."""
@@ -494,9 +501,11 @@ def sidecar_health(postings_dir: str) -> dict:
                 if int(z["k"][0]) != K_HASHES:
                     return None
                 emb = str(z["fingerprint"][0])
-                bs = z["buckets"]
-                infos = {i.filename: i.file_size
-                         for i in z.zip.infolist()}
+                bs = [int(b) for b in z["buckets"]]
+                if z.zip.testzip() is not None:
+                    return None  # corrupt member → load would reject
+                nm = sum(1 for b in bs
+                         if _bits_is_marker(z.zip, f"bits_{b}.npy"))
         except Exception:
             return None
         fp = stored_fingerprint(run_dir)
@@ -504,10 +513,7 @@ def sidecar_health(postings_dir: str) -> dict:
             fp = run_fingerprint(run_dir)
         if fp != emb:
             return None
-        nb = len(bs)
-        nm = sum(1 for b in bs
-                 if infos.get(f"bits_{int(b)}.npy") == empty_npy)
-        return nb, nm
+        return len(bs), nm
 
     for t in base:
         run_dir = os.path.join(postings_dir, f"ingest_batch={t}")

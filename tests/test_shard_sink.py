@@ -352,3 +352,44 @@ def test_assigned_shard_values_roundtrip_property(spark, tmp_path):
     got = {(r.doc_id, r.s_shard)
            for r in spark.read.parquet(out).collect()}
     assert got == expect
+
+
+def test_cross_shard_sweep_finds_exactly_the_residual(spark,
+                                                      tmp_path):
+    """The batch sweep the shard contract defers to: after the
+    screen admits a cross-shard dup (the documented residual), the
+    sweep reports exactly that pair — and nothing intra-shard or
+    global-involving (those were screened at admission and cannot
+    both be in the store)."""
+    ds = _dirs(tmp_path, "sw")
+    t = _drive(spark, ds, [
+        [(1, LONG_A, "web"), (2, NOVEL, "books"), (3, FRESH, None)],
+        # cross-shard exact dup of 2 (admitted: books shard pruned),
+        # near-dup of the GLOBAL doc 3 (rejected: global scanned),
+        # novel doc
+        [(10, NOVEL, "web"), (11, FRESH + " x", "web"),
+         (12, "wholly distinct closing document about nothing in "
+              "particular at all", "web")],
+    ], "source", compact_every=1)
+    assert {r.doc_id for r in t.read().collect()} == {1, 2, 3, 10, 12}
+    out = adm.sweep_cross_shard_dups(spark, ds["postings"],
+                                     tau=0.8,
+                                     table_path=ds["table"])
+    rows = [(r.doc_a, r.doc_b, r.jaccard,
+             list(r.shards_a), list(r.shards_b))
+            for r in out.collect()]
+    assert rows == [(2, 10, 1.0, ["books"], ["web"])], rows
+    # the lease was released: a sink build acquires cleanly after
+    admit2, _t2 = document_admission_sink(
+        spark, ds["table"], ds["postings"], ds["log"],
+        sizes_dir=ds["sizes"])
+    admit2(_batch(spark, [(20, "one more closing novel doc with "
+                               "plenty of unshared words", "web")]),
+           5)
+
+
+def test_cross_shard_sweep_refuses_unsharded_store(spark, tmp_path):
+    ds = _dirs(tmp_path, "swu")
+    _drive(spark, ds, [[(1, LONG_A, "web")]], None)
+    with pytest.raises(ValueError, match="not sharded"):
+        adm.sweep_cross_shard_dups(spark, ds["postings"])

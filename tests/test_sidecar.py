@@ -672,3 +672,46 @@ def test_sidecar_health_rows(spark, tmp_path, monkeypatch):
     assert cov[0] == 0.5 and "-2" in cov[1]
     over = rows[("posting_store", "sidecar_overcap_fraction")]
     assert over[0] == 1.0 and "s_bucket_mod" in over[1]
+
+
+def test_health_reports_corrupt_bits_member_uncovered(spark,
+                                                      tmp_path):
+    """A sidecar whose bits member is truncated parses its tiny
+    members fine but would be REJECTED by the screen's load —
+    sidecar_health must not count it covered (review finding: the
+    size-only probe reported the lever healthy exactly when it was
+    silently disabled)."""
+    pdir = str(tmp_path / "p")
+    _write_run(spark, pdir, "-1", _postings_df(spark, 0, 400, "a"), 4)
+    assert sc.build_run_sidecar(spark, pdir, "-1")
+    assert sc.sidecar_health(pdir)["covered_runs"] == 1
+    # corrupt ONE bits member's data region in place (zip offsets
+    # unchanged, central directory intact → tiny members still read)
+    path = sc.sidecar_path(pdir, "-1")
+    import zipfile as _zf
+    with _zf.ZipFile(path) as z:
+        info = z.getinfo("bits_0.npy")
+        off = info.header_offset + 200  # inside the data region
+    with open(path, "r+b") as fh:
+        fh.seek(off)
+        fh.write(b"\xff" * 64)
+    h = sc.sidecar_health(pdir)
+    assert h["covered_runs"] == 0 and h["uncovered"] == ["-1"]
+
+
+def test_shard_stamp_lock_stale_ages_out(spark, tmp_path):
+    """A crashed stamper's O_EXCL lock must not wedge sink builds
+    forever: a lock older than 30 s is stolen and the stamp
+    proceeds."""
+    import data_ingestion_challenge_spark.streaming.admission as A
+
+    pdir = str(tmp_path / "p")
+    os.makedirs(pdir)
+    lock = os.path.join(pdir, A._META + ".stamp")
+    with open(lock, "w"):
+        pass
+    old = __import__("time").time() - 120
+    os.utime(lock, (old, old))
+    assert A._resolve_shard(pdir, "source") == "source"
+    assert A.store_shard_col(pdir) == "source"
+    assert not os.path.exists(lock)
