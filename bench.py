@@ -1896,7 +1896,6 @@ def _point_lookup_latency(spark, sf_dir: str, n_lookups: int = 40):
                   for _ in range(3)]
 
         def _med_pair(i: int):
-            import statistics
             p50s = [p[i][0] for p in passes if p[i][0] is not None]
             p99s = [p[i][1] for p in passes if p[i][1] is not None]
             return (round(statistics.median(p50s), 2) if p50s
@@ -1904,7 +1903,6 @@ def _point_lookup_latency(spark, sf_dir: str, n_lookups: int = 40):
                     round(statistics.median(p99s), 2) if p99s
                     else None)
 
-        import statistics
         f50 = [p[0][0] for p in passes if p[0][0] is not None]
         plk = (round((max(f50) - min(f50))
                      / statistics.median(f50), 2)

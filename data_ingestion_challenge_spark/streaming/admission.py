@@ -1694,10 +1694,11 @@ def sweep_cross_shard_dups(spark: SparkSession, postings_dir: str,
                          .read().select("doc_id"))
             raw = raw.join(committed, "doc_id", "left_semi")
         post = raw.select("doc_id", "s").distinct()
+        # collect_set dedups map-side in its partial aggregate — a
+        # distinct() here would be a second full shuffle for nothing
         shards = (raw.select("doc_id",
                              col(SHARD_COL).cast("string")
                              .alias("_sh"))
-                  .distinct()
                   .groupBy("doc_id")
                   .agg(F.collect_set("_sh").alias("shards")))
         pairs = ngram_jaccard_pairs(None, tau=tau, posting=post)

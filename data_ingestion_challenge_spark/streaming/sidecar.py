@@ -367,6 +367,33 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
     return True
 
 
+def _tiny_members(z) -> tuple[str, list[int]] | None:
+    """(embedded fingerprint, bucket ids) from a sidecar's small
+    members, or None when the format markers don't match this
+    module — the shared validation prefix of the screen's full load
+    and the health probe's streaming summary."""
+    if int(z["version"][0]) != _FORMAT_VERSION:
+        return None
+    if int(z["k"][0]) != K_HASHES:
+        return None
+    return str(z["fingerprint"][0]), [int(b) for b in z["buckets"]]
+
+
+def _run_fp_matches(run_dir: str, embedded: str) -> bool:
+    """Record-first fingerprint validation: one small file read on
+    the happy path (the r15 screen paid an os.walk + per-file stat
+    here per micro-batch — at 10⁵-10⁶ files per base run that walk
+    is the dominant metadata term, multiplied by the live-run
+    count); record-less runs (pre-record stores, hand-built test
+    runs) keep the full walk as the fallback.  Either source
+    mismatching the sidecar's embedded fingerprint degrades to a
+    scan."""
+    fp = stored_fingerprint(run_dir)
+    if fp is None:
+        fp = run_fingerprint(run_dir)
+    return fp == embedded
+
+
 def load_run_sidecar(postings_dir: str, tag: str) -> dict | None:
     """Parse + validate the sidecar for a run.  Returns
     {bucket: (m_bits, bits_array_or_None)} — None bits = the
@@ -385,19 +412,17 @@ def load_run_sidecar(postings_dir: str, tag: str) -> dict | None:
     if cached is None:
         try:
             with np.load(path, allow_pickle=False) as z:
-                if int(z["version"][0]) != _FORMAT_VERSION:
+                tiny = _tiny_members(z)
+                if tiny is None:
                     return None
-                if int(z["k"][0]) != K_HASHES:
-                    return None
-                cached = {"fingerprint": str(z["fingerprint"][0]),
-                          "blooms": {}}
-                for b, n in zip(z["buckets"], z["counts"]):
-                    bits = z[f"bits_{int(b)}"]
+                cached = {"fingerprint": tiny[0], "blooms": {}}
+                for b in tiny[1]:
+                    bits = z[f"bits_{b}"]
                     if bits.size == 0:  # always-hit marker
-                        cached["blooms"][int(b)] = (0, None)
+                        cached["blooms"][b] = (0, None)
                     else:
-                        cached["blooms"][int(b)] = (int(bits.size) * 8,
-                                                    bits)
+                        cached["blooms"][b] = (int(bits.size) * 8,
+                                               bits)
         except Exception:
             return None
         # Evict any prior entry for the SAME path first: fold-tag
@@ -412,18 +437,8 @@ def load_run_sidecar(postings_dir: str, tag: str) -> dict | None:
             if len(_CACHE) > 256:
                 _CACHE.clear()
             _CACHE[key] = cached
-    # Happy path: validate against the PERSISTED record — one small
-    # file read, not the per-batch os.walk + per-file stat the r15
-    # screen paid (at 10⁵-10⁶ files per base run that walk is the
-    # dominant metadata term, multiplied by the live-run count).
-    # Record-less runs (pre-record stores, hand-built test runs) keep
-    # the full walk as the fallback; either source mismatching the
-    # sidecar's embedded fingerprint degrades to a scan.
     run_dir = os.path.join(postings_dir, f"ingest_batch={tag}")
-    fp = stored_fingerprint(run_dir)
-    if fp is None:
-        fp = run_fingerprint(run_dir)
-    if fp != cached["fingerprint"]:
+    if not _run_fp_matches(run_dir, cached["fingerprint"]):
         return None
     return cached["blooms"]
 
@@ -496,22 +511,17 @@ def sidecar_health(postings_dir: str) -> dict:
         """(n_buckets, n_markers) for a VALID sidecar, else None."""
         try:
             with np.load(path, allow_pickle=False) as z:
-                if int(z["version"][0]) != _FORMAT_VERSION:
+                tiny = _tiny_members(z)
+                if tiny is None:
                     return None
-                if int(z["k"][0]) != K_HASHES:
-                    return None
-                emb = str(z["fingerprint"][0])
-                bs = [int(b) for b in z["buckets"]]
+                emb, bs = tiny
                 if z.zip.testzip() is not None:
                     return None  # corrupt member → load would reject
                 nm = sum(1 for b in bs
                          if _bits_is_marker(z.zip, f"bits_{b}.npy"))
         except Exception:
             return None
-        fp = stored_fingerprint(run_dir)
-        if fp is None:
-            fp = run_fingerprint(run_dir)
-        if fp != emb:
+        if not _run_fp_matches(run_dir, emb):
             return None
         return len(bs), nm
 
