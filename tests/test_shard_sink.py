@@ -393,3 +393,50 @@ def test_cross_shard_sweep_refuses_unsharded_store(spark, tmp_path):
     _drive(spark, ds, [[(1, LONG_A, "web")]], None)
     with pytest.raises(ValueError, match="not sharded"):
         adm.sweep_cross_shard_dups(spark, ds["postings"])
+
+
+def test_sweep_completeness_against_admitted_pair_oracle(spark,
+                                                         tmp_path):
+    """The sweep's COMPLETENESS invariant, stated from first
+    principles: among ADMITTED docs, any ≥τ pair must have disjoint
+    shard sets (an intra-shard or global pair would have been
+    stopped at its second member's screen), and the sweep must
+    report EXACTLY the ≥τ pairs the independent PPJoin oracle finds
+    over the admitted corpus itself.  Drives a 4-batch multi-shard
+    stream with exact dups, near dups, cross-shard mirrors, and a
+    NULL-source doc, then compares pair sets."""
+    from data_ingestion_challenge_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+    mk = (lambda tail: base + " " + tail)
+    ds = _dirs(tmp_path, "comp")
+    t = _drive(spark, ds, [
+        [(1, mk("one ending here now"), "web"),
+         (2, NOVEL, "books"), (3, FRESH, None)],
+        [(10, mk("one ending here now"), "mirror"),   # cross-shard
+         (11, mk("two ending here now"), "mirror"),   # near, cross
+         (12, NOVEL_NEAR, "books")],                  # intra → drop
+        [(20, FRESH + " y", "web"),                   # vs global → drop
+         (21, "a wholly separate closing body of text with no "
+              "overlap anywhere", "web")],
+        [(30, mk("one ending here also"), "web")],    # near doc 1,
+                                                      # same shard → drop
+    ], "source", compact_every=2)
+    admitted = {r.doc_id for r in t.read().collect()}
+    assert admitted == {1, 2, 3, 10, 11, 21}
+    # independent oracle: exact ≥τ pairs over the admitted TEXTS
+    docs = t.read().select("doc_id", "text")
+    oracle = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in ngram_jaccard_pairs(docs, tau=0.8).collect()}
+    swept = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in adm.sweep_cross_shard_dups(
+                 spark, ds["postings"], tau=0.8,
+                 table_path=ds["table"]).collect()}
+    assert swept == oracle, (swept, oracle)
+    assert swept, "the stream must actually leave a residual"
+    # and the screen guarantee that makes sweep==oracle possible:
+    # every admitted ≥τ pair is cross-shard (checked BY the sweep's
+    # disjoint filter matching the unfiltered oracle exactly)
