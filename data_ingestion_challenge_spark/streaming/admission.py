@@ -66,7 +66,9 @@ class ConcurrentAdmissionError(RuntimeError):
     that another LIVE stream is already screening into."""
 
 
-def _acquire_admission_lease(postings_dir: str) -> str:
+def _acquire_admission_lease(postings_dir: str, _name: str = _LEASE,
+                             _wait_live: bool = False,
+                             _tries: int = 6) -> str:
     """Enforce the single-admission-stream contract: the corpus
     screen is not serializable across two concurrent streams (each
     would screen against a corpus missing the other's in-flight
@@ -90,11 +92,19 @@ def _acquire_admission_lease(postings_dir: str) -> str:
     silently defeating the single-stream guarantee.  A holder that
     died between creating the lease and writing its pid leaves an
     unparsable file: treated as transient for 60 s (the write is ms
-    away from the create), stale after."""
+    away from the create), stale after.
+
+    ``_name``/``_wait_live``/``_tries`` generalize the SAME proven
+    machinery (pid liveness, serialized steal, torn-write aging)
+    for other short exclusive sections — the shard-meta stamp lock
+    rides it with ``_wait_live=True`` (a live stamp holder finishes
+    in ms, so waiting beats the lease's fail-loud policy) instead
+    of hand-rolling an mtime-aged lock whose unserialized steal
+    would re-open the very race it guards (review finding, r16)."""
     import time as _time
 
     os.makedirs(postings_dir, exist_ok=True)
-    lease = os.path.join(postings_dir, _LEASE)
+    lease = os.path.join(postings_dir, _name)
     slock = lease + ".steal"
 
     def _steal_if_still(dead_repr: str) -> None:
@@ -124,7 +134,7 @@ def _acquire_admission_lease(postings_dir: str) -> str:
             except OSError:
                 pass
 
-    for _ in range(6):
+    for _ in range(_tries):
         try:
             fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as fh:
@@ -168,6 +178,12 @@ def _acquire_admission_lease(postings_dir: str) -> str:
             except PermissionError:
                 pass  # exists under another uid: alive
             if alive:
+                if _wait_live:
+                    # A live holder of a SHORT lock (the stamp):
+                    # wait for its ms-long critical section instead
+                    # of failing the build.
+                    _time.sleep(0.1)
+                    continue
                 raise ConcurrentAdmissionError(
                     f"{postings_dir}: admission stream already live "
                     f"(pid {pid}).  Two concurrent screens would "
@@ -178,7 +194,7 @@ def _acquire_admission_lease(postings_dir: str) -> str:
             _steal_if_still(raw)
             _time.sleep(0.1)  # steal-lock contention: pace the retry
     raise ConcurrentAdmissionError(
-        f"{postings_dir}: could not acquire the admission lease "
+        f"{postings_dir}: could not acquire the lock {lease} "
         f"(persistent contention)")
 
 
@@ -753,82 +769,82 @@ def _shard_conflict(postings_dir: str, stored: str,
 def _resolve_shard(postings_dir: str,
                    shard_col: str | None) -> str | None:
     """Reconcile a sink's requested ``shard_col`` with the store's
-    persisted layout at build time (stamping a fresh store).  Rules:
-    the layout is STICKY — a store written sharded screens sharded
-    even when the caller omits shard_col (the partition depth is on
-    disk); a conflicting column name raises; sharding an EXISTING
-    unsharded store raises (its runs lack the s_shard level — mixed
-    partition depths break Spark's discovery; re-ingest or rebuild
-    into a fresh store instead); a flat (mod-less) store cannot
-    shard (the level exists to compose with s_bucket pruning).
+    persisted layout at build time, PINNING the layout of a fresh
+    store either way.  Rules: the layout is STICKY — a store written
+    sharded screens sharded even when the caller omits shard_col
+    (the partition depth is on disk), and a store pinned UNSHARDED
+    refuses a later sharded sink; a conflicting column name raises;
+    sharding an EXISTING unsharded store raises (its runs lack the
+    s_shard level — mixed partition depths break Spark's discovery;
+    re-ingest or rebuild into a fresh store instead); a flat
+    (mod-less) store cannot shard (the level exists to compose with
+    s_bucket pruning).
 
-    The stamp of a FRESH store runs under an O_EXCL lock with the
-    checks RE-RUN inside it: two concurrent sink builds must not
-    each stamp a different column (read-modify-write last-wins
-    would route postings by two keys into one store, and a screen
-    pruning by one key would never scan the other's shards — true
-    duplicates silently admitted).  The race loser re-reads the
-    winner's stamp and either agrees or raises the conflict."""
-    import time as _time
+    Pinning runs under the generalized lease lock (pid-liveness
+    staleness, serialized steal — _acquire_admission_lease with the
+    stamp lock name) with the checks RE-RUN inside it.  Two races
+    are closed: stamp-vs-stamp (two fresh-store builds must not
+    each stamp a different column — last-wins would route one
+    store's postings by two keys) and stamp-vs-unsharded (a
+    shard_col=None build on a fresh store PINS ``shard_col: null``,
+    so a concurrent sharded build sees the pin and raises instead
+    of creating mixed partition depths)."""
+    _UNSET = object()
 
-    mod = store_bucket_mod(postings_dir)  # stamps meta if absent
-    stored = store_shard_col(postings_dir)
-    if stored is not None:
-        if shard_col is not None and shard_col != stored:
-            raise _shard_conflict(postings_dir, stored, shard_col)
-        return stored
-    if shard_col is None:
-        return None
-    if mod is None:
-        raise ValueError(
-            "shard_col requires a bucketed store (mod): the shard "
-            "level exists to compose with s_bucket pruning")
-    lock = os.path.join(postings_dir, _META + ".stamp")
-    for _ in range(100):
+    def _pinned():
         try:
-            os.close(os.open(lock, os.O_CREAT | os.O_EXCL
-                             | os.O_WRONLY))
-            break
-        except FileExistsError:
-            # A crashed stamper's lock (the critical section is
-            # sub-millisecond) ages out after 30 s.
-            try:
-                if _time.time() - os.path.getmtime(lock) > 30:
-                    os.unlink(lock)
-                    continue
-            except OSError:
-                continue
-            _time.sleep(0.05)
-    else:
-        raise ValueError(
-            f"{postings_dir}: persistent contention on the shard "
-            f"stamp lock {lock}")
-    try:
-        stored = store_shard_col(postings_dir)
-        if stored is not None:
-            if stored != shard_col:
-                raise _shard_conflict(postings_dir, stored, shard_col)
-            return stored
-        if _batch_tags(postings_dir):
+            with open(os.path.join(postings_dir, _META)) as fh:
+                return json.load(fh).get("shard_col", _UNSET)
+        except (OSError, ValueError):
+            return _UNSET
+
+    def _check(stored):
+        """Stored pin vs request; returns the resolved column."""
+        if stored is None and shard_col is not None:
             raise ValueError(
                 f"{postings_dir}: cannot shard an existing unsharded "
                 f"store — its runs lack the s_shard partition level "
                 f"and mixed depths break partition discovery.  Start "
                 f"a fresh store (or fold this one into it) instead.")
+        if (stored is not None and shard_col is not None
+                and shard_col != stored):
+            raise _shard_conflict(postings_dir, stored, shard_col)
+        return stored
+
+    mod = store_bucket_mod(postings_dir)  # stamps meta if absent
+    stored = _pinned()
+    if stored is not _UNSET:
+        return _check(stored)
+    if shard_col is not None and mod is None:
+        raise ValueError(
+            "shard_col requires a bucketed store (mod): the shard "
+            "level exists to compose with s_bucket pruning")
+    # Legacy/unpinned meta: a store that already has runs is
+    # definitionally unsharded (a meta-less sharded store raises in
+    # store_bucket_mod) — pinning records reality; a fresh store
+    # pins the caller's choice.  Either way the write is serialized.
+    lock = _acquire_admission_lease(postings_dir,
+                                    _name=_META + ".stamp",
+                                    _wait_live=True, _tries=60)
+    try:
+        stored = _pinned()
+        if stored is not _UNSET:  # lost the race: validate the pin
+            return _check(stored)
+        pin = shard_col
+        if _batch_tags(postings_dir):
+            _check(None)  # raises for a sharded request
+            pin = None
         meta_path = os.path.join(postings_dir, _META)
         with open(meta_path) as fh:
             meta = json.load(fh)
-        meta["shard_col"] = shard_col
+        meta["shard_col"] = pin
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
         os.replace(tmp, meta_path)
-        return shard_col
+        return pin
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        release_admission_lease(lock)
 
 
 def _collapse_exact(batch: DataFrame) -> DataFrame:
@@ -1652,13 +1668,20 @@ def sweep_cross_shard_dups(spark: SparkSession, postings_dir: str,
                            table_path: str | None = None
                            ) -> DataFrame:
     """The BATCH job the sharded screen's contract defers to: find
-    admitted near-dup pairs whose shard sets are DISJOINT — exactly
-    the pairs a shard-pruned incremental screen could never have
-    seen (intra-shard and global-shard pairs are screened at
-    admission, so ≥τ pairs sharing a shard cannot both be in the
-    store).  Returns (doc_a, doc_b, jaccard, shards_a, shards_b);
-    feed the verdicts to dedup_keep_list-style pruning or use them
-    to pick a better shard key.
+    admitted near-dup pairs no incremental screen saw.  Reported:
+    pairs whose shard sets are DISJOINT (when the later member was
+    screened, the earlier one's postings lived only in unscanned
+    shards — including pairs whose LATER member is global: its
+    screen scanned global + its own shards, not the partner's), plus
+    — FAIL-OPEN — any ≥τ pair involving a MULTI-shard doc (a doc
+    re-ingested under a changed shard value; its union shard set can
+    overlap a partner's even though no single screening ever saw the
+    pair, so a disjointness-only filter would silently drop a
+    missed duplicate).  The over-report is bounded by re-ingestion
+    frequency and the consumer verifies pairs anyway.  Returns
+    (doc_a, doc_b, jaccard, shards_a, shards_b); feed the verdicts
+    to dedup_keep_list-style pruning or use them to pick a better
+    shard key.
 
     Semantics notes: pairs come from the store's OWN postings via
     the PPJoin inverted index (operators/dedup.ngram_jaccard_pairs —
@@ -1693,15 +1716,25 @@ def sweep_cross_shard_dups(spark: SparkSession, postings_dir: str,
             committed = (TxnTable(spark, table_path, key="doc_id")
                          .read().select("doc_id"))
             raw = raw.join(committed, "doc_id", "left_semi")
-        post = raw.select("doc_id", "s").distinct()
+        # Materialize the store scan ONCE: ngram_jaccard_pairs
+        # references its posting frame several times (df/window,
+        # candidate join, sizes, verify) and the shard map reads it
+        # again — uncached, one sweep would pay ~5 full store scans.
+        post = (raw.select("doc_id", "s").distinct()
+                .localCheckpoint())
         # collect_set dedups map-side in its partial aggregate — a
         # distinct() here would be a second full shuffle for nothing
         shards = (raw.select("doc_id",
                              col(SHARD_COL).cast("string")
                              .alias("_sh"))
                   .groupBy("doc_id")
-                  .agg(F.collect_set("_sh").alias("shards")))
+                  .agg(F.collect_set("_sh").alias("shards"))
+                  .localCheckpoint())
         pairs = ngram_jaccard_pairs(None, tau=tau, posting=post)
+        unseen = ((F.size(F.array_intersect("shards_a",
+                                            "shards_b")) == 0)
+                  | (F.size("shards_a") > 1)
+                  | (F.size("shards_b") > 1))
         out = (pairs
                .join(shards.select(col("doc_id").alias("doc_a"),
                                    col("shards").alias("shards_a")),
@@ -1709,12 +1742,13 @@ def sweep_cross_shard_dups(spark: SparkSession, postings_dir: str,
                .join(shards.select(col("doc_id").alias("doc_b"),
                                    col("shards").alias("shards_b")),
                      "doc_b")
-               .where(F.size(F.array_intersect("shards_a",
-                                               "shards_b")) == 0)
+               .where(unseen)
                .select("doc_a", "doc_b", "jaccard",
                        F.array_sort("shards_a").alias("shards_a"),
                        F.array_sort("shards_b").alias("shards_b"))
                .localCheckpoint())
+        post.unpersist()
+        shards.unpersist()
         return out
     finally:
         release_admission_lease(lease)

@@ -465,7 +465,7 @@ def hit_buckets(blooms: dict, h1u: np.ndarray, h2u: np.ndarray,
     return out
 
 
-def sidecar_health(postings_dir: str) -> dict:
+def sidecar_health(postings_dir: str, deep: bool = False) -> dict:
     """Coverage/efficacy summary for Engine.health_report — the
     operator-visible answer to the silent failure mode of r15's cap
     design: an undersized ``s_bucket_mod`` puts every bucket of a big
@@ -474,10 +474,12 @@ def sidecar_health(postings_dir: str) -> dict:
     anywhere.  Returns {base_runs, covered_runs, uncovered (tags with
     no VALID sidecar), buckets, overcap_buckets}; health_report turns
     these into `sidecar_coverage` and `sidecar_overcap_fraction`
-    rows.  Constraint (docs/SCREEN_SCALING.md "Sizing guidance"):
-    rows-per-bucket ≈ store_rows / mod must stay under the 64 M-key
-    cap, i.e. mod ≳ store_rows / 64e6 — at 10¹² posting rows that is
-    mod ≥ ~16k, not the bench default 64."""
+    rows.  ``deep`` escalates integrity checking from the default
+    O(1)-per-bucket header/size probe to a full CRC pass (see
+    _summary).  Constraint (docs/SCREEN_SCALING.md "Sizing
+    guidance"): rows-per-bucket ≈ store_rows / mod must stay under
+    the 64 M-key cap, i.e. mod ≳ store_rows / 64e6 — at 10¹²
+    posting rows that is mod ≥ ~16k, not the bench default 64."""
     from data_ingestion_challenge_spark.streaming.admission import (
         _batch_tags, _is_base,
     )
@@ -498,27 +500,51 @@ def sidecar_health(postings_dir: str) -> dict:
     uncovered: list[str] = []
     buckets = overcap = 0
 
-    def _bits_is_marker(zf: zipfile.ZipFile, name: str) -> bool:
+    def _bits_probe(zf: zipfile.ZipFile, name: str):
+        """(is_marker, intact) from the member's .npy HEADER only:
+        marker ⟺ declared shape is empty (numpy-version-proof,
+        unlike a byte-size compare); intact ⟺ the ZIP_STORED member
+        size equals header + declared data bytes, which catches the
+        common corruption class (truncation / partial write) with
+        O(1) I/O per bucket."""
+        info = zf.getinfo(name)
         with zf.open(name) as fh:
             ver = np.lib.format.read_magic(fh)
             if ver == (1, 0):
-                shape, _, _ = np.lib.format.read_array_header_1_0(fh)
+                shape, _, dt = np.lib.format.read_array_header_1_0(fh)
             else:
-                shape, _, _ = np.lib.format.read_array_header_2_0(fh)
-        return int(np.prod(shape)) == 0
+                shape, _, dt = np.lib.format.read_array_header_2_0(fh)
+            hdr = fh.tell()
+        n = int(np.prod(shape)) if shape else 1
+        return (n == 0,
+                hdr + n * dt.itemsize == info.file_size)
 
     def _summary(path: str, run_dir: str):
-        """(n_buckets, n_markers) for a VALID sidecar, else None."""
+        """(n_buckets, n_markers) for a VALID sidecar, else None.
+        ``deep`` escalates member validation from the O(1)-per-
+        bucket header/size check to a full chunked CRC pass
+        (zipfile testzip): exact parity with what the screen's load
+        would accept, at I/O ∝ sidecar bytes — TBs at a right-sized
+        100 TB store, so it is opt-in.  The light probe's accepted
+        residual: size-preserving in-place bit rot inside a bitmap
+        reports covered here while the load's CRC rejects it and
+        scans (fail-open either way — coverage is advisory, never a
+        verdict input)."""
         try:
             with np.load(path, allow_pickle=False) as z:
                 tiny = _tiny_members(z)
                 if tiny is None:
                     return None
                 emb, bs = tiny
-                if z.zip.testzip() is not None:
+                if deep and z.zip.testzip() is not None:
                     return None  # corrupt member → load would reject
-                nm = sum(1 for b in bs
-                         if _bits_is_marker(z.zip, f"bits_{b}.npy"))
+                nm = 0
+                for b in bs:
+                    marker, intact = _bits_probe(z.zip,
+                                                 f"bits_{b}.npy")
+                    if not intact:
+                        return None  # truncated → load would reject
+                    nm += int(marker)
         except Exception:
             return None
         if not _run_fp_matches(run_dir, emb):

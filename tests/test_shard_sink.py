@@ -440,3 +440,33 @@ def test_sweep_completeness_against_admitted_pair_oracle(spark,
     # and the screen guarantee that makes sweep==oracle possible:
     # every admitted ≥τ pair is cross-shard (checked BY the sweep's
     # disjoint filter matching the unfiltered oracle exactly)
+
+
+def test_sweep_fail_open_on_reingested_shard_change(spark, tmp_path):
+    """Review finding (r16): a doc re-ingested under a CHANGED shard
+    value gets a multi-shard union set; a disjointness-only filter
+    would then hide a residual pair no screen ever saw.  Scenario:
+    A admitted in 'web'; B ('books', exact dup of A) admitted — its
+    screen scanned books+global only, missing A; A then re-ingested
+    in 'books' with small novel content (below τ against everything
+    scanned, so admitted) — A's shard set becomes {books, web} and
+    overlaps B's.  The sweep must still report the (A, B) pair
+    (union-set jaccard 40/43 ≥ 0.8)."""
+    base = " ".join(f"w{i}" for i in range(42))  # 40 shingles
+    tiny = "qq1 qq2 qq3 qq4 qq5"                 # 3 novel shingles
+    ds = _dirs(tmp_path, "multi")
+    t = _drive(spark, ds, [
+        [(1, base, "web")],
+        [(2, base, "books")],   # cross-shard mirror of 1 → admitted
+        [(1, tiny, "books")],   # re-ingest id 1, changed shard
+    ], "source")
+    assert {r.doc_id for r in t.read().collect()} == {1, 2}
+    out = adm.sweep_cross_shard_dups(spark, ds["postings"], tau=0.8,
+                                     table_path=ds["table"])
+    rows = {(r.doc_a, r.doc_b): (r.jaccard, list(r.shards_a),
+                                 list(r.shards_b))
+            for r in out.collect()}
+    assert (1, 2) in rows, rows
+    j, sa, sb = rows[(1, 2)]
+    assert sa == ["books", "web"] and sb == ["books"]
+    assert j == round(40 / 43, 4)

@@ -674,27 +674,51 @@ def test_sidecar_health_rows(spark, tmp_path, monkeypatch):
     assert over[0] == 1.0 and "s_bucket_mod" in over[1]
 
 
-def test_health_reports_corrupt_bits_member_uncovered(spark,
+def test_health_reports_damaged_bits_member_uncovered(spark,
                                                       tmp_path):
-    """A sidecar whose bits member is truncated parses its tiny
-    members fine but would be REJECTED by the screen's load —
-    sidecar_health must not count it covered (review finding: the
-    size-only probe reported the lever healthy exactly when it was
-    silently disabled)."""
+    """Damaged bits members vs the two-tier probe (review findings,
+    r16): a TRUNCATED member (the common failure — partial write or
+    copy) is caught by the default O(1)-per-bucket header/size
+    check; size-preserving in-place BIT ROT is the light probe's
+    documented residual (the screen's load CRC-rejects it and
+    scans — fail-open) and is caught by deep=True's full CRC
+    pass."""
+    import zipfile as _zf
+
     pdir = str(tmp_path / "p")
-    _write_run(spark, pdir, "-1", _postings_df(spark, 0, 400, "a"), 4)
+    # bitmaps must exceed zipfile's ~4 KB buffered read chunk, else
+    # the light probe's header read consumes the whole member and
+    # incidentally CRC-checks it (50k keys / 4 buckets → ~50 KB)
+    _write_run(spark, pdir, "-1",
+               _postings_df(spark, 0, 50_000, "a"), 4)
     assert sc.build_run_sidecar(spark, pdir, "-1")
     assert sc.sidecar_health(pdir)["covered_runs"] == 1
-    # corrupt ONE bits member's data region in place (zip offsets
-    # unchanged, central directory intact → tiny members still read)
     path = sc.sidecar_path(pdir, "-1")
-    import zipfile as _zf
-    with _zf.ZipFile(path) as z:
-        info = z.getinfo("bits_0.npy")
-        off = info.header_offset + 200  # inside the data region
-    with open(path, "r+b") as fh:
+
+    # (a) size-preserving rot DEEP inside the data region (past the
+    # light probe's first buffered chunk): zip offsets and member
+    # sizes unchanged, CRC now wrong
+    rot = path + ".rot"
+    shutil.copyfile(path, rot)
+    with _zf.ZipFile(rot) as z:
+        off = z.getinfo("bits_0.npy").header_offset + 20_000
+    with open(rot, "r+b") as fh:
         fh.seek(off)
         fh.write(b"\xff" * 64)
+    os.replace(rot, path)
+    assert sc.sidecar_health(pdir)["covered_runs"] == 1  # residual
+    assert sc.sidecar_health(pdir, deep=True)["covered_runs"] == 0
+    assert sc.load_run_sidecar(pdir, "-1") is None  # load rejects
+
+    # (b) truncation: rebuild the zip with bits_0 short of its
+    # header-declared length — the light probe must catch it
+    assert sc.build_run_sidecar(spark, pdir, "-1")  # fresh sidecar
+    with _zf.ZipFile(path) as z:
+        members = {n: z.read(n) for n in z.namelist()}
+    members["bits_0.npy"] = members["bits_0.npy"][:-64]
+    with _zf.ZipFile(path, "w", _zf.ZIP_STORED) as z:
+        for n, data in members.items():
+            z.writestr(n, data)
     h = sc.sidecar_health(pdir)
     assert h["covered_runs"] == 0 and h["uncovered"] == ["-1"]
 
