@@ -128,6 +128,16 @@ Round-15 additions (r14 verdict tasks 2/4/5):
 - per-query medians use statistics.median (the even-n_runs scaling
   path was upper-median-biased), and a meter whose interleaved
   samples degrade below 2 reports spread null, not a fake 0.0.
+Round-17 additions (r16 verdict "wrong" #1 — a MEASUREMENT fix,
+stated per the optimization-round contract):
+- "admission_compact_s" is now the MEDIAN of the 3 interleaved
+  admission samples' compact times with its own "cps" spread entry.
+  Through r16 it was the compact time of whichever sample had the
+  median DOCS/S — a single unclassifiable draw (the r16 artifact's
+  2.9→10.8 s swing had no spread to classify it with).  The docs/s
+  and kept-fraction keys are untouched, so their series stay
+  like-for-like; compact_s r17+ compares to r≤16 as median-of-3 vs
+  single draw.
 """
 
 from __future__ import annotations
@@ -1455,6 +1465,27 @@ def main() -> None:
               if _first(v) is not None]
         return [min(vs), max(vs)] if vs else None
 
+    def _med_elem(name, i):
+        # Median of ONE tuple element across the interleaved samples
+        # (r17, r16 verdict "wrong" #1): admission_compact_s used to
+        # ride whichever admission sample had the median DOCS/S — a
+        # single unclassifiable draw with no spread of its own, which
+        # is exactly how the r16 artifact's 2.9→10.8 s swing became
+        # ungradeable.  The docs/s and kept-fraction keys are
+        # unchanged (still the median sample's); only compact_s moves
+        # to its own median + "cps" spread.
+        vs = [v[i] for v in samples[name]
+              if isinstance(v, tuple) and v[i] is not None]
+        return round(statistics.median(vs), 3) if vs else None
+
+    def _rspread_elem(name, i):
+        vs = [v[i] for v in samples[name]
+              if isinstance(v, tuple) and v[i] is not None]
+        if len(vs) < 2:
+            return None
+        med = statistics.median(vs)
+        return round((max(vs) - min(vs)) / med, 2) if med else None
+
     def _rspread(name):
         # Relative run spread (max−min)/median of the 3 interleaved
         # samples — the compact-line twin of *_minmax.  The full
@@ -1526,7 +1557,7 @@ def main() -> None:
         "admission_docs_per_sec": adm[0],
         "admission_docs_per_sec_minmax": _minmax("admission"),
         "admission_kept_fraction": adm[1],
-        "admission_compact_s": adm[2],
+        "admission_compact_s": _med_elem("admission", 2),
         "admission_multi_drop_docs_per_sec": ma[0],
         "admission_multi_drop_docs_per_sec_minmax":
             _minmax("multi_append"),
@@ -1629,6 +1660,7 @@ def main() -> None:
         "adm": _rspread("admission"),
         "ma": _rspread("multi_append"),
         "mm": _rspread("multi_merge"),
+        "cps": _rspread_elem("admission", 2),
         "kud": _rspread("ku_delta"),
         "kum": _rspread("ku_merge"),
         "med": _rspread("media"),

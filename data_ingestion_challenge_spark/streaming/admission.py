@@ -289,6 +289,39 @@ def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
         df.write.mode("overwrite").parquet(dst)
 
 
+def _read_store(spark: SparkSession, store_dir: str,
+                paths: list[str] | None = None,
+                data_schema: str = "doc_id long, s string",
+                sharded: bool = False,
+                bucketed: bool = False) -> DataFrame:
+    """Read a posting/sizes store with an EXPLICIT schema — partition
+    columns included and STRING-typed where the stored value is a
+    string.  Spark's partition-column type inference must never run
+    on these reads (r16 advice, confirmed on pyspark 4.1.2): a store
+    whose ``s_shard`` dir values are all numeric- or date-like (no
+    ``__global__`` dir yet) infers the column as int/date, and the
+    screen's ``isin('__global__', ...)`` prune then throws
+    CAST_INVALID_INPUT under ANSI — failing every micro-batch — while
+    a leading-zero value ('0123') silently reads back as 123, never
+    matches the batch's string shard set, and the prune hides those
+    postings from every future screen (true dups admitted).  An
+    explicit schema types each partition column once, from the layout
+    contract: ``ingest_batch``/``s_shard`` are strings (exact
+    round-trip of the unescaped dir value), ``s_bucket`` an int (the
+    layout writes pmod values).  PartitionFilters pruning is
+    unaffected — pruning keys off the directory structure, not the
+    inferred types."""
+    parts = ["ingest_batch string"]
+    if sharded:
+        parts.append(f"{SHARD_COL} string")
+    if bucketed:
+        parts.append("s_bucket int")
+    schema = ", ".join([data_schema] + parts)
+    reader = spark.read.option("basePath", store_dir).schema(schema)
+    return reader.parquet(*(paths if paths is not None
+                            else [store_dir]))
+
+
 def _is_base(tag: str) -> bool:
     """Compacted-run tags are NEGATIVE integers ("-1", "-2", …):
     micro-batch tags are non-negative ints or run-scoped strings, so
@@ -522,8 +555,12 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         dst = os.path.join(postings_dir, _COMPACTING,
                            f"ingest_batch={base_tag}")
         cols = ["doc_id", "s"] + ([SHARD_COL] if sharded else [])
-        post = (spark.read.option("basePath", postings_dir)
-                .parquet(*paths).select(*cols))
+        # Explicit schema (_read_store): the fold's read-back of shard
+        # values must round-trip exactly — inference would rewrite a
+        # leading-zero shard ('0123') as 123 into the new base run.
+        post = _read_store(spark, postings_dir, paths=paths,
+                           sharded=sharded,
+                           bucketed=mod is not None).select(*cols)
         # Bucketed: one s-sorted file per shingle bucket.  Flat:
         # n_files s-sorted files.
         _write_postings_layout(post, dst, mod, n_files=n_files,
@@ -735,11 +772,31 @@ def store_bucket_mod(postings_dir: str) -> int | None:
                 f"from a store that has one.")
     mod = None if tags else N_SHINGLE_BUCKETS
     os.makedirs(postings_dir, exist_ok=True)
-    tmp = meta + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"s_bucket_mod": mod}, fh)
-    os.replace(tmp, meta)
-    return mod
+    # Stamp under the SAME lock _resolve_shard pins shard_col with,
+    # and MERGE-update: an unlocked os.replace here raced a concurrent
+    # build's shard pin — this builder read the meta as missing, the
+    # other pinned shard_col inside the lock, and the replace with a
+    # fresh {"s_bucket_mod": ...} dict erased the pin (one store, two
+    # writers disagreeing on layout — r16 advice).  Inside the lock
+    # the meta is re-read: whoever stamped first wins, keys merge.
+    lock = _acquire_admission_lease(postings_dir,
+                                    _name=_META + ".stamp",
+                                    _wait_live=True, _tries=60)
+    try:
+        try:
+            with open(meta) as fh:
+                cur = json.load(fh)
+        except (OSError, ValueError):
+            cur = {}
+        if "s_bucket_mod" not in cur:
+            cur["s_bucket_mod"] = mod
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(cur, fh)
+            os.replace(tmp, meta)
+        return cur["s_bucket_mod"]
+    finally:
+        release_admission_lease(lock)
 
 
 def store_shard_col(postings_dir: str) -> str | None:
@@ -1273,10 +1330,10 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # String-compare the partition value: run-scoped tags make
             # it a string column, bare ids an int one — cast covers
             # both.
-            raw = (spark.read.option("basePath", postings_dir)
-                   .parquet(postings_dir)
-                   .where(col("ingest_batch").cast("string")
-                          != F.lit(tag)))
+            raw = (_read_store(spark, postings_dir,
+                               sharded=shard_src is not None,
+                               bucketed=mod is not None)
+                   .where(col("ingest_batch") != F.lit(tag)))
             pruned = mod is not None and "s_bucket" in raw.columns
             # Bloom-sidecar skip (screen lever #2): a compacted run
             # with a VALID sidecar gets a DROP predicate for the
@@ -1396,11 +1453,10 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                           if sizes_dir is not None else set())
             if (sizes_tags
                     and corpus_tags - {tag} <= sizes_tags):
-                corpus_sizes = (spark.read
-                                .option("basePath", sizes_dir)
-                                .parquet(sizes_dir)
-                                .where(col("ingest_batch")
-                                       .cast("string") != F.lit(tag)))
+                corpus_sizes = (_read_store(
+                    spark, sizes_dir,
+                    data_schema="doc_id long, n long")
+                    .where(col("ingest_batch") != F.lit(tag)))
                 # Sizes are NEVER pruned by the bloom skip — not even
                 # for fully-dropped runs.  The r15 spelling dropped a
                 # fully-missed run's sizes partition, reasoning its
@@ -1706,11 +1762,25 @@ def sweep_cross_shard_dups(spark: SparkSession, postings_dir: str,
             f"{postings_dir}: store is not sharded — the incremental "
             f"screen already sees every pair; run the "
             f"dedup_ngram_jaccard audit instead.")
+    _OUT_SCHEMA = ("doc_a long, doc_b long, jaccard double, "
+                   "shards_a array<string>, shards_b array<string>")
     lease = _acquire_admission_lease(postings_dir)
     try:
         recover_compaction(postings_dir)
-        raw = (spark.read.option("basePath", postings_dir)
-               .parquet(postings_dir))
+        if not _batch_tags(postings_dir):
+            # Run-less store (pinned sharded in meta but nothing
+            # committed yet, or every run folded away mid-crash): a
+            # bare parquet read would raise "unable to infer schema"
+            # — an empty store trivially has no missed pairs (r16
+            # advice).
+            return spark.createDataFrame([], _OUT_SCHEMA)
+        # Explicit schema (_read_store): shard values must round-trip
+        # exactly — inference would report a leading-zero shard
+        # ('0123') as '123' in the pair output, and an all-numeric
+        # shard column would break the string collect_set below.
+        raw = _read_store(spark, postings_dir, sharded=True,
+                          bucketed=store_bucket_mod(postings_dir)
+                          is not None)
         if table_path is not None:
             from data_ingestion_challenge_spark.txn import TxnTable
             committed = (TxnTable(spark, table_path, key="doc_id")

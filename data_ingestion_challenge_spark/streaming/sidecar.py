@@ -316,16 +316,30 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
     # STREAM the bitmaps to the driver instead of one collect(): the
     # cap bounds each bloom (≤256 MB) but not their SUM — a
     # right-sized-mod 100 TB store is mod × 256 MB, a driver OOM as
-    # one list (r15 "wrong" #3).  The hash repartition spreads the
-    # ≤1-row-per-bucket frames so a fetched partition carries ~1
-    # bitmap; members are written straight into the zip (npz IS a
-    # zip of .npy members) as they arrive — peak driver residency ≈
-    # one bucket's bitmap, and the old BytesIO full-payload second
-    # copy is gone with it.
+    # one list (r15 "wrong" #3).  Members are written straight into
+    # the zip (npz IS a zip of .npy members) as they arrive, so peak
+    # driver residency ≈ the fetched partitions' bitmaps, and the old
+    # BytesIO full-payload second copy is gone with it.
+    #
+    # Fetch-partition count is SIZED FROM THE DATA, not a constant
+    # (r17; guide §2 — the r16 constant 2×n_under made toLocalIterator
+    # pay ~128 serial partition-fetch round trips per fold at bench
+    # geometry, where every bitmap is KBs: measured as the dominant
+    # term of the admission_compact_s 2.9→10.8 s swing).  Footer row
+    # counts upper-bound bitmap bytes (m ≤ next_pow2(32·keys) bits →
+    # < 8 bytes/row + floor), so est/256 MB partitions — 4×
+    # oversampled against hash collisions, capped at 2×n_under (the
+    # r16 spreading, residency ≈ 1 bucket) — keep residency ≤ ~256 MB
+    # per fetched partition while a small store streams as ONE fetch.
     built = (under.groupBy("b")
              .applyInPandas(_build, "b long, n long, bits binary"))
     n_under = max(1, len(counts) - len(over))
-    built = built.repartition(2 * n_under, "b")
+    over_set = set(over)
+    est_bytes = sum(min(8 * n + 4096, 8 * MAX_KEYS_PER_BLOOM)
+                    for b, n in counts.items() if b not in over_set)
+    n_parts = min(2 * n_under,
+                  max(1, (est_bytes * 4) // (256 << 20) + 1))
+    built = built.repartition(n_parts, "b")
     out = sidecar_path(postings_dir, tag)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     tmp = out + ".tmp"
@@ -339,7 +353,12 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
 
     try:
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
-            for row in built.toLocalIterator():
+            # prefetchPartitions: compute partition k+1 while the
+            # driver writes partition k's bitmaps into the zip
+            # (guide §2.6 — overlap independent work); residency
+            # rises to ≤ 2 in-flight partitions, still bounded by
+            # the sizing above.
+            for row in built.toLocalIterator(prefetchPartitions=True):
                 b = int(row["b"])
                 bs.append(b)
                 ns.append(int(row["n"]))
