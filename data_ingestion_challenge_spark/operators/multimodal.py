@@ -12,8 +12,13 @@ round-trip tested against generated genuine bytes, and
 pass.  r12 also ships a FULL baseline JPEG codec — grayscale,
 4:4:4 color and 4:2:0 subsampled (operators/jpeg_codec.py —
 pixel-level Huffman+DCT decode gated by the synth_jpeg_inventory
-witness).  Formats that genuinely need PIL/ffmpeg (progressive
-JPEG, MP4, palette/16-bit/interlaced PNG) stay gated: `decode_stub` is the deterministic fake for those paths and
+witness).  Since r13 the NATIVE surface also covers progressive and
+lossless JPEG (jpeg_progressive.py / jpeg_lossless.py, incl. restart
+intervals and 4:2:2/4:1:1), palette/16-bit/Adam7-interlaced PNG, GIF
+(LZW both directions), TIFF 6.0, EXIF, and MP4 STRUCTURE parsing —
+MEDIA_CODECS.md is the authoritative format list.  The only
+lib-gated remainders are MP4 SAMPLE decode and arithmetic-coded
+JPEG: `decode_stub` is the deterministic fake for those paths and
 `decode_real` raises a typed NotImplementedError for them when the
 libs are absent.
 """

@@ -1327,9 +1327,9 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # txn commit must not let the batch's own postings
             # self-match its survivors on the rerun (they would all
             # flag as dups of themselves and be lost).
-            # String-compare the partition value: run-scoped tags make
-            # it a string column, bare ids an int one — cast covers
-            # both.
+            # ingest_batch is string-typed by _read_store's explicit
+            # schema (r17) — run-scoped tags and bare ids compare as
+            # the exact dir string, no inference, no casts.
             raw = (_read_store(spark, postings_dir,
                                sharded=shard_src is not None,
                                bucketed=mod is not None)
@@ -1361,7 +1361,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                     loaded = _sc.load_run_sidecar(postings_dir, t)
                     if loaded is not None:
                         scs[t] = loaded
-            ib = col("ingest_batch").cast("string")
+            ib = col("ingest_batch")
             drop_pred = None
             buckets: list | None = None
             if scs:
@@ -1795,8 +1795,7 @@ def sweep_cross_shard_dups(spark: SparkSession, postings_dir: str,
         # collect_set dedups map-side in its partial aggregate — a
         # distinct() here would be a second full shuffle for nothing
         shards = (raw.select("doc_id",
-                             col(SHARD_COL).cast("string")
-                             .alias("_sh"))
+                             col(SHARD_COL).alias("_sh"))
                   .groupBy("doc_id")
                   .agg(F.collect_set("_sh").alias("shards"))
                   .localCheckpoint())

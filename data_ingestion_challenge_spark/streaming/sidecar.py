@@ -114,6 +114,25 @@ _CACHE: dict[tuple, dict] = {}
 _CACHE_LOCK = threading.Lock()
 
 
+def _fetch_partitions(counts: dict[int, int], over: list[int]) -> int:
+    """How many partitions the sidecar build's driver stream fetches
+    the built bitmaps in (r17; guide §2.2).  Sized from the DATA:
+    footer row counts upper-bound bitmap bytes (m ≤ next_pow2(32·keys)
+    bits → < 8 B/row, + the 128 B floor and header slack), and the
+    target is ≤ ~256 MB estimated per partition, 4× oversampled
+    against hash collisions, capped at 2× the under-cap bucket count
+    (the r16 spreading — residency ≈ 1 bucket).  A bench-sized store
+    (KB bitmaps) therefore streams as ONE fetch instead of the r16
+    constant 128 serial round trips (measured 7.8–9.9 s of the
+    admission_compact_s regression), while a right-sized-mod 100 TB
+    store keeps per-fetch residency ≈ one ≤256 MB bucket."""
+    over_set = set(over)
+    n_under = max(1, len(counts) - len(over_set))
+    est = sum(min(8 * n + 4096, 8 * MAX_KEYS_PER_BLOOM)
+              for b, n in counts.items() if b not in over_set)
+    return min(2 * n_under, max(1, (est * 4) // (256 << 20) + 1))
+
+
 def _bloom_m_bits(n_keys: int) -> int:
     """Bitmap size for n keys: BITS_PER_KEY per key, power of two
     (so position extraction is a mask), floor 1024 bits."""
@@ -319,27 +338,14 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
     # one list (r15 "wrong" #3).  Members are written straight into
     # the zip (npz IS a zip of .npy members) as they arrive, so peak
     # driver residency ≈ the fetched partitions' bitmaps, and the old
-    # BytesIO full-payload second copy is gone with it.
-    #
-    # Fetch-partition count is SIZED FROM THE DATA, not a constant
-    # (r17; guide §2 — the r16 constant 2×n_under made toLocalIterator
-    # pay ~128 serial partition-fetch round trips per fold at bench
-    # geometry, where every bitmap is KBs: measured as the dominant
-    # term of the admission_compact_s 2.9→10.8 s swing).  Footer row
-    # counts upper-bound bitmap bytes (m ≤ next_pow2(32·keys) bits →
-    # < 8 bytes/row + floor), so est/256 MB partitions — 4×
-    # oversampled against hash collisions, capped at 2×n_under (the
-    # r16 spreading, residency ≈ 1 bucket) — keep residency ≤ ~256 MB
-    # per fetched partition while a small store streams as ONE fetch.
+    # BytesIO full-payload second copy is gone with it.  Fetch
+    # partitioning is sized from the data (_fetch_partitions, r17) —
+    # the r16 constant 2×n_under cost ~128 serial toLocalIterator
+    # round trips per fold at bench geometry, the measured bulk of
+    # the admission_compact_s 2.9→10.8 s swing.
     built = (under.groupBy("b")
              .applyInPandas(_build, "b long, n long, bits binary"))
-    n_under = max(1, len(counts) - len(over))
-    over_set = set(over)
-    est_bytes = sum(min(8 * n + 4096, 8 * MAX_KEYS_PER_BLOOM)
-                    for b, n in counts.items() if b not in over_set)
-    n_parts = min(2 * n_under,
-                  max(1, (est_bytes * 4) // (256 << 20) + 1))
-    built = built.repartition(n_parts, "b")
+    built = built.repartition(_fetch_partitions(counts, over), "b")
     out = sidecar_path(postings_dir, tag)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     tmp = out + ".tmp"

@@ -146,3 +146,27 @@ def test_sweep_reports_exact_shard_strings(spark, tmp_path):
     r = rows[0]
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert r.shards_a == ["0123"] and r.shards_b == ["0456"]
+
+
+def test_sidecar_fetch_partitions_sizing():
+    """The r17 sidecar-build fix (admission_compact_s 10.8 -> 3.5 s):
+    the driver-stream fetch partitioning derives from footer-estimated
+    bitmap bytes -- a bench-sized store streams as ONE fetch (the r16
+    constant 2x buckets cost ~128 serial round trips), a huge store
+    keeps the bounded-residency spreading."""
+    from data_ingestion_challenge_spark.streaming.sidecar import (
+        MAX_KEYS_PER_BLOOM, _fetch_partitions)
+
+    # Bench geometry: 64 buckets x ~40k rows -> ~20 MB est -> 1 fetch.
+    small = {b: 40_000 for b in range(64)}
+    assert _fetch_partitions(small, []) == 1
+    # Right-sized 100 TB geometry: every bucket near the key cap ->
+    # est ~ 64 x 512 MB -> far above one fetch, capped at 2 x under.
+    big = {b: MAX_KEYS_PER_BLOOM for b in range(64)}
+    assert _fetch_partitions(big, []) == 128
+    # Over-cap buckets are excluded from the estimate AND the count.
+    mixed = {b: 40_000 for b in range(8)}
+    mixed.update({b: 2 * MAX_KEYS_PER_BLOOM for b in range(8, 12)})
+    assert _fetch_partitions(mixed, [8, 9, 10, 11]) == 1
+    # Never zero, even for a store whose buckets are ALL over-cap.
+    assert _fetch_partitions({0: 2 * MAX_KEYS_PER_BLOOM}, [0]) == 1
