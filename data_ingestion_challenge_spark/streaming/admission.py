@@ -997,6 +997,8 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
     # exchanges below are prepared concurrently, and a lazily-cached
     # rel would be scanned once per concurrent subtree before the
     # cache populates — re-reading the corpus 2-3× per batch.
+    _sc = new_post.sparkSession.sparkContext
+    _sc.setJobDescription("admission screen: corpus rel semi-join")
     rel = _batch_shingle_rel(all_post, bsh).localCheckpoint()
     if caches is not None:
         caches.append(rel)
@@ -1051,6 +1053,7 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
     # recompute the whole candidate pipeline), so the cardinality
     # check is a count over cached partitions; above the threshold
     # the join falls back to an ordinary shuffle join.
+    _sc.setJobDescription("admission screen: candidate intersection")
     inter = inter.localCheckpoint()
     if caches is not None:
         caches.append(inter)
@@ -1270,6 +1273,12 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         # raised N_SHINGLE_BUCKETS or a legacy flat store must neither
         # mis-prune nor mix partition depths.
         mod = store_bucket_mod(postings_dir)
+        # Phase labels (guide §1.5): thread-local, so the threaded
+        # maintenance writes label their own jobs below; purely
+        # observational — the r17 job-level drain profile needed
+        # REST-API archaeology to attribute the per-batch jobs.
+        sc = spark.sparkContext
+        sc.setJobDescription(f"admission b{batch_id}: batch checkpoint")
         batch = batch_df.localCheckpoint()
         exact = _collapse_exact(batch)
         # Shard routing (lever #1): one per-doc (doc_id, s_shard) map
@@ -1321,6 +1330,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         have_corpus = bool(corpus_tags)
         corpus_posting = corpus_sizes = None
         if have_corpus:
+            sc.setJobDescription(
+                f"admission b{batch_id}: corpus prune probes")
             # basePath surfaces the ingest_batch partition column;
             # excluding THIS batch's partition makes the screen
             # replay-safe — a crash between the posting write and the
@@ -1481,8 +1492,9 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         # table is near-dup-sized — pin it, every downstream frame
         # (drop set, verdict, log) is then a cheap join of caches.
         pairs = _screen_pairs(new_post, batch_sizes, corpus_posting,
-                              corpus_sizes, tau,
-                              caches=handles).localCheckpoint()
+                              corpus_sizes, tau, caches=handles)
+        sc.setJobDescription(f"admission b{batch_id}: screen ratify")
+        pairs = pairs.localCheckpoint()
         # In-batch rule: drop the LARGER doc of every batch-batch
         # pair.  Kept docs are pairwise non-near-dup (if two kept
         # docs were a pair, the larger would have been dropped); docs
@@ -1516,6 +1528,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
         # pre-r9 body also checkpointed `survivors` — a separate
         # Spark job whose only extra value was caching two window
         # stages the log write re-derives from caches anyway.)
+        sc.setJobDescription(f"admission b{batch_id}: admitted set")
         admitted = (survivors
                     .join(best.select("doc_id"), "doc_id", "left_anti")
                     .localCheckpoint())
@@ -1560,6 +1573,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # One file: the per-batch log is verdict-row-sized, and
             # a long-lived store otherwise accretes
             # shuffle-partition-many tiny files per batch.
+            sc.setJobDescription(f"admission b{batch_id}: write log")
             log.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(log_dir, f"ingest_batch={tag}"))
 
@@ -1571,6 +1585,8 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # files and 5 s per batch at bench scale).  Increments
             # skip the secondary s-sort (batch-sized; the compacted
             # base restores the clustering).
+            sc.setJobDescription(
+                f"admission b{batch_id}: write postings")
             _write_postings_layout(
                 adm_post,
                 os.path.join(postings_dir, f"ingest_batch={tag}"),
@@ -1580,6 +1596,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
 
         def _write_sizes():
             # One file: batch-doc-count rows.
+            sc.setJobDescription(f"admission b{batch_id}: write sizes")
             (adm_post.groupBy("doc_id")
              .agg(F.count("*").alias("n"))
              .coalesce(1)
@@ -1612,6 +1629,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # structural.
             commit = (table.append_run if commit_mode == "append"
                       else table.merge_into)
+            sc.setJobDescription(f"admission b{batch_id}: txn commit")
             commit(admitted,
                    _txn={"app": app, "batch_id": batch_id},
                    _source_unique=True,
@@ -1624,6 +1642,7 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                 fut.result()
         finally:
             pool.shutdown(wait=True)
+            sc.setJobDescription(None)
         # All derived frames are materialized (log/postings written,
         # admitted checkpointed, commit done): release the per-batch
         # posting caches — a long-running stream must not accumulate
