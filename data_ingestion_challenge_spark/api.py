@@ -566,16 +566,25 @@ class Engine:
         os.makedirs(out_dir, exist_ok=True)
         shutil.copyfile(os.path.join(postings_dir, _META),
                         os.path.join(out_dir, _META))
-        raw = (self.spark.read
-               .option("basePath", postings_dir)
-               .parquet(postings_dir))
         # Sharded stores fold sharded (the meta copied above carries
         # shard_col into the new generation): the s_shard partition
-        # column rides the read and the layout write below.
+        # column rides the read and the layout write below.  The read
+        # goes through admission._read_store_resolved — EXPLICIT
+        # schema, so an all-numeric s_shard store ('0123') can never
+        # be inferred as int and rewritten into the new generation
+        # with mangled shard dirs ('123') that every future screen's
+        # string prune would miss (r17 advice: the in-place fold was
+        # fixed; this out-of-place path had the same inference read)
+        # — and mixed increment rows (r18 layout) take their true
+        # shard from the doc_shard data column, so the new base gets
+        # real s_shard=<value> dirs.
         from data_ingestion_challenge_spark.streaming.admission import (
-            SHARD_COL, store_shard_col,
+            SHARD_COL, _read_store_resolved, store_shard_col,
         )
         sharded = store_shard_col(postings_dir) is not None
+        raw = _read_store_resolved(self.spark, postings_dir,
+                                   sharded=sharded,
+                                   bucketed=mod is not None)
         post = raw.select("doc_id", "s",
                           *([SHARD_COL] if sharded else []))
         if committed is not None:

@@ -235,6 +235,55 @@ _COMPACT_MANIFEST = "_compact_manifest.json"
 SHARD_COL = "s_shard"
 GLOBAL_SHARD = "__global__"
 
+# r18 (write fan-out, r16/r17 verdict carry-over): per-batch posting
+# INCREMENTS of a sharded store land under the single reserved
+# partition value ``s_shard=__mixed__`` with each row's TRUE shard in
+# the ``doc_shard`` DATA column — one file per s_bucket per batch
+# (identical to the unsharded drain) instead of one per non-empty
+# (shard, bucket) cell, which at bench geometry roughly doubled drain
+# time (docs/SCREEN_SCALING.md).  Folds re-derive the real
+# ``s_shard=<value>`` dirs from doc_shard, so the BULK of the store
+# (the compacted runs) keeps plain partition-prune semantics; screens
+# apply the exact same shard predicate to mixed increments as a data
+# filter (see _admit_body) — the visible-posting set, and therefore
+# every verdict, is bit-identical (tests/test_shard_sink.py).
+MIXED_SHARD = "__mixed__"
+DOC_SHARD = "doc_shard"
+
+
+def _resolved_shard(df: DataFrame) -> DataFrame:
+    """Rewrite SHARD_COL to the row's EFFECTIVE shard: a mixed
+    increment row's shard is its doc_shard data value (defensively
+    coalesced to the global shard — a NULL here must degrade to
+    always-scanned, never to a __HIVE_DEFAULT_PARTITION__ dir or a
+    fail-closed prune miss); any other row's is its partition value.
+    For FOLD/SWEEP readers only — the screen keeps its partition
+    prune on the raw column and applies the mixed-row predicate as a
+    data filter, because an isin() over this when() expression would
+    not reach PartitionFilters."""
+    eff = F.when(F.col(SHARD_COL) == MIXED_SHARD,
+                 F.coalesce(F.col(DOC_SHARD), F.lit(GLOBAL_SHARD))) \
+        .otherwise(F.col(SHARD_COL))
+    return df.withColumn(SHARD_COL, eff)
+
+
+def _read_store_resolved(spark: SparkSession, store_dir: str,
+                         paths: list[str] | None = None,
+                         sharded: bool = False,
+                         bucketed: bool = False) -> DataFrame:
+    """Posting-store read for consumers of shard VALUES (folds, the
+    cross-shard sweep): explicit schema including the doc_shard data
+    column, SHARD_COL resolved to the effective shard.  doc_shard is
+    absent from compacted-run files and pre-r18 increments — the
+    explicit schema reads it as NULL there, and those rows keep their
+    partition value (they are never __mixed__)."""
+    df = _read_store(spark, store_dir, paths=paths,
+                     data_schema="doc_id long, s string"
+                                 + (", doc_shard string" if sharded
+                                    else ""),
+                     sharded=sharded, bucketed=bucketed)
+    return _resolved_shard(df) if sharded else df
+
 
 def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
                            n_files: int | None = None,
@@ -260,7 +309,11 @@ def _write_postings_layout(df: DataFrame, dst: str, mod: int | None,
     shard(s) + the global shard — scanned rows ∝ shard fraction —
     with plain partition pruning and no reader logic change; the
     cross-shard dedup sweep (sweep_cross_shard_dups) stays a
-    batch job over the full store.
+    batch job over the full store.  Since r18 only FOLDS write real
+    shard dirs; per-batch increments ride the reserved __mixed__
+    shard value with the true shard in the doc_shard data column
+    (see MIXED_SHARD above), killing the per-(shard, bucket) file
+    fan-out the sharded drain used to pay on every batch.
     Layout + pruning composition pinned in tests/test_shard_layout
     .py; the sink-level equivalence/crash battery lives in
     tests/test_shard_sink.py."""
@@ -558,9 +611,14 @@ def compact_store_in_place(spark: SparkSession, postings_dir: str,
         # Explicit schema (_read_store): the fold's read-back of shard
         # values must round-trip exactly — inference would rewrite a
         # leading-zero shard ('0123') as 123 into the new base run.
-        post = _read_store(spark, postings_dir, paths=paths,
-                           sharded=sharded,
-                           bucketed=mod is not None).select(*cols)
+        # RESOLVED read (r18): mixed increment rows take their true
+        # shard from the doc_shard data column, so the staged run is
+        # written with real s_shard=<value> dirs and no doc_shard
+        # column — the bulk of the store stays partition-prunable.
+        post = _read_store_resolved(spark, postings_dir, paths=paths,
+                                    sharded=sharded,
+                                    bucketed=mod is not None) \
+            .select(*cols)
         # Bucketed: one s-sorted file per shingle bucket.  Flat:
         # n_files s-sorted files.
         _write_postings_layout(post, dst, mod, n_files=n_files,
@@ -1306,9 +1364,18 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # bytes per value byte → cap value at 80 utf-8 bytes so
             # 8+240 ≤ 255).  All of them route to the always-scanned
             # global shard: correctness preserved, pruning forgone.
+            # __mixed__ joins the reserved set (r18): it names the
+            # increment partition level, and a doc carrying it as a
+            # REAL value would, after a fold re-derives shard dirs
+            # from doc_shard, live under a base s_shard=__mixed__ dir
+            # whose rows the screen's mixed-row data filter (keyed on
+            # a doc_shard column base files don't carry) would hide —
+            # true dups admitted.  Routing it global is the same
+            # conservative degrade as the other unrepresentables.
             src = col(shard_src).cast("string")
             unrep = (src.isNull() | (src == "")
                      | (src == "__HIVE_DEFAULT_PARTITION__")
+                     | (src == MIXED_SHARD)
                      | (F.octet_length(src) > 80)
                      | src.rlike("[\\x00-\\x1F\\x7F]"))
             doc_shard = exact.select(
@@ -1340,8 +1407,17 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # flag as dups of themselves and be lost).
             # ingest_batch is string-typed by _read_store's explicit
             # schema (r17) — run-scoped tags and bare ids compare as
-            # the exact dir string, no inference, no casts.
+            # the exact dir string, no inference, no casts.  Sharded
+            # stores read WITH the doc_shard data column (NULL on
+            # run files, which predate it or dropped it at fold):
+            # mixed increments carry their true shard there and the
+            # prune below applies the shard predicate to them as a
+            # data filter.
             raw = (_read_store(spark, postings_dir,
+                               data_schema="doc_id long, s string"
+                                           + (", doc_shard string"
+                                              if shard_src is not None
+                                              else ""),
                                sharded=shard_src is not None,
                                bucketed=mod is not None)
                    .where(col("ingest_batch") != F.lit(tag)))
@@ -1413,20 +1489,35 @@ def document_admission_sink(spark: SparkSession, table_path: str,
                                  else drop_pred | miss)
             filtered = raw
             if shard_src is not None and SHARD_COL in raw.columns:
-                # Shard pruning (lever #1, PartitionFilters like the
-                # rest): corpus near-dups are only sought in the
-                # batch's own shards plus the global shard — the
-                # documented semantic contract of shard_col.  Bounded
-                # collect: ≤ distinct shard values in the batch.
-                # Corpus SIZES stay unsharded/unpruned (they read
-                # `raw`): a doc's sizes row is only consulted via
-                # candidates, and candidates only arise from scanned
-                # shards.
+                # Shard pruning (lever #1): corpus near-dups are only
+                # sought in the batch's own shards plus the global
+                # shard — the documented semantic contract of
+                # shard_col.  Bounded collect: ≤ distinct shard
+                # values in the batch.  Applied in TWO pieces that
+                # TOGETHER express the one predicate
+                # ``effective_shard ∈ batch_shards ∪ {global}``:
+                # a partition-column isin (PartitionFilters — prunes
+                # compacted-run dirs exactly as before, plus the
+                # __mixed__ increment level, always scanned), and a
+                # data filter on doc_shard for mixed increment rows
+                # (their true shard is the data column — r18 layout;
+                # kept as a SEPARATE conjunct on the raw partition
+                # column so the dir prune still pushes down).
+                # Verdict-identical: a row passes iff its effective
+                # shard is in the batch set, same as the pre-r18
+                # all-dirs prune.  Corpus SIZES stay
+                # unsharded/unpruned (they read `raw`): a doc's
+                # sizes row is only consulted via candidates, and
+                # candidates only arise from scanned rows.
                 batch_shards = sorted(
                     {str(r[0]) for r in doc_shard.select(SHARD_COL)
                      .distinct().collect()} | {GLOBAL_SHARD})
                 filtered = filtered.where(
-                    col(SHARD_COL).isin(batch_shards))
+                    col(SHARD_COL).isin(batch_shards + [MIXED_SHARD])
+                    & ((col(SHARD_COL) != MIXED_SHARD)
+                       | F.coalesce(col(DOC_SHARD),
+                                    F.lit(GLOBAL_SHARD))
+                       .isin(batch_shards)))
             if pruned:
                 # Shingle-bucket pruning (PartitionFilters): all
                 # corpus occurrences of any batch shingle live in the
@@ -1566,8 +1657,19 @@ def document_admission_sink(spark: SparkSession, table_path: str,
             # 1:1 on doc_id (exact is doc-unique), so posting rows
             # and the sizes groupBy are unchanged — the join only
             # pins each admitted doc's shard onto its posting rows
-            # for the partitioned write below.
-            adm_post = adm_post.join(doc_shard, "doc_id")
+            # for the partitioned write below.  The shard rides the
+            # DOC_SHARD data column under the single reserved
+            # __mixed__ partition value (r18): the increment write
+            # then fans out to one file per s_bucket — the same
+            # file count as the unsharded drain — instead of one per
+            # non-empty (shard, bucket) cell, the 1.3-1.8× drain
+            # cost measured in r16.  The fold re-derives the real
+            # shard dirs from doc_shard (_read_store_resolved); the
+            # screen applies the identical shard predicate to mixed
+            # rows as a data filter.
+            adm_post = (adm_post.join(doc_shard, "doc_id")
+                        .withColumnRenamed(SHARD_COL, DOC_SHARD)
+                        .withColumn(SHARD_COL, F.lit(MIXED_SHARD)))
 
         def _write_log():
             # One file: the per-batch log is verdict-row-sized, and
@@ -1797,9 +1899,12 @@ def sweep_cross_shard_dups(spark: SparkSession, postings_dir: str,
         # exactly — inference would report a leading-zero shard
         # ('0123') as '123' in the pair output, and an all-numeric
         # shard column would break the string collect_set below.
-        raw = _read_store(spark, postings_dir, sharded=True,
-                          bucketed=store_bucket_mod(postings_dir)
-                          is not None)
+        # RESOLVED read (r18): a doc whose postings still sit in a
+        # mixed increment contributes its doc_shard value to the
+        # shard set, identical to the pre-r18 dir value.
+        raw = _read_store_resolved(spark, postings_dir, sharded=True,
+                                   bucketed=store_bucket_mod(
+                                       postings_dir) is not None)
         if table_path is not None:
             from data_ingestion_challenge_spark.txn import TxnTable
             committed = (TxnTable(spark, table_path, key="doc_id")

@@ -130,7 +130,13 @@ def _fetch_partitions(counts: dict[int, int], over: list[int]) -> int:
     n_under = max(1, len(counts) - len(over_set))
     est = sum(min(8 * n + 4096, 8 * MAX_KEYS_PER_BLOOM)
               for b, n in counts.items() if b not in over_set)
-    return min(2 * n_under, max(1, (est * 4) // (256 << 20) + 1))
+    # 128 MB per-partition target, not 256: the consumer prefetches
+    # one partition ahead (toLocalIterator(prefetchPartitions=True)),
+    # so worst-case driver residency is ~2 in-flight partitions —
+    # halving the per-partition target keeps the documented ~256 MB
+    # residency bound a BOUND again instead of an expectation
+    # (r17 advice).
+    return min(2 * n_under, max(1, (est * 4) // (128 << 20) + 1))
 
 
 def _bloom_m_bits(n_keys: int) -> int:
@@ -297,8 +303,24 @@ def build_run_sidecar(spark, postings_dir: str, tag: str) -> bool:
     # crash after this write but before the sidecar publish leaves a
     # record nobody consults (no sidecar → scanned).
     write_fingerprint_record(run_dir, fp)
-    df = spark.read.parquet(run_dir)
-    bucket = (F.col("s_bucket").cast("long") if "s_bucket" in df.columns
+    # Explicit schema via the shared store reader (r17 advice): the
+    # build only consumes s and s_bucket, but reading the run dir with
+    # partition-type inference is the same surface the r17 screen fix
+    # eliminated — a numeric-like s_shard would infer int here and
+    # become a trap the day SHARD_COL is consumed in the build.  The
+    # layout is read off the dirs (the same walk the row-count helper
+    # does), not the caller's arguments.
+    from data_ingestion_challenge_spark.streaming.admission import (
+        _read_store,
+    )
+    shard_dirs = [e for e in os.scandir(run_dir)
+                  if e.is_dir() and e.name.startswith("s_shard=")]
+    probe = shard_dirs[0].path if shard_dirs else run_dir
+    bucketed = any(e.is_dir() and e.name.startswith("s_bucket=")
+                   for e in os.scandir(probe))
+    df = _read_store(spark, postings_dir, paths=[run_dir],
+                     sharded=bool(shard_dirs), bucketed=bucketed)
+    bucket = (F.col("s_bucket").cast("long") if bucketed
               else F.lit(-1).cast("long"))
     hashed = (df.select(bucket.alias("b"),
                         F.xxhash64("s").alias("h1"),

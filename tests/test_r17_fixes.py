@@ -64,9 +64,15 @@ def test_all_numeric_shard_values_screen_and_roundtrip(spark,
     admit(_batch(spark, [(1, LONG_A, "0123"),
                          (2, NOVEL, "20240101")]), 0)
     run = os.path.join(dirs["postings"], "ingest_batch=0")
+    # r18 increment layout: one __mixed__ level, true (leading-zero)
+    # shard values in the doc_shard data column — parquet data
+    # round-trips them exactly, no dir escaping in play at all.
     assert sorted(e.name for e in os.scandir(run)
                   if e.name.startswith("s_shard=")) == [
-        "s_shard=0123", "s_shard=20240101"]
+        f"s_shard={adm.MIXED_SHARD}"]
+    assert sorted(str(r[0]) for r in spark.read.parquet(run)
+                  .select(adm.DOC_SHARD).distinct().collect()) == [
+        "0123", "20240101"]
     # Second batch, same numeric-like shard: the near-dup must be
     # flagged against doc 1 (prune kept s_shard=0123 visible).
     admit(_batch(spark, [(3, LONG_A_NEAR, "0123")]), 1)
@@ -95,6 +101,38 @@ def test_leading_zero_shard_not_mangled_by_fold(spark, tmp_path):
     # And the post-fold screen still matches through the base run.
     admit(_batch(spark, [(3, LONG_A_NEAR, "0123")]), 2)
     assert sorted(r.doc_id for r in table.read().collect()) == [1, 2]
+
+
+def test_leading_zero_shard_not_mangled_by_outofplace_fold(
+        spark, tmp_path):
+    """r17-advice twin of test_leading_zero_shard_not_mangled_by_fold
+    for the OUT-OF-PLACE fold (Engine.compact_admission_postings):
+    its store read also used partition-type inference, so an
+    all-numeric s_shard store would rebuild the new generation with
+    mangled shard dirs ('123' for '0123') that no future screen's
+    string prune could match — true dups admitted silently."""
+    from data_ingestion_challenge_spark.api import Engine
+
+    dirs = _dirs(tmp_path, "oopfold")
+    admit, table = document_admission_sink(
+        spark, dirs["table"], dirs["postings"], dirs["log"],
+        sizes_dir=dirs["sizes"], shard_col="source")
+    admit(_batch(spark, [(1, LONG_A, "0123")]), 0)
+    admit(_batch(spark, [(2, NOVEL, "007")]), 1)
+    eng = Engine(spark=spark)
+    gen2 = str(tmp_path / "oopfold" / "gen2")
+    eng.compact_admission_postings(dirs["postings"], gen2,
+                                   table_path=dirs["table"])
+    base = os.path.join(gen2, "ingest_batch=-1")
+    assert sorted(e.name for e in os.scandir(base)
+                  if e.name.startswith("s_shard=")) == [
+        "s_shard=007", "s_shard=0123"]
+    # And a screen over the new generation still matches through it.
+    admit2, table2 = document_admission_sink(
+        spark, dirs["table"], gen2, dirs["log"],
+        sizes_dir=dirs["sizes"])
+    admit2(_batch(spark, [(3, LONG_A_NEAR, "0123")]), 2)
+    assert sorted(r.doc_id for r in table2.read().collect()) == [1, 2]
 
 
 def test_store_bucket_mod_stamp_preserves_shard_pin(tmp_path):
@@ -170,3 +208,9 @@ def test_sidecar_fetch_partitions_sizing():
     assert _fetch_partitions(mixed, [8, 9, 10, 11]) == 1
     # Never zero, even for a store whose buckets are ALL over-cap.
     assert _fetch_partitions({0: 2 * MAX_KEYS_PER_BLOOM}, [0]) == 1
+    # r17 advice: the per-partition target is 128 MB (not 256) because
+    # prefetchPartitions holds ~2 partitions in flight -- an estimate
+    # between the two targets must now split into 2 fetches so the
+    # ~256 MB driver-residency bound is a bound, not an expectation.
+    between = {b: 66_000 for b in range(64)}   # est ~ 34 MB, x4 oversample
+    assert _fetch_partitions(between, []) == 2

@@ -154,9 +154,15 @@ def test_null_shard_routes_global_and_is_always_screened(spark,
     assert [d for d, _ in tbl] == [1]
     verdicts = {d: (k, dup) for d, k, dup, _ in log}
     assert verdicts[10] == (False, 1)
+    # r18 increment layout: the batch rides the single __mixed__
+    # level; the NULL→global routing lives in the doc_shard column.
     inc = os.path.join(ds["postings"], "ingest_batch=0")
-    assert os.path.isdir(os.path.join(
-        inc, f"{SHARD_COL}={GLOBAL_SHARD}"))
+    assert [e.name for e in os.scandir(inc)
+            if e.name.startswith(f"{SHARD_COL}=")] == [
+        f"{SHARD_COL}={adm.MIXED_SHARD}"]
+    vals = {r[0] for r in spark.read.parquet(inc)
+            .select(adm.DOC_SHARD).distinct().collect()}
+    assert vals == {GLOBAL_SHARD}
 
 
 # ------------------------------------------------- sticky meta rules
@@ -257,15 +263,22 @@ def test_run_document_admission_shard_passthrough(spark, tmp_path):
         spark, d["watch"], d["table"], d["postings"], d["log"],
         d["ckpt"], sizes_dir=sizes, shard_col="source")
     assert {r.doc_id for r in table.read().collect()} == {1, 2}
-    store = spark.read.option("basePath", d["postings"]) \
-        .parquet(d["postings"])
+    # Effective shard values (r18: increments carry the true shard in
+    # doc_shard under the __mixed__ level; the resolved reader is the
+    # value surface).
+    store = adm._read_store_resolved(
+        spark, d["postings"], sharded=True,
+        bucketed=adm.store_bucket_mod(d["postings"]) is not None)
     shards = {str(r[0]) for r in
               store.select(SHARD_COL).distinct().collect()}
     assert shards == {"web", GLOBAL_SHARD}
     assert adm.store_shard_col(d["postings"]) == "source"
-    # prune plan: both partition levels reach PartitionFilters
-    plan = (store.where((F.col(SHARD_COL) == "web")
-                        & F.col("s_bucket").isin([0, 1]))
+    # prune plan: both partition levels reach PartitionFilters on the
+    # RAW read (the screen's pruning surface)
+    raw = adm._read_store(spark, d["postings"], sharded=True,
+                          bucketed=True)
+    plan = (raw.where((F.col(SHARD_COL) == adm.MIXED_SHARD)
+                      & F.col("s_bucket").isin([0, 1]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan
 
@@ -290,7 +303,10 @@ def test_empty_string_shard_routes_global(spark, tmp_path):
     inc = os.path.join(ds["postings"], "ingest_batch=0")
     shards = [e.name for e in os.scandir(inc)
               if e.name.startswith(f"{SHARD_COL}=")]
-    assert shards == [f"{SHARD_COL}={GLOBAL_SHARD}"]
+    assert shards == [f"{SHARD_COL}={adm.MIXED_SHARD}"]
+    vals = {r[0] for r in spark.read.parquet(inc)
+            .select(adm.DOC_SHARD).distinct().collect()}
+    assert vals == {GLOBAL_SHARD}
 
 
 def test_unrepresentable_shard_values_route_global(spark, tmp_path):
@@ -317,7 +333,11 @@ def test_unrepresentable_shard_values_route_global(spark, tmp_path):
         inc = os.path.join(ds["postings"], f"ingest_batch={bid}")
         shards = [e.name for e in os.scandir(inc)
                   if e.name.startswith(f"{SHARD_COL}=")]
-        assert shards == [f"{SHARD_COL}={GLOBAL_SHARD}"], (bid, shards)
+        assert shards == [f"{SHARD_COL}={adm.MIXED_SHARD}"], (
+            bid, shards)
+        vals = {r[0] for r in spark.read.parquet(inc)
+                .select(adm.DOC_SHARD).distinct().collect()}
+        assert vals == {GLOBAL_SHARD}, (bid, vals)
 
 
 def test_assigned_shard_values_roundtrip_property(spark, tmp_path):
@@ -440,6 +460,103 @@ def test_sweep_completeness_against_admitted_pair_oracle(spark,
     # and the screen guarantee that makes sweep==oracle possible:
     # every admitted ≥τ pair is cross-shard (checked BY the sweep's
     # disjoint filter matching the unfiltered oracle exactly)
+
+
+# ------------------------------------------- r18 increment layout
+
+
+def _inc_data_files(inc_dir):
+    out = []
+    for base, dirs, files in os.walk(inc_dir):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        out += [os.path.join(base, f) for f in files
+                if f.endswith(".parquet") and not f.startswith((".",
+                                                               "_"))]
+    return out
+
+
+def test_sharded_increment_write_has_no_shard_fanout(spark, tmp_path):
+    """The r16-measured drain cost (one file per non-empty
+    (shard, bucket) cell, ~2× drain time at bench geometry): an
+    increment of a 3-shard batch must now produce EXACTLY the
+    unsharded drain's file set — one file per populated s_bucket
+    under the single __mixed__ level — with the true shards riding
+    the doc_shard data column."""
+    ds = _dirs(tmp_path, "fan")
+    du = _dirs(tmp_path, "fanu")
+    batches = [[(1, LONG_A, "web"), (2, NOVEL, "books"),
+                (3, FRESH, None)]]
+    _drive(spark, ds, batches, "source")
+    _drive(spark, du, batches, None)
+    inc_s = os.path.join(ds["postings"], "ingest_batch=0")
+    inc_u = os.path.join(du["postings"], "ingest_batch=0")
+    shard_dirs = [e.name for e in os.scandir(inc_s)
+                  if e.name.startswith(f"{SHARD_COL}=")]
+    assert shard_dirs == [f"{SHARD_COL}={adm.MIXED_SHARD}"]
+    # same per-bucket file fan-out as the unsharded increment
+    def _buckets(d):
+        return sorted(os.path.relpath(f, d).split("/")[-2]
+                      for f in _inc_data_files(d))
+    assert _buckets(os.path.join(inc_s, shard_dirs[0])) \
+        == _buckets(inc_u)
+    assert len(_inc_data_files(inc_s)) == len(_inc_data_files(inc_u))
+    # and the shard values are all there, exactly
+    vals = {str(r[0]) for r in spark.read.parquet(inc_s)
+            .select(adm.DOC_SHARD).distinct().collect()}
+    assert vals == {"web", "books", GLOBAL_SHARD}
+
+
+def test_mixed_literal_source_value_routes_global(spark, tmp_path):
+    """'__mixed__' as a REAL source value is reserved by the r18
+    increment layout (a doc carrying it would land under a base
+    s_shard=__mixed__ dir after a fold, where the screen's mixed-row
+    data filter would hide it) — it must route to the global shard
+    like the other unrepresentables, keeping its near-dups
+    catchable from any batch shard."""
+    ds = _dirs(tmp_path, "mx")
+    t = _drive(spark, ds, [
+        [(1, LONG_A, adm.MIXED_SHARD)],
+        [(10, LONG_A_NEAR, "web")],   # cross-"shard" near-dup
+    ], "source", compact_every=1)
+    tbl, log = _state(spark, t, ds["log"])
+    assert [d for d, _ in tbl] == [1]
+    verdicts = {d: (k, dup) for d, k, dup, _ in log}
+    assert verdicts[10] == (False, 1)
+    # after the fold the base must hold it under __global__, and no
+    # base dir may be named __mixed__
+    base = os.path.join(ds["postings"], "ingest_batch=-1")
+    shards = sorted(e.name for e in os.scandir(base)
+                    if e.name.startswith(f"{SHARD_COL}="))
+    assert f"{SHARD_COL}={GLOBAL_SHARD}" in shards
+    assert f"{SHARD_COL}={adm.MIXED_SHARD}" not in shards
+
+
+def test_fold_rederives_shard_dirs_and_drops_doc_shard(spark,
+                                                       tmp_path):
+    """The fold must rewrite mixed increments into REAL
+    s_shard=<value> dirs (partition-prunable bulk) and the staged
+    run's data files must NOT carry the doc_shard column (it is an
+    increment-only contract)."""
+    import pyarrow.parquet as pq
+
+    ds = _dirs(tmp_path, "fold18")
+    t = _drive(spark, ds, [
+        [(1, LONG_A, "web"), (2, NOVEL, "books"), (3, FRESH, None)],
+    ], "source", compact_every=1)
+    base = os.path.join(ds["postings"], "ingest_batch=-1")
+    shards = sorted(e.name for e in os.scandir(base)
+                    if e.name.startswith(f"{SHARD_COL}="))
+    assert shards == [f"{SHARD_COL}={GLOBAL_SHARD}",
+                      f"{SHARD_COL}=books", f"{SHARD_COL}=web"]
+    for f in _inc_data_files(base):
+        names = pq.ParquetFile(f).schema_arrow.names
+        assert adm.DOC_SHARD not in names, (f, names)
+    # and a post-fold screen still matches through the base run
+    admit, table = document_admission_sink(
+        spark, ds["table"], ds["postings"], ds["log"],
+        sizes_dir=ds["sizes"])
+    admit(_batch(spark, [(10, LONG_A_NEAR, "web")]), 5)
+    assert {r.doc_id for r in table.read().collect()} == {1, 2, 3}
 
 
 def test_sweep_fail_open_on_reingested_shard_change(spark, tmp_path):
