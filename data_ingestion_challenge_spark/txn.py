@@ -657,21 +657,38 @@ class TxnTable:
             # never silently overwritten (lost-update window).  The
             # run-aware snapshot + bucket read make this correct over
             # live append-run files too (latest-wins per key).
+            # localCheckpoint (r18, guide §5): merge_into drives ≥2
+            # actions over this frame (its touched-bucket collect and
+            # the stage write) — lazy, each one re-ran the full
+            # bucket read + sum fold; pinned, the fold runs once and
+            # the frame is bounded by the touched buckets' rows, the
+            # same data the stage write materializes anyway.
             snap = self._snapshot_runs()
             base["snap"] = snap
             v, active, added_at, runs = snap
             current = self._read_buckets(active, touched,
                                          added_at, runs)
-            return inc if current is None else (
+            out = inc if current is None else (
                 current.select(*inc.columns).unionByName(inc)
                 .groupBy(self.key)
                 .agg(*[F.sum(c).alias(c) for c in sum_cols]))
+            return out.localCheckpoint()
 
+        # r18 (guide §1.2 per-task work): the derived frame is
+        # structurally one-row-per-key (it ends in groupBy(key)) and
+        # ALREADY folds the touched buckets' current rows — so the
+        # merge can skip its duplicate-source check job AND its own
+        # current-read + anti-join (_covers_touched): staging the
+        # derived frame alone IS the merged bucket content.  Before
+        # this, one merge commit executed the bucket read + sum fold
+        # up to 4× (dup check, touched collect, current read, stage).
         return self.merge_into(_derive(),
                                max_retries=max_retries,
                                _txn={"app": app, "batch_id": batch_id},
                                _rebuild=_derive,
-                               _base=lambda: base["snap"])
+                               _base=lambda: base["snap"],
+                               _source_unique=True,
+                               _covers_touched=True)
 
     # --------------------------------------------------- append runs
     def append_run(self, updates: DataFrame, *,
@@ -1198,7 +1215,8 @@ class TxnTable:
                    _rebuild=None,
                    _base=None,
                    _source_unique: bool = False,
-                   _pre_claim=None) -> int:
+                   _pre_claim=None,
+                   _covers_touched: bool = False) -> int:
         """Optimistic MERGE: upsert `updates` (full-row schema), drop
         `deletes` (one-column keys).  Returns the committed version.
         Concurrent writers serialize through the log: a lost claim
@@ -1227,7 +1245,16 @@ class TxnTable:
         COMMIT still never precedes them (tests also use it to
         interleave a competing writer deterministically).  If the
         hook raises, the staged files are discarded before the error
-        propagates — they must not leak as orphans.
+        propagates — they must not leak as orphans; `_covers_touched=
+        True` asserts that `updates` already CONTAINS every surviving
+        row of every touched bucket (accumulate_batch passes it: its
+        derived frame is current ∪ increments re-aggregated per key),
+        so the merge stages `updates` as-is instead of reading the
+        touched buckets again and anti-joining — with the frame-level
+        union that read fed being provably empty (every current key
+        appears in updates, so the anti-join dropped ALL of current).
+        Only valid with deletes=None (enforced); conflict handling is
+        unchanged — a rebuild re-derives against the fresh snapshot.
 
         Correct over LIVE APPEND-RUN histories since r10: bucket reads
         are run-aware (latest-wins per key via _read_buckets), the
@@ -1237,6 +1264,19 @@ class TxnTable:
         disjoint (harmless) or detected as a bucket conflict and
         folded into the rebuild — never unioned in as a resurrection
         of shadowed rows (the r9 check-then-act hazard)."""
+        if _covers_touched and deletes is not None:
+            raise ValueError(
+                "merge_into: _covers_touched is incompatible with "
+                "deletes — the staged-as-is frame would resurrect "
+                "deleted keys")
+        if _covers_touched and _rebuild is None:
+            raise ValueError(
+                "merge_into: _covers_touched requires _rebuild — on "
+                "an overlapping conflict the ordinary path re-merges "
+                "against the fresh snapshot, but a covers-touched "
+                "frame is a function of the snapshot it was derived "
+                "from and MUST be re-derived, or interleaved rows "
+                "would be lost")
         if not _source_unique:
             dup = (updates.groupBy(self.key).count()
                    .where(col("count") > 1).take(1))
@@ -1262,15 +1302,23 @@ class TxnTable:
         staged: dict[str, int] | None = None
         for _ in range(max_retries):
             if staged is None:
-                current = self._read_buckets(active, touched,
-                                             added_at, run_files)
-                # No checkpoint needed (unlike merge.py): data files
-                # are immutable — the merge reads old files and
-                # stages NEW ones, never overwriting what it reads.
-                merged = updates if current is None else (
-                    current.join(drop_keys.distinct(), self.key,
-                                 "left_anti")
-                    .unionByName(updates))
+                if _covers_touched:
+                    # updates already IS the touched buckets' merged
+                    # content (see docstring) — skip the second
+                    # bucket read whose rows the anti-join would all
+                    # drop anyway.
+                    merged = updates
+                else:
+                    current = self._read_buckets(active, touched,
+                                                 added_at, run_files)
+                    # No checkpoint needed (unlike merge.py): data
+                    # files are immutable — the merge reads old files
+                    # and stages NEW ones, never overwriting what it
+                    # reads.
+                    merged = updates if current is None else (
+                        current.join(drop_keys.distinct(), self.key,
+                                     "left_anti")
+                        .unionByName(updates))
                 staged = self._stage(merged)
             if _pre_claim is not None:
                 hook, _pre_claim = _pre_claim, None

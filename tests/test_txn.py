@@ -157,6 +157,30 @@ def test_accumulate_batch_replay_idempotent(spark, tmp_path):
     assert t.version() == v and _rows(t.read()) == want
 
 
+def test_covers_touched_requires_rebuild_and_no_deletes(spark,
+                                                        tmp_path):
+    """r18 merge-commit optimization (_covers_touched: accumulate's
+    derived frame is staged as-is, skipping the second bucket read):
+    the flag is only sound when (a) a _rebuild hook can re-derive the
+    frame against a fresh snapshot on an overlapping conflict — the
+    plain retry path re-merges, but a covers-touched frame is a
+    function of its snapshot — and (b) there are no deletes (the
+    staged-as-is frame would resurrect them).  Both misuses must
+    raise before any staging happens."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "cov"),
+        spark.createDataFrame([(1, 10)], "k long, n long"),
+        key="k", n_buckets=2)
+    upd = spark.createDataFrame([(1, 11)], "k long, n long")
+    with pytest.raises(ValueError, match="requires _rebuild"):
+        t.merge_into(upd, _covers_touched=True)
+    with pytest.raises(ValueError, match="incompatible with"):
+        t.merge_into(upd, deletes=upd.select("k"),
+                     _covers_touched=True, _rebuild=lambda: upd)
+    # and the guards fired before any commit landed
+    assert t.version() == 1
+
+
 def test_accumulate_conflict_rederives_sums(spark, tmp_path):
     """If a competing commit rewrites one of the accumulator's buckets
     mid-flight, the retry must RE-SUM against the new snapshot — the
