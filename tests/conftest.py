@@ -1,10 +1,33 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from data_ingestion_challenge_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
+
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Attach the `slow` marker from the COMMITTED measured list
+    (tests/slow_tests.txt, node ids, >= ~9 s each in the r18 baseline
+    run) instead of scattering decorators over 14 files: pytest.ini
+    deselects `slow` by default so the driver's verify command fits
+    its window (r17 verdict task 2), while `-m "slow or not slow"`
+    runs everything — see pytest.ini for the contract.  A stale id
+    (renamed/removed test) simply stops matching; it never errors."""
+    try:
+        with open(_SLOW_LIST) as fh:
+            slow = {ln.strip() for ln in fh
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")
