@@ -56,6 +56,19 @@ _APP = "doc_admission"
 # default executor memory.
 _PAIR_BROADCAST_MAX_ROWS = 1_000_000
 
+# Screen-plan knobs (r18, guide §3.1/§5): defaults are the measured
+# winners of the interleaved drain A/B (scripts/r18_screen_ab.py);
+# module-level so the A/B harness can flip them in-process and so a
+# deployment that disagrees with the bench geometry can re-measure.
+# Both broadcast sides are BATCH-bounded — each is a subset/aggregate
+# of the batch posting table, strictly smaller than the batch shingle
+# set `bsh` that the screen already broadcasts unconditionally — so
+# neither grows with the corpus (the growing frames stay on shuffle
+# joins on purpose, see _screen_pairs).
+_BCAST_DFREQ = True       # rarity lookup join builds on dfreq
+_BCAST_PREFIX = True      # candidate join builds on the prefix side
+_FOLD_INTER_COUNT = True  # persist+count (1 job) vs checkpoint+count
+
 _META = "_admission_meta.json"
 
 _LEASE = "_admission_lease"
@@ -1061,6 +1074,14 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
     if caches is not None:
         caches.append(rel)
     dfreq = rel.groupBy("s").agg(F.count("*").alias("_df"))
+    # rel is checkpoint/cache-backed, so the planner sees no usable
+    # size estimate for dfreq and would shuffle new_post by `s` to
+    # join a frame bounded by the batch's DISTINCT shingles (smaller
+    # than the bsh broadcast above).  Build on dfreq explicitly: the
+    # batch posting table flows straight to its doc_id window
+    # exchange.  Measured win (scripts/r18_screen_ab.py).
+    if _BCAST_DFREQ:
+        dfreq = F.broadcast(dfreq)
     wspec = Window.partitionBy("doc_id").orderBy("_df", "s")
     ranked = (
         new_post.join(dfreq, "s", "left").fillna({"_df": 0})
@@ -1076,8 +1097,17 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
     # and halves the batch-pair verify work.  Corpus candidates keep
     # every (_nid, _cid), including equal ids (the re-ingested-id
     # case); a batch doc never pairs with its own batch postings.
+    pre_side = prefix.select(col("doc_id").alias("_nid"), "s")
+    # Prefix rows are a batch-bounded SUBSET of new_post (≈(1−τ)·|A|+1
+    # rows per doc) — again smaller than the bsh broadcast — while the
+    # rel side grows with corpus overlap.  Building on the prefix side
+    # streams rel out of its cache with NO exchange by `s`; the old
+    # shuffle join exchanged both sides.  The GROWING frames (rel, pa,
+    # inter pre-ratify) stay on shuffle joins on purpose.
+    if _BCAST_PREFIX:
+        pre_side = F.broadcast(pre_side)
     cand = (
-        prefix.select(col("doc_id").alias("_nid"), "s")
+        pre_side
         .join(rel.select(col("doc_id").alias("_cid"), "s",
                          col("_corp").alias("_ccorp")), "s")
         .where(col("_ccorp") | (col("_nid") < col("_cid")))
@@ -1112,11 +1142,21 @@ def _screen_pairs(new_post: DataFrame, batch_sizes: DataFrame,
     # check is a count over cached partitions; above the threshold
     # the join falls back to an ordinary shuffle join.
     _sc.setJobDescription("admission screen: candidate intersection")
-    inter = inter.localCheckpoint()
+    if _FOLD_INTER_COUNT:
+        # persist + count: ONE job materializes the pair table AND
+        # yields the guard cardinality (localCheckpoint's eager
+        # materialization plus a separate cache-scan count() is two).
+        # Lineage is kept, but every downstream consumer reads the
+        # InMemoryRelation, so nothing above this line re-executes.
+        inter = inter.persist()
+        n_pairs = inter.count()
+    else:
+        inter = inter.localCheckpoint()
+        n_pairs = inter.count()
     if caches is not None:
         caches.append(inter)
     pair_side = inter.join(F.broadcast(sz_new), "_nid")
-    if inter.count() <= _PAIR_BROADCAST_MAX_ROWS:
+    if n_pairs <= _PAIR_BROADCAST_MAX_ROWS:
         pair_side = F.broadcast(pair_side)
     return (
         sz_other.join(pair_side, ["_cid", "_ccorp"])
